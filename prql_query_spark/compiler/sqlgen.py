@@ -1,0 +1,634 @@
+"""Resolver + SQL generation: PL AST -> layered SELECTs -> SQL text.
+
+Design (SURVEY.md §7.0): instead of reproducing the reference compiler's
+single-SELECT fusion (README.md:105-129 shows prql-compiler collapsing an
+8-transform pipeline into one SELECT), we lower to *nested subquery layers*
+and rely on Catalyst's CollapseProject / PushDownPredicate to fuse them —
+performance-neutral on Spark, and far simpler to get right.
+
+A `Layer` models one SELECT block.  Transforms merge into the current layer
+when SQL clause ordering allows it, otherwise the layer is wrapped as a
+subquery (`_wrap`).  Qualified column refs (``ii.quantity``) are stripped of
+their qualifier once the alias scope is gone after a wrap — flattened
+subqueries expose unqualified names (USING-joins dedup their key, matching
+PRQL `[==col]` semantics, reference README.md:124).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from prql_query_spark.compiler import ast_nodes as A
+from prql_query_spark.compiler.dialect import Dialect, get_dialect
+
+
+class CompileError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Function tables.  Spelling is shared unless the dialect overrides (fn_sql).
+# Arg order quirks of the PRQL std-lib are handled here (`lag 7 x` => LAG(x,7),
+# `round 2 x` => ROUND(x, 2)).
+AGG_FNS = {
+    "sum": "SUM({0})", "min": "MIN({0})", "max": "MAX({0})",
+    "average": "AVG({0})", "avg": "AVG({0})", "stddev": "STDDEV({0})",
+    "count_distinct": "COUNT(DISTINCT {0})",
+    "any": "MAX({0})", "every": "MIN({0})",
+}
+WINDOW_FNS = {
+    "lag": "LAG({1}, {0})", "lead": "LEAD({1}, {0})",
+    "rank": "RANK()", "row_number": "ROW_NUMBER()", "dense_rank": "DENSE_RANK()",
+    "percent_rank": "PERCENT_RANK()", "cume_dist": "CUME_DIST()",
+    "ntile": "NTILE({0})",
+    "first": "FIRST_VALUE({1})", "last": "LAST_VALUE({1})",
+}
+# first/last in PRQL take 1 arg; normalize to templates above with dummy slot
+SCALAR_FNS = {
+    "abs": "ABS({0})", "floor": "FLOOR({0})", "ceil": "CEIL({0})",
+    "round": "ROUND({1}, {0})", "sqrt": "SQRT({0})", "ln": "LN({0})",
+    "lower": "LOWER({0})", "upper": "UPPER({0})", "length": "LENGTH({0})",
+    "trim": "TRIM({0})", "ltrim": "LTRIM({0})", "rtrim": "RTRIM({0})",
+    "coalesce": "COALESCE({0}, {1})", "isnull": "({0} IS NULL)",
+}
+
+_RANKING = {"rank", "row_number", "dense_rank", "percent_rank", "cume_dist",
+            "ntile", "lag", "lead"}
+
+
+@dataclass
+class WindowSpec:
+    partition_by: list = field(default_factory=list)  # sql strings
+    order_by: list = field(default_factory=list)      # sql strings (with dir)
+    frame: tuple | None = None                        # ("rows"|"range", lo, hi)
+
+
+@dataclass
+class ExprCtx:
+    """Emission context: how aggregate functions should be rendered."""
+    mode: str = "plain"          # plain | aggregate | window
+    window: WindowSpec | None = None
+
+
+def _frame_sql(kind: str, lo, hi) -> str:
+    def bound(v, side: str) -> str:
+        if v is None:
+            return f"UNBOUNDED {side}"
+        if v == 0:
+            return "CURRENT ROW"
+        if v < 0:
+            return f"{-v} PRECEDING"
+        return f"{v} FOLLOWING"
+
+    word = "ROWS" if kind == "rows" else "RANGE"
+    return f"{word} BETWEEN {bound(lo, 'PRECEDING')} AND {bound(hi, 'FOLLOWING')}"
+
+
+class Emitter:
+    """Expression -> SQL for one dialect."""
+
+    def __init__(self, d: Dialect, funcs: dict, aliases: set[str]):
+        self.d = d
+        self.funcs = funcs  # user FuncDefs (inlined at emission)
+        self.aliases = aliases  # table aliases visible in current layer
+
+    def ident(self, e: A.Ident) -> str:
+        parts = e.parts
+        if len(parts) > 1 and parts[0] not in self.aliases:
+            # qualifier belongs to a flattened (wrapped) scope — strip it
+            parts = parts[-1:]
+        return ".".join(self.d.quote(p) for p in parts)
+
+    def emit(self, e, ctx: ExprCtx, env: dict | None = None) -> str:
+        env = env or {}
+        if isinstance(e, A.Literal):
+            return self._literal(e)
+        if isinstance(e, A.Ident):
+            if len(e.parts) == 1 and e.parts[0] in env:
+                return self.emit(env[e.parts[0]], ctx, {})
+            return self.ident(e)
+        if isinstance(e, A.Binary):
+            return self._binary(e, ctx, env)
+        if isinstance(e, A.Unary):
+            inner = self.emit(e.expr, ctx, env)
+            return f"(- {inner})" if e.op == "-" else f"(NOT {inner})"
+        if isinstance(e, A.FuncCall):
+            return self._call(e, ctx, env)
+        if isinstance(e, A.SString):
+            raw = "".join(
+                p if isinstance(p, str) else self.emit(p, ctx, env) for p in e.parts
+            )
+            return self.d.rewrite_raw(raw)
+        if isinstance(e, A.FString):
+            segs = []
+            for p in e.parts:
+                if isinstance(p, str):
+                    segs.append(self._str_lit(p))
+                else:
+                    segs.append(self.emit(p, ctx, env))
+            return "(" + " || ".join(segs) + ")"
+        if isinstance(e, A.CaseExpr):
+            out = ["CASE"]
+            for cond, val in e.arms:
+                v = self.emit(val, ctx, env)
+                if cond is None:
+                    out.append(f"ELSE {v}")
+                else:
+                    out.append(f"WHEN {self.emit(cond, ctx, env)} THEN {v}")
+            out.append("END")
+            return " ".join(out)
+        if isinstance(e, A.RangeLit):
+            raise CompileError("range literal outside take/in")
+        raise CompileError(f"cannot emit {type(e).__name__}")
+
+    def _literal(self, e: A.Literal) -> str:
+        if e.kind == "null":
+            return "NULL"
+        if e.kind == "bool":
+            return "TRUE" if e.value else "FALSE"
+        if e.kind == "str":
+            return self._str_lit(e.value)
+        if e.kind == "date":
+            return f"DATE '{e.value}'"
+        if e.kind == "timestamp":
+            return f"TIMESTAMP '{e.value}'"
+        if e.kind == "time":
+            return f"TIME '{e.value}'"
+        if e.kind == "float":
+            return repr(e.value)
+        return str(e.value)
+
+    def _str_lit(self, s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def _binary(self, e: A.Binary, ctx: ExprCtx, env: dict) -> str:
+        # PRQL null equality is IS NULL, not 3VL `= NULL` (SURVEY.md §2.A #25)
+        if e.op in ("==", "!=") and isinstance(e.right, A.Literal) and e.right.kind == "null":
+            l = self.emit(e.left, ctx, env)
+            return f"({l} IS NULL)" if e.op == "==" else f"({l} IS NOT NULL)"
+        if e.op == "??":
+            return f"COALESCE({self.emit(e.left, ctx, env)}, {self.emit(e.right, ctx, env)})"
+        if e.op == "in" and isinstance(e.right, A.RangeLit):
+            l = self.emit(e.left, ctx, env)
+            lo = self.emit(e.right.start, ctx, env) if e.right.start else None
+            hi = self.emit(e.right.end, ctx, env) if e.right.end else None
+            if lo and hi:
+                return f"({l} BETWEEN {lo} AND {hi})"
+            if lo:
+                return f"({l} >= {lo})"
+            return f"({l} <= {hi})"
+        if e.op == "~=":
+            l, r = self.emit(e.left, ctx, env), self.emit(e.right, ctx, env)
+            if self.d.name == "spark":
+                return f"({l} RLIKE {r})"
+            return f"regexp_matches({l}, {r})"
+        op = {"==": "=", "!=": "<>", "and": "AND", "or": "OR"}.get(e.op, e.op)
+        return f"({self.emit(e.left, ctx, env)} {op} {self.emit(e.right, ctx, env)})"
+
+    def _call(self, e: A.FuncCall, ctx: ExprCtx, env: dict) -> str:
+        name = e.name
+        if name in self.funcs:  # user func: compile-time inlining (§2.A #19)
+            fd = self.funcs[name]
+            if len(e.args) != len(fd.params):
+                raise CompileError(f"func {name} expects {len(fd.params)} args")
+            sub = dict(zip(fd.params, e.args))
+            return self.emit(fd.body, ctx, {**env, **sub})
+        args = [self.emit(a, ctx, env) for a in e.args]
+        if name == "count":
+            core = f"COUNT({args[0]})" if args else "COUNT(*)"
+            return self._maybe_window(core, False, ctx)
+        custom = self.d.fn_sql(name, args)
+        if custom is not None:
+            return custom
+        if name in AGG_FNS:
+            core = AGG_FNS[name].format(*args)
+            return self._maybe_window(core, False, ctx)
+        if name in WINDOW_FNS:
+            if name in ("first", "last") and len(args) == 1:
+                args = ["", args[0]]
+            core = WINDOW_FNS[name].format(*args)
+            return self._maybe_window(core, True, ctx)
+        if name in SCALAR_FNS:
+            return SCALAR_FNS[name].format(*args)
+        # unknown: pass through verbatim (the reference's effective scalar
+        # surface is the backend's SQL library, SURVEY.md §2.A.4)
+        return f"{name}({', '.join(args)})"
+
+    def _maybe_window(self, core: str, ranking: bool, ctx: ExprCtx) -> str:
+        if ctx.mode == "aggregate":
+            if ranking:
+                raise CompileError(f"window function in aggregate: {core}")
+            return core
+        if ctx.mode == "window":
+            w = ctx.window or WindowSpec()
+            clauses = []
+            if w.partition_by:
+                clauses.append("PARTITION BY " + ", ".join(w.partition_by))
+            if w.order_by:
+                clauses.append("ORDER BY " + ", ".join(w.order_by))
+            if not ranking:
+                if w.frame is not None:
+                    clauses.append(_frame_sql(*w.frame))
+                elif w.order_by:
+                    # whole-partition aggregate despite ORDER BY (matches the
+                    # reference's emitted UNBOUNDED..UNBOUNDED, README.md:117-121)
+                    clauses.append(_frame_sql("rows", None, None))
+            return f"{core} OVER ({' '.join(clauses)})"
+        # plain scalar context but aggregate/window function used: treat as
+        # whole-table window (PRQL derive-with-aggregate semantics)
+        return f"{core} OVER ()"
+
+
+# ---------------------------------------------------------------------------
+@dataclass
+class Layer:
+    from_sql: str
+    aliases: set = field(default_factory=set)
+    joins: list = field(default_factory=list)
+    wheres: list = field(default_factory=list)
+    group_keys: list = field(default_factory=list)   # (out_name, sql)
+    aggs: list = field(default_factory=list)         # (out_name, sql)
+    derives: list = field(default_factory=list)      # (out_name, sql)
+    self_shadow: list = field(default_factory=list)  # derive names replacing cols
+    projection: list | None = None                   # (out_name|None, sql)
+    exclude: list | None = None                      # select ![...]
+    distinct: bool = False
+    sorts: list = field(default_factory=list)        # sql strings w/ direction
+    limit: int | None = None
+    offset: int | None = None
+
+    def is_bare(self) -> bool:
+        return not (self.wheres or self.group_keys or self.aggs or self.derives
+                    or self.projection or self.exclude or self.distinct
+                    or self.sorts or self.limit is not None)
+
+    def has_body(self) -> bool:
+        return not self.is_bare() or bool(self.joins)
+
+
+class SqlGen:
+    def __init__(self, dialect, funcs: dict, cte_names: set[str] | None = None):
+        self.d = get_dialect(dialect)
+        self.funcs = funcs
+        self.cte_names = cte_names or set()
+        self.counter = 0
+        self.layer: Layer | None = None
+
+    # ----------------------------------------------------------------- utils
+    def fresh(self) -> str:
+        self.counter += 1
+        return f"_t{self.counter}"
+
+    def emitter(self) -> Emitter:
+        return Emitter(self.d, self.funcs, self.layer.aliases if self.layer else set())
+
+    def _wrap(self) -> None:
+        """Close the current layer into a subquery and start a new one."""
+        inner_sorts = self.layer.sorts
+        carried = [] if self.layer.limit is not None else inner_sorts
+        if self.layer.limit is None:
+            self.layer.sorts = []  # ORDER BY floats to the outer layer
+        sql = self._emit_layer(self.layer)
+        alias = self.fresh()
+        new = Layer(from_sql=f"({sql}) AS {self.d.quote(alias)}", aliases={alias})
+        new.sorts = list(carried) if carried else list(inner_sorts)
+        self.layer = new
+
+    def _ensure_bare(self) -> None:
+        if self.layer.has_body() and not self.layer.is_bare():
+            self._wrap()
+
+    # ------------------------------------------------------------ transforms
+    def apply(self, t) -> None:
+        if isinstance(t, A.From):
+            name = t.table
+            tbl = name if name in self.cte_names else name
+            alias = t.alias
+            from_sql = self.d.qualified(tbl)
+            aliases = {name.split(".")[-1]}
+            if alias:
+                from_sql += f" AS {self.d.quote(alias)}"
+                aliases = {alias}
+            self.layer = Layer(from_sql=from_sql, aliases=aliases)
+            return
+        if self.layer is None:
+            raise CompileError("pipeline must start with `from`")
+        if isinstance(t, A.Join):
+            self._join(t)
+        elif isinstance(t, A.Filter):
+            self._filter(t)
+        elif isinstance(t, A.Derive):
+            self._derive(t.assigns)
+        elif isinstance(t, A.Select):
+            self._select(t)
+        elif isinstance(t, A.Group):
+            self._group(t)
+        elif isinstance(t, A.Aggregate):
+            self._aggregate_plain(t)
+        elif isinstance(t, A.Sort):
+            self._sort(t)
+        elif isinstance(t, A.Take):
+            self._take(t)
+        elif isinstance(t, A.WindowT):
+            self._window_top(t)
+        elif isinstance(t, A.Append):
+            self._append(t)
+        else:
+            raise CompileError(f"unsupported transform {type(t).__name__}")
+
+    def _join(self, t: A.Join) -> None:
+        if not self.layer.is_bare():
+            self._wrap()
+        em = self.emitter()
+        side = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+                "full": "FULL JOIN"}.get(t.side)
+        if side is None:
+            raise CompileError(f"unknown join side {t.side!r}")
+        tbl = self.d.qualified(t.table)
+        alias = t.alias
+        tbl_sql = tbl + (f" AS {self.d.quote(alias)}" if alias else "")
+        using = [c.col for c in t.conds if isinstance(c, A.JoinCondUsing)]
+        ons = [c for c in t.conds if not isinstance(c, A.JoinCondUsing)]
+        if using and ons:
+            raise CompileError("cannot mix shared-key and expression join conditions")
+        if using:
+            cols = ", ".join(self.d.quote(c) for c in using)
+            clause = f"{side} {tbl_sql} USING ({cols})"
+        elif ons:
+            ctx = ExprCtx()
+            cond = " AND ".join(em.emit(c, ctx) for c in ons)
+            clause = f"{side} {tbl_sql} ON {cond}"
+        else:
+            clause = f"CROSS JOIN {tbl_sql}"
+        self.layer.joins.append(clause)
+        self.layer.aliases.add(alias or t.table.split(".")[-1])
+
+    def _filter(self, t: A.Filter) -> None:
+        if (self.layer.limit is not None or self.layer.group_keys or self.layer.aggs
+                or self.layer.derives or self.layer.projection or self.layer.distinct
+                or self.layer.exclude):
+            self._wrap()
+        self.layer.wheres.append(self.emitter().emit(t.expr, ExprCtx()))
+
+    def _derive(self, assigns, window: WindowSpec | None = None) -> None:
+        if self.layer.limit is not None or self.layer.distinct:
+            self._wrap()
+        if self.layer.group_keys or self.layer.aggs or self.layer.projection:
+            # referencing agg aliases via lateral alias is dialect-fragile —
+            # wrap instead; Catalyst collapses the extra projection
+            self._wrap()
+        em = self.emitter()
+        ctx = ExprCtx(mode="window",
+                      window=window or WindowSpec(order_by=list(self.layer.sorts)))
+        for a in assigns:
+            if not isinstance(a, A.Assign):
+                raise CompileError("derive items must be named (name = expr)")
+            if _expr_has_agg_or_window(a.expr, self.funcs):
+                sql = em.emit(a.expr, ctx)
+            else:
+                sql = em.emit(a.expr, ExprCtx())
+                if _expr_mentions(a.expr, a.name):
+                    self.layer.self_shadow.append(a.name)
+            self.layer.derives.append((a.name, sql))
+
+    def _select(self, t: A.Select) -> None:
+        if not self.layer.is_bare():
+            self._wrap()
+        em = self.emitter()
+        if t.exclude:
+            cols = []
+            for e in t.exprs:
+                if not (isinstance(e, A.Ident) and len(e.parts) == 1):
+                    raise CompileError("select ! takes plain column names")
+                cols.append(e.parts[0])
+            self.layer.exclude = cols
+            return
+        proj = []
+        ctx = ExprCtx(mode="window", window=WindowSpec(order_by=list(self.layer.sorts)))
+        for e in t.exprs:
+            if isinstance(e, A.Assign):
+                if _expr_has_agg_or_window(e.expr, self.funcs):
+                    proj.append((e.name, em.emit(e.expr, ctx)))
+                else:
+                    proj.append((e.name, em.emit(e.expr, ExprCtx())))
+            else:
+                proj.append((None, em.emit(e, ExprCtx())))
+        self.layer.projection = proj
+
+    def _group(self, t: A.Group) -> None:
+        if not self.layer.is_bare():
+            self._wrap()
+        em = self.emitter()
+        keys = []
+        for k in t.keys:
+            if isinstance(k, A.Ident):
+                keys.append((k.name, em.emit(k, ExprCtx())))
+            elif isinstance(k, A.Assign):
+                keys.append((k.name, em.emit(k.expr, ExprCtx())))
+            else:
+                raise CompileError("group keys must be columns")
+        key_sqls = [sql for _, sql in keys]
+
+        pipe = list(t.pipeline)
+        sorts: list[str] = []
+        i = 0
+        while i < len(pipe):
+            st = pipe[i]
+            if isinstance(st, A.Sort):
+                sorts = [self._sort_key_sql(k, em) for k in st.keys]
+            elif isinstance(st, A.Aggregate):
+                self.layer.group_keys = keys
+                actx = ExprCtx(mode="aggregate")
+                for a in st.assigns:
+                    name, expr = _agg_name(a)
+                    self.layer.aggs.append((name, em.emit(expr, actx)))
+            elif isinstance(st, A.WindowT):
+                w = WindowSpec(partition_by=key_sqls, order_by=sorts,
+                               frame=(st.kind, *st.frame) if st.frame else None)
+                for sub in st.pipeline:
+                    if isinstance(sub, A.Derive):
+                        self._derive(sub.assigns, window=w)
+                    elif isinstance(sub, A.Sort):
+                        w.order_by = [self._sort_key_sql(k, em) for k in sub.keys]
+                    else:
+                        raise CompileError("window sub-pipeline supports derive/sort")
+            elif isinstance(st, A.Derive):
+                w = WindowSpec(partition_by=key_sqls, order_by=sorts)
+                self._derive(st.assigns, window=w)
+            elif isinstance(st, A.Take):
+                self._group_take(st, key_sqls, sorts)
+            elif isinstance(st, A.Filter):
+                raise CompileError("filter inside group is not supported yet")
+            else:
+                raise CompileError(
+                    f"unsupported transform in group: {type(st).__name__}")
+            i += 1
+
+    def _group_take(self, st: A.Take, key_sqls: list[str], sorts: list[str]) -> None:
+        """group keys (take n) -> ROW_NUMBER() filter (distinct-on).
+
+        Spark has no QUALIFY (probed), so emit the classic two-layer form and
+        drop the helper column with * EXCEPT/EXCLUDE.
+        """
+        if st.n is None:
+            raise CompileError("group (take) supports a single count")
+        order = sorts or key_sqls
+        rn = f"ROW_NUMBER() OVER (PARTITION BY {', '.join(key_sqls)} ORDER BY {', '.join(order)})"
+        self.layer.derives.append(("_pq_rn", rn))
+        self._wrap()
+        self.layer.wheres.append(f"{self.d.quote('_pq_rn')} <= {st.n}")
+        self._wrap()
+        self.layer.projection = [(None, self.d.star_except(["_pq_rn"]))]
+
+    def _aggregate_plain(self, t: A.Aggregate) -> None:
+        if not self.layer.is_bare():
+            self._wrap()
+        em = self.emitter()
+        actx = ExprCtx(mode="aggregate")
+        for a in t.assigns:
+            name, expr = _agg_name(a)
+            self.layer.aggs.append((name, em.emit(expr, actx)))
+
+    def _sort_key_sql(self, k: A.SortKey, em: Emitter) -> str:
+        sql = em.emit(k.expr, ExprCtx())
+        # Pin null ordering so Spark and the DuckDB oracle agree
+        # (Spark defaults: ASC NULLS FIRST / DESC NULLS LAST; SURVEY §7.4-4)
+        return f"{sql} DESC NULLS LAST" if k.desc else f"{sql} ASC NULLS FIRST"
+
+    def _sort(self, t: A.Sort) -> None:
+        if self.layer.limit is not None:
+            self._wrap()
+        em = self.emitter()
+        self.layer.sorts = [self._sort_key_sql(k, em) for k in t.keys]
+
+    def _take(self, t: A.Take) -> None:
+        if self.layer.limit is not None:
+            self._wrap()
+        if t.n is not None:
+            self.layer.limit = t.n
+        else:
+            start = t.start or 1
+            if t.end is None:
+                self.layer.offset = start - 1
+                self.layer.limit = None if start == 1 else 2**31 - 1
+            else:
+                self.layer.offset = start - 1
+                self.layer.limit = t.end - start + 1
+
+    def _window_top(self, t: A.WindowT) -> None:
+        w = WindowSpec(partition_by=[], order_by=list(self.layer.sorts),
+                       frame=(t.kind, *t.frame) if t.frame else None)
+        for sub in t.pipeline:
+            if isinstance(sub, A.Derive):
+                self._derive(sub.assigns, window=w)
+            else:
+                raise CompileError("top-level window supports derive only")
+
+    def _append(self, t: A.Append) -> None:
+        self.layer.sorts = []  # UNION ALL discards order
+        sql = self._emit_layer(self.layer)
+        alias = self.fresh()
+        other = self.d.qualified(t.table)
+        union = f"({sql}) UNION ALL (SELECT * FROM {other})"
+        self.layer = Layer(from_sql=f"({union}) AS {self.d.quote(alias)}",
+                           aliases={alias})
+
+    # -------------------------------------------------------------- emission
+    def _emit_layer(self, L: Layer) -> str:
+        sel: list[str] = []
+        if L.projection is not None:
+            for name, sql in L.projection:
+                sel.append(f"{sql} AS {self.d.quote(name)}" if name else sql)
+            for name, sql in L.derives:
+                sel.append(f"{sql} AS {self.d.quote(name)}")
+        elif L.group_keys or L.aggs:
+            for name, sql in L.group_keys:
+                label = f" AS {self.d.quote(name)}" if sql != self.d.quote(name) else ""
+                sel.append(sql + label)
+            for name, sql in L.aggs:
+                sel.append(f"{sql} AS {self.d.quote(name)}")
+            for name, sql in L.derives:
+                sel.append(f"{sql} AS {self.d.quote(name)}")
+        else:
+            excl = list(L.exclude or []) + list(L.self_shadow)
+            star = self.d.star_except(excl) if excl else "*"
+            sel.append(star)
+            for name, sql in L.derives:
+                sel.append(f"{sql} AS {self.d.quote(name)}")
+        head = "SELECT DISTINCT" if L.distinct else "SELECT"
+        parts = [f"{head} {', '.join(sel)}", f"FROM {L.from_sql}"]
+        parts.extend(L.joins)
+        if L.wheres:
+            parts.append("WHERE " + " AND ".join(L.wheres))
+        if L.group_keys or (L.aggs and L.group_keys == []):
+            if L.group_keys:
+                parts.append("GROUP BY " + ", ".join(sql for _, sql in L.group_keys))
+        if L.sorts:
+            parts.append("ORDER BY " + ", ".join(L.sorts))
+        if L.limit is not None:
+            parts.append(f"LIMIT {L.limit}")
+        if L.offset:
+            parts.append(f"OFFSET {L.offset}")
+        return "\n".join(parts)
+
+    def finish(self) -> str:
+        if self.layer is None:
+            raise CompileError("empty pipeline")
+        return self._emit_layer(self.layer)
+
+
+# ---------------------------------------------------------------------------
+def _agg_name(a) -> tuple[str, object]:
+    if isinstance(a, A.Assign):
+        return a.name, a.expr
+    if isinstance(a, A.FuncCall):
+        suffix = ""
+        if a.args and isinstance(a.args[-1], A.Ident):
+            suffix = "_" + a.args[-1].name
+        return f"{a.name}{suffix}", a
+    raise CompileError("aggregate items must be named (name = fn col)")
+
+
+def _expr_mentions(e, name: str) -> bool:
+    if isinstance(e, A.Ident):
+        return name in e.parts
+    for child in _children(e):
+        if _expr_mentions(child, name):
+            return True
+    return False
+
+
+def _expr_has_agg_or_window(e, funcs: dict) -> bool:
+    if isinstance(e, A.FuncCall):
+        if e.name in AGG_FNS or e.name in WINDOW_FNS or e.name == "count":
+            return True
+        if e.name in funcs:
+            return _expr_has_agg_or_window(funcs[e.name].body, funcs)
+        return any(_expr_has_agg_or_window(a, funcs) for a in e.args)
+    for child in _children(e):
+        if _expr_has_agg_or_window(child, funcs):
+            return True
+    return False
+
+
+def _children(e):
+    if isinstance(e, A.Binary):
+        return [e.left, e.right]
+    if isinstance(e, A.Unary):
+        return [e.expr]
+    if isinstance(e, A.FuncCall):
+        return list(e.args)
+    if isinstance(e, (A.SString, A.FString)):
+        return [p for p in e.parts if not isinstance(p, str)]
+    if isinstance(e, A.CaseExpr):
+        out = []
+        for c, v in e.arms:
+            if c is not None:
+                out.append(c)
+            out.append(v)
+        return out
+    if isinstance(e, A.RangeLit):
+        return [x for x in (e.start, e.end) if x is not None]
+    if isinstance(e, A.Assign):
+        return [e.expr]
+    return []

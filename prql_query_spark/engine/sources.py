@@ -1,0 +1,114 @@
+"""Source registration: files / directories -> named temp views.
+
+Ports the reference's `standardise_sources` alias rules
+(/root/reference/src/main.rs:287-323):
+  * `alias=path` splits on the first `=`            (main.rs:293)
+  * known extensions: csv json parquet avro        (main.rs:296-299)
+  * otherwise the name is a table passthrough       (main.rs:313-316)
+  * table name = file stem, spaces -> `_`           (main.rs:301-311)
+
+Registration is lazy and declarative: `spark.read.<fmt>` builds a scan node
+only — Catalyst prunes columns and pushes filters into it, so at 100 TB the
+scan reads only what the query needs.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+KNOWN_EXTENSIONS = ("csv", "json", "ndjson", "parquet", "avro")
+
+
+class SourceError(ValueError):
+    pass
+
+
+def split_alias(source: str) -> tuple[str | None, str]:
+    """`alias=path` -> (alias, path); plain path -> (None, path)."""
+    if "=" in source:
+        alias, path = source.split("=", 1)
+        return alias, path
+    return None, source
+
+
+def infer_format(path: str) -> str | None:
+    ext = os.path.splitext(path)[1].lstrip(".").lower()
+    if ext == "ndjson":
+        return "json"
+    return ext if ext in KNOWN_EXTENSIONS else None
+
+
+def table_name_for(path: str, alias: str | None) -> str:
+    if alias:
+        return alias
+    stem = os.path.splitext(os.path.basename(path.rstrip("/")))[0]
+    return re.sub(r"\s+", "_", stem)  # spaces -> _ (main.rs:310)
+
+
+def read_source(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    fmt = fmt or infer_format(path)
+    if fmt is None:
+        raise SourceError(f"cannot infer format of {path!r}")
+    if fmt == "csv":
+        # reference infers CSV schemas (datafusion.rs:39, duckdb read_csv_auto)
+        return (spark.read.option("header", "true").option("inferSchema", "true")
+                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]")
+                .csv(path))
+    if fmt == "json":
+        return spark.read.json(path)  # NDJSON is Spark's default JSON framing
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "avro":
+        return spark.read.format("avro").load(path)
+    raise SourceError(f"unsupported format {fmt!r}")
+
+
+def register_sources(spark: SparkSession, sources: list[str]) -> list[str]:
+    """Register each `alias=path` (or bare path) as a temp view.
+
+    Returns registered table names in order; the last one drives auto-`from`
+    insertion (reference main.rs:146-148 uses sources.last()).
+    """
+    names = []
+    for src in sources:
+        alias, path = split_alias(src)
+        fmt = infer_format(path)
+        if fmt is None and alias is None:
+            # schema-qualified passthrough: assume pre-registered table
+            names.append(path)
+            continue
+        df = read_source(spark, path, fmt)
+        name = table_name_for(path, alias)
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
+def register_dir(spark: SparkSession, sf_dir: str,
+                 tables: list[str] | None = None) -> list[str]:
+    """Register every parquet table in a testdata dir as a temp view."""
+    names = []
+    for fname in sorted(os.listdir(sf_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        name = fname[: -len(".parquet")]
+        if tables and name not in tables:
+            continue
+        spark.read.parquet(os.path.join(sf_dir, fname)).createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
+def needs_auto_from(query: str) -> bool:
+    """Reference quirk: naive substring check (main.rs:146) — replicated
+    bug-for-bug, SURVEY.md Appendix A."""
+    return "from" not in query
+
+
+def auto_from(query: str, last_source: str) -> str:
+    if needs_auto_from(query):
+        return f"from `{last_source}` | {query}"
+    return query

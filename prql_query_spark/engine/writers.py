@@ -1,0 +1,72 @@
+"""Output writers mirroring the reference's four sinks
+(/root/reference/src/backends/datafusion.rs:78-132): pretty table to stdout,
+CSV, NDJSON, Parquet.
+
+Two modes, matching `--writer arrow|backend` (main.rs:63-72):
+  * single-file "arrow parity" mode — collect to the driver via Arrow and
+    write ONE file, byte-compatible with the reference's CLI behavior.  Only
+    for CLI-sized results (the reference itself collects everything,
+    datafusion.rs:57).
+  * distributed "backend" mode — `df.write.*`, stays on executors; the right
+    mode at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_pretty(df: DataFrame, n: int = 1000) -> str:
+    """Markdown-ish table like arrow::pretty_format_batches (datafusion.rs:129)."""
+    rows = df.limit(n).collect()
+    cols = df.columns
+    cells = [[_fmt(r[c]) for c in cols] for r in rows]
+    widths = [max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
+              for i, c in enumerate(cols)]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep, "|" + "|".join(f" {c:<{w}} " for c, w in zip(cols, widths)) + "|", sep]
+    for row in cells:
+        out.append("|" + "|".join(f" {v:<{w}} " for v, w in zip(row, widths)) + "|")
+    out.append(sep)
+    return "\n".join(out)
+
+
+def _fmt(v) -> str:
+    if v is None:
+        return ""
+    return str(v)
+
+
+def write_single_file(df: DataFrame, path: str, fmt: str) -> None:
+    """Arrow-writer parity: one output file via driver collect (CLI mode)."""
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as papq
+
+    tbl = df.toArrow() if hasattr(df, "toArrow") else pa.Table.from_pandas(df.toPandas())
+    if fmt == "parquet":
+        papq.write_table(tbl, path)
+    elif fmt == "csv":
+        pacsv.write_csv(tbl, path)
+    elif fmt == "json":
+        with open(path, "w", encoding="utf-8") as f:
+            for batch in tbl.to_batches():
+                for row in batch.to_pylist():
+                    import json
+
+                    f.write(json.dumps(row, default=str, ensure_ascii=False) + "\n")
+    else:
+        raise ValueError(f"unsupported single-file format {fmt!r}")
+
+
+def write_distributed(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    """Scale path: executors write in parallel, no driver materialization."""
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        w.option("header", "true").csv(path)
+    elif fmt == "json":
+        w.json(path)
+    elif fmt == "parquet":
+        w.parquet(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")

@@ -1,0 +1,220 @@
+"""Compiler unit tests: parse + SQL generation, validated by executing the
+DuckDB dialect on the driver's sf0.001 parquet (fast, no JVM).
+
+This mirrors the survey's test strategy (SURVEY.md §5): the reference has no
+tests of its own; we use DuckDB as the executable oracle for compiled SQL.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from prql_query_spark import compile_prql
+from prql_query_spark.compiler.parser import parse
+from prql_query_spark.compiler import ast_nodes as A
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def run(con, prql: str):
+    sql = compile_prql(prql, "duckdb")
+    return con.execute(sql).fetchall()
+
+
+# ------------------------------------------------------------------- parsing
+def test_parse_pipeline_shapes():
+    q = parse("from a | select [x, y] | filter x > 1 | take 5")
+    kinds = [type(t).__name__ for t in q.pipeline]
+    assert kinds == ["From", "Select", "Filter", "Take"]
+
+
+def test_parse_join_using():
+    q = parse("from a | join b [==k] | join side:left c=cc [a.x == c.y]")
+    j1, j2 = q.pipeline[1], q.pipeline[2]
+    assert isinstance(j1.conds[0], A.JoinCondUsing) and j1.conds[0].col == "k"
+    assert j2.side == "left" and j2.alias == "c" and j2.table == "cc"
+
+
+def test_parse_group_window():
+    q = parse("""
+from t
+group [k] (
+    sort d
+    window expanding:true (
+        derive [rt = sum x]
+    )
+)
+""")
+    g = q.pipeline[1]
+    assert isinstance(g, A.Group)
+    assert isinstance(g.pipeline[0], A.Sort)
+    assert isinstance(g.pipeline[1], A.WindowT)
+    assert g.pipeline[1].frame == (None, 0)
+
+
+def test_parse_func_def_and_sstring():
+    q = parse('''
+func fmt_m ts -> s"STRFTIME('%Y-%m', {ts})"
+from orders
+derive [m = fmt_m o_orderdate]
+''')
+    assert "fmt_m" in q.funcs
+    sql = compile_prql('''
+func fmt_m ts -> s"STRFTIME('%Y-%m', {ts})"
+from orders
+derive [m = fmt_m o_orderdate]
+''', "spark")
+    assert "date_format(`o_orderdate`, 'yyyy-MM')" in sql
+
+
+# --------------------------------------------------------------- execution
+def test_take(con):
+    assert len(run(con, "from lineitem | take 5")) == 5
+
+
+def test_take_range(con):
+    rows = run(con, "from lineitem | sort [l_orderkey, l_linenumber] | take 3..7")
+    assert len(rows) == 5
+
+
+def test_group_aggregate(con):
+    rows = run(con, """
+from lineitem
+group [l_returnflag, l_linestatus] (
+    aggregate [sum_qty = sum l_quantity, n = count]
+)
+sort [l_returnflag, l_linestatus]
+""")
+    assert len(rows) >= 3
+    assert all(r[3] > 0 for r in rows)
+
+
+def test_join_sides(con):
+    inner = run(con, "from orders | join customer [o_custkey == c_custkey] | aggregate [n = count]")
+    left = run(con, "from orders | join side:left customer [o_custkey == c_custkey] | aggregate [n = count]")
+    assert left[0][0] >= inner[0][0]
+
+
+def test_filter_null_semantics(con):
+    # `== null` must compile to IS NULL, not `= NULL` (SURVEY §2.A #25)
+    sql = compile_prql("from orders | filter o_custkey == null", "spark")
+    assert "IS NULL" in sql
+    rows = run(con, "from orders | filter o_custkey != null | aggregate [n = count]")
+    assert rows[0][0] > 0
+
+
+def test_derive_fstring(con):
+    rows = run(con, '''
+from customer
+derive [label = f"{c_name}-x"]
+select [label]
+take 1
+''')
+    assert rows[0][0].endswith("-x")
+
+
+def test_case_expr(con):
+    rows = run(con, """
+from orders
+derive [big = case [o_totalprice > 100 -> 'big', true -> 'small']]
+group [big] (aggregate [n = count])
+sort [big]
+""")
+    assert len(rows) <= 2
+
+
+def test_distinct_group_take1(con):
+    rows = run(con, "from lineitem | select [l_returnflag] | group [l_returnflag] (take 1)")
+    flags = sorted(r[0] for r in rows)
+    assert len(flags) == len(set(flags))
+
+
+def test_window_rolling(con):
+    rows = run(con, """
+from orders
+sort [o_orderdate, o_orderkey]
+window rolling:7 (
+    derive [avg7 = average o_totalprice]
+)
+select [o_orderkey, avg7]
+take 10
+""")
+    assert len(rows) == 10 and rows[0][1] is not None
+
+
+def test_let_cte(con):
+    rows = run(con, """
+let big = (
+    from orders
+    filter o_totalprice > 50
+)
+from big
+aggregate [n = count]
+""")
+    assert rows[0][0] > 0
+
+
+def test_append_union(con):
+    one = run(con, "from nation | aggregate [n = count]")[0][0]
+    two = run(con, "from nation | append nation | aggregate [n = count]")[0][0]
+    assert two == 2 * one
+
+
+def test_select_exclude(con):
+    sql = compile_prql("from nation | select ![n_regionkey]", "duckdb")
+    cols = [d[0] for d in con.execute(sql).description]
+    assert "n_regionkey" not in cols and "n_name" in cols
+
+
+def test_coalesce_op(con):
+    rows = run(con, "from orders | derive [v = o_custkey ?? 0] | select [v] | take 1")
+    assert rows[0][0] is not None
+
+
+def test_in_range(con):
+    rows = run(con, """
+from orders
+filter (o_orderdate | in @1995-01-01..@1996-12-31)
+aggregate [n = count]
+""")
+    assert rows[0][0] > 0
+
+
+def test_sort_after_aggregate_alias(con):
+    rows = run(con, """
+from orders
+group [o_orderstatus] (aggregate [spend = sum o_totalprice])
+sort [-spend]
+take 3
+""")
+    spends = [r[1] for r in rows]
+    assert spends == sorted(spends, reverse=True)
+
+
+def test_spark_dialect_strftime_shim():
+    sql = compile_prql(
+        'from orders | derive [m = s"STRFTIME(\'%Y-%m\', {o_orderdate})"]', "spark")
+    assert "date_format" in sql and "STRFTIME" not in sql
+
+
+def test_two_level_window_flagship():
+    """invoice_totals shape: aggregate then window-over-aggregate
+    (reference README.md:105-129)."""
+    prql = open("/root/reference/examples/queries/invoice_totals.prql").read()
+    sql = compile_prql(prql, "spark")
+    assert "SUM(`num_tracks`) OVER (PARTITION BY `month`" in sql
+    assert "LAG(`num_tracks`, 7) OVER" in sql
+    assert "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" in sql
