@@ -36,6 +36,9 @@ BUILTIN_ARITY = {
     "abs": 1, "floor": 1, "ceil": 1, "round": 2, "sqrt": 1, "ln": 1,
     "lower": 1, "upper": 1, "length": 1, "trim": 1, "ltrim": 1, "rtrim": 1,
     "coalesce": 2, "isnull": 1,
+    # explicit casts (extension; lets queries pin integer widths so Spark
+    # and the DuckDB oracle agree on schemas)
+    "long": 1, "int": 1, "double": 1, "string": 1,
 }
 
 

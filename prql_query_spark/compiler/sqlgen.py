@@ -50,6 +50,8 @@ SCALAR_FNS = {
     "lower": "LOWER({0})", "upper": "UPPER({0})", "length": "LENGTH({0})",
     "trim": "TRIM({0})", "ltrim": "LTRIM({0})", "rtrim": "RTRIM({0})",
     "coalesce": "COALESCE({0}, {1})", "isnull": "({0} IS NULL)",
+    "long": "CAST({0} AS BIGINT)", "int": "CAST({0} AS INT)",
+    "double": "CAST({0} AS DOUBLE)", "string": "CAST({0} AS STRING)",
 }
 
 _RANKING = {"rank", "row_number", "dense_rank", "percent_rank", "cume_dist",

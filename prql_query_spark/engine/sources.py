@@ -87,6 +87,37 @@ def register_sources(spark: SparkSession, sources: list[str]) -> list[str]:
     return names
 
 
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet load that tolerates nanosecond timestamps.
+
+    Spark's reader rejects INT64 TIMESTAMP(NANOS) outright; with the
+    `nanosAsLong` legacy conf it reads them as long epoch-nanos.  We detect
+    ns-timestamp columns from the footer (pyarrow) and convert with *integer*
+    division (`div 1000`) — float division would lose precision above 2^53.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    ns_cols: list[str] = []
+    try:
+        schema = pq.read_schema(path)
+        for field in schema:
+            t = field.type
+            if str(t).startswith("timestamp[ns"):
+                ns_cols.append(field.name)
+    except Exception:
+        pass
+    if ns_cols:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def register_dir(spark: SparkSession, sf_dir: str,
                  tables: list[str] | None = None) -> list[str]:
     """Register every parquet table in a testdata dir as a temp view."""
@@ -97,7 +128,7 @@ def register_dir(spark: SparkSession, sf_dir: str,
         name = fname[: -len(".parquet")]
         if tables and name not in tables:
             continue
-        spark.read.parquet(os.path.join(sf_dir, fname)).createOrReplaceTempView(name)
+        load_parquet(spark, os.path.join(sf_dir, fname)).createOrReplaceTempView(name)
         names.append(name)
     return names
 

@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is built-in-function SQL (split/regexp/higher-order
+functions) — JVM-side, whole-stage-codegen friendly, no UDFs.  Each operator
+has a deterministic definition so the DuckDB oracle can replicate it where
+the function surface allows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately small + deterministic (not a library): the point is
+# the Spark plumbing, not lexicography.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una", "en", "por"],
+}
+
+
+def tokens(text_col: Column) -> Column:
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    t = F.trim(text_col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+BPE_PIECE_RE = "[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]"
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """BPE-ish proxy: word-piece runs + individual punctuation marks.
+
+    Uses regexp_extract_all with an RE2-compatible pattern (no lookarounds)
+    so the DuckDB oracle can evaluate the identical regex."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_PIECE_RE), F.lit(0)))
+
+
+def punct_ratio(text_col: Column) -> Column:
+    total = F.length(text_col)
+    punct = F.length(F.regexp_replace(text_col, r"[^\p{Punct}]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(punct / total)
+
+
+def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
+    toks = tokens(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
+
+
+def lang_id(text_col: Column) -> Column:
+    """Stopword-vote language ID over the 4 built-in languages ('und' if no
+    stopword hits at all)."""
+    toks = tokens(text_col)
+    scores = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            (lang, F.size(F.filter(toks, lambda t: F.array_contains(sw, t))))
+        )
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reversed so earlier languages win ties (stable order: en de fr es)
+    for lang, s in reversed(scores):
+        expr = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + low punctuation +
+    healthy stopword ratio.  Deterministic; thresholds follow common
+    web-corpus filtering folklore (C4-style)."""
+    n_tok = token_count(text_col)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    p = punct_ratio(text_col)
+    punct_ok = F.when(p <= 0.3, 1.0 - p).otherwise(0.0)
+    sw = stopword_ratio(text_col)
+    sw_ok = F.when(sw >= 0.05, F.least(sw * 2, F.lit(1.0))).otherwise(sw * 4)
+    return F.round((len_ok + punct_ok + sw_ok) / 3.0, 4)
+
+
+def doc_fingerprint(text_col: Column) -> Column:
+    """Order-insensitive content fingerprint: xxhash64 over the sorted
+    distinct token set (canonicalized).  Robust to whitespace/word order."""
+    toks = F.array_sort(F.array_distinct(tokens(text_col)))
+    return F.xxhash64(F.concat_ws("", toks))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass profile: all metrics as extra columns (single projection —
+    Catalyst computes shared subtrees once per row batch)."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_pieces"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,92 @@
+"""Structured Streaming operators over the events table.
+
+The reference is batch-only (SURVEY.md §2.B: "Streaming operators: none"),
+so this module is extension tier: the same windowed aggregations exposed both
+as batch DataFrame ops (oracle-checkable) and as readStream pipelines with
+watermarks for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Batch tumbling-window counts — the oracle-checkable twin of the
+    streaming version below (same logical plan modulo the watermark)."""
+    return (
+        events.groupBy(
+            F.window("ts", width).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, width: str = "1 hour",
+                slide: str = "30 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"),
+             F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "avg_value", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (native session_window, no state UDF)."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("session_value"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            "n_events", "session_value",
+        )
+    )
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    events_path: str,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+    queryName: str = "pq_stream_counts",
+):
+    """Streaming twin: file-source readStream with a watermark for late data.
+
+    Returns the started StreamingQuery writing to a memory sink (caller
+    stops it).  At scale: swap source/sink for Kafka/Delta; the middle of
+    the pipeline is unchanged.
+    """
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", width), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

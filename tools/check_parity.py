@@ -1,0 +1,118 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB at the given sf, compare
+row counts, column names, and values (order-insensitive).
+
+Usage: python tools/check_parity.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from prql_query_spark.engine.session import get_spark
+
+
+def norm_cell(v):
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in idx], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    name_filter = sys.argv[2:]
+    spark = get_spark("parity-check", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            scols = df.columns
+            srows = [tuple(r) for r in df.collect()]
+        except Exception:
+            print(f"FAIL {name}: SPARK ERROR")
+            traceback.print_exc(limit=3)
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            n_rows_only += 1
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: ORACLE ERROR {e}")
+            n_fail += 1
+            continue
+        sc, sr = norm_rows(scols, srows)
+        oc, orr = norm_rows(ocols, orows)
+        if sc != oc:
+            print(f"FAIL {name}: columns {sc} vs {oc}")
+            n_fail += 1
+            continue
+        if len(sr) != len(orr):
+            print(f"FAIL {name}: rowcount {len(sr)} vs {len(orr)}")
+            n_fail += 1
+            continue
+        if sr != orr:
+            bad = sum(1 for a, b in zip(sr, orr) if a != b)
+            print(f"FAIL {name}: {bad}/{len(sr)} rows differ")
+            for a, b in list(zip(sr, orr))[:200]:
+                if a != b:
+                    print(f"  spark:  {a}\n  duckdb: {b}")
+                    break
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(sr)} rows)")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
