@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""pq — query and transform data with PRQL, on Spark.
+
+CLI mirroring the reference binary's surface (/root/reference/src/main.rs:38-81):
+flags -f/--from, -t/--to, --no-exec, --format, -w/--writer, --sql, PQ_* env
+vars (PQ_FROM PQ_TO PQ_FORMAT PQ_WRITER PQ_SQL PQ_QUERY), `.prql` file / `-`
+stdin query input, auto-`from` insertion, format inference from the --to
+extension (main.rs:164-196), and the parquet-to-stdout guard (main.rs:167-171).
+
+The backend flag is accepted for compatibility but there is exactly one
+backend here: Spark ("auto" and "spark" both select it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _env(name: str, default=None):
+    return os.environ.get(name, default)
+
+
+def _load_dotenv() -> None:
+    """Tiny .env loader (reference uses dotenvy, main.rs:117)."""
+    if not os.path.exists(".env"):
+        return
+    with open(".env", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            k, v = line.split("=", 1)
+            os.environ.setdefault(k.strip(), v.strip())
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pq", description="pq: query and transform data with PRQL (Spark engine)"
+    )
+    p.add_argument("-f", "--from", dest="frm", action="append",
+                   default=None, help="file(s) to read data FROM (alias=path)")
+    p.add_argument("-t", "--to", default=None, help="file to write TO, else stdout")
+    p.add_argument("-b", "--backend", default="auto",
+                   choices=["auto", "spark"], help="engine backend")
+    p.add_argument("--no-exec", action="store_true",
+                   help="only generate SQL without executing")
+    p.add_argument("--format", default=None,
+                   choices=["csv", "json", "parquet", "table"])
+    p.add_argument("-w", "--writer", default=None, choices=["arrow", "backend"],
+                   help="arrow = single-file via driver; backend = df.write.*")
+    p.add_argument("--sql", action="store_true",
+                   help="pass a SQL query rather than a PRQL one")
+    p.add_argument("query", nargs="?", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    _load_dotenv()
+    args = build_parser().parse_args(argv)
+
+    frm = args.frm if args.frm is not None else (
+        _env("PQ_FROM").split(",") if _env("PQ_FROM") else []
+    )
+    to = (args.to if args.to is not None else _env("PQ_TO", "-")).rstrip("/")
+    fmt = args.format or _env("PQ_FORMAT")
+    writer = args.writer or _env("PQ_WRITER", "arrow")
+    use_sql = args.sql or _env("PQ_SQL", "false") == "true"
+    query = args.query if args.query is not None else _env("PQ_QUERY", "-")
+
+    # ---- query input (main.rs:124-137)
+    if query == "-":
+        if sys.stdin.isatty():
+            print("Enter QUERY, then press Ctrl-d:")
+            print()
+        query = sys.stdin.read()
+        print("---")
+    elif query.endswith(".prql"):
+        with open(query, encoding="utf-8") as fh:
+            query = fh.read()
+    query = query.strip()
+
+    # ---- format inference + guards (main.rs:164-196)
+    if fmt:
+        if to == "-" and fmt == "parquet" and sys.stdout.isatty():
+            print(f"Error: Cannot print format={fmt} to stdout.", file=sys.stderr)
+            return 1
+        if to != "-" and not to.endswith(fmt):
+            print(f"Error: to={to!r} is incompatible with format={fmt!r}!",
+                  file=sys.stderr)
+            return 1
+    else:
+        if to == "-":
+            fmt = "table"
+        else:
+            ext = to.rsplit(".", 1)[-1]
+            fmt = {"csv": "csv", "json": "json", "parquet": "parquet",
+                   "table": "table", "tbl": "table"}.get(ext)
+            if fmt is None:
+                print(f"Error: .{ext} files are currently not supported.",
+                      file=sys.stderr)
+                return 1
+
+    from prql_query_spark import compile_prql
+    from prql_query_spark.engine.sources import auto_from, split_alias, table_name_for
+
+    # ---- auto-from + transpile-only path (main.rs:144-150, 229-231)
+    source_names = [table_name_for(p, a) for a, p in (split_alias(s) for s in frm)]
+    if not use_sql and source_names:
+        query = auto_from(query, source_names[-1])
+
+    if use_sql:
+        sql = query
+    else:
+        sql = compile_prql(query, dialect="spark")
+
+    if args.no_exec or (not frm and not use_sql):
+        print(sql)
+        return 0
+
+    # ---- execution
+    from prql_query_spark.engine import PrqlEngine
+    from prql_query_spark.engine.session import get_spark
+    from prql_query_spark.engine.writers import (
+        write_distributed, write_pretty, write_single_file,
+    )
+
+    spark = get_spark("pq-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = PrqlEngine(spark)
+    eng.add_sources(frm)
+    df = eng.sql(sql)
+
+    if to == "-":
+        if fmt == "table":
+            print(write_pretty(df))
+        elif fmt == "csv":
+            import io
+
+            pdf = df.toPandas()
+            buf = io.StringIO()
+            pdf.to_csv(buf, index=False)
+            sys.stdout.write(buf.getvalue())
+        elif fmt == "json":
+            for row in df.toJSON().collect():
+                print(row)
+        else:
+            print("Error: Cannot print parquet to stdout.", file=sys.stderr)
+            return 1
+    else:
+        if writer == "arrow":
+            write_single_file(df, to, fmt)
+        else:
+            write_distributed(df, to, fmt)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

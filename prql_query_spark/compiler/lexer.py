@@ -67,6 +67,13 @@ def lex(src: str) -> list[Token]:
             push("SSTRING" if c == "s" else "FSTRING", "".join(buf), i)
             i = j + 1
             continue
+        if c == "`":  # quoted identifier (auto-from inserts these, main.rs:147)
+            j = src.find("`", i + 1)
+            if j < 0:
+                raise LexError(f"unterminated ` at {i}")
+            push("IDENT", src[i + 1 : j], i)
+            i = j + 1
+            continue
         if c in "\"'":
             j = i + 1
             buf = []
