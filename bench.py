@@ -74,14 +74,19 @@ take 10
             samples.append(time.time() - t)
         return round(statistics.median(samples), 4)
 
+    def note(msg: str) -> None:
+        print(msg, file=sys.stderr, flush=True)
+
     for name, prql in bench_prql.items():
         sql = compile_prql(prql, "spark")
         results[name] = time_df(lambda s=sql: spark.sql(s))
+        note(f"bench {name}: {results[name]}s")
 
     all_queries = entrymod.queries()
     for name in extension_names:
         fn = all_queries[name]
         results[name] = time_df(lambda f=fn: f(spark, sf_dir))
+        note(f"bench {name}: {results[name]}s")
 
     total = round(sum(results.values()), 4)
     print(json.dumps({

@@ -98,27 +98,45 @@ def cosine_topk_lsh(
     queries: DataFrame,
     k: int = 10,
     n_bits: int = 8,
+    n_tables: int = 4,
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's LSH bucket are
-    scored.  Recall grows as n_bits shrinks (bigger buckets)."""
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent hyperplane sets; a corpus vector is a candidate
+    for a query if they share a bucket in ANY table (classic OR-construction
+    — recall grows with n_tables, candidate count stays bounded by bucket
+    size × tables, never the full cross product).
+    """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_bits)
+
+    def buckets(vec: Column) -> Column:
+        # array of (table, bucket) structs, exploded for the candidate join
+        return F.array(*[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(vec, _hyperplanes(dim, n_bits, seed=42 + t)).alias("b"),
+            )
+            for t in range(n_tables)
+        ])
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        F.explode(buckets(F.col(vec_col))).alias("_tb"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        F.explode(buckets(F.col(vec_col))).alias("_tb"),
     )
-    joined = c.join(F.broadcast(q), on="_bucket").filter(
-        F.col("neighbor_id") != F.col("query_id")
+    joined = (
+        c.join(F.broadcast(q), on="_tb")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = joined.withColumn("cosine", cosine(F.col("_cvec"), F.col("_qvec")))
     w = Window.partitionBy("query_id").orderBy(

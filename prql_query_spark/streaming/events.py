@@ -70,13 +70,35 @@ def stream_tumbling_counts(
     stops it).  At scale: swap source/sink for Kafka/Delta; the middle of
     the pipeline is unchanged.
     """
-    schema = spark.read.parquet(events_path).schema
+    import os
+    import tempfile
+
+    from prql_query_spark.engine.sources import load_parquet
+
+    # load_parquet handles ns-timestamp columns (reads them as long under the
+    # nanosAsLong legacy conf); mirror its conversion on the stream so the
+    # watermark column is a real TIMESTAMP.  Must run against the bare file
+    # so the pyarrow footer probe sees it.
+    batch = load_parquet(spark, events_path)
+    raw_schema = spark.read.parquet(events_path).schema
+
+    # FileStreamSource requires a directory; wrap a bare file in a temp dir
+    # via symlink (at scale the source is a real directory/Kafka anyway).
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="pq_stream_")
+        os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
+        events_path = d
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_path)
-        .withWatermark("ts", watermark)
     )
+    for name, field in zip(batch.schema.fieldNames(), batch.schema.fields):
+        raw = raw_schema[name].dataType
+        if raw != field.dataType and str(field.dataType) == "TimestampType()":
+            stream = stream.withColumn(
+                name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+    stream = stream.withWatermark("ts", watermark)
     agg = (
         stream.groupBy(F.window("ts", width), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"))
