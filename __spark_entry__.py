@@ -366,7 +366,7 @@ def _x_cosine_lsh(spark, sf_dir):
 
     emb = _tbl(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    out = cosine_topk_lsh(emb, queries_df, k=10, n_bits=4)
+    out = cosine_topk_lsh(emb, queries_df, k=10, n_bits=4, n_tables=8)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),

@@ -26,15 +26,32 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def shingles(text_col: Column, k: int = 5) -> Column:
-    """Distinct character k-shingles of a string, JVM-side."""
-    t = F.lower(text_col)
+def shingles(text_col: Column, k: int = 5, pre_lowered: bool = False) -> Column:
+    """Distinct character k-shingles of a string, JVM-side.
+
+    PERF: the lambda body is evaluated per element, so callers on a hot path
+    should materialize ``lower(text)`` as its own projected column first and
+    pass ``pre_lowered=True`` — otherwise each substr re-lowers the whole
+    string (O(len^2) per document).
+    """
+    t = text_col if pre_lowered else F.lower(text_col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))),
             lambda i: t.substr(i, F.lit(k)),
         )
     )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than the
+    cluster has slots — a small local parquet file arrives as 1 partition and
+    would serialize the expensive signature map onto one core.  At scale the
+    scan already yields many partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def dedup_exact(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
@@ -51,16 +68,39 @@ def dedup_exact(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(text_col: Column, num_perm: int = 64, k: int = 5) -> Column:
-    """num_perm-wide MinHash signature over character k-shingles.
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """(_id, _sig) with a num_perm-wide MinHash signature per document.
 
-    One pass over the shingle array per permutation seed; xxhash64(s, seed)
-    stays inside whole-stage codegen.
+    Staged projections so each expensive step is evaluated exactly ONCE per
+    row (Catalyst's CollapseProject keeps multiply-referenced non-cheap
+    expressions in their own project): lower the text, build the shingle
+    array, hash each shingle to a long, then derive each permutation's min
+    with aggregate()+least over seeded xxhash64 on 8-byte inputs — the
+    string is hashed once, not num_perm times, and no intermediate
+    per-permutation array is ever allocated (higher-order functions are
+    interpreted, so allocation pressure dominates otherwise).  All JVM-side.
     """
-    sh = shingles(text_col, k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda p: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, p))),
+    LONG_MAX = (1 << 63) - 1
+
+    def perm_min(p: int):
+        return F.aggregate(
+            F.col("_h"),
+            F.lit(LONG_MAX),
+            lambda acc, h: F.least(acc, F.xxhash64(h, F.lit(p))),
+        )
+
+    return (
+        df.select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt"))
+        .withColumn("_sh", shingles(F.col("_lt"), k, pre_lowered=True))
+        .withColumn("_h", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)))
+        .withColumn("_sig", F.array(*[perm_min(p) for p in range(num_perm)]))
+        .select("_id", "_sig")
     )
 
 
@@ -79,10 +119,7 @@ def minhash_lsh_pairs(
     signatures matches exactly.  Returns (a, b, n_bands) distinct pairs.
     """
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_perm, k).alias("_sig"),
-    )
+    sig = minhash_signatures(_spread(df), id_col, text_col, num_perm, k)
     banded = sig.select(
         "_id",
         F.posexplode(
@@ -96,17 +133,28 @@ def minhash_lsh_pairs(
             )
         ).alias("_band", "_bucket"),
     )
-    # cap pathological buckets (boilerplate-heavy corpora) to avoid |B|^2 blowup
-    wb = Window.partitionBy("_band", "_bucket").orderBy("_id")
-    banded = banded.withColumn("_bn", F.row_number().over(wb)).filter(
-        F.col("_bn") <= max_bucket
-    ).drop("_bn")
-    l = banded.alias("l")
-    r = banded.alias("r")
+    # ONE shuffle: group ids per (band, bucket) and generate the i<j pairs
+    # JVM-side with indexed transforms — no window pass, no self-join (a
+    # self-join would recompute the signature stage twice).  max_bucket caps
+    # pair generation for pathological boilerplate buckets; buckets big
+    # enough to strain the collect_list buffer (~1M+ ids) indicate a corpus
+    # that needs boilerplate pre-filtering regardless.
+    ids = F.slice(F.sort_array(F.collect_list("_id")), 1, max_bucket)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
     pairs = (
-        l.join(r, on=["_band", "_bucket"], how="inner")
-        .filter(F.col("l._id") < F.col("r._id"))
-        .groupBy(F.col("l._id").alias("a"), F.col("r._id").alias("b"))
+        banded.groupBy("_band", "_bucket")
+        .agg(ids.alias("_ids"))
+        .filter(F.size("_ids") > 1)
+        .select(F.explode(pair_structs).alias("_p"))
+        .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
     return pairs
@@ -121,8 +169,11 @@ def ngram_jaccard(
     docs is joined twice; at scale the pair table is much smaller than the
     corpus, so both joins are plain shuffled hash joins on the id.
     """
-    sh = docs.select(
-        F.col(id_col).alias("_jid"), shingles(F.col(text_col), k).alias("_sh")
+    sh = (
+        _spread(docs)
+        .select(F.col(id_col).alias("_jid"), F.lower(F.col(text_col)).alias("_lt"))
+        .withColumn("_sh", shingles(F.col("_lt"), k, pre_lowered=True))
+        .select("_jid", "_sh")
     )
     out = (
         df_pairs.join(sh.withColumnRenamed("_jid", "a").withColumnRenamed("_sh", "_sha"), "a")
@@ -188,8 +239,28 @@ def simhash_pairs(
     max_hamming <= blocks-1 share at least one exact segment — join on it.
     """
     seg_bits = 64 // blocks
-    sh = df.select(
-        F.col(id_col).alias("_id"), simhash(text_col).alias("_sh")
+    # stage the token-hash array in its own projection so the split+hash runs
+    # once per doc, not once per bit (the per-bit vote lambda only does
+    # integer shifts over the materialized longs)
+    votes = (
+        "transform(sequence(0, 63), b -> "
+        "aggregate(`_th`, 0L, "
+        "(acc, h) -> acc + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))"
+    )
+    packed = (
+        f"aggregate(zip_with({votes}, sequence(0, 63), "
+        "(v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END), "
+        "0L, (acc, x) -> acc | x)"
+    )
+    sh = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.expr(
+                f"transform(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> xxhash64(t))"
+            ).alias("_th"),
+        )
+        .select("_id", F.expr(packed).alias("_sh"))
     )
     mask = (1 << seg_bits) - 1
     seg = sh.select(

@@ -97,8 +97,8 @@ def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_bits: int = 8,
-    n_tables: int = 4,
+    n_bits: int = 4,
+    n_tables: int = 8,
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
