@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prql_query_spark import compile_prql
@@ -291,6 +291,32 @@ def _x_minhash_dedup(spark, sf_dir):
     return minhash_dedup(docs, threshold=0.6)
 
 
+def _x_minhash_dedup_cc(spark, sf_dir):
+    from prql_query_spark.operators.dedup import minhash_dedup_cc
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return minhash_dedup_cc(docs, threshold=0.6)
+
+
+def _x_cc_components(spark, sf_dir):
+    """Connected components, value-checked: star edges (group-min doc_id ->
+    member) per (lang, source), so the expected labeling is expressible in
+    plain SQL while still exercising the iterative propagation."""
+    from prql_query_spark.operators.dedup import connected_components
+
+    docs = _tbl(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source")
+    g = docs.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("_m"),
+        F.count(F.lit(1)).over(w).alias("_c"),
+    ).filter(F.col("_c") > 1)
+    edges = g.filter(F.col("doc_id") != F.col("_m")).select(
+        F.col("_m").alias("a"), F.col("doc_id").alias("b")
+    )
+    return connected_components(edges).select("node", "component")
+
+
 def _x_simhash_pairs(spark, sf_dir):
     from prql_query_spark.operators.dedup import simhash_pairs
 
@@ -391,6 +417,45 @@ def _x_events_sessions(spark, sf_dir):
     return session_windows(_tbl(spark, sf_dir, "events"), "30 minutes")
 
 
+def _x_asof_join(spark, sf_dir):
+    """Most recent 'view' before each 'purchase', per user (ASOF semantics)."""
+    from prql_query_spark.operators.temporal import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, views, on="user_id", ts="ts")
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("value_r", 4).alias("view_value"),
+        F.col("ts_r").alias("view_ts"),
+    )
+
+
+def _x_range_join(spark, sf_dir):
+    """Events falling inside per-user error->signup repair windows."""
+    from prql_query_spark.operators.temporal import range_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    # synthetic intervals: each error opens a 2-hour window
+    iv = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        F.col("event_id").alias("interval_id"),
+    )
+    pts = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = range_join(pts, iv, on="user_id", ts="ts")
+    return out.select("click_id", "interval_id", "user_id")
+
+
 def _x_multimodal_features(spark, sf_dir):
     from prql_query_spark.operators.multimodal import extract_features, synthesize_media
 
@@ -411,6 +476,8 @@ EXTENSIONS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_dedup_exact": _x_dedup_exact,
     "x_minhash_pairs": _x_minhash_pairs,
     "x_minhash_dedup": _x_minhash_dedup,
+    "x_minhash_dedup_cc": _x_minhash_dedup_cc,
+    "x_cc_components": _x_cc_components,
     "x_simhash_pairs": _x_simhash_pairs,
     "x_ngram_jaccard": _x_ngram_jaccard,
     "x_token_count": _x_token_count,
@@ -423,6 +490,8 @@ EXTENSIONS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_events_tumbling": _x_events_tumbling,
     "x_events_sliding": _x_events_sliding,
     "x_events_sessions": _x_events_sessions,
+    "x_asof_join": _x_asof_join,
+    "x_range_join": _x_range_join,
     "x_multimodal_features": _x_multimodal_features,
     "x_multimodal_frames": _x_multimodal_frames,
 }
@@ -436,6 +505,15 @@ SELECT doc_id, text, lang, source, n_chars FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
     FROM documents
 ) t WHERE rn = 1
+""",
+    "x_cc_components": """
+WITH g AS (
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY lang, source) AS m,
+           COUNT(*) OVER (PARTITION BY lang, source) AS c
+    FROM documents
+)
+SELECT doc_id AS node, m AS component FROM g WHERE c > 1
 """,
     "x_token_count": """
 SELECT doc_id,
@@ -471,6 +549,27 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rk AS INT) AS rank
 FROM ranked WHERE rk <= 10
+""",
+    "x_asof_join": """
+WITH p AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       ROUND(p.value, 4) AS purchase_value,
+       ROUND(v.value, 4) AS view_value,
+       v.ts AS view_ts
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+    "x_range_join": """
+WITH iv AS (
+    SELECT user_id, ts AS start, ts + INTERVAL 2 HOUR AS "end", event_id AS interval_id
+    FROM events WHERE event_type = 'error'
+), pts AS (
+    SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+)
+SELECT pts.click_id, iv.interval_id, pts.user_id
+FROM pts JOIN iv
+  ON pts.user_id = iv.user_id AND iv.start <= pts.ts AND pts.ts < iv."end"
 """,
     "x_events_tumbling": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -87,19 +87,17 @@ def minhash_signatures(
     interpreted, so allocation pressure dominates otherwise).  All JVM-side.
     """
     LONG_MAX = (1 << 63) - 1
-
-    def perm_min(p: int):
-        return F.aggregate(
-            F.col("_h"),
-            F.lit(LONG_MAX),
-            lambda acc, h: F.least(acc, F.xxhash64(h, F.lit(p))),
-        )
-
+    # one SQL string, not num_perm Column objects: building hundreds of
+    # lambda Columns costs ~0.8s of py4j round-trips per call
+    aggs = ", ".join(
+        f"aggregate(`_h`, {LONG_MAX}L, (acc, h) -> least(acc, xxhash64(h, {p})))"
+        for p in range(num_perm)
+    )
     return (
         df.select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_lt"))
         .withColumn("_sh", shingles(F.col("_lt"), k, pre_lowered=True))
-        .withColumn("_h", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)))
-        .withColumn("_sig", F.array(*[perm_min(p) for p in range(num_perm)]))
+        .withColumn("_h", F.expr("transform(`_sh`, s -> xxhash64(s))"))
+        .withColumn("_sig", F.expr(f"array({aggs})"))
         .select("_id", "_sig")
     )
 
@@ -207,6 +205,101 @@ def minhash_dedup(
         F.col("jaccard") >= threshold
     )
     losers = verified.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) labeling of the undirected graph given as edge pairs.
+
+    Large-star/small-star-style label propagation expressed purely as
+    DataFrame ops: every node repeatedly adopts the minimum label in its
+    neighborhood (including its own) until a fixed point.  Each iteration is
+    one shuffle (groupBy node); convergence needs O(graph diameter)
+    iterations — near-dup graphs are shallow (dups of dups of the same doc),
+    so this terminates in a handful of rounds.  The component id is the
+    minimum node id in the component (deterministic).
+
+    localCheckpoint() truncates the lineage each round so the plan doesn't
+    grow exponentially across iterations; at cluster scale swap for
+    checkpoint() on durable storage.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # min label over {self} ∪ neighbors, one shuffle
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), F.col("comp"))
+        )
+        min_labels = (
+            labels.select("node", "comp").union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: follow comp -> comp(comp) so label information
+        # doubles its reach each round (O(log diameter) convergence on
+        # chains instead of O(diameter))
+        mapping = min_labels.select(
+            F.col("node").alias("m_node"), F.col("comp").alias("m_comp")
+        )
+        new_labels = (
+            min_labels.join(mapping, min_labels.comp == mapping.m_node, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("m_comp"), F.col("comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Transitive fuzzy dedup: verified near-dup pairs → connected
+    components → keep the minimum-id representative of each cluster.
+
+    Unlike the greedy single-pass `minhash_dedup`, A~B~C collapses to one
+    survivor even when A and C never collide directly.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, num_perm, bands, k)
+    verified = ngram_jaccard(pairs, df, id_col, text_col, k).filter(
+        F.col("jaccard") >= threshold
+    )
+    comps = connected_components(verified)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
     return df.join(losers, on=id_col, how="left_anti")
 
 

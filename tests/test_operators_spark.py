@@ -171,3 +171,70 @@ def test_streaming_tumbling(spark, sf_dir, tmp_path):
         assert q.exception() is None
     finally:
         q.stop()
+
+
+def test_connected_components_chain_and_clique(spark):
+    from prql_query_spark.operators.dedup import connected_components
+
+    # chain 0-1-2-...-19 (diameter 19, needs pointer jumping), clique
+    # {100,101,102}, isolated pair (200, 201)
+    edges = [(i, i + 1) for i in range(19)]
+    edges += [(100, 101), (101, 102), (100, 102), (200, 201)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    want = {(i, 0) for i in range(20)}
+    want |= {(100, 100), (101, 100), (102, 100), (200, 200), (201, 200)}
+    assert got == want
+
+
+def test_minhash_dedup_cc_transitive(spark):
+    from prql_query_spark.operators.dedup import minhash_dedup_cc
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail one"), (3, base + " tail one two"),
+         (4, "an entirely different document about distributed query engines")],
+        ["doc_id", "text"],
+    )
+    out = minhash_dedup_cc(df, threshold=0.5, num_perm=32, bands=16)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ids == {1, 4}
+
+
+def test_asof_join_semantics(spark):
+    from prql_query_spark.operators.temporal import asof_join
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, T(10), 100), (1, T(20), 101), (2, T(5), 102), (3, T(30), 103)],
+        ["user_id", "ts", "lval"],
+    )
+    right = spark.createDataFrame(
+        [(1, T(10), 7.0), (1, T(15), 8.0), (2, T(6), 9.0)],
+        ["user_id", "ts", "rval"],
+    )
+    out = {r.lval: (r.rval_r, r.ts_r) for r in
+           asof_join(left, right, on="user_id", ts="ts").collect()}
+    assert out[100] == (7.0, T(10))      # inclusive <=
+    assert out[101] == (8.0, T(15))      # latest prior
+    assert out[102] == (None, None)      # right is later -> no match
+    assert out[103] == (None, None)      # key absent in right
+
+
+def test_range_join_bucketing(spark):
+    from prql_query_spark.operators.temporal import range_join
+    import datetime as dt
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)
+    pts = spark.createDataFrame(
+        [(1, T(5), "in"), (1, T(59), "edge_in"), (1, T(0), "start_in"),
+         (2, T(5), "wrong_key")],
+        ["user_id", "ts", "tag"],
+    )
+    iv = spark.createDataFrame(
+        [(1, T(0), dt.datetime(2024, 1, 1, 1, 0, 0), "w1")],
+        ["user_id", "start", "end", "iv_id"],
+    )
+    got = {r.tag for r in range_join(pts, iv, on="user_id", ts="ts", bucket="10 minutes").collect()}
+    assert got == {"in", "edge_in", "start_in"}
