@@ -399,6 +399,26 @@ def _x_cosine_lsh(spark, sf_dir):
     )
 
 
+def _x_cosine_ivf(spark, sf_dir):
+    from prql_query_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf(emb, queries_df, k=10, n_cells=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _x_embed_neardup(spark, sf_dir):
+    from prql_query_spark.operators.similarity import embedding_neardup
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = embedding_neardup(emb, threshold=0.4, exact=True)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
 def _x_events_tumbling(spark, sf_dir):
     from prql_query_spark.streaming.events import tumbling_counts
 
@@ -415,6 +435,12 @@ def _x_events_sessions(spark, sf_dir):
     from prql_query_spark.streaming.events import session_windows
 
     return session_windows(_tbl(spark, sf_dir, "events"), "30 minutes")
+
+
+def _x_time_rollup(spark, sf_dir):
+    from prql_query_spark.operators.rollup import time_rollup
+
+    return time_rollup(_tbl(spark, sf_dir, "events"))
 
 
 def _x_asof_join(spark, sf_dir):
@@ -487,11 +513,14 @@ EXTENSIONS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_text_profile": _x_text_profile,
     "x_cosine_topk": _x_cosine_topk,
     "x_cosine_lsh": _x_cosine_lsh,
+    "x_cosine_ivf": _x_cosine_ivf,
+    "x_embed_neardup": _x_embed_neardup,
     "x_events_tumbling": _x_events_tumbling,
     "x_events_sliding": _x_events_sliding,
     "x_events_sessions": _x_events_sessions,
     "x_asof_join": _x_asof_join,
     "x_range_join": _x_range_join,
+    "x_time_rollup": _x_time_rollup,
     "x_multimodal_features": _x_multimodal_features,
     "x_multimodal_frames": _x_multimodal_frames,
 }
@@ -550,6 +579,14 @@ ranked AS (
 SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rk AS INT) AS rank
 FROM ranked WHERE rk <= 10
 """,
+    "x_embed_neardup": """
+SELECT e1.vec_id AS a, e2.vec_id AS b,
+       ROUND(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                    CAST(e2.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                             CAST(e2.embedding AS DOUBLE[])) >= 0.4
+""",
     "x_asof_join": """
 WITH p AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'),
      v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
@@ -570,6 +607,20 @@ WITH iv AS (
 SELECT pts.click_id, iv.interval_id, pts.user_id
 FROM pts JOIN iv
   ON pts.user_id = iv.user_id AND iv.start <= pts.ts AND pts.ts < iv."end"
+""",
+    "x_time_rollup": """
+WITH t AS (
+    SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+           date_trunc('month', ts) AS m, value AS v
+    FROM events
+)
+SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+            WHEN GROUPING(d) = 0 THEN 'day'
+            ELSE 'month' END AS level,
+       COALESCE(h, d, m) AS bucket_start,
+       COUNT(*) AS n,
+       ROUND(SUM(v), 4) AS sum_value
+FROM t GROUP BY GROUPING SETS ((h), (d), (m))
 """,
     "x_events_tumbling": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

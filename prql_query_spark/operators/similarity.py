@@ -93,6 +93,127 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _normalize(vec: Column) -> Column:
+    d = F.transform(vec, lambda x: x.cast("double"))
+    n = norm(d)
+    return F.transform(d, lambda x: x / n)
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_fraction: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: k-means cells
+    trained on a corpus sample, each corpus vector assigned to its nearest
+    cell, each query probing its ``n_probe`` nearest cells.
+
+    Scale shape: the index build is one ML fit over a SAMPLE (driver holds
+    only n_cells × dim centroids, shipped back as literals); assignment and
+    probing are pure JVM expressions; the candidate join is an equi-join on
+    cell id.  Versus LSH the cells adapt to the data distribution, so
+    recall at equal candidate count is higher on clustered corpora.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(_normalize(F.col(vec_col))).alias("features"))
+    if train_fraction < 1.0:
+        train = train.sample(fraction=train_fraction, seed=42)
+    model = KMeans(k=n_cells, seed=42, maxIter=20).fit(train)
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    def cell_dists(vec: Column) -> Column:
+        # negative dot with each centroid (unit sphere: max dot = min dist),
+        # paired with the cell index for array_sort tie-breaking
+        nv = _normalize(vec)
+        return F.array_sort(F.array(*[
+            F.struct(
+                (-dot(nv, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centers)
+        ]))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.element_at(cell_dists(F.col(vec_col)), 1)["cell"].alias("_cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.transform(
+                F.slice(cell_dists(F.col(vec_col)), 1, n_probe), lambda s: s["cell"]
+            )
+        ).alias("_cell"),
+    )
+    joined = c.join(F.broadcast(q), on="_cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.withColumn("cosine", cosine(F.col("_cvec"), F.col("_qvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("_rk").alias("rank"))
+    )
+
+
+def embedding_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    exact: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs (a < b, cosine >= threshold) over an embedding
+    column — the embedding-space member of the dedup family.
+
+    ``exact=True`` scores every pair (O(n²): only for oracles and small
+    corpora); the default restricts candidates to shared LSH buckets like
+    `cosine_topk_lsh`, which is the shape that survives at 10^9 vectors.
+    """
+    c = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    q = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    if exact:
+        cand = c.join(F.broadcast(q), F.col("a") < F.col("b"))
+    else:
+        dim = len(corpus.select(vec_col).first()[0])
+
+        def buckets(vec: Column) -> Column:
+            return F.array(*[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(vec, _hyperplanes(dim, n_bits, seed=42 + t)).alias("b"),
+                )
+                for t in range(n_tables)
+            ])
+
+        cb = c.withColumn("_tb", F.explode(buckets(F.col("_va"))))
+        qb = q.withColumn("_tb", F.explode(buckets(F.col("_vb"))))
+        cand = (
+            cb.join(qb, on="_tb")
+            .filter(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"])
+        )
+    return (
+        cand.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,144 @@
+"""Custom stateful streaming: per-user sessionization with explicit state.
+
+`session_windows` (events.py) uses Spark's native session_window — that
+covers gap-based sessions.  This module shows the general pattern for
+operators whose state machine Spark has no built-in for:
+`applyInPandasWithState` with one state row per key, processing-time
+timeouts to flush idle keys, and Arrow-batched pandas on both sides.
+
+At scale: state lives in the executor state store (RocksDB on a real
+cluster), keyed by user — the shuffle is the same hash exchange a groupBy
+would do; no driver involvement.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StructField, StructType, TimestampType,
+)
+
+OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+    StructField("session_value", DoubleType()),
+])
+
+STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n", LongType()),
+    StructField("total", DoubleType()),
+])
+
+
+def make_sessionizer(gap_seconds: int, timeout_ms: int = 30_000):
+    """Returns the (key, pdf_iter, state) function for
+    applyInPandasWithState: closes a session when the gap between
+    consecutive events of a user exceeds ``gap_seconds``; a processing-time
+    timeout flushes the trailing open session of idle users."""
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        closed: list[tuple[Any, ...]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n, total = state.get
+                closed.append((user_id, start_us, last_us, n, total))
+                state.remove()
+        else:
+            if state.exists:
+                start_us, last_us, n, total = state.get
+            else:
+                start_us = last_us = -1
+                n, total = 0, 0.0
+            for pdf in pdfs:
+                pdf = pdf.sort_values("ts")
+                for ts, value in zip(pdf["ts"], pdf["value"]):
+                    ts_us = int(pd.Timestamp(ts).value // 1_000)
+                    if start_us < 0:
+                        start_us, last_us = ts_us, ts_us
+                        n, total = 1, float(value)
+                    elif ts_us - last_us > gap_us:
+                        closed.append((user_id, start_us, last_us, n, total))
+                        start_us, last_us = ts_us, ts_us
+                        n, total = 1, float(value)
+                    else:
+                        last_us = ts_us
+                        n += 1
+                        total += float(value)
+            if start_us >= 0:
+                state.update((start_us, last_us, n, total))
+                state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1] * 1_000) for c in closed],
+                    "session_end": [pd.Timestamp(c[2] * 1_000) for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "session_value": [round(c[4], 4) for c in closed],
+                }
+            )
+
+    return fn
+
+
+def stream_user_sessions(
+    spark,
+    events_path: str,
+    gap: str = "30 minutes",
+    queryName: str = "pq_stream_sessions",
+    timeout_ms: int = 30_000,
+):
+    """Streaming sessionization over a file source; returns the started
+    StreamingQuery writing closed sessions to a memory sink.
+
+    Mirrors stream_tumbling_counts' source handling (ns-timestamp parquet,
+    bare-file symlink wrap); the stateful core is engine-agnostic — swap
+    the source for Kafka and nothing else changes.
+    """
+    import os
+    import tempfile
+
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import functions as F
+
+    from prql_query_spark.engine.sources import load_parquet
+
+    gap_seconds = int(pd.Timedelta(gap).total_seconds())
+    batch = load_parquet(spark, events_path)
+    raw_schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="pq_stream_")
+        os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
+        events_path = d
+    stream = spark.readStream.schema(raw_schema).parquet(events_path)
+    for name, field in zip(batch.schema.fieldNames(), batch.schema.fields):
+        raw = raw_schema[name].dataType
+        if raw != field.dataType and str(field.dataType) == "TimestampType()":
+            stream = stream.withColumn(
+                name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+    out = (
+        stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_sessionizer(gap_seconds, timeout_ms),
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )

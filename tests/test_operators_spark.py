@@ -238,3 +238,38 @@ def test_range_join_bucketing(spark):
     )
     got = {r.tag for r in range_join(pts, iv, on="user_id", ts="ts", bucket="10 minutes").collect()}
     assert got == {"in", "edge_in", "start_in"}
+
+
+def test_stateful_stream_sessions_match_batch(spark):
+    from prql_query_spark.engine.sources import load_parquet
+    from prql_query_spark.streaming.events import session_windows
+    from prql_query_spark.streaming.stateful import stream_user_sessions
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    q = stream_user_sessions(spark, path, gap="30 minutes",
+                             queryName="t_sessions", timeout_ms=600_000)
+    try:
+        # processAllAvailable() never settles here: the processing-time
+        # timeout keeps scheduling state-cleanup microbatches.  Poll until
+        # the in-batch sessions have been emitted.
+        import time
+
+        got = set()
+        for _ in range(60):
+            time.sleep(2)
+            rows = spark.sql("SELECT * FROM t_sessions").collect()
+            if rows and len(rows) == len(got):
+                break
+            got = {(r.user_id, str(r.session_start), r.n_events)
+                   for r in rows}
+        else:
+            raise AssertionError("stream produced no stable output")
+    finally:
+        q.stop()
+    batch = session_windows(load_parquet(spark, path), gap="30 minutes")
+    want = {(r.user_id, str(r.session_start), r.n_events)
+            for r in batch.collect()}
+    # single-batch stream closes every session except each user's last
+    assert got <= want
+    n_users = len({u for (u, _, _) in want})
+    assert len(want) - len(got) == n_users
