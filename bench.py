@@ -66,6 +66,7 @@ take 10
     results: dict[str, float] = {}
 
     def time_df(make_df, runs: int = 3) -> float:
+        make_df().count()  # warm: codegen/JIT compile, file-footer caches
         samples = []
         for _ in range(runs):
             t = time.time()
