@@ -156,5 +156,25 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def _main() -> int:
+    """Clean CLI errors: compile and analysis failures are user mistakes,
+    not crashes — one-line message, exit 1 (PQ_DEBUG=1 keeps the trace)."""
+    import os
+
+    try:
+        return main()
+    except KeyboardInterrupt:
+        return 130
+    except Exception as exc:  # noqa: BLE001
+        if os.environ.get("PQ_DEBUG"):
+            raise
+        from prql_query_spark.compiler.parser import ParseError
+
+        kind = "parse error" if isinstance(exc, ParseError) else "error"
+        msg = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
+        print(f"Error ({kind}): {msg}", file=sys.stderr)
+        return 1
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(_main())

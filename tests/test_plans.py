@@ -1,0 +1,115 @@
+"""Physical-plan regression tests: the scale guarantees, not just values.
+
+Each test pins a property that must survive refactoring because it is what
+keeps the operator viable at 100 TB: filters reaching the parquet scan,
+column pruning, dimension broadcasts, bounded shuffle counts, no Python in
+relational hot paths.  `.explain` text is the contract Catalyst gives us.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from prql_query_spark.engine.sources import load_parquet
+
+
+def _plan(spark, df, mode: str = "formatted") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+@pytest.fixture(scope="module")
+def reg(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    entry._reg(spark, sf_dir)
+    return entry
+
+
+def test_filter_and_projection_pushdown(spark, reg):
+    from prql_query_spark import compile_prql
+
+    sql = compile_prql(reg.PRQL_QUERIES["q_agg_q1"], "spark")
+    plan = _plan(spark, spark.sql(sql))
+    # the shipdate filter must reach the parquet reader
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan)
+    # column pruning: l_comment (widest column) must not be read
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "l_comment" not in m.group(1)
+
+
+def test_join_agg_broadcasts_dimensions(spark, reg):
+    from prql_query_spark import compile_prql
+
+    sql = compile_prql(reg.PRQL_QUERIES["q_join_agg_q5"], "spark")
+    plan = _plan(spark, spark.sql(sql), "simple")
+    # all three dimension joins broadcast; the fact table never shuffles
+    # before aggregation
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, reg):
+    from prql_query_spark import compile_prql
+
+    sql = compile_prql(reg.PRQL_QUERIES["q_topk_customers"], "spark")
+    plan = _plan(spark, spark.sql(sql), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_shuffle_no_join(spark, sf_dir):
+    from prql_query_spark.operators.temporal import asof_join
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    plan = _plan(spark, asof_join(p, v, on="user_id", ts="ts"), "simple")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_range_join_is_hash_join(spark, sf_dir):
+    from prql_query_spark.operators.temporal import range_join
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")
+    iv = ev.limit(50).select(
+        "user_id", F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"))
+    pts = ev.select("user_id", "ts", "event_id")
+    plan = _plan(spark, range_join(pts, iv, on="user_id", ts="ts"), "simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_minhash_no_python_and_one_wide_shuffle(spark, sf_dir):
+    from prql_query_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    plan = _plan(spark, minhash_lsh_pairs(docs), "simple")
+    # no Python evaluation anywhere in the dedup pipeline
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # shuffles: optional _spread round-robin + band-bucket groupBy + pair
+    # count groupBy; never more
+    assert plan.count("Exchange") <= 3
+
+
+def test_rollup_single_expand_single_agg_pass(spark, sf_dir):
+    from prql_query_spark.operators.rollup import time_rollup
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")
+    plan = _plan(spark, time_rollup(ev), "simple")
+    assert plan.count("Expand") == 1
+    # one scan of the input, not one per resolution
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2
+
+
+def test_text_ops_stay_jvm_side(spark, sf_dir):
+    from prql_query_spark.operators.text import text_profile
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    plan = _plan(spark, text_profile(docs), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
