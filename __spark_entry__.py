@@ -437,6 +437,21 @@ def _x_events_sessions(spark, sf_dir):
     return session_windows(_tbl(spark, sf_dir, "events"), "30 minutes")
 
 
+def _x_salted_agg(spark, sf_dir):
+    """Skew-safe aggregation over event_type (5 hot keys would otherwise
+    occupy 5 of 32 reducers); result provably equals the plain GROUP BY."""
+    from prql_query_spark.operators.skew import salted_agg
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = salted_agg(
+        ev.withColumn("value", F.round("value", 4)),
+        ["event_type"],
+        {"n": ("count", "*"), "max_value": ("max", "value"),
+         "min_value": ("min", "value")},
+    )
+    return out.select("event_type", "n", "max_value", "min_value")
+
+
 def _x_time_rollup(spark, sf_dir):
     from prql_query_spark.operators.rollup import time_rollup
 
@@ -521,6 +536,7 @@ EXTENSIONS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_asof_join": _x_asof_join,
     "x_range_join": _x_range_join,
     "x_time_rollup": _x_time_rollup,
+    "x_salted_agg": _x_salted_agg,
     "x_multimodal_features": _x_multimodal_features,
     "x_multimodal_frames": _x_multimodal_frames,
 }
@@ -607,6 +623,11 @@ WITH iv AS (
 SELECT pts.click_id, iv.interval_id, pts.user_id
 FROM pts JOIN iv
   ON pts.user_id = iv.user_id AND iv.start <= pts.ts AND pts.ts < iv."end"
+""",
+    "x_salted_agg": """
+SELECT event_type, COUNT(*) AS n,
+       MAX(ROUND(value, 4)) AS max_value, MIN(ROUND(value, 4)) AS min_value
+FROM events GROUP BY event_type
 """,
     "x_time_rollup": """
 WITH t AS (

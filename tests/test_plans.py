@@ -113,3 +113,52 @@ def test_text_ops_stay_jvm_side(spark, sf_dir):
     docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
     plan = _plan(spark, text_profile(docs), "simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from prql_query_spark.operators.skew import salted_agg
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")
+    got = {tuple(r) for r in salted_agg(
+        ev, ["event_type"],
+        {"n": ("count", "*"), "mx": ("max", "value")}).collect()}
+    want = {tuple(r) for r in ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.max("value").alias("mx")).collect()}
+    assert got == want
+
+
+def test_salted_broadcast_join_equals_plain(spark, sf_dir):
+    from prql_query_spark.operators.skew import salted_broadcast_join
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")
+    dim = ev.select("event_type").distinct().withColumn(
+        "weight", F.length("event_type"))
+    got = salted_broadcast_join(ev, dim, on="event_type").count()
+    want = ev.join(dim, on="event_type").count()
+    assert got == want
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    from prql_query_spark.engine.bucketing import bucketed_join, write_bucketed
+
+    orders = load_parquet(spark, f"{sf_dir}/orders.parquet")
+    lineitem = load_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"),
+                   "t_orders_b", ["o_orderkey"], n_buckets=8)
+    write_bucketed(lineitem.select("l_orderkey", "l_quantity")
+                   .withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "t_lineitem_b", ["o_orderkey"], n_buckets=8)
+    # tiny test tables auto-broadcast, which bypasses bucketing; disable it
+    # so the plan shows what a big-big join would do
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_join(spark, "t_orders_b", "t_lineitem_b",
+                           on=["o_orderkey"])
+        plan = _plan(spark, df, "simple")
+        # no shuffle on either side: bucket i joins bucket i directly
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        assert df.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
