@@ -162,3 +162,13 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
         assert df.count() == lineitem.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cosine_topk_partial_window_limit(spark, sf_dir):
+    from prql_query_spark.operators.similarity import cosine_topk
+
+    emb = load_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    plan = _plan(spark, cosine_topk(emb, q, k=5), "simple")
+    # rank<=k filters get per-partition partial limiting before the shuffle
+    assert "WindowGroupLimit" in plan
