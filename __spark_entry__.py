@@ -250,6 +250,17 @@ group [l_linestatus] (
 )
 sort [l_linestatus]
 """,
+    "q_percentiles": """
+from lineitem
+group [l_returnflag] (
+    aggregate [
+        p50 = round 4 (percentile 0.5 l_extendedprice),
+        p95 = round 4 (percentile 0.95 l_extendedprice),
+        med_qty = round 4 (median l_quantity),
+    ]
+)
+sort [l_returnflag]
+""",
     "q_count_distinct": """
 from lineitem
 aggregate [

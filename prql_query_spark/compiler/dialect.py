@@ -149,6 +149,11 @@ class DuckDBDialect(Dialect):
         if name == "stddev":
             # Spark STDDEV = sample stddev; make DuckDB match explicitly
             return f"stddev_samp({args[0]})"
+        if name == "percentile":
+            # Spark PERCENTILE is continuous-interpolated; DuckDB's
+            # matching spelling is quantile_cont.  args are in PRQL order
+            # (`percentile 0.5 x` -> [fraction, value]).
+            return f"quantile_cont({args[1]}, {args[0]})"
         return None
 
 

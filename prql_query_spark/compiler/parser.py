@@ -28,6 +28,8 @@ BUILTIN_ARITY = {
     # aggregates (PRQL 0.6.1 std-lib, SURVEY.md §2.A.2)
     "sum": 1, "min": 1, "max": 1, "average": 1, "avg": 1, "stddev": 1,
     "count_distinct": 1, "any": 1, "every": 1,
+    # extension aggregates (SURVEY §2.A.2 "available in Spark")
+    "median": 1, "percentile": 2, "approx_count_distinct": 1,
     # count is special-cased (0 or 1 args) in parse_call
     # window (SURVEY.md §2.A.3)
     "lag": 2, "lead": 2, "rank": 0, "row_number": 0, "dense_rank": 0,

@@ -35,6 +35,11 @@ AGG_FNS = {
     "average": "AVG({0})", "avg": "AVG({0})", "stddev": "STDDEV({0})",
     "count_distinct": "COUNT(DISTINCT {0})",
     "any": "MAX({0})", "every": "MIN({0})",
+    # extensions beyond PRQL 0.6.1 (SURVEY §2.A.2 "available in Spark"):
+    # arg order follows the std-lib pattern (`percentile 0.5 x`)
+    "median": "MEDIAN({0})",
+    "percentile": "PERCENTILE({1}, {0})",
+    "approx_count_distinct": "APPROX_COUNT_DISTINCT({0})",
 }
 WINDOW_FNS = {
     "lag": "LAG({1}, {0})", "lead": "LEAD({1}, {0})",
