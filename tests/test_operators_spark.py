@@ -273,3 +273,39 @@ def test_stateful_stream_sessions_match_batch(spark):
     assert got <= want
     n_users = len({u for (u, _, _) in want})
     assert len(want) - len(got) == n_users
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode tumbling counts: an event arriving later than the
+    watermark allows must NOT re-open its (already emitted) window."""
+    import datetime as dt
+    import time
+
+    from prql_query_spark.streaming.events import stream_tumbling_counts
+
+    d = str(tmp_path / "stream_src")
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    batch1 = [(1, T(1, 30), 1, "click", 1.0),   # window 01:00
+              (2, T(2, 15), 1, "click", 1.0),   # window 02:00
+              (3, T(9, 5), 1, "click", 1.0)]    # window 09:00 -> watermark 07:05
+    spark.createDataFrame(batch1, cols).coalesce(1).write.mode("overwrite").parquet(d)
+    q = stream_tumbling_counts(spark, d, width="1 hour", watermark="2 hours",
+                               queryName="t_late")
+    try:
+        q.processAllAvailable()
+        # late event for window 01:00 (watermark is 07:05 > 02:00 close time)
+        # and a fresh event for window 09:00's neighborhood
+        batch2 = [(4, T(1, 45), 1, "click", 1.0),   # LATE -> dropped
+                  (5, T(9, 20), 1, "click", 1.0)]   # in-flight window
+        spark.createDataFrame(batch2, cols).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        rows = {(str(r.window_start), r.n)
+                for r in spark.sql("SELECT * FROM t_late").collect()}
+    finally:
+        q.stop()
+    # windows 01:00 and 02:00 were emitted with their on-time counts only
+    assert ("2024-01-01 01:00:00", 1) in rows
+    assert ("2024-01-01 02:00:00", 1) in rows
+    # the late event did not produce a second emission for 01:00
+    assert ("2024-01-01 01:00:00", 2) not in rows
