@@ -462,7 +462,14 @@ class Parser:
                     return A.FuncCall(name, [])
                 if not self._is_plain_column_ref():
                     self.next()
-                    args = [self._atom() for _ in range(arity)]
+                    try:
+                        args = [self._atom() for _ in range(arity)]
+                    except ParseError as exc:
+                        raise ParseError(
+                            f"{name} expects {arity} argument"
+                            f"{'s' if arity != 1 else ''} "
+                            f"(e.g. `lag 7 x`, `percentile 0.5 x`): {exc}"
+                        ) from exc
                     return A.FuncCall(name, args)
         return self._atom()
 

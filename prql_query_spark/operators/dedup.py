@@ -164,8 +164,10 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact Jaccard similarity over k-shingle sets for candidate pairs.
 
-    docs is joined twice; at scale the pair table is much smaller than the
-    corpus, so both joins are plain shuffled hash joins on the id.
+    The pair table is melted to (pair-key, side, id) and joined against the
+    shingle table ONCE, then folded back — joining the shingle DF twice
+    (once per side) would compute every document's shingle array twice,
+    which is the expensive branch of this operator.
     """
     sh = (
         _spread(docs)
@@ -173,17 +175,32 @@ def ngram_jaccard(
         .withColumn("_sh", shingles(F.col("_lt"), k, pre_lowered=True))
         .select("_jid", "_sh")
     )
-    out = (
-        df_pairs.join(sh.withColumnRenamed("_jid", "a").withColumnRenamed("_sh", "_sha"), "a")
-        .join(sh.withColumnRenamed("_jid", "b").withColumnRenamed("_sh", "_shb"), "b")
-        .withColumn(
+    melted = df_pairs.select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("_side"), F.col("a").alias("_jid")),
+                F.struct(F.lit(1).alias("_side"), F.col("b").alias("_jid")),
+            )
+        ).alias("_m"),
+    ).select("*", F.col("_m._side").alias("_side"), F.col("_m._jid").alias("_jid")).drop("_m")
+    other_cols = [c for c in df_pairs.columns]
+    folded = (
+        melted.join(sh, "_jid")
+        .groupBy(*other_cols)
+        .agg(
+            F.max(F.when(F.col("_side") == 0, F.col("_sh"))).alias("_sha"),
+            F.max(F.when(F.col("_side") == 1, F.col("_sh"))).alias("_shb"),
+        )
+    )
+    return (
+        folded.withColumn(
             "jaccard",
             F.size(F.array_intersect("_sha", "_shb"))
             / F.size(F.array_union("_sha", "_shb")),
         )
         .drop("_sha", "_shb")
     )
-    return out
 
 
 def minhash_dedup(
