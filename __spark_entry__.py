@@ -250,6 +250,48 @@ group [l_linestatus] (
 )
 sort [l_linestatus]
 """,
+    "q_right_full_joins": """
+let big_orders = (
+    from orders
+    filter o_totalprice > 450000
+)
+from big_orders
+join side:full customer [o_custkey == c_custkey]
+derive [
+    has_order = case [o_orderkey != null -> 1, true -> 0],
+    has_cust = case [c_custkey != null -> 1, true -> 0],
+]
+group [has_order, has_cust] (aggregate [n = count])
+sort [has_order, has_cust]
+""",
+    "q_window_first_last": """
+from orders
+group [o_custkey] (
+    sort [o_orderdate, o_orderkey]
+    derive [
+        first_price = first o_totalprice,
+        dr = long (dense_rank),
+    ]
+)
+select [o_custkey, o_orderkey, first_price, dr]
+sort [o_custkey, o_orderkey]
+""",
+    "q_scalar_funcs": """
+from customer
+derive [
+    up = upper c_name,
+    lo = lower c_mktsegment,
+    ln_name = length c_name,
+    seg_trim = trim c_mktsegment,
+    bal_abs = round 4 (abs c_acctbal),
+    bal_floor = floor c_acctbal,
+    bal_ceil = ceil c_acctbal,
+    bal_sqrt = round 6 (sqrt (abs c_acctbal)),
+]
+select [c_custkey, up, lo, ln_name, seg_trim, bal_abs, bal_floor, bal_ceil, bal_sqrt]
+sort [c_custkey]
+take 100
+""",
     "q_percentiles": """
 from lineitem
 group [l_returnflag] (
