@@ -330,6 +330,18 @@ def _x_dedup_exact(spark, sf_dir):
     return dedup_exact(docs, ["lang", "source"], "doc_id")
 
 
+def _x_dedup_content(spark, sf_dir):
+    """Exact content dedup: first doc per md5(text) — the realistic exact
+    pass of a training-data pipeline (md5 is identical across engines, so
+    this one is value-checked unlike the xxhash-based ops)."""
+    from prql_query_spark.operators.dedup import dedup_exact
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup_exact(
+        docs.withColumn("_h", F.md5(F.col("text"))), ["_h"], "doc_id"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def _x_minhash_pairs(spark, sf_dir):
     from prql_query_spark.operators.dedup import minhash_lsh_pairs
 
@@ -568,6 +580,7 @@ def _x_multimodal_frames(spark, sf_dir):
 
 EXTENSIONS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_dedup_exact": _x_dedup_exact,
+    "x_dedup_content": _x_dedup_content,
     "x_minhash_pairs": _x_minhash_pairs,
     "x_minhash_dedup": _x_minhash_dedup,
     "x_minhash_dedup_cc": _x_minhash_dedup_cc,
@@ -612,6 +625,12 @@ WITH g AS (
     FROM documents
 )
 SELECT doc_id AS node, m AS component FROM g WHERE c > 1
+""",
+    "x_dedup_content": """
+SELECT doc_id, lang, source, n_chars FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+) t WHERE rn = 1
 """,
     "x_token_count": """
 SELECT doc_id,

@@ -56,20 +56,9 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def stream_tumbling_counts(
-    spark: SparkSession,
-    events_path: str,
-    width: str = "1 hour",
-    watermark: str = "2 hours",
-    checkpoint: str | None = None,
-    queryName: str = "pq_stream_counts",
-):
-    """Streaming twin: file-source readStream with a watermark for late data.
-
-    Returns the started StreamingQuery writing to a memory sink (caller
-    stops it).  At scale: swap source/sink for Kafka/Delta; the middle of
-    the pipeline is unchanged.
-    """
+def _event_stream(spark: SparkSession, events_path: str, watermark: str):
+    """readStream over an events parquet path with the ns-timestamp fix and
+    bare-file handling shared by all streaming twins."""
     import os
     import tempfile
 
@@ -98,12 +87,10 @@ def stream_tumbling_counts(
         if raw != field.dataType and str(field.dataType) == "TimestampType()":
             stream = stream.withColumn(
                 name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
-    stream = stream.withWatermark("ts", watermark)
-    agg = (
-        stream.groupBy(F.window("ts", width), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("window.start").alias("window_start"), "event_type", "n")
-    )
+    return stream.withWatermark("ts", watermark)
+
+
+def _start_memory_sink(agg, queryName: str, checkpoint: str | None):
     writer = (
         agg.writeStream.outputMode("append")
         .format("memory")
@@ -112,3 +99,46 @@ def stream_tumbling_counts(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    events_path: str,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+    queryName: str = "pq_stream_counts",
+):
+    """Streaming twin of `tumbling_counts`: file-source readStream with a
+    watermark for late data.  Returns the started StreamingQuery writing to
+    a memory sink (caller stops it).  At scale: swap source/sink for
+    Kafka/Delta; the middle of the pipeline is unchanged.
+    """
+    stream = _event_stream(spark, events_path, watermark)
+    agg = (
+        stream.groupBy(F.window("ts", width), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    return _start_memory_sink(agg, queryName, checkpoint)
+
+
+def stream_sliding_avg(
+    spark: SparkSession,
+    events_path: str,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+    queryName: str = "pq_stream_sliding",
+):
+    """Streaming twin of `sliding_avg` (overlapping windows: each event
+    lands in width/slide windows; state is bounded by the watermark)."""
+    stream = _event_stream(spark, events_path, watermark)
+    agg = (
+        stream.groupBy(F.window("ts", width, slide))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"),
+             F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "avg_value", "n")
+    )
+    return _start_memory_sink(agg, queryName, checkpoint)

@@ -309,3 +309,20 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert ("2024-01-01 02:00:00", 1) in rows
     # the late event did not produce a second emission for 01:00
     assert ("2024-01-01 01:00:00", 2) not in rows
+
+
+def test_stream_sliding_matches_batch(spark):
+    from prql_query_spark.engine.sources import load_parquet
+    from prql_query_spark.streaming.events import sliding_avg, stream_sliding_avg
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    q = stream_sliding_avg(spark, path, queryName="t_sliding")
+    try:
+        q.processAllAvailable()
+        got = {(str(r.window_start), r.avg_value, r.n)
+               for r in spark.sql("SELECT * FROM t_sliding").collect()}
+    finally:
+        q.stop()
+    want = {(str(r.window_start), r.avg_value, r.n)
+            for r in sliding_avg(load_parquet(spark, path)).collect()}
+    assert got <= want and len(got) > 0
