@@ -250,6 +250,31 @@ group [l_linestatus] (
 )
 sort [l_linestatus]
 """,
+    "q_having": """
+from orders
+group [o_orderpriority] (
+    aggregate [n = count, rev = round 2 (sum o_totalprice)]
+)
+filter n > 250
+sort [o_orderpriority]
+""",
+    "q_topk_per_group": """
+from orders
+group [o_custkey] (
+    sort [-o_totalprice, o_orderkey]
+    take 2
+)
+select [o_custkey, o_orderkey, o_totalprice]
+sort [o_custkey, o_orderkey]
+""",
+    "q_sort_nulls": """
+from customer
+join side:left orders [c_custkey == o_custkey]
+select [c_custkey, o_orderkey]
+group [c_custkey, o_orderkey] (take 1)
+sort [o_orderkey, c_custkey]
+take 30
+""",
     "q_right_full_joins": """
 let big_orders = (
     from orders
