@@ -250,6 +250,30 @@ group [l_linestatus] (
 )
 sort [l_linestatus]
 """,
+    "q_set_remove": """
+let expensive = (
+    from orders
+    filter o_totalprice > 250000
+    select [o_orderkey, o_orderstatus]
+)
+from orders
+select [o_orderkey, o_orderstatus]
+remove expensive
+group [o_orderstatus] (aggregate [n = count])
+sort [o_orderstatus]
+""",
+    "q_set_intersect": """
+let priority = (
+    from orders
+    filter o_orderpriority == '1-URGENT'
+    select [o_orderkey]
+)
+from orders
+filter o_totalprice > 250000
+select [o_orderkey]
+intersect priority
+aggregate [n = count]
+""",
     "q_having": """
 from orders
 group [o_orderpriority] (

@@ -157,6 +157,7 @@ class WindowT(Node):
 @dataclass
 class Append(Node):
     table: str
+    op: str = "UNION ALL"  # UNION ALL | EXCEPT ALL | INTERSECT ALL
 
 
 # ----------------------------------------------------------------- statements

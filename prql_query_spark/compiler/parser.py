@@ -18,7 +18,7 @@ class ParseError(ValueError):
 
 _TRANSFORM_WORDS = {
     "from", "select", "derive", "filter", "join", "group", "aggregate",
-    "sort", "take", "window", "append", "union",
+    "sort", "take", "window", "append", "union", "remove", "intersect",
 }
 
 # PRQL "functions" are curried and applied by juxtaposition (`sum total`,
@@ -223,6 +223,12 @@ class Parser:
             self.next()
             _, table = self._alias_table()
             return A.Append(table=table)
+        if word in ("remove", "intersect"):
+            # post-0.6.1 PRQL set ops (SURVEY §2.A #15: free in Spark)
+            self.next()
+            _, table = self._alias_table()
+            op = "EXCEPT ALL" if word == "remove" else "INTERSECT ALL"
+            return A.Append(table=table, op=op)
         # Unknown word: treat as a function-style custom transform? Not in 0.6.
         raise ParseError(f"unknown transform {word!r} at {t.pos}")
 

@@ -532,11 +532,11 @@ class SqlGen:
                 raise CompileError("top-level window supports derive only")
 
     def _append(self, t: A.Append) -> None:
-        self.layer.sorts = []  # UNION ALL discards order
+        self.layer.sorts = []  # set ops discard order
         sql = self._emit_layer(self.layer)
         alias = self.fresh()
         other = self.d.qualified(t.table)
-        union = f"({sql}) UNION ALL (SELECT * FROM {other})"
+        union = f"({sql}) {t.op} (SELECT * FROM {other})"
         self.layer = Layer(from_sql=f"({union}) AS {self.d.quote(alias)}",
                            aliases={alias})
 
