@@ -391,6 +391,14 @@ def _x_dedup_content(spark, sf_dir):
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def _x_clean_corpus(spark, sf_dir):
+    from prql_query_spark.operators.text import clean_corpus
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = clean_corpus(docs, min_tokens=40)
+    return out.select("doc_id", "lang", "source", "n_tokens", "punct_ratio")
+
+
 def _x_minhash_pairs(spark, sf_dir):
     from prql_query_spark.operators.dedup import minhash_lsh_pairs
 
@@ -630,6 +638,7 @@ def _x_multimodal_frames(spark, sf_dir):
 EXTENSIONS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_dedup_exact": _x_dedup_exact,
     "x_dedup_content": _x_dedup_content,
+    "x_clean_corpus": _x_clean_corpus,
     "x_minhash_pairs": _x_minhash_pairs,
     "x_minhash_dedup": _x_minhash_dedup,
     "x_minhash_dedup_cc": _x_minhash_dedup_cc,
@@ -680,6 +689,26 @@ SELECT doc_id, lang, source, n_chars FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
     FROM documents
 ) t WHERE rn = 1
+""",
+    "x_clean_corpus": """
+WITH deduped AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) t WHERE rn = 1
+), scored AS (
+    SELECT doc_id, lang, source,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+           ROUND(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                      / length(text) END, 4) AS punct_ratio,
+           length(text) AS n_len
+    FROM deduped
+)
+SELECT doc_id, lang, source, n_tokens, punct_ratio
+FROM scored
+WHERE n_len BETWEEN 20 AND 100000 AND n_tokens >= 40 AND punct_ratio <= 0.25
 """,
     "x_token_count": """
 SELECT doc_id,

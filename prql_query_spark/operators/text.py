@@ -56,6 +56,40 @@ def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
 
 
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 20,
+    max_chars: int = 100_000,
+    min_tokens: int = 5,
+    max_punct: float = 0.25,
+) -> DataFrame:
+    """The composite cleaning pass of a training-data pipeline in ONE plan:
+    content-hash dedup (first doc per md5) then length / token-count /
+    punctuation-ratio gates.  One window shuffle + one narrow filter-project;
+    every metric is SQL-expressible, so the whole pipeline is value-checked
+    against the DuckDB oracle (unlike the heuristic lang-ID/fingerprint
+    profile ops).
+    """
+    from prql_query_spark.operators.dedup import dedup_exact
+
+    t = F.col(text_col)
+    deduped = dedup_exact(
+        df.withColumn("_h", F.md5(t)), ["_h"], id_col
+    ).drop("_h")
+    return (
+        deduped
+        .withColumn("n_tokens", token_count(t).cast("long"))
+        .withColumn("punct_ratio", F.round(punct_ratio(t), 4))
+        .filter(
+            (F.length(t) >= min_chars) & (F.length(t) <= max_chars)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("punct_ratio") <= max_punct)
+        )
+    )
+
+
 def lang_id(text_col: Column) -> Column:
     """Stopword-vote language ID over the 4 built-in languages ('und' if no
     stopword hits at all)."""
