@@ -250,6 +250,24 @@ group [l_linestatus] (
 )
 sort [l_linestatus]
 """,
+    "q_window_range_frame": """
+from orders
+sort [o_orderkey]
+window range:-100..0 (
+    derive [near_sum = round 2 (sum o_totalprice)]
+)
+select [o_orderkey, near_sum]
+sort [o_orderkey]
+""",
+    "q_window_ntile": """
+from orders
+group [o_orderstatus] (
+    sort [o_totalprice, o_orderkey]
+    derive [quartile = long (ntile 4)]
+)
+select [o_orderkey, o_orderstatus, quartile]
+sort [o_orderkey]
+""",
     "q_set_remove": """
 let expensive = (
     from orders
