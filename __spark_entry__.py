@@ -250,6 +250,12 @@ group [l_linestatus] (
 )
 sort [l_linestatus]
 """,
+    "q_in_list": """
+from orders
+filter o_orderpriority in ['1-URGENT', '2-HIGH'] and (o_orderstatus | in ['F', 'O'])
+group [o_orderpriority, o_orderstatus] (aggregate [n = count])
+sort [o_orderpriority, o_orderstatus]
+""",
     "q_window_range_frame": """
 from orders
 sort [o_orderkey]

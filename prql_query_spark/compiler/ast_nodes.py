@@ -155,6 +155,11 @@ class WindowT(Node):
 
 
 @dataclass
+class ListLit(Node):
+    items: list
+
+
+@dataclass
 class Append(Node):
     table: str
     op: str = "UNION ALL"  # UNION ALL | EXCEPT ALL | INTERSECT ALL

@@ -400,9 +400,25 @@ class Parser:
         left = self._coalesce()
         while self.at_op("==", "!=", "<", "<=", ">", ">=", "~=", "in"):
             op = self.next().value
-            right = self._coalesce()
+            right = self._in_rhs() if op == "in" else self._coalesce()
             left = A.Binary(op, left, right)
         return left
+
+    def _in_rhs(self):
+        """Right side of `in`: a..b range or a [v1, v2, ...] list."""
+        if self.at_op("["):
+            self.next()
+            items = []
+            self.skip_newlines()
+            while not self.at_op("]"):
+                items.append(self.parse_expr())
+                self.skip_newlines()
+                if self.at_op(","):
+                    self.next()
+                    self.skip_newlines()
+            self.eat_op("]")
+            return A.ListLit(items=items)
+        return self._range()
 
     def _coalesce(self):
         left = self._range()
@@ -563,9 +579,9 @@ class Parser:
                     self.next()
                     self.skip_newlines()
                     if self.at_op("in"):
-                        # (x | in a..b) -> BETWEEN
+                        # (x | in a..b) -> BETWEEN; (x | in [a, b]) -> IN
                         self.next()
-                        e = A.Binary("in", e, self._range())
+                        e = A.Binary("in", e, self._in_rhs())
                         continue
                     rhs = self.parse_expr()
                     e = _apply_pipe(e, rhs)

@@ -175,6 +175,10 @@ class Emitter:
             return f"({l} IS NULL)" if e.op == "==" else f"({l} IS NOT NULL)"
         if e.op == "??":
             return f"COALESCE({self.emit(e.left, ctx, env)}, {self.emit(e.right, ctx, env)})"
+        if e.op == "in" and isinstance(e.right, A.ListLit):
+            l = self.emit(e.left, ctx, env)
+            vals = ", ".join(self.emit(v, ctx, env) for v in e.right.items)
+            return f"({l} IN ({vals}))"
         if e.op == "in" and isinstance(e.right, A.RangeLit):
             l = self.emit(e.left, ctx, env)
             lo = self.emit(e.right.start, ctx, env) if e.right.start else None
