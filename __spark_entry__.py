@@ -256,6 +256,15 @@ filter o_orderpriority in ['1-URGENT', '2-HIGH'] and (o_orderstatus | in ['F', '
 group [o_orderpriority, o_orderstatus] (aggregate [n = count])
 sort [o_orderpriority, o_orderstatus]
 """,
+    "q_loop_series": """
+let seed = (from region | aggregate [k = min r_regionkey, v = 1 + min r_regionkey])
+from seed
+loop (
+  filter k < 10
+  select [k = k + 1, v = v * 2]
+)
+sort [k, v]
+""",
     "q_window_range_frame": """
 from orders
 sort [o_orderkey]

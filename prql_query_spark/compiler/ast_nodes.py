@@ -160,6 +160,11 @@ class ListLit(Node):
 
 
 @dataclass
+class Loop(Node):
+    pipeline: list  # list[Transform] applied repeatedly until empty
+
+
+@dataclass
 class Append(Node):
     table: str
     op: str = "UNION ALL"  # UNION ALL | EXCEPT ALL | INTERSECT ALL

@@ -219,6 +219,15 @@ class Parser:
         if word == "window":
             self.next()
             return self._parse_window()
+        if word == "loop":
+            # post-0.6.1 PRQL: apply the sub-pipeline repeatedly until it
+            # yields no rows; result is the union of every step
+            self.next()
+            self.skip_newlines()
+            self.eat_op("(")
+            pipe = self.parse_pipeline(close_paren=True)
+            self.eat_op(")")
+            return A.Loop(pipeline=pipe)
         if word in ("append", "union"):
             self.next()
             _, table = self._alias_table()

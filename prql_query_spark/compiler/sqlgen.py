@@ -344,6 +344,8 @@ class SqlGen:
             self._window_top(t)
         elif isinstance(t, A.Append):
             self._append(t)
+        elif isinstance(t, A.Loop):
+            self._loop(t)
         else:
             raise CompileError(f"unsupported transform {type(t).__name__}")
 
@@ -542,6 +544,41 @@ class SqlGen:
         other = self.d.qualified(t.table)
         union = f"({sql}) {t.op} (SELECT * FROM {other})"
         self.layer = Layer(from_sql=f"({union}) AS {self.d.quote(alias)}",
+                           aliases={alias})
+
+    def _loop(self, t: A.Loop) -> None:
+        """PRQL `loop (...)` -> WITH RECURSIVE (post-0.6.1 transform).
+
+        Semantics (PRQL book): the sub-pipeline is applied to the previous
+        step's rows until it yields an empty relation; the result is the
+        union of all steps.  Exactly iterative UNION ALL recursion, which
+        both Spark (>=4.0) and DuckDB execute natively, so the oracle gets
+        a full value check.  The recursion is emitted as a derived-table
+        subquery so it composes with outer layers and `let` CTEs.
+
+        Restrictions (SQL-standard recursive-term rules): no aggregate /
+        group / sort / take inside the loop body.  Column ORDER of the step
+        must match the anchor — end the body with an explicit `select` when
+        deriving over an existing column (UNION ALL matches by position).
+        """
+        for st in t.pipeline:
+            if isinstance(st, (A.Aggregate, A.Group, A.Sort, A.Take)):
+                raise CompileError(
+                    f"{type(st).__name__.lower()} is not allowed inside loop "
+                    "(recursive step must be a row-wise pipeline)")
+        self.layer.sorts = []  # recursion discards order
+        anchor = self._emit_layer(self.layer)
+        rec = self.fresh() + "_loop"
+        sub = SqlGen(self.d, self.funcs, self.cte_names | {rec})
+        sub.layer = Layer(from_sql=self.d.quote(rec), aliases={rec})
+        for st in t.pipeline:
+            sub.apply(st)
+        step = sub.finish()
+        q = self.d.quote(rec)
+        body = (f"WITH RECURSIVE {q} AS (\n{anchor}\nUNION ALL\n{step}\n)\n"
+                f"SELECT * FROM {q}")
+        alias = self.fresh()
+        self.layer = Layer(from_sql=f"({body}) AS {self.d.quote(alias)}",
                            aliases={alias})
 
     # -------------------------------------------------------------- emission

@@ -218,3 +218,33 @@ def test_two_level_window_flagship():
     assert "SUM(`num_tracks`) OVER (PARTITION BY `month`" in sql
     assert "LAG(`num_tracks`, 7) OVER" in sql
     assert "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" in sql
+
+
+# ------------------------------------------------------------------- loop
+LOOP_PRQL = """
+let seed = (from region | aggregate [k = min r_regionkey, v = 1 + min r_regionkey])
+from seed
+loop (
+  filter k < 10
+  select [k = k + 1, v = v * 2]
+)
+sort [k, v]
+"""
+
+
+def test_loop_recursive_cte(con):
+    """PRQL `loop` -> WITH RECURSIVE: union of all steps until empty
+    (post-0.6.1 transform, SURVEY §7.5 deferred item)."""
+    rows = run(con, LOOP_PRQL)
+    assert [r[0] for r in rows] == list(range(11))     # k = 0..10
+    assert [r[1] for r in rows] == [2 ** k for k in range(11)]  # v doubles
+    sql = compile_prql(LOOP_PRQL, "spark")
+    assert "WITH RECURSIVE" in sql and "UNION ALL" in sql
+
+
+def test_loop_rejects_aggregate_and_take():
+    from prql_query_spark.compiler.sqlgen import CompileError
+
+    for body in ("aggregate [n = count]", "take 3", "sort [k]"):
+        with pytest.raises(CompileError, match="not allowed inside loop"):
+            compile_prql(f"from region | loop ({body})", "spark")
