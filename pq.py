@@ -96,7 +96,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             ext = to.rsplit(".", 1)[-1]
             fmt = {"csv": "csv", "json": "json", "parquet": "parquet",
-                   "table": "table", "tbl": "table"}.get(ext)
+                   "table": "table", "tbl": "table",
+                   "orc": "orc", "xml": "xml"}.get(ext)  # beyond reference
             if fmt is None:
                 print(f"Error: .{ext} files are currently not supported.",
                       file=sys.stderr)
@@ -149,9 +150,9 @@ def main(argv: list[str] | None = None) -> int:
             print("Error: Cannot print parquet to stdout.", file=sys.stderr)
             return 1
     else:
-        if writer == "arrow":
+        if writer == "arrow" and fmt not in ("orc", "xml"):
             write_single_file(df, to, fmt)
-        else:
+        else:  # orc/xml have no arrow single-file writer — executors write
             write_distributed(df, to, fmt)
     return 0
 

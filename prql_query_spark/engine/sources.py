@@ -19,7 +19,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-KNOWN_EXTENSIONS = ("csv", "json", "ndjson", "parquet", "avro")
+KNOWN_EXTENSIONS = ("csv", "json", "ndjson", "parquet", "avro", "orc", "xml")
 
 
 class SourceError(ValueError):
@@ -62,7 +62,20 @@ def read_source(spark: SparkSession, path: str, fmt: str | None = None) -> DataF
     if fmt == "parquet":
         return spark.read.parquet(path)
     if fmt == "avro":
-        return spark.read.format("avro").load(path)
+        # the reference declares avro but leaves it unimplemented
+        # (src/main.rs:25, datafusion.rs:47-49); Spark supports it when the
+        # spark-avro module is deployed — surface a clear error otherwise
+        try:
+            return spark.read.format("avro").load(path)
+        except Exception as e:  # AnalysisException: failed to find data source
+            raise SourceError(
+                "avro needs the spark-avro module on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+            ) from e
+    if fmt == "orc":  # beyond reference parity: columnar ORC scan
+        return spark.read.orc(path)
+    if fmt == "xml":  # beyond reference parity: built-in XML source (Spark 4)
+        return spark.read.option("rowTag", "row").format("xml").load(path)
     raise SourceError(f"unsupported format {fmt!r}")
 
 

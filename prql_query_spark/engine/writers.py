@@ -68,5 +68,9 @@ def write_distributed(df: DataFrame, path: str, fmt: str, mode: str = "overwrite
         w.json(path)
     elif fmt == "parquet":
         w.parquet(path)
+    elif fmt == "orc":
+        w.orc(path)
+    elif fmt == "xml":
+        w.option("rowTag", "row").format("xml").save(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
