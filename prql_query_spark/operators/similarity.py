@@ -230,6 +230,13 @@ def cosine_topk_lsh(
     for a query if they share a bucket in ANY table (classic OR-construction
     — recall grows with n_tables, candidate count stays bounded by bucket
     size × tables, never the full cross product).
+
+    Tuning (measured on a 12-cluster unit-sphere corpus, n=1200, dim=24,
+    recall@10 vs brute force): 6 bits / 8 tables -> 0.82, 8/12 -> 0.85,
+    10/16 -> 0.77 (buckets too fine).  Pick n_bits ~ log2(n / target bucket
+    size) and grow n_tables for recall; on clustered corpora prefer
+    ``cosine_topk_ivf`` (measured 1.00 at n_cells=#clusters, n_probe=2 —
+    cells adapt to the distribution, sign bits don't).
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])

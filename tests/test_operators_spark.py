@@ -353,3 +353,46 @@ def test_avro_clear_error(spark, tmp_path):
 
     with _pytest.raises(SourceError, match="spark-avro"):
         read_source(spark, str(tmp_path / "x.avro"), "avro")
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """Gaussian-mixture corpus on the unit sphere: 12 clusters, 1200 vectors.
+
+    Realistic ANN testbed — true neighbours are intra-cluster, so recall is a
+    meaningful number (on uniform-random vectors every method looks alike).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    C, n, dim = 12, 1200, 24
+    centers = rng.standard_normal((C, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[np.arange(n) % C] + 0.15 * rng.standard_normal((n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [(int(i), pts[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").cache()
+    df.count()
+    return df
+
+
+def test_ann_recall_clustered(clustered_emb):
+    """Recall@10 vs brute force on clustered data: IVF adapts its cells to
+    the clusters (measured 1.00 here); sign-bit LSH is distribution-blind
+    (measured 0.82 at 6 bits / 8 tables).  Margins below the measured
+    values guard against seed drift, not semantics."""
+    from prql_query_spark.operators.similarity import (
+        cosine_topk, cosine_topk_ivf, cosine_topk_lsh,
+    )
+
+    q = clustered_emb.filter(F.col("vec_id") < 12)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(clustered_emb, q, k=10).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in cosine_topk_ivf(clustered_emb, q, k=10,
+                                    n_cells=12, n_probe=2).collect()}
+    assert len(exact & ivf) / len(exact) >= 0.95
+    lsh = {(r.query_id, r.neighbor_id)
+           for r in cosine_topk_lsh(clustered_emb, q, k=10,
+                                    n_bits=6, n_tables=8).collect()}
+    assert len(exact & lsh) / len(exact) >= 0.7
