@@ -35,6 +35,9 @@ def main() -> None:
     spark = get_spark("pq-bench")
     spark.sparkContext.setLogLevel("ERROR")
     entrymod._reg(spark, sf_dir)
+    from prql_query_spark.engine.session import sources_bytes, tune_session_for
+
+    tune_session_for(spark, sources_bytes([sf_dir]))
     startup = time.time() - t0
 
     # BASELINE.md §2 shapes, verbatim semantics (q_take is the pure

@@ -131,6 +131,10 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     eng = PrqlEngine(spark)
     eng.add_sources(frm)
+    from prql_query_spark.engine.session import sources_bytes, tune_session_for
+
+    paths = [s.split("=", 1)[1] if "=" in s else s for s in frm]
+    tune_session_for(spark, sources_bytes(paths))
     df = eng.sql(sql)
 
     if to == "-":

