@@ -660,6 +660,45 @@ def _x_multimodal_features(spark, sf_dir):
     return extract_features(media)
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _x_pivot_events(spark, sf_dir):
+    """Long->wide: per-user spend by event_type.  Explicit category list =
+    single-pass conditional aggregation (no discovery scan, see
+    operators/reshape.py docstring)."""
+    from prql_query_spark.operators.reshape import pivot_wide
+
+    ev = _tbl(spark, sf_dir, "events")
+    return pivot_wide(ev, ["user_id"], "event_type", "value", EVENT_TYPES)
+
+
+def _x_unpivot_part(spark, sf_dir):
+    """Wide->long melt of part's numeric attributes (Spark EXPAND node —
+    multiplies rows, shuffles nothing)."""
+    from prql_query_spark.operators.reshape import unpivot_long
+
+    return unpivot_long(
+        _tbl(spark, sf_dir, "part"), ["p_partkey"], ["p_size", "p_retailprice"]
+    )
+
+
+def _x_json_props(spark, sf_dir):
+    """JSON field extraction from the events.props payload column —
+    JVM-side get_json_object, no Python in the row path."""
+    from prql_query_spark.operators.reshape import json_field
+
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", json_field(F.col("props"), "k", "int"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"),
+             F.sum("k").alias("sum_k"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
 def _x_multimodal_frames(spark, sf_dir):
     from prql_query_spark.operators.multimodal import sample_frames, synthesize_media
 
@@ -696,6 +735,9 @@ EXTENSIONS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_salted_agg": _x_salted_agg,
     "x_multimodal_features": _x_multimodal_features,
     "x_multimodal_frames": _x_multimodal_frames,
+    "x_pivot_events": _x_pivot_events,
+    "x_unpivot_part": _x_unpivot_part,
+    "x_json_props": _x_json_props,
 }
 
 # Hand-written DuckDB oracles for the extension ops that ANSI SQL can
@@ -844,6 +886,27 @@ u AS (
 )
 SELECT ws AS window_start, ROUND(AVG(value), 4) AS avg_value, COUNT(*) AS n
 FROM u GROUP BY ws
+""",
+    "x_pivot_events": """
+SELECT user_id,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 4)    AS click,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'error'), 4)    AS error,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'signup'), 4)   AS signup,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'view'), 4)     AS view
+FROM events GROUP BY user_id
+""",
+    "x_unpivot_part": """
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+""",
+    "x_json_props": """
+SELECT event_type,
+       ROUND(AVG(CAST(props->>'$.k' AS INT)), 4) AS avg_k,
+       SUM(CAST(props->>'$.k' AS INT)) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
 """,
     "x_events_sessions": """
 WITH o AS (

@@ -396,3 +396,42 @@ def test_ann_recall_clustered(clustered_emb):
            for r in cosine_topk_lsh(clustered_emb, q, k=10,
                                     n_bits=6, n_tables=8).collect()}
     assert len(exact & lsh) / len(exact) >= 0.7
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    """pivot_wide with an explicit category list must not run a discovery
+    job, and unpivot_long must invert it (modulo NULL cells for absent
+    categories)."""
+    from prql_query_spark.operators.reshape import pivot_wide, unpivot_long
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "b", 3.0), (2, "a", 5.0), (1, "a", 1.0)],
+        "id int, cat string, v double",
+    )
+    wide = pivot_wide(df, ["id"], "cat", "v", ["a", "b", "c"])
+    assert wide.columns == ["id", "a", "b", "c"]
+    rows = {r.id: (r.a, r.b, r.c) for r in wide.collect()}
+    assert rows == {1: (3.0, 3.0, None), 2: (5.0, None, None)}
+    # explicit values => partial (map-side) aggregation before the shuffle,
+    # and no eager distinct-discovery job ran to find the categories
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+
+    long = unpivot_long(wide, ["id"], ["a", "b", "c"])
+    assert long.columns == ["id", "attr", "val"]
+    assert long.count() == 6  # 2 ids x 3 attrs; NULL cells kept as rows
+    assert {(r.id, r.attr): r.val for r in long.collect()}[(1, "c")] is None
+
+
+def test_json_field_extraction(spark):
+    from prql_query_spark.operators.reshape import json_field
+
+    df = spark.createDataFrame(
+        [('{"k": 3, "s": "x"}',), ('{"k": null}',), ("not json",)],
+        "props string",
+    )
+    out = df.select(
+        json_field(F.col("props"), "k", "int").alias("k"),
+        json_field(F.col("props"), "s").alias("s"),
+    ).collect()
+    assert [(r.k, r.s) for r in out] == [(3, "x"), (None, None), (None, None)]
