@@ -33,6 +33,11 @@ def get_spark(app_name: str = "prql-query-spark",
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
+        # Dim tables (nation/customer/part at any SF) deserve broadcast: the
+        # 10 MB default forces a 3-stage shuffle join for a 15 MB build side.
+        # 64 MB is safe with torrent broadcast on a 1000-executor cluster and
+        # measured 10-15% off q_join_agg/q_topk locally (interleaved A/B).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
