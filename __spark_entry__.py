@@ -699,6 +699,99 @@ def _x_json_props(spark, sf_dir):
     )
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+STRATA_FRACTIONS = {"en": 0.25, "de": 1.0, "fr": 0.5}
+
+
+def _x_hash_split(spark, sf_dir):
+    """Deterministic md5-keyed train/val/test split — per-split row count
+    and mean doc length (operators/sampling.py)."""
+    from prql_query_spark.operators.sampling import hash_split
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", SPLIT_WEIGHTS)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .orderBy("split")
+    )
+
+
+def _x_stratified_sample(spark, sf_dir):
+    """Per-language deterministic downsampling (keep de, half fr, quarter
+    en, drop the rest) — the corpus-rebalancing step of a data pipeline."""
+    from prql_query_spark.operators.sampling import stratified_sample_hash
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return (
+        stratified_sample_hash(docs, "doc_id", "lang", STRATA_FRACTIONS)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("lang")
+    )
+
+
+def _x_scrub_pii(spark, sf_dir):
+    """PII redaction audit: inject synthetic emails/IPs/phones keyed on
+    doc_id, scrub, report per-source redaction counts + length delta."""
+    from prql_query_spark.operators.text import pii_counts, scrub_pii
+
+    docs = _tbl(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" from 10.0.42.7")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call +1 415 555 0100")).otherwise(F.lit("")),
+        ),
+    )
+    cnt = pii_counts(F.col("text2"))
+    return (
+        salted.select(
+            "source",
+            F.length("text2").alias("len_before"),
+            F.length(scrub_pii(F.col("text2"))).alias("len_after"),
+            *[c.alias(n) for n, c in cnt.items()],
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("len_before") - F.col("len_after")).alias("chars_redacted"),
+            F.sum("email_n").alias("emails"),
+            F.sum("ip_n").alias("ips"),
+            F.sum("phone_n").alias("phones"),
+        )
+        .orderBy("source")
+    )
+
+
+def _x_dup_tokens(spark, sf_dir):
+    """Gopher-style repetition filter signal: per-language mean fraction of
+    repeated words, plus how many docs exceed the 0.5 cut."""
+    from prql_query_spark.operators.text import dup_token_fraction
+
+    docs = _tbl(spark, sf_dir, "documents")
+    d = docs.withColumn("dup_frac", dup_token_fraction(F.col("text")))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.round(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
+            F.sum(F.when(F.col("dup_frac") > 0.5, 1).otherwise(0)).alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _x_tfidf_top(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf-idf (docs 0..14)."""
+    from prql_query_spark.operators.text import tfidf_top_terms
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.filter(F.col("doc_id") < 15).orderBy("doc_id", "rnk")
+
+
 def _x_multimodal_frames(spark, sf_dir):
     from prql_query_spark.operators.multimodal import sample_frames, synthesize_media
 
@@ -738,6 +831,11 @@ EXTENSIONS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_pivot_events": _x_pivot_events,
     "x_unpivot_part": _x_unpivot_part,
     "x_json_props": _x_json_props,
+    "x_hash_split": _x_hash_split,
+    "x_stratified_sample": _x_stratified_sample,
+    "x_scrub_pii": _x_scrub_pii,
+    "x_dup_tokens": _x_dup_tokens,
+    "x_tfidf_top": _x_tfidf_top,
 }
 
 # Hand-written DuckDB oracles for the extension ops that ANSI SQL can
@@ -926,7 +1024,111 @@ SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS session_value
 FROM s GROUP BY user_id, sid
 """,
+    "x_tfidf_top": """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfq AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 4) AS tfidf
+    FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS rnk
+    FROM scored
+)
+SELECT doc_id, rnk, term, tfidf FROM ranked
+WHERE doc_id < 15 AND rnk <= 3
+ORDER BY doc_id, rnk
+""",
+    "x_dup_tokens": """
+WITH d AS (
+    SELECT lang,
+           CASE WHEN len(toks) <= 0 THEN 0.0
+                ELSE ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+           END AS dup_frac
+    FROM (SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents)
+)
+SELECT lang, ROUND(AVG(dup_frac), 4) AS avg_dup_frac,
+       SUM(CASE WHEN dup_frac > 0.5 THEN 1 ELSE 0 END) AS n_repetitive
+FROM d GROUP BY lang ORDER BY lang
+""",
 }
+
+
+def _sampling_oracles() -> dict[str, str]:
+    """Oracles whose bucket arithmetic is generated from the same helpers
+    the Spark operators use (prql_query_spark/operators/sampling.py), so
+    the split boundaries can't drift between engines."""
+    from prql_query_spark.operators.sampling import hash_bucket_sql, split_bounds_sql
+
+    b = hash_bucket_sql("doc_id")
+    bounds = split_bounds_sql(SPLIT_WEIGHTS)
+    case = "CASE " + " ".join(
+        f"WHEN bucket < {ub} THEN '{name}'" for name, ub in bounds[:-1]
+    ) + f" ELSE '{bounds[-1][0]}' END"
+    strata_case = "CASE lang " + " ".join(
+        f"WHEN '{v}' THEN {int(round(f * 10000))}"
+        for v, f in STRATA_FRACTIONS.items()
+    ) + " ELSE 0 END"
+    return {
+        "x_hash_split": f"""
+WITH b AS (SELECT *, {b} AS bucket FROM documents),
+s AS (SELECT *, {case} AS split FROM b)
+SELECT split, COUNT(*) AS n, ROUND(AVG(n_chars), 4) AS avg_chars
+FROM s GROUP BY split ORDER BY split
+""",
+        "x_stratified_sample": f"""
+WITH b AS (SELECT *, {b} AS bucket FROM documents)
+SELECT lang, COUNT(*) AS n, SUM(doc_id) AS id_sum
+FROM b WHERE bucket < {strata_case}
+GROUP BY lang ORDER BY lang
+""",
+    }
+
+
+def _pii_oracle() -> dict[str, str]:
+    """Scrub-PII oracle built from the SAME regex constants as the Spark
+    operator (operators/text.py PII_PATTERNS)."""
+    from prql_query_spark.operators.text import PII_PATTERNS
+
+    salt = ("concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com', "
+            "CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.42.7' ELSE '' END, "
+            "CASE WHEN doc_id % 5 = 0 THEN ' call +1 415 555 0100' ELSE '' END)")
+    scrub = "text2"
+    for tag, pat in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{tag}>', 'g')"
+    counts = {
+        tag.lower() + "_n": f"len(regexp_extract_all(text2, '{pat}'))"
+        for tag, pat in PII_PATTERNS
+    }
+    return {
+        "x_scrub_pii": f"""
+WITH salted AS (SELECT source, {salt} AS text2 FROM documents),
+m AS (
+    SELECT source,
+           length(text2) - length({scrub}) AS delta,
+           {counts['email_n']} AS email_n,
+           {counts['ip_n']} AS ip_n,
+           {counts['phone_n']} AS phone_n
+    FROM salted
+)
+SELECT source, SUM(delta) AS chars_redacted, SUM(email_n) AS emails,
+       SUM(ip_n) AS ips, SUM(phone_n) AS phones
+FROM m GROUP BY source ORDER BY source
+""",
+    }
+
+
+EXTENSION_ORACLES.update(_sampling_oracles())
+EXTENSION_ORACLES.update(_pii_oracle())
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,123 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Everything is keyed on a cryptographic hash of a caller-chosen key column,
+never on RNG state, so the same row lands in the same split/sample on every
+run, on any cluster size, after any repartition — the property a 100 TB
+training pipeline actually needs (resumability, leakage-safe splits, stable
+eval sets).  Splitting by a GROUP key (user_id, source domain) rather than a
+row id gives leakage-safe grouped splits for free.
+
+Mechanics: bucket = first 8 hex chars of md5(key || ':' || seed) read as an
+integer, mod `buckets`.  md5 is bit-identical everywhere (Spark, DuckDB,
+Python), which is what makes these operators value-checkable against the
+DuckDB oracle — `hash_bucket_sql` emits the equivalent DuckDB expression.
+
+Scale notes: all operators here are narrow (projection + filter — no
+shuffle, no RNG broadcast, no sort).  They pipeline into whatever scan
+precedes them and preserve partitioning.  `df.sample()` by contrast is
+nondeterministic across retries/partition counts; `TABLESAMPLE` isn't
+keyed.  Reference parity: the reference has no sampling surface at all
+(prql-query TODO.md lists none); this is extension tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, seed: int = 42, buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from md5(key || ':' || seed).
+
+    8 hex chars = 32 bits unsigned — fits a long exactly; `conv` parses
+    unsigned so Spark and DuckDB agree on every value.
+    """
+    s = F.concat(key.cast("string"), F.lit(f":{seed}"))
+    h = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+    return h % buckets
+
+
+def hash_bucket_sql(key_expr: str, seed: int = 42, buckets: int = BUCKETS) -> str:
+    """DuckDB twin of `hash_bucket` (for oracle SQL construction)."""
+    return (
+        f"(CAST(concat('0x', substr(md5(concat(CAST({key_expr} AS VARCHAR), "
+        f"':{seed}')), 1, 8)) AS BIGINT) % {buckets})"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    label_col: str = "split",
+) -> DataFrame:
+    """Label every row with a split name ('train'/'val'/'test'/...) by hash
+    bucket.  Weights are normalized; boundaries are exact integer bucket
+    counts so the split is reproducible to the row.
+
+    Keyed on `key_col`: pass a row id for an i.i.d. split, or a group key
+    (user, document source) for a leakage-safe grouped split.
+    """
+    total = sum(weights.values())
+    b = hash_bucket(F.col(key_col), seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        bound = int(round(acc / total * BUCKETS))
+        cond = b < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(label_col, out)
+
+
+def split_bounds_sql(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, upper_bucket_bound) pairs matching `hash_split`'s boundaries —
+    for building the CASE expression in oracle SQL."""
+    total = sum(weights.values())
+    out, acc = [], 0.0
+    for name in list(weights)[:-1]:
+        acc += weights[name]
+        out.append((name, int(round(acc / total * BUCKETS))))
+    out.append((list(weights)[-1], BUCKETS))
+    return out
+
+
+def sample_hash(
+    df: DataFrame, key_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli-by-key sample: keeps rows whose bucket falls
+    below `fraction` of the hash space.  Same key → same in/out decision on
+    every run (unlike `df.sample`, which re-draws per execution/retry)."""
+    bound = int(round(fraction * BUCKETS))
+    return df.filter(hash_bucket(F.col(key_col), seed) < bound)
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample 'en' to 10%, keep
+    all 'de').  One narrow filter — the per-stratum bound is a CASE on the
+    stratum column, so no per-stratum job and no shuffle."""
+    b = hash_bucket(F.col(key_col), seed)
+    bound = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == value
+        ub = F.lit(int(round(frac * BUCKETS)))
+        bound = F.when(cond, ub) if bound is None else bound.when(cond, ub)
+    bound = (
+        F.lit(int(round(default_fraction * BUCKETS)))
+        if bound is None
+        else bound.otherwise(int(round(default_fraction * BUCKETS)))
+    )
+    return df.filter(b < bound)

@@ -128,6 +128,86 @@ def doc_fingerprint(text_col: Column) -> Column:
     return F.xxhash64(F.concat_ws("", toks))
 
 
+# PII patterns: RE2-compatible (no lookarounds/backrefs) so the DuckDB
+# oracle evaluates the IDENTICAL regex.  Order matters: emails before IPs
+# (an email's dotted domain must not be half-eaten by the IP rule).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\+\d[\d() -]{7,}\d"),
+]
+
+
+def scrub_pii(text_col: Column) -> Column:
+    """Redact emails / IPv4s / international-format phones to <TYPE> tags.
+
+    Pure regexp_replace chain — JVM-side, codegen'd, no UDF; at 100 TB this
+    pipelines into the scan with zero shuffle."""
+    out = text_col
+    for tag, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{tag}>")
+    return out
+
+
+def pii_counts(text_col: Column) -> dict[str, Column]:
+    """Per-type match counts (for audit dashboards / drop-thresholds)."""
+    return {
+        tag.lower() + "_n": F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0)))
+        for tag, pat in PII_PATTERNS
+    }
+
+
+def dup_token_fraction(text_col: Column, sep: str = r"\s+") -> Column:
+    """Fraction of repeated units (lines with sep='\\n', words by default) —
+    the Gopher/MassiveText repetition filter.  Computed entirely in one
+    projection: 1 - distinct_units/units via array functions, no explode and
+    no shuffle."""
+    units = F.split(F.trim(text_col), sep)
+    n = F.size(units)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(units)) / n, 4)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    Plan shape (scale-minded): tokenize+explode → groupBy(doc,term) for tf
+    [shuffle 1] → document frequency aggregated FROM the tf table, not the
+    raw corpus [shuffle 2, vocabulary-sized] → join tf⋈df on term (small
+    side broadcastable) → per-doc top-k window [shuffle 3].  The corpus
+    text is read once; N(docs) comes from a scalar aggregate cross-join,
+    not a driver-side count, so the whole thing is one submitted plan.
+
+    idf = ln(N/df); ties broken by term for determinism.
+    """
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)
+    )
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "rnk", "term", "tfidf")
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass profile: all metrics as extra columns (single projection —
     Catalyst computes shared subtrees once per row batch)."""

@@ -435,3 +435,52 @@ def test_json_field_extraction(spark):
         json_field(F.col("props"), "s").alias("s"),
     ).collect()
     assert [(r.k, r.s) for r in out] == [(3, "x"), (None, None), (None, None)]
+
+
+def test_hash_split_deterministic_and_weighted(spark):
+    """Same key → same split across runs/partitionings; realized weights
+    near nominal; narrow plan (no Exchange before the split label)."""
+    from prql_query_spark.operators.sampling import hash_split, sample_hash
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    s1 = {r.k: r.split for r in hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    s2 = {r.k: r.split for r in
+          hash_split(df.repartition(7), "k", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert s1 == s2
+    n = len(s1)
+    from collections import Counter
+    c = Counter(s1.values())
+    assert abs(c["train"] / n - 0.8) < 0.02
+    assert abs(c["val"] / n - 0.1) < 0.01
+    # sample_hash(frac) keeps exactly the keys whose bucket is below the
+    # boundary — and is a subset relation as frac grows
+    a = {r.k for r in sample_hash(df, "k", 0.1).collect()}
+    b = {r.k for r in sample_hash(df, "k", 0.3).collect()}
+    assert a < b and abs(len(b) / n - 0.3) < 0.02
+
+
+def test_grouped_split_no_leakage(spark):
+    """Splitting on a GROUP key puts every row of a group in one split."""
+    from prql_query_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 97).alias("user_id"), F.col("id").alias("row_id")
+    )
+    out = hash_split(df, "user_id", {"train": 0.75, "test": 0.25})
+    per_group = (
+        out.groupBy("user_id").agg(F.count_distinct("split").alias("ns")).collect()
+    )
+    assert all(r.ns == 1 for r in per_group)
+
+
+def test_scrub_pii_patterns(spark):
+    from prql_query_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@ex-ample.co.uk ip 10.0.0.255 tel +1 (415) 555-0100 end",),
+         ("no pii here 3.14 not.an.ip",)],
+        "text string",
+    )
+    out = [r[0] for r in df.select(scrub_pii(F.col("text"))).collect()]
+    assert out[0] == "mail <EMAIL> ip <IP> tel <PHONE> end"
+    assert out[1] == "no pii here 3.14 not.an.ip"
