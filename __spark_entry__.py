@@ -792,6 +792,15 @@ def _x_tfidf_top(spark, sf_dir):
     return out.filter(F.col("doc_id") < 15).orderBy("doc_id", "rnk")
 
 
+def _x_bigram_top(spark, sf_dir):
+    """Top-20 corpus bigrams (vocabulary / contamination scan building
+    block) — TakeOrderedAndProject after one groupBy shuffle."""
+    from prql_query_spark.operators.text import ngram_counts
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return ngram_counts(docs, "text", n=2, top_k=20)
+
+
 def _x_multimodal_frames(spark, sf_dir):
     from prql_query_spark.operators.multimodal import sample_frames, synthesize_media
 
@@ -836,6 +845,7 @@ EXTENSIONS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_scrub_pii": _x_scrub_pii,
     "x_dup_tokens": _x_dup_tokens,
     "x_tfidf_top": _x_tfidf_top,
+    "x_bigram_top": _x_bigram_top,
 }
 
 # Hand-written DuckDB oracles for the extension ops that ANSI SQL can
@@ -1023,6 +1033,16 @@ s AS (
 SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS session_value
 FROM s GROUP BY user_id, sid
+""",
+    "x_bigram_top": """
+WITH toks AS (
+    SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), grams AS (
+    SELECT unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS ngram
+    FROM toks WHERE len(t) >= 2
+)
+SELECT ngram, COUNT(*) AS n FROM grams
+GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20
 """,
     "x_tfidf_top": """
 WITH toks AS (

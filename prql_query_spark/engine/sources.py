@@ -112,12 +112,24 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     ns_cols: list[str] = []
+    probe = path
+    if os.path.isdir(path):
+        # directory dataset (partitioned write, stream source dir): probe the
+        # first parquet footer found — one file's schema speaks for the set
+        for root, _, files in sorted(os.walk(path)):
+            pf = sorted(f for f in files if f.endswith(".parquet"))
+            if pf:
+                probe = os.path.join(root, pf[0])
+                break
     try:
-        schema = pq.read_schema(path)
-        for field in schema:
-            t = field.type
-            if str(t).startswith("timestamp[ns"):
-                ns_cols.append(field.name)
+        meta = pq.ParquetFile(probe).metadata.schema
+        for i in range(len(meta)):
+            c = meta.column(i)
+            # Only INT64 TIMESTAMP(NANOS) needs the legacy-long workaround.
+            # INT96 (Spark's own default output) also surfaces as ns in the
+            # *arrow* schema but Spark reads it natively — must not convert.
+            if c.physical_type == "INT64" and "nanoseconds" in str(c.logical_type):
+                ns_cols.append(c.name)
     except Exception:
         pass
     if ns_cols:

@@ -74,3 +74,44 @@ def write_distributed(df: DataFrame, path: str, fmt: str, mode: str = "overwrite
         w.option("rowTag", "row").format("xml").save(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    sort_within: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-layout dataset sink (`path/col=value/...`) — the 100 TB layout:
+    a filter on a partition column prunes whole directories at plan time
+    (PartitionFilters in the scan, zero I/O for pruned values).
+
+    Scale guards baked in:
+      * repartition ON the partition columns first — naive
+        `write.partitionBy` makes every task write a file into every
+        partition directory (tasks × partitions small files, the classic
+        layout killer); repartitioning first gives one writer per partition.
+      * optional `sort_within` orders rows inside each file so parquet
+        row-group min/max stats skip within the partition too.
+      * `maxRecordsPerFile` caps file size where one partition is huge
+        (skewed partition values).
+    """
+    out = df.repartition(*[df[c] for c in partition_cols])
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    w = out.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt == "orc":
+        w.orc(path)
+    elif fmt == "csv":
+        w.option("header", "true").csv(path)
+    elif fmt == "json":
+        w.json(path)
+    else:
+        raise ValueError(f"unsupported partitioned format {fmt!r}")

@@ -208,6 +208,41 @@ def tfidf_top_terms(
     )
 
 
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-level n-gram frequency table (vocabulary building / contamination
+    scans).  Tokens come from the same `[a-z0-9]+` extraction as tf-idf.
+
+    The token array is materialized as a projected column BEFORE the
+    sliding-window transform: Spark HOFs are interpreted (CodegenFallback)
+    and re-evaluate referenced expressions per element, so inlining the
+    regexp extraction into the lambda would re-run it once per n-gram.
+    Plan: narrow project+explode, one groupBy shuffle; top-k via
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+    grams = (
+        df.select(toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+                )
+            ).alias("ngram")
+        )
+    )
+    out = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+    if top_k:
+        out = out.orderBy(F.desc("n"), F.asc("ngram")).limit(top_k)
+    return out
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass profile: all metrics as extra columns (single projection —
     Catalyst computes shared subtrees once per row batch)."""

@@ -142,3 +142,25 @@ def stream_sliding_avg(
         .select(F.col("window.start").alias("window_start"), "avg_value", "n")
     )
     return _start_memory_sink(agg, queryName, checkpoint)
+
+
+def stream_dedup(
+    spark: SparkSession,
+    events_path: str,
+    keys: list[str],
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+    queryName: str = "pq_stream_dedup",
+):
+    """Streaming exact dedup across microbatches.
+
+    `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    watermark passes the key's first-seen event time, so state is BOUNDED —
+    the property that makes streaming dedup viable on an unbounded 100 TB/day
+    feed (plain `dropDuplicates` on a stream grows state forever).  Batch
+    twin: `dedup_exact` (operators/dedup.py).  Returns the started query
+    (memory sink, append mode).
+    """
+    stream = _event_stream(spark, events_path, watermark)
+    deduped = stream.dropDuplicatesWithinWatermark(keys)
+    return _start_memory_sink(deduped, queryName, checkpoint)

@@ -484,3 +484,52 @@ def test_scrub_pii_patterns(spark):
     out = [r[0] for r in df.select(scrub_pii(F.col("text"))).collect()]
     assert out[0] == "mail <EMAIL> ip <IP> tel <PHONE> end"
     assert out[1] == "no pii here 3.14 not.an.ip"
+
+
+def test_write_partitioned_prunes(spark, docs, tmp_path):
+    """Hive layout on disk; a filter on the partition column must prune at
+    plan time (PartitionFilters, pruned directory count) and one file per
+    partition (repartition-before-partitionBy small-files guard)."""
+    import glob
+
+    from prql_query_spark.engine.writers import write_partitioned
+
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"], sort_within=["n_chars"])
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    dirs = {d.split("=")[-1] for d in glob.glob(f"{path}/lang=*")}
+    assert dirs == langs
+    for d in glob.glob(f"{path}/lang=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_stream_dedup_bounded_state(spark, sf_dir, tmp_path):
+    """Cross-microbatch dedup: the same file fed twice (two symlinks, one
+    file per trigger) must come out once per event_id."""
+    import os
+
+    from prql_query_spark.streaming.events import stream_dedup
+
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src)
+    real = os.path.abspath(f"{sf_dir}/events.parquet")
+    os.symlink(real, f"{src}/a.parquet")
+    os.symlink(real, f"{src}/b.parquet")
+    q = stream_dedup(
+        spark, src, ["event_id"],
+        checkpoint=str(tmp_path / "ckpt"), queryName="t_dedup",
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT COUNT(*) AS n FROM t_dedup").collect()[0].n
+        from prql_query_spark.engine.sources import load_parquet
+        expect = load_parquet(spark, real).select("event_id").distinct().count()
+        assert n == expect
+        assert q.exception() is None
+    finally:
+        q.stop()
