@@ -1170,3 +1170,22 @@ def oracle_sql() -> dict[str, str]:
     out = {name: compile_prql(prql, "duckdb") for name, prql in PRQL_QUERIES.items()}
     out.update(EXTENSION_ORACLES)
     return out
+
+
+def _x_embed_centroid(spark, sf_dir):
+    """Per-label embedding centroid (long format) — the domain-profile /
+    cluster-center computation of an embedding pipeline."""
+    from prql_query_spark.operators.similarity import embedding_centroids
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return embedding_centroids(emb).orderBy("label", "pos")
+
+
+EXTENSIONS["x_embed_centroid"] = _x_embed_centroid
+EXTENSION_ORACLES["x_embed_centroid"] = """
+SELECT label, pos, ROUND(AVG(v), 6) AS avg_v
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+GROUP BY label, pos ORDER BY label, pos
+"""

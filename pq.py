@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--from", dest="frm", action="append",
                    default=None, help="file(s) to read data FROM (alias=path)")
     p.add_argument("-t", "--to", default=None, help="file to write TO, else stdout")
+    p.add_argument("-d", "--database", default=None,
+                   help="database to connect to (duckdb://, sqlite://)")
     p.add_argument("-b", "--backend", default="auto",
                    choices=["auto", "spark"], help="engine backend")
     p.add_argument("--no-exec", action="store_true",
@@ -67,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
     fmt = args.format or _env("PQ_FORMAT")
     writer = args.writer or _env("PQ_WRITER", "arrow")
     use_sql = args.sql or _env("PQ_SQL", "false") == "true"
+    database = args.database if args.database is not None else _env("PQ_DATABASE")
     query = args.query if args.query is not None else _env("PQ_QUERY", "-")
 
     # ---- query input (main.rs:124-137)
@@ -116,7 +119,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         sql = compile_prql(query, dialect="spark")
 
-    if args.no_exec or (not frm and not use_sql):
+    if args.no_exec or (not database and not frm and not use_sql):
         print(sql)
         return 0
 
@@ -130,6 +133,10 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("pq-cli")
     spark.sparkContext.setLogLevel("ERROR")
     eng = PrqlEngine(spark)
+    if database:
+        from prql_query_spark.engine.databases import attach_database
+
+        attach_database(spark, database)
     eng.add_sources(frm)
     from prql_query_spark.engine.session import sources_bytes, tune_session_for
 

@@ -275,3 +275,27 @@ def cosine_topk_lsh(
         .filter(F.col("_rk") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("_rk").alias("rank"))
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group centroid in long format (group, pos, avg_v), pos 1-based.
+
+    posexplode → groupBy(group, pos) → avg: the element rows partial-
+    aggregate map-side, so the shuffle carries ≤ groups×dim rows per task —
+    at 100 TB this is the distributed-safe shape (collect_list of whole
+    vectors would buffer entire groups in executor memory).  Long output
+    also makes the result directly SQL-comparable; reassemble with
+    collect_list over pos downstream if an array is wanted.
+    """
+    exploded = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos0", "v")
+    )
+    return (
+        exploded.groupBy(group_col, (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("v"), round_to).alias("avg_v"))
+    )

@@ -64,3 +64,65 @@ def test_golden_customer_totals_shape(engine):
     totals = [r.total for r in rows]
     assert totals == sorted(totals, reverse=True)
     assert totals[0] == 49.620000000000005
+
+
+GOLDEN_PRQL = (
+    'from invoices | join customers [customer_id] '
+    '| derive [name = f"{first_name} {last_name}"] '
+    '| group name (aggregate [spend = sum total]) '
+    '| sort [-spend] | take 10'
+)
+
+
+def test_attach_sqlite_chinook_golden(spark):
+    """The reference's own chinook.sqlite via `--database sqlite://`
+    (README.md:211-216) reproduces the README top-spender golden."""
+    from prql_query_spark import compile_prql
+    from prql_query_spark.engine.databases import attach_database
+
+    names = attach_database(
+        spark, "sqlite:///root/reference/examples/chinook/sqlite/chinook.sqlite"
+    )
+    assert {"invoices", "customers", "albums"} <= set(names)
+    rows = spark.sql(compile_prql(GOLDEN_PRQL, "spark")).collect()
+    # float sum order differs from the CSV run (different partitioning), so
+    # compare to the golden within an ulp-scale tolerance
+    assert rows[0].name == "Helena Holý"
+    assert abs(rows[0].spend - 49.62) < 1e-9
+    assert abs(rows[2].spend - 46.62) < 1e-9
+
+
+def test_attach_duckdb_roundtrip(spark, tmp_path):
+    """duckdb:// attach on a current-format database file."""
+    import duckdb
+
+    from prql_query_spark import compile_prql
+    from prql_query_spark.engine.databases import attach_database
+
+    p = str(tmp_path / "mini.duckdb")
+    con = duckdb.connect(p)
+    con.execute("CREATE TABLE t AS SELECT range AS a, range % 3 AS g FROM range(100)")
+    con.close()
+    assert attach_database(spark, f"duckdb://{p}") == ["t"]
+    rows = spark.sql(
+        compile_prql("from t | group g (aggregate [s = sum a]) | sort g", "spark")
+    ).collect()
+    assert [(r.g, r.s) for r in rows] == [(0, 1683), (1, 1617), (2, 1650)]
+
+
+def test_attach_errors(spark):
+    import pytest as _pytest
+
+    from prql_query_spark.engine.databases import DatabaseError, attach_database
+
+    with _pytest.raises(DatabaseError, match="JDBC"):
+        attach_database(spark, "postgresql://u:p@h:5432/db")
+    with _pytest.raises(DatabaseError, match="no such file"):
+        attach_database(spark, "sqlite:///nope/missing.sqlite")
+    # reference's chinook.duckdb is an old storage version: clear error, not
+    # a stack trace
+    with _pytest.raises(DatabaseError, match="version"):
+        attach_database(
+            spark,
+            "duckdb:///root/reference/examples/chinook/duckdb/chinook.duckdb",
+        )
