@@ -1189,3 +1189,56 @@ FROM (SELECT label, unnest(embedding) AS v,
       FROM embeddings)
 GROUP BY label, pos ORDER BY label, pos
 """
+
+
+def _x_sentiment(spark, sf_dir):
+    """Lexicon sentiment over the corpus: per-language mean score and
+    count of positive docs (SURVEY §7.2 M6 sentiment-lexicon item)."""
+    from prql_query_spark.operators.text import sentiment_score
+
+    docs = _tbl(spark, sf_dir, "documents")
+    d = docs.withColumn("s", sentiment_score(F.col("text")))
+    return (
+        d.groupBy("lang")
+        .agg(F.round(F.avg("s"), 4).alias("avg_sentiment"),
+             F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).alias("n_positive"))
+        .orderBy("lang")
+    )
+
+
+def _sentiment_oracle() -> dict[str, str]:
+    """CASE expression generated from the SAME lexicon dict as the Spark
+    operator so the two engines cannot drift."""
+    from prql_query_spark.operators.text import SENTIMENT_LEXICON
+
+    val = "CASE t " + " ".join(
+        f"WHEN '{w}' THEN {v}" for w, v in SENTIMENT_LEXICON.items()
+    ) + " ELSE 0 END"
+    hit = "CASE WHEN t IN (" + ", ".join(
+        f"'{w}'" for w in SENTIMENT_LEXICON
+    ) + ") THEN 1 ELSE 0 END"
+    return {
+        "x_sentiment": f"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+    FROM documents
+), per_doc AS (
+    SELECT doc_id, lang,
+           SUM({val}) AS total, SUM({hit}) AS hits
+    FROM tok GROUP BY doc_id, lang
+), scored AS (
+    SELECT lang,
+           CASE WHEN hits = 0 THEN 0.0
+                ELSE ROUND(CAST(total AS DOUBLE) / hits, 4) END AS s
+    FROM per_doc
+)
+SELECT lang, ROUND(AVG(s), 4) AS avg_sentiment,
+       SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS n_positive
+FROM scored GROUP BY lang ORDER BY lang
+""",
+    }
+
+
+EXTENSIONS["x_sentiment"] = _x_sentiment
+EXTENSION_ORACLES.update(_sentiment_oracle())

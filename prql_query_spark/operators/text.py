@@ -208,6 +208,38 @@ def tfidf_top_terms(
     )
 
 
+# Tiny deterministic valence lexicon (SURVEY §7.2 M6 "sentiment-lexicon").
+# Like STOPWORDS: the point is the distributed scoring plumbing, not
+# lexicography — swap in AFINN/VADER terms in production.
+SENTIMENT_LEXICON = {
+    "good": 1, "great": 2, "excellent": 3, "love": 2, "best": 2,
+    "fast": 1, "happy": 2, "win": 1, "nice": 1, "clean": 1,
+    "bad": -1, "terrible": -3, "awful": -2, "hate": -2, "worst": -2,
+    "slow": -1, "sad": -2, "fail": -1, "dirty": -1, "broken": -2,
+}
+
+
+def sentiment_score(text_col: Column) -> Column:
+    """Mean lexicon valence over tokens (0.0 when nothing matches).
+
+    Pure built-in functions: the lexicon becomes a literal map column and
+    each token is a map lookup inside one aggregate() pass — JVM-side,
+    no UDF, no join, so it pipelines into the scan at any scale.
+    """
+    kv = []
+    for w, v in SENTIMENT_LEXICON.items():
+        kv += [F.lit(w), F.lit(v)]
+    lex = F.create_map(*kv)
+    toks = tokens(text_col)
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.coalesce(lex[t], F.lit(0))
+    )
+    hits = F.size(F.filter(toks, lambda t: lex[t].isNotNull()))
+    return F.when(hits == 0, F.lit(0.0)).otherwise(
+        F.round(total.cast("double") / hits, 4)
+    )
+
+
 def ngram_counts(
     df: DataFrame,
     text_col: str = "text",

@@ -164,3 +164,34 @@ def stream_dedup(
     stream = _event_stream(spark, events_path, watermark)
     deduped = stream.dropDuplicatesWithinWatermark(keys)
     return _start_memory_sink(deduped, queryName, checkpoint)
+
+
+def stream_enriched_counts(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    on: str = "user_id",
+    dim_attr: str = "segment",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+    queryName: str = "pq_stream_enriched",
+):
+    """Stream-static enrichment join + windowed counts per dim attribute.
+
+    The static side is planned as a broadcast per microbatch (no stream
+    state for the join itself — only the downstream window agg holds
+    state).  This is the canonical "enrich events with a dimension" shape;
+    at scale the dim is a warehouse table and the broadcast threshold /
+    AQE governs the join strategy per batch.
+    """
+    from pyspark.sql import functions as F
+
+    stream = _event_stream(spark, events_path, watermark)
+    joined = stream.join(F.broadcast(dim), on)
+    agg = (
+        joined.groupBy(F.window("ts", width), F.col(dim_attr))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), dim_attr, "n")
+    )
+    return _start_memory_sink(agg, queryName, checkpoint)

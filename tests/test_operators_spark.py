@@ -533,3 +533,46 @@ def test_stream_dedup_bounded_state(spark, sf_dir, tmp_path):
         assert q.exception() is None
     finally:
         q.stop()
+
+
+def test_stream_enriched_matches_batch(spark, sf_dir):
+    """Stream-static dim join: windowed per-segment counts from the stream
+    must equal the batch twin for all watermark-closed windows."""
+    from prql_query_spark.streaming.events import stream_enriched_counts
+
+    path = f"{sf_dir}/events.parquet"
+    ev = load_parquet(spark, path)
+    dim = (ev.select("user_id").distinct()
+             .withColumn("segment", (F.col("user_id") % 3).cast("int")))
+    batch = (
+        ev.join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "segment", "n")
+    )
+    want = {(r.window_start, r.segment): r.n for r in batch.collect()}
+    q = stream_enriched_counts(spark, path, dim, queryName="t_enrich")
+    try:
+        q.processAllAvailable()
+        got = {(r.window_start, r.segment): r.n
+               for r in spark.sql("SELECT * FROM t_enrich").collect()}
+        assert q.exception() is None
+    finally:
+        q.stop()
+    # append mode holds back windows newer than the watermark; everything
+    # emitted must match the batch result exactly
+    assert got
+    assert all(want.get(k) == v for k, v in got.items())
+
+
+def test_sentiment_score_values(spark):
+    from prql_query_spark.operators.text import sentiment_score
+
+    df = spark.createDataFrame(
+        [("good good bad",), ("terrible broken mess",), ("neutral words only",), ("",)],
+        "text string",
+    )
+    out = [r[0] for r in df.select(sentiment_score(F.col("text"))).collect()]
+    assert out[0] == round((1 + 1 - 1) / 3, 4)
+    assert out[1] == round((-3 - 2) / 2, 4)
+    assert out[2] == 0.0 and out[3] == 0.0
