@@ -1242,3 +1242,32 @@ FROM scored GROUP BY lang ORDER BY lang
 
 EXTENSIONS["x_sentiment"] = _x_sentiment
 EXTENSION_ORACLES.update(_sentiment_oracle())
+
+
+def _x_gopher_audit(spark, sf_dir):
+    """Gopher-style gate with per-rule accounting: docs and mean word count
+    per reject reason ('kept' for survivors)."""
+    from prql_query_spark.operators.text import gopher_audit
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return (
+        gopher_audit(docs)
+        .groupBy(F.coalesce("reject_reason", F.lit("kept")).alias("reason"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_words"), 4).alias("avg_words"),
+        )
+        .orderBy("reason")
+    )
+
+
+EXTENSIONS["x_gopher_audit"] = _x_gopher_audit
+
+
+def _gopher_oracle() -> dict[str, str]:
+    from prql_query_spark.operators.text import gopher_audit_oracle_sql
+
+    return {"x_gopher_audit": gopher_audit_oracle_sql()}
+
+
+EXTENSION_ORACLES.update(_gopher_oracle())

@@ -169,6 +169,116 @@ def dup_token_fraction(text_col: Column, sep: str = r"\s+") -> Column:
     )
 
 
+# Gopher/MassiveText-style document gates (word-count band, mean/max word
+# length, repetition).  One dict so the Spark operator and the generated
+# DuckDB oracle share thresholds and cannot drift.
+GOPHER_THRESHOLDS = {
+    "min_words": 5,
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "max_token_len": 40,
+    "max_dup_frac": 0.3,
+}
+
+
+def gopher_audit(df: DataFrame, text_col: str = "text", **overrides) -> DataFrame:
+    """Composite quality gate with per-rule accounting: adds the measured
+    signals plus `reject_reason` (first failing rule, NULL when the doc
+    passes) and `keep`.  Real pipelines need the reasons, not just the
+    surviving rows — rejection-rate-by-rule is the dashboard that catches a
+    mis-tuned threshold before it eats the corpus.
+
+    Scale notes: single narrow projection, zero shuffle/UDF/join — this
+    pipelines into the parquet scan.  The token array is materialized once
+    as a projected column (Spark HOFs are interpreted and re-evaluate
+    referenced expressions per element); mean word length avoids a second
+    array pass entirely (non-space chars / word count); max word length is
+    one aggregate() pass with no intermediate array allocation.
+    """
+    th = {**GOPHER_THRESHOLDS, **overrides}
+    t = F.col(text_col)
+    toks = F.col("_toks")
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(toks))
+    base = (
+        df.withColumn("_toks", tokens(t))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn(
+            "mean_word_len",
+            F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.length(F.regexp_replace(t, r"\s+", "")).cast("double")
+                    / F.col("n_words"),
+                    4,
+                )
+            ),
+        )
+        .withColumn(
+            "max_word_len",
+            F.aggregate(toks, F.lit(0), lambda a, x: F.greatest(a, F.length(x))),
+        )
+        .withColumn(
+            "dup_frac",
+            F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
+                F.round(1.0 - F.size(F.array_distinct(toks)) / F.size(toks), 4)
+            ),
+        )
+        .drop("_toks")
+    )
+    reason = (
+        F.when(F.col("n_words") < th["min_words"], F.lit("too_few_words"))
+        .when(F.col("n_words") > th["max_words"], F.lit("too_many_words"))
+        .when(
+            (F.col("mean_word_len") < th["min_mean_word_len"])
+            | (F.col("mean_word_len") > th["max_mean_word_len"]),
+            F.lit("word_length"),
+        )
+        .when(F.col("max_word_len") > th["max_token_len"], F.lit("giant_token"))
+        .when(F.col("dup_frac") > th["max_dup_frac"], F.lit("repetitive"))
+    )
+    return base.withColumn("reject_reason", reason).withColumn(
+        "keep", F.col("reject_reason").isNull()
+    )
+
+
+def gopher_audit_oracle_sql(table: str = "documents", **overrides) -> str:
+    """DuckDB twin of `gopher_audit`'s signals+reason, generated from the
+    SAME threshold dict: per-reason doc counts and mean word count."""
+    th = {**GOPHER_THRESHOLDS, **overrides}
+    return f"""
+WITH t AS (
+    SELECT text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM {table}
+), m AS (
+    SELECT
+        CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_words,
+        CASE WHEN len(trim(text)) = 0 OR len(toks) = 0 THEN 0.0
+             ELSE ROUND(CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                        / len(toks), 4) END AS mean_word_len,
+        COALESCE(list_max(list_transform(toks, x -> len(x))), 0) AS max_word_len,
+        CASE WHEN len(toks) <= 0 THEN 0.0
+             ELSE ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+        END AS dup_frac
+    FROM t
+), r AS (
+    SELECT n_words,
+        CASE
+            WHEN n_words < {th["min_words"]} THEN 'too_few_words'
+            WHEN n_words > {th["max_words"]} THEN 'too_many_words'
+            WHEN mean_word_len < {th["min_mean_word_len"]}
+              OR mean_word_len > {th["max_mean_word_len"]} THEN 'word_length'
+            WHEN max_word_len > {th["max_token_len"]} THEN 'giant_token'
+            WHEN dup_frac > {th["max_dup_frac"]} THEN 'repetitive'
+        END AS reason
+    FROM m
+)
+SELECT COALESCE(reason, 'kept') AS reason,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_words), 4) AS avg_words
+FROM r GROUP BY reason ORDER BY reason
+"""
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

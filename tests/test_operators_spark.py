@@ -565,6 +565,41 @@ def test_stream_enriched_matches_batch(spark, sf_dir):
     assert all(want.get(k) == v for k, v in got.items())
 
 
+def test_gopher_audit_reasons(spark):
+    """Each rule fires on its crafted doc; a healthy doc keeps; rule order
+    (first failure wins) is honored for a doc violating two rules."""
+    from prql_query_spark.operators.text import gopher_audit
+
+    rows = [
+        (1, "one two three"),                              # 3 words -> too_few_words
+        (2, "a b c d e f g h"),                            # mean len 1 -> word_length
+        (3, "the quick brown fox " + "x" * 50 + " jumps over it"),  # giant_token
+        (4, "spam spam spam spam spam ham eggs"),          # dup_frac 5/7 -> repetitive
+        (5, "a perfectly ordinary sentence with enough distinct words here"),
+        (6, "aa bb"),                                      # too_few AND short -> too_few wins
+    ]
+    out = {
+        r.doc_id: (r.reject_reason, r.keep)
+        for r in gopher_audit(
+            spark.createDataFrame(rows, "doc_id int, text string")
+        ).collect()
+    }
+    assert out[1] == ("too_few_words", False)
+    assert out[2] == ("word_length", False)
+    assert out[3] == ("giant_token", False)
+    assert out[4] == ("repetitive", False)
+    assert out[5] == (None, True)
+    assert out[6] == ("too_few_words", False)
+
+
+def test_gopher_audit_no_python_udf(spark):
+    from prql_query_spark.operators.text import gopher_audit
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id int, text string")
+    plan = gopher_audit(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_sentiment_score_values(spark):
     from prql_query_spark.operators.text import sentiment_score
 
