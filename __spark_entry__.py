@@ -1271,3 +1271,91 @@ def _gopher_oracle() -> dict[str, str]:
 
 
 EXTENSION_ORACLES.update(_gopher_oracle())
+
+
+def _x_contamination(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any 3-gram with the probe
+    subset (doc_id % 101 == 0 plays the 'benchmark'), top 50 by hits."""
+    from prql_query_spark.operators.text import contamination
+
+    docs = _tbl(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 101 == 0)
+    rest = docs.filter(F.col("doc_id") % 101 != 0)
+    return (
+        contamination(rest, probes, n=3)
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def _x_strip_html(spark, sf_dir):
+    """HTML-strip round-trip audit: wrap each doc in markup, strip it, and
+    verify per-source that stripping recovers the whitespace-normalized
+    original (n_ok) plus how many chars of markup were removed."""
+    from prql_query_spark.operators.text import strip_html
+
+    docs = _tbl(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit("<html><p class=\"x\">"), F.col("text"), F.lit("</p> <br/>&nbsp;</html>")
+    )
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    d = docs.select(
+        "source",
+        strip_html(wrapped).alias("stripped"),
+        norm.alias("norm"),
+        F.length(wrapped).alias("len_w"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("stripped") == F.col("norm"), 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.col("len_w") - F.length("stripped")).alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+EXTENSIONS["x_contamination"] = _x_contamination
+EXTENSIONS["x_strip_html"] = _x_strip_html
+
+EXTENSION_ORACLES.update({
+    "x_contamination": """
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                  i -> array_to_string(t[i:i+2], ' ')))) AS ng
+    FROM toks WHERE len(t) >= 3
+), probe AS (
+    SELECT DISTINCT ng FROM g WHERE doc_id % 101 = 0
+)
+SELECT g.doc_id, COUNT(*) AS n_hits
+FROM g JOIN probe USING (ng)
+WHERE g.doc_id % 101 <> 0
+GROUP BY g.doc_id
+ORDER BY n_hits DESC, doc_id ASC
+LIMIT 50
+""",
+    "x_strip_html": """
+WITH d AS (
+    SELECT source,
+           trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                   regexp_replace('<html><p class="x">' || text || '</p> <br/>&nbsp;</html>',
+                                  '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS stripped,
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
+           len('<html><p class="x">' || text || '</p> <br/>&nbsp;</html>') AS len_w
+    FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN stripped = norm THEN 1 ELSE 0 END) AS n_ok,
+       SUM(len_w - len(stripped)) AS chars_removed
+FROM d GROUP BY source ORDER BY source
+""",
+})

@@ -169,6 +169,69 @@ def dup_token_fraction(text_col: Column, sep: str = r"\s+") -> Column:
     )
 
 
+def contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    hashed: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct word
+    n-grams that also appear anywhere in the probe corpus (the benchmark /
+    eval set).  Docs with n_hits > 0 are contamination suspects.
+
+    Scale shape: the probe side is a benchmark suite — thousands of docs,
+    so its distinct n-gram set is tiny relative to the corpus and is
+    BROADCAST: the big side never shuffles, the join pipelines into the
+    scan, and the only shuffle is the per-doc count aggregation (keyed on
+    id, pre-combined map-side).  `hashed=True` joins on xxhash64 of the
+    n-gram instead of the string — 8 bytes a key instead of ~7·n, which is
+    what you want at 100 TB (collision odds at 64 bit are negligible).
+    `array_distinct` runs BEFORE explode so repeated n-grams within one
+    doc cost one row, not many.
+    """
+    def grams(df, idc, tc):
+        toks = F.regexp_extract_all(
+            F.lower(F.col(tc)), F.lit("[a-z0-9]+"), F.lit(0)
+        )
+        # materialize the token array first: HOFs are interpreted and
+        # would re-run the regexp per n-gram position otherwise
+        ng = F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+        )
+        out = (
+            df.select(F.col(idc), toks.alias("_toks"))
+            .filter(F.size("_toks") >= n)
+            .select(F.col(idc), F.explode(F.array_distinct(ng)).alias("ng"))
+        )
+        if hashed:
+            out = out.select(idc, F.xxhash64("ng").alias("ng"))
+        return out
+
+    probe_set = grams(probes, id_col, probe_text_col).select("ng").distinct()
+    return (
+        grams(docs, id_col, text_col)
+        .join(F.broadcast(probe_set), "ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def strip_html(text_col: Column) -> Column:
+    """Boilerplate strip: drop tags, decode the common entities, collapse
+    whitespace.  Pure regexp/replace chain — codegen'd, zero shuffle."""
+    out = F.regexp_replace(text_col, r"<[^>]*>", " ")
+    for ent, ch in [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ]:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 # Gopher/MassiveText-style document gates (word-count band, mean/max word
 # length, repetition).  One dict so the Spark operator and the generated
 # DuckDB oracle share thresholds and cannot drift.

@@ -565,6 +565,42 @@ def test_stream_enriched_matches_batch(spark, sf_dir):
     assert all(want.get(k) == v for k, v in got.items())
 
 
+def test_contamination_hits(spark):
+    """Doc sharing a probe trigram is flagged with a distinct-ngram count;
+    clean doc is absent; within-doc repeats of the same ngram count once."""
+    from prql_query_spark.operators.text import contamination
+
+    probes = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id int, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "I saw the quick brown fox yesterday the quick brown fox again"),
+            (2, "completely unrelated words in here"),
+            (3, "quick brown fox jumps high"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.n_hits for r in contamination(docs, probes, n=3).collect()}
+    # doc 1: "the quick brown" + "quick brown fox" (repeat counted once) = 2
+    # doc 3: "quick brown fox" + "brown fox jumps" = 2; doc 2 absent
+    assert got == {1: 2, 3: 2}
+    unhashed = {r.doc_id: r.n_hits
+                for r in contamination(docs, probes, n=3, hashed=False).collect()}
+    assert unhashed == got
+
+
+def test_strip_html_values(spark):
+    from prql_query_spark.operators.text import strip_html
+
+    df = spark.createDataFrame(
+        [("<p>Hello  <b>world</b></p>",), ("a &amp; b &lt;tag&gt;",), ("plain",)],
+        "text string",
+    )
+    out = [r[0] for r in df.select(strip_html(F.col("text"))).collect()]
+    assert out == ["Hello world", "a & b <tag>", "plain"]
+
+
 def test_gopher_audit_reasons(spark):
     """Each rule fires on its crafted doc; a healthy doc keeps; rule order
     (first failure wins) is honored for a doc violating two rules."""

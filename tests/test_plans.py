@@ -172,3 +172,21 @@ def test_cosine_topk_partial_window_limit(spark, sf_dir):
     plan = _plan(spark, cosine_topk(emb, q, k=5), "simple")
     # rank<=k filters get per-partition partial limiting before the shuffle
     assert "WindowGroupLimit" in plan
+
+
+def test_contamination_broadcasts_probe_side(spark, sf_dir):
+    from prql_query_spark.operators.text import contamination
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    out = contamination(
+        docs.filter(F.col("doc_id") % 101 != 0),
+        docs.filter(F.col("doc_id") % 101 == 0),
+        n=3,
+    )
+    plan = _plan(spark, out, "simple")
+    # the probe (benchmark) side must broadcast — the corpus side joins
+    # without shuffling, and the only corpus shuffle is the doc_id count
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # probe distinct + final count
+    assert "partial_count" in plan  # map-side combine before the shuffle
