@@ -1316,10 +1316,59 @@ def _x_strip_html(spark, sf_dir):
     )
 
 
+def _x_scd2_history(spark, sf_dir):
+    """SCD2 rebuild from the events change log: validity intervals for the
+    `value` attribute of users < 20."""
+    from prql_query_spark.operators.cdc import scd2_history
+
+    ev = _tbl(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return (
+        scd2_history(ev, key="user_id", ts="ts", tiebreak="event_id")
+        .select("user_id", "valid_from", "valid_to", "is_current", "value")
+        .orderBy("user_id", "valid_from")
+    )
+
+
+def _x_upsert_latest(spark, sf_dir):
+    """Latest-wins merge: pre-Feb snapshot (one row per user) upserted with
+    the post-Feb update stream; newest row per user wins."""
+    from prql_query_spark.operators.cdc import upsert_latest
+
+    ev = _tbl(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    cutoff = F.lit("2024-02-01").cast("timestamp")
+    current = upsert_latest(
+        ev.filter(F.col("ts") < cutoff), ev.filter(F.col("ts") < cutoff).limit(0),
+        key="user_id", ts="ts", tiebreak="event_id",
+    )
+    merged = upsert_latest(
+        current, ev.filter(F.col("ts") >= cutoff),
+        key="user_id", ts="ts", tiebreak="event_id",
+    )
+    return merged.orderBy("user_id")
+
+
 EXTENSIONS["x_contamination"] = _x_contamination
 EXTENSIONS["x_strip_html"] = _x_strip_html
+EXTENSIONS["x_scd2_history"] = _x_scd2_history
+EXTENSIONS["x_upsert_latest"] = _x_upsert_latest
 
 EXTENSION_ORACLES.update({
+    "x_scd2_history": """
+SELECT user_id, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current,
+       value
+FROM events WHERE user_id < 20
+ORDER BY user_id, valid_from
+""",
+    "x_upsert_latest": """
+WITH unioned AS (
+    SELECT user_id, event_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id, event_id, ts, value FROM unioned WHERE rn = 1 ORDER BY user_id
+""",
     "x_contamination": """
 WITH toks AS (
     SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t

@@ -565,6 +565,47 @@ def test_stream_enriched_matches_batch(spark, sf_dir):
     assert all(want.get(k) == v for k, v in got.items())
 
 
+def test_scd2_history_intervals(spark):
+    """Versions chain contiguously per key: valid_to of version i equals
+    valid_from of version i+1; exactly one current version per key."""
+    from prql_query_spark.operators.cdc import scd2_history
+
+    rows = [(1, 10, "2024-01-01", "a"), (1, 11, "2024-01-03", "b"),
+            (1, 12, "2024-01-05", "c"), (2, 13, "2024-01-02", "x")]
+    df = spark.createDataFrame(rows, "k int, event_id int, d string, v string") \
+        .withColumn("ts", F.col("d").cast("timestamp")).drop("d")
+    h = scd2_history(df, key="k", ts="ts", tiebreak="event_id").collect()
+    by_key = {}
+    for r in sorted(h, key=lambda r: (r.k, r.valid_from)):
+        by_key.setdefault(r.k, []).append(r)
+    v1 = by_key[1]
+    assert [r.v for r in v1] == ["a", "b", "c"]
+    assert v1[0].valid_to == v1[1].valid_from and v1[1].valid_to == v1[2].valid_from
+    assert [r.is_current for r in v1] == [False, False, True]
+    assert by_key[2][0].is_current and by_key[2][0].valid_to is None
+
+
+def test_upsert_latest_merge(spark):
+    """Update replaces, insert adds, untouched key survives; newest ts wins
+    and event_id breaks ties."""
+    from prql_query_spark.operators.cdc import upsert_latest
+
+    schema = "k int, event_id int, ts timestamp, v string"
+    cur = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "old1"), (2, 2, "2024-01-01 00:00:00", "old2")],
+        "k int, event_id int, ts string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    upd = spark.createDataFrame(
+        [(1, 3, "2024-02-01 00:00:00", "new1"),      # update key 1
+         (3, 4, "2024-02-01 00:00:00", "ins3"),      # insert key 3
+         (3, 5, "2024-02-01 00:00:00", "ins3b")],    # same ts -> event_id tiebreak
+        "k int, event_id int, ts string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.k: r.v for r in upsert_latest(cur, upd, key="k", ts="ts",
+                                           tiebreak="event_id").collect()}
+    assert got == {1: "new1", 2: "old2", 3: "ins3b"}
+
+
 def test_contamination_hits(spark):
     """Doc sharing a probe trigram is flagged with a distinct-ngram count;
     clean doc is absent; within-doc repeats of the same ngram count once."""
