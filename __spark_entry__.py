@@ -1347,12 +1347,62 @@ def _x_upsert_latest(spark, sf_dir):
     return merged.orderBy("user_id")
 
 
+def _x_stats_family(spark, sf_dir):
+    """Bivariate statistics family (corr/covar/variance/linear regression)
+    per returnflag — all JVM built-ins, partial-aggregated map-side."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(x, y), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp(x, y), 4).alias("covar_qty_price"),
+            F.round(F.var_samp(x), 4).alias("var_qty"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _x_levenshtein(spark, sf_dir):
+    """Edit-distance similarity: 20 closest distinct nation-name pairs
+    (fuzzy entity matching / typo-tolerant joins)."""
+    n1 = _tbl(spark, sf_dir, "nation").select(F.col("n_name").alias("a"))
+    n2 = _tbl(spark, sf_dir, "nation").select(F.col("n_name").alias("b"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.levenshtein("a", "b").alias("dist"))
+        .orderBy("dist", "a", "b")
+        .limit(20)
+    )
+
+
 EXTENSIONS["x_contamination"] = _x_contamination
 EXTENSIONS["x_strip_html"] = _x_strip_html
 EXTENSIONS["x_scd2_history"] = _x_scd2_history
 EXTENSIONS["x_upsert_latest"] = _x_upsert_latest
+EXTENSIONS["x_stats_family"] = _x_stats_family
+EXTENSIONS["x_levenshtein"] = _x_levenshtein
 
 EXTENSION_ORACLES.update({
+    "x_stats_family": """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       ROUND(var_samp(l_quantity), 4) AS var_qty,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    "x_levenshtein": """
+SELECT n1.n_name AS a, n2.n_name AS b, levenshtein(n1.n_name, n2.n_name) AS dist
+FROM nation n1, nation n2
+WHERE n1.n_name < n2.n_name
+ORDER BY dist, a, b
+LIMIT 20
+""",
     "x_scd2_history": """
 SELECT user_id, ts AS valid_from,
        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
