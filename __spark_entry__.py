@@ -1386,6 +1386,33 @@ EXTENSIONS["x_upsert_latest"] = _x_upsert_latest
 EXTENSIONS["x_stats_family"] = _x_stats_family
 EXTENSIONS["x_levenshtein"] = _x_levenshtein
 
+
+_PROFILE_COLS = [
+    ("o_orderkey", True), ("o_custkey", True), ("o_orderstatus", False),
+    ("o_totalprice", True), ("o_orderpriority", False),
+]
+
+
+def _x_profile_orders(spark, sf_dir):
+    """ANALYZE-style one-pass column profile of the orders table."""
+    from prql_query_spark.operators.profile import profile_table
+
+    return profile_table(
+        _tbl(spark, sf_dir, "orders"), [c for c, _ in _PROFILE_COLS]
+    )
+
+
+EXTENSIONS["x_profile_orders"] = _x_profile_orders
+
+
+def _profile_oracle() -> dict[str, str]:
+    from prql_query_spark.operators.profile import profile_oracle_sql
+
+    return {"x_profile_orders": profile_oracle_sql("orders", _PROFILE_COLS)}
+
+
+EXTENSION_ORACLES.update(_profile_oracle())
+
 EXTENSION_ORACLES.update({
     "x_stats_family": """
 SELECT l_returnflag,

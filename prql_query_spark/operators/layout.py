@@ -1,0 +1,82 @@
+"""Data-layout operators: multi-dimensional clustering (Z-order).
+
+Sorting a table by one column gives parquet row-group min/max stats that
+prune scans on THAT column only; a query filtering on a second column reads
+everything.  Z-ordering interleaves the bits of several normalized columns
+into one sort key so each file covers a small hyper-rectangle of the value
+space — min/max stats then prune on EVERY clustered column (the same trick
+Delta's OPTIMIZE ZORDER BY applies).
+
+Everything is expression-level: the per-column ranges come from one scalar
+aggregate broadcast back into the plan (no driver collect), normalization
+and bit interleaving are built-in integer ops, and the write is
+repartitionByRange + sortWithinPartitions so each output file holds one
+contiguous z-range.  At 100 TB this is the compaction job that makes ad-hoc
+slicing on (lang, source, date) cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _interleave(norms: list[Column], bits: int) -> Column:
+    """Interleave `bits` low bits of each normalized int column (morton
+    code). Built as a chain of shift/or — pure JVM integer ops."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, n in enumerate(norms):
+            bit = F.shiftright(n, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(norms) + j))
+    return z
+
+
+def with_zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 12, key_col: str = "_zkey"
+) -> DataFrame:
+    """Add a morton z-key over `cols` (numeric). Ranges are computed by one
+    global aggregate and broadcast — the whole thing is one extra reduce,
+    no collect, no UDF."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).cast("double").alias(f"_zmin_{c}"),
+            F.max(c).cast("double").alias(f"_zmax_{c}"),
+        ]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    top = (1 << bits) - 1
+    norms = []
+    for c in cols:
+        lo, hi = F.col(f"_zmin_{c}"), F.col(f"_zmax_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        norms.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - lo) / span * top).cast("long"),
+            )
+        )
+    return out.withColumn(key_col, _interleave(norms, bits)).drop(
+        *[f"_zmin_{c}" for c in cols], *[f"_zmax_{c}" for c in cols]
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 12,
+) -> None:
+    """Cluster by z-key and write parquet: range-partition on the key so
+    each file owns a contiguous z-range (a tile of the value space), sort
+    within partitions so row groups inside a file are tight too."""
+    keyed = with_zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

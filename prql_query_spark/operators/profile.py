@@ -1,0 +1,78 @@
+"""Dataset profiling: ANALYZE-style per-column statistics in one pass.
+
+The first step of any ingest/QA pipeline at scale: row count, null counts,
+distinct cardinalities, numeric ranges — computed in a SINGLE aggregation
+over one scan (count-distincts share the scan via Catalyst's Expand), then
+pivoted to one row per column with a driver-free explode.  At 100 TB swap
+`exact_distinct=False` to use HyperLogLog approx_count_distinct and the
+plan loses the Expand entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One row per column: n_rows, n_nulls, n_distinct, and min/max/avg as
+    doubles for numeric columns (NULL for non-numeric — engines disagree on
+    string formatting of extrema, and numeric ranges are what drives
+    partition/layout decisions anyway)."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = cols or list(fields)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        distinct = (
+            F.count_distinct(F.col(c)) if exact_distinct
+            else F.approx_count_distinct(c)
+        )
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}"),
+            distinct.alias(f"_nd_{c}"),
+        ]
+        if isinstance(fields[c], NumericType):
+            aggs += [
+                F.min(c).cast("double").alias(f"_min_{c}"),
+                F.max(c).cast("double").alias(f"_max_{c}"),
+                F.round(F.avg(c), 4).alias(f"_avg_{c}"),
+            ]
+    one = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        num = isinstance(fields[c], NumericType)
+        rows.append(F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_nn_{c}").alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            (F.col(f"_min_{c}") if num else F.lit(None).cast("double")).alias("min_val"),
+            (F.col(f"_max_{c}") if num else F.lit(None).cast("double")).alias("max_val"),
+            (F.round(F.col(f"_avg_{c}"), 4) if num else F.lit(None).cast("double")).alias("avg_val"),
+        ))
+    return (
+        one.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+def profile_oracle_sql(table: str, cols: list[tuple[str, bool]]) -> str:
+    """DuckDB twin: one UNION ALL block per (column, is_numeric)."""
+    blocks = []
+    for c, num in cols:
+        mn = f"ROUND(CAST(MIN({c}) AS DOUBLE), 9)" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"ROUND(CAST(MAX({c}) AS DOUBLE), 9)" if num else "CAST(NULL AS DOUBLE)"
+        av = f"ROUND(AVG({c}), 4)" if num else "CAST(NULL AS DOUBLE)"
+        blocks.append(f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_val, {mx} AS max_val, {av} AS avg_val
+FROM {table}""")
+    return " UNION ALL ".join(blocks) + " ORDER BY col_name"

@@ -688,3 +688,56 @@ def test_sentiment_score_values(spark):
     assert out[0] == round((1 + 1 - 1) / 3, 4)
     assert out[1] == round((-3 - 2) / 2, 4)
     assert out[2] == 0.0 and out[3] == 0.0
+
+
+def _file_spans(path, col):
+    """Per-file (min, max) from parquet footer stats for one column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            for i in range(md.num_columns):
+                cc = md.row_group(rg).column(i)
+                if cc.path_in_schema == col:
+                    st = cc.statistics
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+        spans.append((mn, mx))
+    return spans
+
+
+def _avg_span_frac(path, col):
+    spans = _file_spans(path, col)
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    return sum((b - a) for a, b in spans) / len(spans) / (hi - lo)
+
+
+def test_zorder_layout_tightens_both_columns(spark, sf_dir, tmp_path):
+    """File-level min/max stats (what partition/row-group pruning reads)
+    must be tight on BOTH clustered columns after z-ordering, while a
+    single-column sort leaves the second column unprunable."""
+    from prql_query_spark.operators.layout import write_zordered
+
+    orders = load_parquet(spark, f"{sf_dir}/orders.parquet")
+    linear = str(tmp_path / "linear")
+    zord = str(tmp_path / "zorder")
+    (
+        orders.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite").parquet(linear)
+    )
+    write_zordered(orders, zord, ["o_custkey", "o_totalprice"], n_files=8)
+    # same rows either way
+    assert spark.read.parquet(zord).count() == orders.count()
+    # linear: custkey tight, totalprice spans ~the whole domain per file
+    assert _avg_span_frac(linear, "o_custkey") < 0.3
+    assert _avg_span_frac(linear, "o_totalprice") > 0.8
+    # z-order: BOTH columns cover a bounded tile per file
+    assert _avg_span_frac(zord, "o_custkey") < 0.6
+    assert _avg_span_frac(zord, "o_totalprice") < 0.6
