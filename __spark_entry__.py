@@ -1405,6 +1405,36 @@ def _x_profile_orders(spark, sf_dir):
 EXTENSIONS["x_profile_orders"] = _x_profile_orders
 
 
+def _x_group_trend(spark, sf_dir):
+    """Per-event-type OLS trend via applyInPandas (numpy lstsq per Arrow
+    group batch) — value-checked against DuckDB's regr_slope/intercept,
+    which proves the grouped-map plumbing end-to-end."""
+    from prql_query_spark.operators.fit import grouped_trend
+
+    out = grouped_trend(_tbl(spark, sf_dir, "events"))
+    return out.select(
+        "event_type",
+        F.round("slope_per_day", 6).alias("slope_per_day"),
+        F.round("intercept", 4).alias("intercept"),
+        "n",
+    ).orderBy("event_type")
+
+
+EXTENSIONS["x_group_trend"] = _x_group_trend
+EXTENSION_ORACLES["x_group_trend"] = """
+WITH b AS (
+    SELECT event_type, value,
+           (epoch(ts) - MIN(epoch(ts)) OVER (PARTITION BY event_type)) / 86400.0 AS xd
+    FROM events
+)
+SELECT event_type,
+       ROUND(regr_slope(value, xd), 6) AS slope_per_day,
+       ROUND(regr_intercept(value, xd), 4) AS intercept,
+       COUNT(*) AS n
+FROM b GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _profile_oracle() -> dict[str, str]:
     from prql_query_spark.operators.profile import profile_oracle_sql
 

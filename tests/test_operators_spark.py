@@ -741,3 +741,19 @@ def test_zorder_layout_tightens_both_columns(spark, sf_dir, tmp_path):
     # z-order: BOTH columns cover a bounded tile per file
     assert _avg_span_frac(zord, "o_custkey") < 0.6
     assert _avg_span_frac(zord, "o_totalprice") < 0.6
+
+
+def test_grouped_trend_skew_guard(spark, sf_dir):
+    """Perfect linear data recovers slope/intercept; oversize groups fail
+    loudly instead of OOMing the worker."""
+    import datetime as dt
+
+    from prql_query_spark.operators.fit import grouped_trend
+
+    rows = [("a", dt.datetime(2024, 1, 1) + dt.timedelta(days=d), 2.0 * d + 5.0)
+            for d in range(10)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = grouped_trend(df).collect()[0]
+    assert abs(got.slope_per_day - 2.0) < 1e-9 and abs(got.intercept - 5.0) < 1e-9
+    with pytest.raises(Exception, match="pre-aggregate"):
+        grouped_trend(df, max_rows_per_group=5).collect()
