@@ -49,6 +49,8 @@ def table_name_for(path: str, alias: str | None) -> str:
 
 
 def read_source(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    if fmt is None and os.path.isdir(os.path.join(path, "_delta_log")):
+        fmt = "delta"  # delta tables are directories marked by their log
     fmt = fmt or infer_format(path)
     if fmt is None:
         raise SourceError(f"cannot infer format of {path!r}")
@@ -76,6 +78,21 @@ def read_source(spark: SparkSession, path: str, fmt: str | None = None) -> DataF
         return spark.read.orc(path)
     if fmt == "xml":  # beyond reference parity: built-in XML source (Spark 4)
         return spark.read.option("rowTag", "row").format("xml").load(path)
+    if fmt in ("delta", "iceberg"):
+        # transactional table formats: supported when the connector jars
+        # are deployed (they are not in this container) — clear error
+        # naming the package instead of Spark's "failed to find data source"
+        pkg = {
+            "delta": "io.delta:delta-spark_2.13:<version> "
+                     "(+ spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension)",
+            "iceberg": "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version>",
+        }[fmt]
+        try:
+            return spark.read.format(fmt).load(path)
+        except Exception as e:
+            raise SourceError(
+                f"{fmt} needs its connector on the classpath (--packages {pkg})"
+            ) from e
     raise SourceError(f"unsupported format {fmt!r}")
 
 

@@ -757,3 +757,16 @@ def test_grouped_trend_skew_guard(spark, sf_dir):
     assert abs(got.slope_per_day - 2.0) < 1e-9 and abs(got.intercept - 5.0) < 1e-9
     with pytest.raises(Exception, match="pre-aggregate"):
         grouped_trend(df, max_rows_per_group=5).collect()
+
+
+def test_delta_iceberg_clear_error(spark, tmp_path):
+    """Connector jars absent: delta (incl. _delta_log dir autodetect) and
+    iceberg raise a SourceError naming the package, not a classpath trace."""
+    from prql_query_spark.engine.sources import SourceError, read_source
+
+    d = tmp_path / "t"
+    (d / "_delta_log").mkdir(parents=True)
+    with pytest.raises(SourceError, match="io.delta:delta-spark"):
+        read_source(spark, str(d))  # autodetected from _delta_log
+    with pytest.raises(SourceError, match="iceberg-spark-runtime"):
+        read_source(spark, str(tmp_path / "x"), fmt="iceberg")
