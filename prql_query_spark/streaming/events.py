@@ -166,6 +166,57 @@ def stream_dedup(
     return _start_memory_sink(deduped, queryName, checkpoint)
 
 
+def stream_to_warehouse(
+    spark: SparkSession,
+    events_path: str,
+    out_dir: str,
+    checkpoint: str,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    queryName: str = "pq_stream_sink",
+):
+    """Stream windowed aggregates into a partitioned parquet 'warehouse'
+    table via foreachBatch, idempotently.
+
+    Exactly-once story without Delta: each microbatch overwrites only its
+    own `_batch_id=<id>` partitions (dynamic partitionOverwriteMode), so a
+    replayed batch after a crash rewrites the same files instead of
+    duplicating rows — the checkpoint's batch ids are the transaction log.
+    Readers get exact-once rows with `read_warehouse` (which just drops the
+    bookkeeping column).  At scale the same pattern lands on a real table
+    format; the foreachBatch body is what MERGE would be.
+    """
+    stream = _event_stream(spark, events_path, watermark)
+    agg = (
+        stream.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        agg.writeStream.foreachBatch(_write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(queryName)
+        .start()
+    )
+
+
+def read_warehouse(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the foreachBatch sink back as a plain table (bookkeeping
+    partition column dropped)."""
+    return spark.read.parquet(out_dir).drop("_batch_id")
+
+
 def stream_enriched_counts(
     spark: SparkSession,
     events_path: str,
