@@ -1421,6 +1421,48 @@ def _x_group_trend(spark, sf_dir):
 
 
 EXTENSIONS["x_group_trend"] = _x_group_trend
+
+
+def _x_funnel(spark, sf_dir):
+    """view→click→purchase funnel: users by highest stage reached (single
+    shuffle array-fold vs the oracle's chained min-after CTEs)."""
+    from prql_query_spark.operators.funnel import funnel_report
+
+    ev = _tbl(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02").cast("timestamp")
+    )
+    return funnel_report(ev, ["view", "click", "purchase"])
+
+
+EXTENSIONS["x_funnel"] = _x_funnel
+EXTENSION_ORACLES["x_funnel"] = """
+WITH ev AS (
+    SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02'
+), pop AS (
+    SELECT DISTINCT user_id FROM ev
+    WHERE event_type IN ('view', 'click', 'purchase')
+), s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM ev
+    WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT stage, COUNT(*) AS n_users FROM (
+    SELECT pop.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1
+                ELSE 0 END AS stage
+    FROM pop
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+) GROUP BY stage ORDER BY stage
+"""
 EXTENSION_ORACLES["x_group_trend"] = """
 WITH b AS (
     SELECT event_type, value,

@@ -807,3 +807,29 @@ def test_stream_to_warehouse_idempotent(spark, sf_dir, tmp_path):
     (replay.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
      .partitionBy("_batch_id").parquet(out))
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_funnel_fold_semantics(spark):
+    """Order matters (click before view doesn't count), progress is greedy
+    from the EARLIEST step-1 event, and users stall at the right stage."""
+    import datetime as dt
+
+    from prql_query_spark.operators.funnel import funnel_stages
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: full conversion in order
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+        # u2: click BEFORE view -> stalls at stage 1 (view only)
+        (2, T(1), "click"), (2, T(2), "view"),
+        # u3: purchase without click -> stalls at 1
+        (3, T(1), "view"), (3, T(2), "purchase"),
+        # u4: out-of-order then in-order later -> greedy still converts
+        (4, T(1), "click"), (4, T(2), "view"), (4, T(3), "click"), (4, T(4), "purchase"),
+        # u5: only irrelevant events -> not in population
+        (5, T(1), "error"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    got = {r.user_id: r.stage
+           for r in funnel_stages(df, ["view", "click", "purchase"]).collect()}
+    assert got == {1: 3, 2: 1, 3: 1, 4: 3}
