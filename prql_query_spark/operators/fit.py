@@ -56,7 +56,11 @@ def grouped_trend(
              "intercept": [intercept], "n": [len(pdf)]}
         )
 
+    # cast via TIMESTAMP so TIMESTAMP_NTZ inputs work (NTZ→double is not
+    # a legal cast; NTZ→TIMESTAMP→double is)
     prepped = df.select(
-        group_col, F.col(ts_col).cast("double").alias("_epoch"), y_col
+        group_col,
+        F.col(ts_col).cast("timestamp").cast("double").alias("_epoch"),
+        y_col,
     )
     return prepped.groupBy(group_col).applyInPandas(_ols, schema)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -87,6 +88,10 @@ def _event_stream(spark: SparkSession, events_path: str, watermark: str):
         if raw != field.dataType and str(field.dataType) == "TimestampType()":
             stream = stream.withColumn(
                 name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+    # Watermarks require a session-tz TIMESTAMP; parquet written with
+    # isAdjustedToUTC=false reads back as TIMESTAMP_NTZ, so cast it.
+    if isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.withWatermark("ts", watermark)
 
 

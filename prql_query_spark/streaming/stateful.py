@@ -125,6 +125,7 @@ def stream_user_sessions(
         if raw != field.dataType and str(field.dataType) == "TimestampType()":
             stream = stream.withColumn(
                 name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     out = (
         stream.select("user_id", "ts", "value")
         .groupBy("user_id")
