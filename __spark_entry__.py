@@ -480,10 +480,16 @@ def _x_simhash_pairs(spark, sf_dir):
 
 
 def _x_ngram_jaccard(spark, sf_dir):
-    from prql_query_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard
+    """Exact 5-shingle Jaccard on a deterministic pair set (adjacent doc
+    ids) so DuckDB can value-check the shingle/intersect/union math itself.
+    The LSH-generated candidate path stays covered by x_minhash_pairs /
+    x_minhash_dedup (hash-based, rows-only)."""
+    from prql_query_spark.operators.dedup import ngram_jaccard
 
     docs = _tbl(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, num_perm=32, bands=16, k=5)
+    ids = docs.select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+    nxt = docs.select(F.col("doc_id").alias("b"))
+    pairs = ids.join(nxt, "b").select("a", "b")
     return ngram_jaccard(pairs, docs).select(
         "a", "b", F.round("jaccard", 4).alias("jaccard")
     )
@@ -524,10 +530,33 @@ def _x_lang_id(spark, sf_dir):
 
 
 def _x_text_profile(spark, sf_dir):
+    """Full quality profile minus the xxhash64 fingerprint (which has no
+    SQL twin — its grouping structure is value-checked separately by
+    x_fingerprint_groups)."""
     from prql_query_spark.operators.text import text_profile
 
     docs = _tbl(spark, sf_dir, "documents")
-    return text_profile(docs).drop("text")
+    prof = text_profile(docs).drop("text", "fingerprint")
+    return (
+        prof.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+        .withColumn("n_pieces", F.col("n_pieces").cast("long"))
+    )
+
+
+def _x_fingerprint_groups(spark, sf_dir):
+    """Value-checks doc_fingerprint semantics without needing xxhash64 in
+    the oracle: the fingerprint partitions documents by canonical token
+    set, so (min doc_id, count) per fingerprint group must equal DuckDB
+    grouping by the same sorted-distinct-token concatenation."""
+    from prql_query_spark.operators.text import doc_fingerprint
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return (
+        docs.select(doc_fingerprint(F.col("text")).alias("_fp"), "doc_id")
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("rep_doc"), F.count(F.lit(1)).alias("n_docs"))
+        .select("rep_doc", "n_docs")
+    )
 
 
 def _x_cosine_topk(spark, sf_dir):
@@ -824,6 +853,7 @@ EXTENSIONS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_punct_ratio": _x_punct_ratio,
     "x_lang_id": _x_lang_id,
     "x_text_profile": _x_text_profile,
+    "x_fingerprint_groups": _x_fingerprint_groups,
     "x_cosine_topk": _x_cosine_topk,
     "x_cosine_lsh": _x_cosine_lsh,
     "x_cosine_ivf": _x_cosine_ivf,
@@ -1557,3 +1587,100 @@ SELECT source, COUNT(*) AS n_docs,
 FROM d GROUP BY source ORDER BY source
 """,
 })
+
+
+def _text_heuristic_oracles() -> dict[str, str]:
+    """DuckDB twins for the stopword-vote language ID and the full text
+    profile, GENERATED from the same STOPWORDS dict as the Spark operator
+    (text.py) so the two engines cannot drift.  The tie-break order of the
+    CASE (en, de, fr, es) mirrors the reversed-fold in lang_id()."""
+    from prql_query_spark.operators.text import STOPWORDS
+
+    def score(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"len(list_filter(toks, t -> t IN ({words})))"
+
+    langs = list(STOPWORDS)  # en de fr es — dict order IS the tie-break
+    s_cols = ", ".join(f"{score(lg)} AS s_{lg}" for lg in langs)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred_arms = " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs[:-1]
+    )
+    pred = (
+        f"CASE WHEN {best} = 0 THEN 'und' {pred_arms} "
+        f"ELSE '{langs[-1]}' END"
+    )
+    en_words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    lang_id_sql = f"""
+WITH base AS (
+    SELECT doc_id, lang, {toks} AS toks FROM documents
+), s AS (
+    SELECT doc_id, lang, {s_cols} FROM base
+)
+SELECT doc_id, lang, {pred} AS lang_pred FROM s
+"""
+
+    profile_sql = f"""
+WITH base AS (
+    SELECT doc_id, lang, source, n_chars, text, {toks} AS toks
+    FROM documents
+), m AS (
+    SELECT doc_id, lang, source, n_chars,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS BIGINT) AS n_pieces,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                     / length(text) END AS p,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(toks, t -> t IN ({en_words}))) AS DOUBLE)
+                     / len(toks) END AS sw,
+           {s_cols}
+    FROM base
+)
+SELECT doc_id, lang, source, n_chars, n_tokens, n_pieces,
+       ROUND(p, 4) AS punct_ratio,
+       ROUND(sw, 4) AS stopword_ratio,
+       {pred} AS lang_pred,
+       ROUND((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN p <= 0.3 THEN 1.0 - p ELSE 0.0 END
+            + CASE WHEN sw >= 0.05 THEN least(sw * 2, 1.0) ELSE sw * 4 END)
+             / 3.0, 4) AS quality
+FROM m
+"""
+    return {"x_lang_id": lang_id_sql, "x_text_profile": profile_sql}
+
+
+EXTENSION_ORACLES.update(_text_heuristic_oracles())
+
+# Fingerprint grouping structure: xxhash64(concat_ws('', sorted distinct
+# tokens)) partitions docs exactly like grouping by the concatenation
+# itself (collisions of the concat are shared by both definitions).
+EXTENSION_ORACLES["x_fingerprint_groups"] = """
+WITH c AS (
+    SELECT doc_id,
+           list_aggregate(list_sort(list_distinct(
+               regexp_split_to_array(trim(lower(text)), '\\s+'))),
+               'string_agg', '') AS ck
+    FROM documents
+)
+SELECT MIN(doc_id) AS rep_doc, COUNT(*) AS n_docs FROM c GROUP BY ck
+"""
+
+# Exact 5-shingle Jaccard on adjacent-id pairs; shingle construction is a
+# list comprehension mirror of dedup.shingles() (substr windows, lowered,
+# distinct; len<k degenerates to one truncated shingle in both engines).
+EXTENSION_ORACLES["x_ngram_jaccard"] = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct([substr(lt, x, 5)
+                          for x in range(1, greatest(len(lt) - 4, 1) + 1)]) AS s
+    FROM (SELECT doc_id, lower(text) AS lt FROM documents)
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)), 4) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
