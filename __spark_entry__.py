@@ -1684,3 +1684,69 @@ SELECT a.doc_id AS a, b.doc_id AS b,
              / len(list_distinct(a.s || b.s)), 4) AS jaccard
 FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 """
+
+
+def _x_retention_cohort(spark, sf_dir):
+    """Retention triangle over events (cohort = first activity day)."""
+    from prql_query_spark.operators.analytics import cohort_retention
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = cohort_retention(ev)
+    return out.withColumn("offset", F.col("offset").cast("int"))
+
+
+def _x_anomaly_zscore(spark, sf_dir):
+    """Daily per-type totals flagged >2 sigma off their trailing-7-day
+    baseline (current day excluded)."""
+    from prql_query_spark.operators.analytics import anomaly_zscore
+
+    ev = _tbl(spark, sf_dir, "events")
+    return anomaly_zscore(ev, trailing=7, threshold=2.0)
+
+
+def _x_histogram(spark, sf_dir):
+    """24-bucket equi-width histogram of lineitem extended price."""
+    from prql_query_spark.operators.analytics import histogram
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", lo=0.0, hi=120000.0, bins=24)
+
+
+EXTENSIONS["x_retention_cohort"] = _x_retention_cohort
+EXTENSIONS["x_anomaly_zscore"] = _x_anomaly_zscore
+EXTENSIONS["x_histogram"] = _x_histogram
+
+EXTENSION_ORACLES.update({
+    "x_retention_cohort": """
+WITH activity AS (
+    SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS d
+    FROM events
+), c AS (
+    SELECT u, d, MIN(d) OVER (PARTITION BY u) AS cohort FROM activity
+)
+SELECT cohort, CAST(datediff('day', cohort, d) AS INTEGER) AS "offset",
+       COUNT(*) AS n_users
+FROM c GROUP BY 1, 2
+""",
+    "x_anomaly_zscore": """
+WITH daily AS (
+    SELECT event_type AS k, CAST(date_trunc('day', ts) AS DATE) AS d,
+           SUM(value) AS total
+    FROM events GROUP BY 1, 2
+), scored AS (
+    SELECT k AS event_type, d AS day, ROUND(total, 4) AS total,
+           ROUND((total - AVG(total) OVER w) / stddev_samp(total) OVER w, 4) AS zscore
+    FROM daily
+    WINDOW w AS (PARTITION BY k ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT * FROM scored WHERE abs(zscore) > 2
+""",
+    "x_histogram": """
+SELECT bucket, ROUND(0.0 + bucket * 5000.0, 6) AS bucket_lo, COUNT(*) AS n
+FROM (
+    SELECT CAST(least(greatest(floor((l_extendedprice - 0.0) / 5000.0), 0), 23)
+                AS INTEGER) AS bucket
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+) t GROUP BY bucket
+""",
+})

@@ -1,0 +1,123 @@
+"""Event-analytics operators: cohort retention, windowed anomaly scoring,
+equi-width histograms.
+
+The reference exposes these shapes only through raw SQL (its operator
+surface is PRQL -> SQL passthrough, reference src/main.rs:75-77); here they
+are first-class DataFrame operators with deterministic semantics so the
+DuckDB oracle can value-check every row.
+
+Scale posture:
+
+* cohort_retention — two shuffles total: one hash partition on user_id
+  (distinct day + min-over-user fused in a single Window stage), one on the
+  (cohort, offset) agg.  No self-join of the activity table against the
+  cohort table (the textbook formulation), which at 100 TB would shuffle
+  the fact table twice and skew on big cohorts.
+* anomaly_zscore — daily pre-aggregation FIRST (shrinks the fact table to
+  |types| x |days| rows), then the trailing-window stats run on the tiny
+  aggregate; the window shuffle moves kilobytes regardless of input size.
+* histogram — single partial-agg shuffle; bucket index is computed with
+  arithmetic (no UDF), so the scan-side combine reduces each partition to
+  at most `bins + 2` rows before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    unit: str = "day",
+) -> DataFrame:
+    """Classic retention triangle: users grouped by first-activity period
+    (cohort), counted on each later period offset.
+
+    Returns (cohort, offset, n_users) where `offset` counts `unit` periods
+    since the cohort period (offset 0 row = cohort size).
+    """
+    day = F.date_trunc(unit, F.col(ts_col)).cast("date")
+    activity = events.select(
+        F.col(user_col).alias("_u"), day.alias("_d")
+    ).distinct()
+    w = Window.partitionBy("_u")
+    with_cohort = activity.withColumn("_cohort", F.min("_d").over(w))
+    return (
+        with_cohort.groupBy(
+            F.col("_cohort").alias("cohort"),
+            F.datediff(F.col("_d"), F.col("_cohort")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def anomaly_zscore(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trailing: int = 7,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Flag (key, day) buckets whose daily total deviates > `threshold`
+    sigma from the trailing `trailing`-day mean (current day EXCLUDED from
+    the baseline, so a spike cannot mask itself).
+
+    Rows with fewer than 2 trailing observations have undefined stddev and
+    are never flagged (NULL z, filtered out) — identical in both engines.
+    """
+    daily = (
+        events.groupBy(
+            F.col(key_col).alias("k"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("d"),
+        )
+        .agg(F.sum(value_col).alias("total"))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("d")
+        .rowsBetween(-trailing, -1)
+    )
+    scored = daily.select(
+        F.col("k").alias(key_col),
+        F.col("d").alias("day"),
+        F.round("total", 4).alias("total"),
+        F.round(
+            (F.col("total") - F.avg("total").over(w))
+            / F.stddev_samp("total").over(w),
+            4,
+        ).alias("zscore"),
+    )
+    return scored.filter(F.abs(F.col("zscore")) > threshold)
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Equi-width histogram with explicit [lo, hi) range: (bucket,
+    bucket_lo, n).  Out-of-range values clamp into the edge buckets
+    (bucket 0 / bins-1) so the counts always total |df| — the shape a
+    distribution monitor wants.  Arithmetic bucket index, no UDF: the
+    partial aggregation reduces every scan partition to <= bins rows
+    before the single exchange.
+    """
+    width = (hi - lo) / bins
+    idx = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    clamped = F.least(F.greatest(idx, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(clamped.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("bucket_lo"),
+            "n",
+        )
+    )

@@ -833,3 +833,65 @@ def test_funnel_fold_semantics(spark):
     got = {r.user_id: r.stage
            for r in funnel_stages(df, ["view", "click", "purchase"]).collect()}
     assert got == {1: 3, 2: 1, 3: 1, 4: 3}
+
+
+def test_cohort_retention_semantics(spark):
+    """Crafted cohorts: offsets count days since first activity; repeat
+    events within one day count a user once."""
+    from datetime import datetime
+
+    from prql_query_spark.operators.analytics import cohort_retention
+
+    rows = [
+        # user 1: first seen day 1, returns day 3 (twice — must dedup)
+        (1, datetime(2024, 1, 1, 9), 1.0),
+        (1, datetime(2024, 1, 3, 9), 1.0),
+        (1, datetime(2024, 1, 3, 17), 1.0),
+        # user 2: same cohort day, never returns
+        (2, datetime(2024, 1, 1, 23), 1.0),
+        # user 3: later cohort
+        (3, datetime(2024, 1, 2, 1), 1.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (str(r["cohort"]), r["offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_anomaly_zscore_excludes_current_day(spark):
+    """A spike on the last day is judged against the flat trailing baseline
+    only — if the current day were inside the window it would inflate the
+    stddev and mask itself."""
+    from datetime import datetime
+
+    from prql_query_spark.operators.analytics import anomaly_zscore
+
+    rows = []
+    for day in range(1, 8):  # 7 flat days: total 10 +/- 1
+        rows.append((1, datetime(2024, 1, day), "click", 10.0 + (day % 2)))
+    rows.append((1, datetime(2024, 1, 8), "click", 100.0))  # spike
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    out = anomaly_zscore(ev, trailing=7, threshold=2.0).collect()
+    assert [str(r["day"]) for r in out] == ["2024-01-08"]
+    assert out[0]["zscore"] > 2
+
+
+def test_histogram_clamps_and_totals(spark):
+    from prql_query_spark.operators.analytics import histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 150.0]], "x double"
+    )
+    out = {r["bucket"]: (r["bucket_lo"], r["n"]) for r in
+           histogram(df, "x", lo=0.0, hi=100.0, bins=10).collect()}
+    # -5 clamps into bucket 0; 150 clamps into bucket 9; totals preserved
+    assert out[0] == (0.0, 3) and out[9] == (90.0, 2)
+    assert sum(n for _, n in out.values()) == 7
