@@ -1750,3 +1750,117 @@ FROM (
 ) t GROUP BY bucket
 """,
 })
+
+
+# Constraint rules as plain SQL boolean expressions: the SAME text is
+# evaluated by Spark (F.expr) and DuckDB, so the audit and its oracle
+# cannot drift.
+_AUDIT_RULES = {
+    "totalprice_nonneg": "o_totalprice >= 0",
+    "orderdate_in_range":
+        "o_orderdate BETWEEN TIMESTAMP '2020-01-01 00:00:00' "
+        "AND TIMESTAMP '2030-01-01 00:00:00'",
+    "custkey_notnull": "o_custkey IS NOT NULL",
+    "status_known": "o_orderstatus IN ('O', 'F', 'P')",
+    "priority_nonempty": "length(o_orderpriority) > 0",
+}
+
+
+def _x_constraint_audit(spark, sf_dir):
+    """Declarative data-quality audit over orders, one scan for all rules."""
+    from prql_query_spark.operators.quality import constraint_audit
+
+    return constraint_audit(_tbl(spark, sf_dir, "orders"), _AUDIT_RULES)
+
+
+def _constraint_audit_oracle() -> str:
+    v_cols = ", ".join(
+        f"SUM(CASE WHEN ({expr}) IS NULL OR NOT ({expr}) THEN 1 ELSE 0 END) AS v{i}"
+        for i, expr in enumerate(_AUDIT_RULES.values())
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, n_rows, v{i} AS n_violations, "
+        f"ROUND(CAST(v{i} AS DOUBLE) / n_rows, 6) AS violation_rate FROM w"
+        for i, name in enumerate(_AUDIT_RULES)
+    )
+    return f"WITH w AS (SELECT COUNT(*) AS n_rows, {v_cols} FROM orders)\n{arms}"
+
+
+def _x_blocklist_filter(spark, sf_dir):
+    """Remove documents whose content hash is on a blocklist (the opt-out /
+    known-bad gate).  Blocklist derived deterministically from the corpus
+    itself (every 97th doc's md5) so the oracle can rebuild it."""
+    from prql_query_spark.operators.quality import filter_blocklist
+
+    docs = _tbl(spark, sf_dir, "documents")
+    bl = docs.filter(F.col("doc_id") % 97 == 0).select(F.md5("text").alias("h"))
+    kept = filter_blocklist(docs.withColumn("h", F.md5("text")), bl, "h")
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+def _x_winsorize(spark, sf_dir):
+    """Per-returnflag winsorization of extended price at [p01, p99];
+    aggregated so min/max directly evidence the clip."""
+    from prql_query_spark.operators.quality import winsorize
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    w = winsorize(li, "l_extendedprice", by="l_returnflag")
+    return (
+        w.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice_w"), 2).alias("sum_w"),
+            F.round(F.min("l_extendedprice_w"), 4).alias("min_w"),
+            F.round(F.max("l_extendedprice_w"), 4).alias("max_w"),
+        )
+    )
+
+
+def _x_cube_agg(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping levels in one
+    pass (Catalyst Expand), disambiguated by grouping flags."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("int").alias("gid"),
+             F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "gid", "n", "sum_qty",
+        )
+    )
+
+
+EXTENSIONS["x_constraint_audit"] = _x_constraint_audit
+EXTENSIONS["x_blocklist_filter"] = _x_blocklist_filter
+EXTENSIONS["x_winsorize"] = _x_winsorize
+EXTENSIONS["x_cube_agg"] = _x_cube_agg
+
+EXTENSION_ORACLES["x_constraint_audit"] = _constraint_audit_oracle()
+EXTENSION_ORACLES["x_blocklist_filter"] = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 97 = 0)
+"""
+EXTENSION_ORACLES["x_winsorize"] = """
+WITH b AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.01) AS lo,
+           quantile_cont(l_extendedprice, 0.99) AS hi
+    FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag, COUNT(*) AS n,
+       ROUND(SUM(least(greatest(l_extendedprice, lo), hi)), 2) AS sum_w,
+       ROUND(MIN(least(greatest(l_extendedprice, lo), hi)), 4) AS min_w,
+       ROUND(MAX(least(greatest(l_extendedprice, lo), hi)), 4) AS max_w
+FROM lineitem l JOIN b USING (l_returnflag)
+GROUP BY 1
+"""
+EXTENSION_ORACLES["x_cube_agg"] = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""

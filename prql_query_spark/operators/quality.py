@@ -1,0 +1,89 @@
+"""Data-quality operators: declarative constraint audits, blocklist
+filtering, and outlier winsorization.
+
+The reference reaches these only via raw SQL passthrough (reference
+src/main.rs:75-77); here they are first-class, each with a DuckDB oracle
+twin.  Constraint rules are plain SQL boolean expressions evaluated with
+`F.expr`, so the SAME rule text runs on both engines — the audit cannot
+drift from its oracle by construction.
+
+Scale posture:
+
+* constraint_audit — ONE full-scan aggregation regardless of rule count
+  (every rule is a conditional-sum in the same HashAggregate); the result
+  is |rules| rows, unpivoted driver-free with `stack`.
+* filter_blocklist — left_anti hash join; the blocklist is the build side
+  and broadcasts under the session threshold, so the corpus never
+  shuffles.  This is the "remove known-bad / opted-out documents" gate of
+  a training pipeline.
+* winsorize — two-pass: exact per-group percentiles (one agg shuffle on
+  the group key), broadcast the tiny bounds table back, clip with
+  least/greatest.  At 100 TB swap `percentile` for `percentile_approx`
+  and the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def constraint_audit(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Evaluate named SQL boolean constraints in one pass.
+
+    Returns (rule, n_rows, n_violations, violation_rate); a NULL predicate
+    result counts as a violation (unknown is not compliant).
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (_, expr) in enumerate(rules.items()):
+        ok = F.expr(expr)
+        aggs.append(
+            F.sum(F.when(ok.isNull() | ~ok, 1).otherwise(0)).alias(f"_v{i}")
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', _v{i}" for i, name in enumerate(rules)
+    )
+    return wide.select(
+        F.expr(f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias("violation_rate"),
+    )
+
+
+def filter_blocklist(
+    df: DataFrame, blocklist: DataFrame, key: str
+) -> DataFrame:
+    """Drop rows whose `key` appears in the blocklist (left_anti join —
+    the standard removal gate for opt-outs / known-bad content hashes)."""
+    return df.join(F.broadcast(blocklist.select(key).distinct()), key, "left_anti")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Clip `value_col` to its per-group [p_lo, p_hi] exact percentiles
+    (continuous interpolation — matches DuckDB quantile_cont).
+    Adds `<value_col>_w`; two shuffles: the percentile agg, then the
+    broadcast join back (no shuffle on the fact side).
+    """
+    bounds = df.groupBy(by).agg(
+        F.percentile(value_col, F.lit(p_lo)).alias("_lo"),
+        F.percentile(value_col, F.lit(p_hi)).alias("_hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), by)
+        .withColumn(
+            f"{value_col}_w",
+            F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+        )
+        .drop("_lo", "_hi")
+    )

@@ -895,3 +895,35 @@ def test_histogram_clamps_and_totals(spark):
     # -5 clamps into bucket 0; 150 clamps into bucket 9; totals preserved
     assert out[0] == (0.0, 3) and out[9] == (90.0, 2)
     assert sum(n for _, n in out.values()) == 7
+
+
+def test_constraint_audit_null_is_violation(spark):
+    """A NULL predicate result (unknown) counts as non-compliant."""
+    from prql_query_spark.operators.quality import constraint_audit
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id long, v double"
+    )
+    out = {r["rule"]: r["n_violations"] for r in
+           constraint_audit(df, {"v_nonneg": "v >= 0"}).collect()}
+    assert out == {"v_nonneg": 2}  # -5 fails, NULL is unknown -> violation
+
+
+def test_filter_blocklist_anti_join(spark):
+    from prql_query_spark.operators.quality import filter_blocklist
+
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    bl = spark.createDataFrame([("b",), ("b",), ("z",)], "k string")
+    kept = sorted(r["k"] for r in filter_blocklist(df, bl, "k").collect())
+    assert kept == ["a", "c"]
+
+
+def test_winsorize_clips_to_group_percentiles(spark):
+    from prql_query_spark.operators.quality import winsorize
+
+    rows = [("g", float(v)) for v in range(1, 101)]  # 1..100, p01=1.99 p99=99.01
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = winsorize(df, "v", by="grp", p_lo=0.01, p_hi=0.99)
+    vals = [r["v_w"] for r in out.collect()]
+    assert min(vals) == 1.99 and max(vals) == 99.01
+    assert len(vals) == 100
