@@ -1864,3 +1864,57 @@ SELECT COALESCE(l_returnflag, 'ALL') AS rf,
        COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
+
+
+def _x_resample_ffill(spark, sf_dir):
+    """Hourly resample + forward-fill for a bounded key set."""
+    from prql_query_spark.operators.temporal import resample_ffill
+
+    ev = _tbl(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    return resample_ffill(ev, "user_id")
+
+
+def _x_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram LM surprise score per document."""
+    from prql_query_spark.operators.text import unigram_logprob
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+EXTENSIONS["x_resample_ffill"] = _x_resample_ffill
+EXTENSIONS["x_unigram_logprob"] = _x_unigram_logprob
+
+EXTENSION_ORACLES["x_resample_ffill"] = """
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS b, AVG(value) AS v
+    FROM events WHERE user_id < 8 GROUP BY 1, 2
+), spans AS (
+    SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM hourly GROUP BY 1
+), grid AS (
+    SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+    FROM spans
+), j AS (
+    SELECT g.user_id, g.b, hourly.v
+    FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.b = g.b
+)
+SELECT user_id, b AS bucket,
+       ROUND(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b), 4) AS value_ff,
+       v IS NULL AS was_gap
+FROM j
+"""
+
+EXTENSION_ORACLES["x_unigram_logprob"] = """
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+    FROM documents
+), cnt AS (
+    SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+), tot AS (
+    SELECT SUM(c) AS n FROM cnt
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS avg_logprob
+FROM tok JOIN cnt USING (t) CROSS JOIN tot
+GROUP BY doc_id
+"""

@@ -111,3 +111,52 @@ def range_join(
         .filter((F.col(start) <= F.col(ts)) & (F.col(ts) < F.col(end)))
         .drop("_bkt")
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> DataFrame:
+    """Resample an event stream to a fixed grid per key and forward-fill
+    gaps: (key, bucket, value_ff, was_gap).
+
+    Per key the grid spans [min bucket, max bucket]; bucket value is the
+    mean of observations inside it; empty buckets carry the last seen
+    value forward (`last(ignorenulls)` over a running frame).
+
+    Scale: the grid is built from the per-key span aggregate (rows =
+    buckets per key, never |events| x grid), the observed-bucket agg is
+    one shuffle with map-side combine, and the fill window rides the same
+    (key) partitioning as the grid join.  Dense keys explode to at most
+    span/step rows — bound `step` accordingly at ingest, not here.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    hourly = (
+        df.groupBy(F.col(key), bucket.alias("_b"))
+        .agg(F.avg(value_col).alias("_v"))
+    )
+    spans = hourly.groupBy(key).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = spans.select(
+        key,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+        ).alias("_b"),
+    )
+    joined = grid.join(hourly, [key, "_b"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key,
+        F.col("_b").alias("bucket"),
+        F.round(F.last("_v", ignorenulls=True).over(w), 4).alias("value_ff"),
+        F.col("_v").isNull().alias("was_gap"),
+    )

@@ -462,3 +462,34 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         doc_fingerprint(t).alias("fingerprint"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-style quality signal: mean log2 probability of each
+    document's tokens under the corpus's own unigram LM — the classic
+    "drop gibberish / boilerplate outliers" filter of training pipelines.
+
+    Returns (id, n_tokens, avg_logprob); lower = more surprising.
+
+    Scale: two shuffles on the token key (count + probe join) and one on
+    the doc id.  The vocabulary aggregate is tiny next to the corpus, but
+    the probe is planned as a shuffle join on purpose — a web-scale vocab
+    can exceed broadcast limits, and skewed head tokens are exactly what
+    AQE skew-join splitting handles.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    cnt = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    total = cnt.agg(F.sum("_c").alias("_n"))
+    return (
+        tok.join(cnt, "_t")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log2(F.col("_c") / F.col("_n"))), 4).alias("avg_logprob"),
+        )
+    )

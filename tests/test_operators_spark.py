@@ -927,3 +927,37 @@ def test_winsorize_clips_to_group_percentiles(spark):
     vals = [r["v_w"] for r in out.collect()]
     assert min(vals) == 1.99 and max(vals) == 99.01
     assert len(vals) == 100
+
+
+def test_resample_ffill_fills_gaps(spark):
+    from datetime import datetime
+
+    from prql_query_spark.operators.temporal import resample_ffill
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 15), 10.0),
+        (1, datetime(2024, 1, 1, 0, 45), 20.0),  # same bucket -> avg 15
+        (1, datetime(2024, 1, 1, 3, 0), 40.0),   # 2 gap hours before
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["bucket"].hour: (r["value_ff"], r["was_gap"])
+           for r in resample_ffill(ev, "user_id").collect()}
+    assert out == {
+        0: (15.0, False),
+        1: (15.0, True),
+        2: (15.0, True),
+        3: (40.0, False),
+    }
+
+
+def test_unigram_logprob_orders_by_surprise(spark):
+    """A doc of corpus-frequent tokens scores higher (less surprising)
+    than a doc with a hapax."""
+    from prql_query_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the the the"), (2, "the zyzzyva")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 2
+    assert got[1]["avg_logprob"] > got[2]["avg_logprob"]
