@@ -63,7 +63,8 @@ take 10
     }
     extension_names = [
         "x_dedup_exact", "x_minhash_pairs", "x_token_count",
-        "x_cosine_topk", "x_events_sessions",
+        "x_cosine_topk", "x_events_sessions", "x_retention_cohort",
+        "x_unigram_logprob",
     ]
 
     results: dict[str, float] = {}

@@ -190,3 +190,51 @@ def test_contamination_broadcasts_probe_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 2  # probe distinct + final count
     assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_blocklist_filter_is_broadcast_anti(spark, sf_dir):
+    """The corpus side must not shuffle for the blocklist removal: plan is
+    a single BroadcastHashJoin LeftAnti over the scan."""
+    from prql_query_spark.operators.quality import filter_blocklist
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    bl = docs.filter(F.col("doc_id") % 97 == 0).select(F.md5("text").alias("h"))
+    out = filter_blocklist(docs.withColumn("h", F.md5("text")), bl, "h")
+    plan = _plan(spark, out, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the one hash exchange is the blocklist's own distinct (build side,
+    # below the BroadcastExchange); the corpus subtree has none
+    corpus_subtree = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_subtree
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_winsorize_bounds_join_is_broadcast(spark, sf_dir):
+    """The per-group bounds table broadcasts back onto the fact side — the
+    600 B bounds row must never force a fact-table shuffle."""
+    from prql_query_spark.operators.quality import winsorize
+
+    li = load_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    plan = _plan(spark, winsorize(li, "l_extendedprice", by="l_returnflag"), "simple")
+    assert "BroadcastHashJoin" in plan
+    # exactly one hash exchange: the percentile aggregation itself
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_anomaly_zscore_preaggregates_before_window(spark, sf_dir):
+    """The window must run on the daily aggregate, not raw events: plan
+    order is Scan -> HashAggregate -> Window, and the window's exchange
+    moves the aggregate, so raw events shuffle exactly once (the agg)."""
+    from prql_query_spark.operators.analytics import anomaly_zscore
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")
+    plan = _plan(spark, anomaly_zscore(ev), "simple")
+    assert plan.index("Window") < plan.index("Scan parquet")
+    # two exchanges total: daily agg + window partitioning (both on tiny data)
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 2
