@@ -1918,3 +1918,38 @@ SELECT doc_id, COUNT(*) AS n_tokens,
 FROM tok JOIN cnt USING (t) CROSS JOIN tot
 GROUP BY doc_id
 """
+
+
+def _x_weighted_sample(spark, sf_dir):
+    """Length-weighted deterministic reservoir: 25 docs per language,
+    selection probability proportional to n_chars."""
+    from prql_query_spark.operators.sampling import weighted_sample
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "doc_id", "n_chars", k=25, by=["lang"])
+    return out.select("lang", "doc_id", "n_chars")
+
+
+EXTENSIONS["x_weighted_sample"] = _x_weighted_sample
+
+
+def _weighted_sample_oracle() -> str:
+    from prql_query_spark.operators.sampling import hash_bucket_sql
+
+    h = hash_bucket_sql("doc_id", 42, 1 << 32)
+    denom = float(1 << 32)
+    return f"""
+WITH b AS (
+    SELECT lang, doc_id, n_chars,
+           ln(({h} + 0.5) / {denom}) / n_chars AS score
+    FROM documents
+), r AS (
+    SELECT lang, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rk
+    FROM b
+)
+SELECT lang, doc_id, n_chars FROM r WHERE rk <= 25
+"""
+
+
+EXTENSION_ORACLES["x_weighted_sample"] = _weighted_sample_oracle()

@@ -121,3 +121,39 @@ def stratified_sample_hash(
         else bound.otherwise(int(round(default_fraction * BUCKETS)))
     )
     return df.filter(b < bound)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 50,
+    by: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted reservoir sample (Efraimidis-Spirakis A-res):
+    keep the top-k rows per group by score ln(u)/w, where u is the row's
+    md5-derived uniform and w its weight — selection probability is
+    proportional to weight, yet fully reproducible (same rows on every
+    run / cluster size / partitioning).
+
+    ln(u)/w is the monotone twin of the textbook u^(1/w) key and is what
+    the DuckDB oracle evaluates verbatim.  One shuffle (the per-group
+    window); at 100 TB use a two-level variant (per-partition top-k via
+    the same score, then global top-k) — the score is stable under any
+    pre-filtering, which is what makes that refinement legal.
+    """
+    from pyspark.sql import Window
+
+    h = hash_bucket(F.col(key_col), seed, buckets=1 << 32)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    score = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(*(by or [F.lit(1)])).orderBy(
+        F.desc("_score"), F.col(key_col)
+    )
+    return (
+        df.withColumn("_score", score)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_score", "_rk")
+    )

@@ -961,3 +961,17 @@ def test_unigram_logprob_orders_by_surprise(spark):
     got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
     assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 2
     assert got[1]["avg_logprob"] > got[2]["avg_logprob"]
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """Heavy rows should be sampled far more often than light ones; the
+    pick is deterministic across calls."""
+    from prql_query_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picked = sorted(r["id"] for r in weighted_sample(df, "id", "w", k=50).collect())
+    heavy = sum(1 for i in picked if i < 100)
+    assert len(picked) == 50 and heavy >= 45  # weight 1000:1 dominates
+    again = sorted(r["id"] for r in weighted_sample(df, "id", "w", k=50).collect())
+    assert picked == again
