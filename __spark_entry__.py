@@ -1953,3 +1953,23 @@ SELECT lang, doc_id, n_chars FROM r WHERE rk <= 25
 
 
 EXTENSION_ORACLES["x_weighted_sample"] = _weighted_sample_oracle()
+
+
+def _x_fuzzy_match(spark, sf_dir):
+    """Entity resolution over part names: last-word blocking + edit
+    distance <= 3 (hash join on the block key, no cross product)."""
+    from prql_query_spark.operators.similarity import fuzzy_join
+
+    names = _tbl(spark, sf_dir, "part").select("p_name").distinct()
+    return fuzzy_join(names, names, "p_name", max_dist=3)
+
+
+EXTENSIONS["x_fuzzy_match"] = _x_fuzzy_match
+
+EXTENSION_ORACLES["x_fuzzy_match"] = """
+WITH d AS (SELECT DISTINCT p_name FROM part),
+b AS (SELECT p_name, split_part(p_name, ' ', -1) AS blk FROM d)
+SELECT x.p_name AS a, y.p_name AS b, levenshtein(x.p_name, y.p_name) AS dist
+FROM b x JOIN b y ON x.blk = y.blk AND x.p_name < y.p_name
+WHERE levenshtein(x.p_name, y.p_name) <= 3
+"""

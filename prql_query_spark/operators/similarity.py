@@ -299,3 +299,39 @@ def embedding_centroids(
         exploded.groupBy(group_col, (F.col("pos0") + 1).alias("pos"))
         .agg(F.round(F.avg("v"), round_to).alias("avg_v"))
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    col: str,
+    max_dist: int = 3,
+    block=None,
+):
+    """Blocked edit-distance join for entity resolution: equi-join on a
+    blocking key (hash join — NEVER a cross product), then exact
+    levenshtein verification inside blocks.  Returns (a, b, dist) with
+    a < b.
+
+    Default blocking key is the last whitespace token (surname/type-word
+    blocking); pass `block` (Column -> Column) to change it.  At 100 TB
+    the block key is the unit of skew: Catalyst's AQE skew-join splits
+    oversized blocks, and a second cheap key (e.g. length band) can be
+    added to the same equi-join to tighten blocks without changing the
+    plan shape.
+    """
+    from pyspark.sql import functions as F
+
+    if block is None:
+        def block(c):
+            return F.element_at(F.split(c, " "), -1)
+
+    l = left.select(F.col(col).alias("a"), block(F.col(col)).alias("_blk"))
+    r = right.select(F.col(col).alias("b"), block(F.col(col)).alias("_blk"))
+    return (
+        l.join(r, "_blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dist", F.levenshtein("a", "b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("a", "b", "dist")
+    )

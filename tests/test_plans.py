@@ -238,3 +238,15 @@ def test_anomaly_zscore_preaggregates_before_window(spark, sf_dir):
     import re as _re
 
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_fuzzy_join_blocks_never_cross_product(spark, sf_dir):
+    """The blocking key must plan as an equi hash/broadcast join — a raw
+    levenshtein predicate would fall back to BroadcastNestedLoopJoin and
+    die at scale."""
+    from prql_query_spark.operators.similarity import fuzzy_join
+
+    names = load_parquet(spark, f"{sf_dir}/part.parquet").select("p_name").distinct()
+    plan = _plan(spark, fuzzy_join(names, names, "p_name"), "simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
