@@ -1973,3 +1973,73 @@ SELECT x.p_name AS a, y.p_name AS b, levenshtein(x.p_name, y.p_name) AS dist
 FROM b x JOIN b y ON x.blk = y.blk AND x.p_name < y.p_name
 WHERE levenshtein(x.p_name, y.p_name) <= 3
 """
+
+
+def _x_pmi_top(spark, sf_dir):
+    """Top-30 collocations by PMI (phrase mining for vocab construction)."""
+    from prql_query_spark.operators.text import pmi_collocations
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, top_k=30)
+
+
+def _x_sessionize(spark, sf_dir):
+    """Per-event session assignment summarized per session (gap 30 min)."""
+    from prql_query_spark.operators.analytics import sessionize
+
+    ev = _tbl(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=30)
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.round(F.sum("value"), 4).alias("session_value"))
+    )
+
+
+EXTENSIONS["x_pmi_top"] = _x_pmi_top
+EXTENSIONS["x_sessionize"] = _x_sessionize
+
+EXTENSION_ORACLES["x_pmi_top"] = """
+WITH toks AS (
+    SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), bi AS (
+    SELECT ngram, COUNT(*) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> array_to_string(t[i:i+1], ' '))) AS ngram
+        FROM toks WHERE len(t) >= 2
+    ) GROUP BY ngram HAVING COUNT(*) >= 5
+), uni AS (
+    SELECT w, COUNT(*) AS cw FROM (
+        SELECT unnest(t) AS w FROM toks WHERE len(t) >= 1
+    ) GROUP BY w
+), nb AS (SELECT SUM(n) AS _nb FROM bi),
+   nu AS (SELECT SUM(cw) AS _nu FROM uni)
+SELECT ngram, n,
+       ROUND(log2((CAST(n AS DOUBLE) / _nb)
+             / ((CAST(ua.cw AS DOUBLE) / _nu) * (CAST(ub.cw AS DOUBLE) / _nu))), 4) AS pmi
+FROM bi
+JOIN uni ua ON ua.w = split_part(ngram, ' ', 1)
+JOIN uni ub ON ub.w = split_part(ngram, ' ', 2)
+CROSS JOIN nb CROSS JOIN nu
+ORDER BY pmi DESC, ngram ASC LIMIT 30
+"""
+
+EXTENSION_ORACLES["x_sessionize"] = """
+WITH e AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS boundary
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts, value,
+           SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM e
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, ROUND(SUM(value), 4) AS session_value
+FROM s GROUP BY 1, 2
+"""

@@ -121,3 +121,34 @@ def histogram(
             "n",
         )
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign a per-key session sequence number to every event: a new
+    session starts when the gap since the previous event exceeds
+    `gap_minutes`.  The cumulative-sum-of-boundaries formulation — one
+    hash shuffle on the key, two window passes over the same sort order
+    (Catalyst reuses the partitioning and sort between them).
+
+    Batch twin of the `applyInPandasWithState` streaming sessionizer and
+    the `session_window` aggregate; this variant keeps EVERY event row
+    with its session id, which the other two shapes cannot return.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, id_col)
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    prev = F.lag(epoch).over(w)
+    boundary = F.when(
+        prev.isNull() | ((epoch - prev) > gap_minutes * 60), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_seq",
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

@@ -493,3 +493,50 @@ def unigram_logprob(
             F.round(F.avg(F.log2(F.col("_c") / F.col("_n"))), 4).alias("avg_logprob"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 30,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+    pmi = log2( p(ab) / (p(a) p(b)) ) over corpus bigram/unigram counts —
+    the classic phrase-mining signal for tokenizer/vocab construction.
+
+    Returns (ngram, n, pmi) for bigrams seen >= min_count times.
+
+    Scale: three token-key shuffles (bigram count, unigram count, the two
+    probe joins share the unigram agg); totals are scalar aggregates
+    broadcast by Catalyst; top-k is TakeOrderedAndProject.  Head-token
+    skew in the probe joins is AQE's job, as in unigram_logprob.
+    """
+    from prql_query_spark.operators.text import ngram_counts  # self-import for clarity
+
+    bi = ngram_counts(df, text_col, n=2).filter(F.col("n") >= min_count)
+    uni = ngram_counts(df, text_col, n=1).select(
+        F.col("ngram").alias("w"), F.col("n").alias("cw")
+    )
+    n_bi = bi.agg(F.sum("n").alias("_nb"))
+    n_uni = uni.agg(F.sum("cw").alias("_nu"))
+    parts = bi.select(
+        "ngram", "n",
+        F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)).alias("_a"),
+        F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)).alias("_b"),
+    )
+    joined = (
+        parts.join(uni.withColumnRenamed("w", "_a").withColumnRenamed("cw", "_ca"), "_a")
+        .join(uni.withColumnRenamed("w", "_b").withColumnRenamed("cw", "_cb"), "_b")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+    )
+    pmi = F.log2(
+        (F.col("n") / F.col("_nb"))
+        / ((F.col("_ca") / F.col("_nu")) * (F.col("_cb") / F.col("_nu")))
+    )
+    return (
+        joined.select("ngram", "n", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("ngram"))
+        .limit(top_k)
+    )

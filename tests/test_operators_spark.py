@@ -975,3 +975,22 @@ def test_weighted_sample_biases_toward_weight(spark):
     assert len(picked) == 50 and heavy >= 45  # weight 1000:1 dominates
     again = sorted(r["id"] for r in weighted_sample(df, "id", "w", k=50).collect())
     assert picked == again
+
+
+def test_sessionize_gap_boundaries(spark):
+    from datetime import datetime
+
+    from prql_query_spark.operators.analytics import sessionize
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 10, 0), 1.0),
+        (1, 2, datetime(2024, 1, 1, 10, 29), 1.0),  # within gap
+        (1, 3, datetime(2024, 1, 1, 11, 0), 1.0),   # 31 min -> new session
+        (2, 4, datetime(2024, 1, 1, 10, 0), 1.0),   # other key independent
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {r["event_id"]: r["session_seq"]
+           for r in sessionize(ev, gap_minutes=30).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
