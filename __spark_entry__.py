@@ -560,11 +560,15 @@ def _x_fingerprint_groups(spark, sf_dir):
 
 
 def _x_cosine_topk(spark, sf_dir):
-    from prql_query_spark.operators.similarity import cosine_topk
+    """Exact ANN baseline on the Arrow/BLAS path (cosine_topk_arrow):
+    per-batch matmul partial top-k, one merge window.  The pure-JVM HOF
+    variant (cosine_topk) stays for UDF-free deployments and is
+    plan-pinned in tests."""
+    from prql_query_spark.operators.similarity import cosine_topk_arrow
 
     emb = _tbl(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    out = cosine_topk(emb, queries_df, k=10)
+    out = cosine_topk_arrow(emb, queries_df, k=10)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
@@ -2042,4 +2046,47 @@ WITH e AS (
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        MIN(ts) AS session_start, ROUND(SUM(value), 4) AS session_value
 FROM s GROUP BY 1, 2
+"""
+
+
+def _x_rolling_distinct(spark, sf_dir):
+    """Rolling 7-day distinct users per day (WAU)."""
+    from prql_query_spark.operators.analytics import rolling_distinct
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = rolling_distinct(ev, days=7)
+    return out.withColumn("n_users_7d", F.col("n_users_7d").cast("long"))
+
+
+def _x_json_struct(spark, sf_dir):
+    """Typed JSON parsing: props -> struct via from_json (schema-on-read
+    for semi-structured columns), aggregated per extracted field value."""
+    ev = _tbl(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json(F.col("props"), "k INT")
+    )
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+EXTENSIONS["x_rolling_distinct"] = _x_rolling_distinct
+EXTENSIONS["x_json_struct"] = _x_json_struct
+
+EXTENSION_ORACLES["x_rolling_distinct"] = """
+WITH activity AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id AS u
+    FROM events
+), days AS (SELECT DISTINCT d FROM activity)
+SELECT x.d AS day, COUNT(DISTINCT a.u) AS n_users_7d
+FROM days x JOIN activity a ON a.d BETWEEN x.d - 6 AND x.d
+GROUP BY 1
+"""
+
+EXTENSION_ORACLES["x_json_struct"] = """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1
 """

@@ -994,3 +994,19 @@ def test_sessionize_gap_boundaries(spark):
     got = {r["event_id"]: r["session_seq"]
            for r in sessionize(ev, gap_minutes=30).collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_cosine_topk_arrow_matches_hof(spark, sf_dir):
+    """The BLAS path must return the identical neighbor sets and ranks as
+    the pure-JVM HOF path (cosines may differ by float ulps only)."""
+    from pyspark.sql import functions as F
+
+    from prql_query_spark.engine.sources import load_parquet
+    from prql_query_spark.operators.similarity import cosine_topk, cosine_topk_arrow
+
+    emb = load_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, cosine_topk(emb, q, k=5).collect()))
+    b = sorted(map(tuple, cosine_topk_arrow(emb, q, k=5).collect()))
+    assert [(r[0], r[1], r[3]) for r in a] == [(r[0], r[1], r[3]) for r in b]
+    assert max(abs(x[2] - y[2]) for x, y in zip(a, b)) < 1e-12

@@ -1,0 +1,88 @@
+"""Head-to-head wall-clock: each oracle-checked query on Spark (warm
+median, full execution) vs its DuckDB oracle on the same parquet at the
+same scale factor.  This is the honest version of BASELINE.md §2 for the
+extension tier — same data, same semantics, both engines warm.
+
+Usage: python tools/bench_extensions.py [sf_dir] [name ...]
+Prints one markdown table row per query plus a JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from prql_query_spark.engine.session import get_spark, sources_bytes, tune_session_for
+
+DEFAULT_NAMES = [
+    "q_agg_q1", "q_join_agg_q5",
+    "x_dedup_exact", "x_token_count", "x_cosine_topk", "x_lang_id",
+    "x_unigram_logprob", "x_retention_cohort", "x_sessionize",
+    "x_anomaly_zscore", "x_histogram", "x_winsorize", "x_cube_agg",
+    "x_constraint_audit", "x_weighted_sample", "x_fuzzy_match",
+    "x_tfidf_top", "x_bigram_top", "x_pmi_top", "x_text_profile",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or DEFAULT_NAMES
+
+    spark = get_spark("bench-ext")
+    spark.sparkContext.setLogLevel("ERROR")
+    entrymod._reg(spark, sf_dir)
+    tune_session_for(spark, sources_bytes([sf_dir]))
+
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    out = {}
+    print("| query | spark (ms) | duckdb (ms) | ratio |")
+    print("|---|---|---|---|")
+    for name in names:
+        if name not in qs or name not in oracles:
+            continue
+        fn, osql = qs[name], oracles[name]
+
+        fn(spark, sf_dir).count()
+        s_times = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            s_times.append(time.time() - t0)
+        s_ms = statistics.median(s_times) * 1000
+
+        con.execute(osql).fetchall()
+        d_times = []
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(osql).fetchall()
+            d_times.append(time.time() - t0)
+        d_ms = statistics.median(d_times) * 1000
+
+        ratio = s_ms / d_ms if d_ms else float("inf")
+        out[name] = {"spark_ms": round(s_ms, 1), "duckdb_ms": round(d_ms, 1),
+                     "ratio": round(ratio, 2)}
+        print(f"| {name} | {s_ms:.1f} | {d_ms:.1f} | {ratio:.2f}x |", flush=True)
+
+    print(json.dumps({"metric": "ext_bench", "sf_dir": sf_dir, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
