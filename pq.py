@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="arrow = single-file via driver; backend = df.write.*")
     p.add_argument("--sql", action="store_true",
                    help="pass a SQL query rather than a PRQL one")
+    p.add_argument("--explain", action="store_true",
+                   help="print the Catalyst physical plan instead of results")
     p.add_argument("query", nargs="?", default=None)
     return p
 
@@ -143,6 +145,13 @@ def main(argv: list[str] | None = None) -> int:
     paths = [s.split("=", 1)[1] if "=" in s else s for s in frm]
     tune_session_for(spark, sources_bytes(paths))
     df = eng.sql(sql)
+
+    if args.explain:
+        # formatted physical plan: scan pushdowns, join strategies, exchanges
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+        print(df._jdf.queryExecution().explainString(jmode))
+        return 0
 
     if to == "-":
         if fmt == "table":

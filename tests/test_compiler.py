@@ -248,3 +248,25 @@ def test_loop_rejects_aggregate_and_take():
     for body in ("aggregate [n = count]", "take 3", "sort [k]"):
         with pytest.raises(CompileError, match="not allowed inside loop"):
             compile_prql(f"from region | loop ({body})", "spark")
+
+
+def test_cli_no_exec_prints_sql(capsys):
+    import pq
+
+    rc = pq.main(["--no-exec", "from t | select [a, b] | take 3"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "SELECT" in out and "LIMIT 3" in out
+
+
+def test_cli_explain_shows_pushdown(spark, capsys, sf_dir):
+    """--explain surfaces the Catalyst plan; the filter must reach the
+    parquet scan as a pushed filter."""
+    import pq
+
+    rc = pq.main([
+        "--explain", "-f", f"li={sf_dir}/lineitem.parquet",
+        "from li | filter l_quantity > 40 | select [l_orderkey] | take 5",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PushedFilters" in out and "GreaterThan(l_quantity" in out
