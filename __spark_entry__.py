@@ -1762,8 +1762,8 @@ FROM (
 _AUDIT_RULES = {
     "totalprice_nonneg": "o_totalprice >= 0",
     "orderdate_in_range":
-        "o_orderdate BETWEEN TIMESTAMP '2020-01-01 00:00:00' "
-        "AND TIMESTAMP '2030-01-01 00:00:00'",
+        "o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' "
+        "AND TIMESTAMP '2002-01-01 00:00:00'",
     "custkey_notnull": "o_custkey IS NOT NULL",
     "status_known": "o_orderstatus IN ('O', 'F', 'P')",
     "priority_nonempty": "length(o_orderpriority) > 0",
@@ -2090,3 +2090,45 @@ SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
        COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1
 """
+
+
+# TPC-H-shaped corpus additions (Q3/Q6/Q10 silhouettes on the driver's
+# star schema).  PRQL only — both engines' SQL is generated by the same
+# compiler, so these also regression-test filter-between-join layering.
+PRQL_QUERIES.update({
+    "q_shipping_priority_q3": """
+from customer
+filter c_mktsegment == "BUILDING"
+join orders [c_custkey == o_custkey]
+filter o_orderdate < @1998-03-15
+join lineitem [o_orderkey == l_orderkey]
+filter l_shipdate > @1998-03-15
+group [l_orderkey, o_orderdate] (
+    aggregate [revenue = round 2 (sum (l_extendedprice * (1 - l_discount)))]
+)
+sort [-revenue, l_orderkey]
+take 10
+""",
+    "q_forecast_revenue_q6": """
+from lineitem
+filter l_shipdate >= @1996-01-01
+filter l_shipdate < @1997-01-01
+filter (l_discount >= 0.05) and (l_discount <= 0.07)
+filter l_quantity < 24
+aggregate [revenue = round 2 (sum (l_extendedprice * l_discount))]
+""",
+    "q_returned_items_q10": """
+from lineitem
+filter l_returnflag == "R"
+join orders [l_orderkey == o_orderkey]
+filter o_orderdate >= @1997-01-01
+filter o_orderdate < @1997-04-01
+join customer [o_custkey == c_custkey]
+join nation [c_nationkey == n_nationkey]
+group [c_custkey, c_name, n_name] (
+    aggregate [revenue = round 2 (sum (l_extendedprice * (1 - l_discount)))]
+)
+sort [-revenue, c_custkey]
+take 20
+""",
+})
