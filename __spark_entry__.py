@@ -184,8 +184,8 @@ aggregate [n = count]
 func disc_net x d -> x * (1 - d)
 func taxed x t -> x * (1 + t)
 from lineitem
-derive [net = round 2 (taxed (disc_net l_extendedprice l_discount) l_tax)]
-group [l_returnflag] (aggregate [s = round 2 (sum net)])
+derive [net = taxed (disc_net l_extendedprice l_discount) l_tax]
+group [l_returnflag] (aggregate [s = s"CAST(ROUND(SUM(CAST(net AS DECIMAL(18,6))), 2) AS DOUBLE)"])
 sort [l_returnflag]
 """,
     "q_window_rolling7": """
@@ -1026,7 +1026,10 @@ u AS (
     UNION ALL
     SELECT value, f30 - INTERVAL 30 MINUTE AS ws FROM e
 )
-SELECT ws AS window_start, ROUND(AVG(value), 4) AS avg_value, COUNT(*) AS n
+SELECT ws AS window_start,
+       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+             * 100 / COUNT(*)) / 10000 AS avg_value,
+       COUNT(*) AS n
 FROM u GROUP BY ws
 """,
     "x_pivot_events": """
@@ -1891,7 +1894,9 @@ EXTENSIONS["x_unigram_logprob"] = _x_unigram_logprob
 
 EXTENSION_ORACLES["x_resample_ffill"] = """
 WITH hourly AS (
-    SELECT user_id, date_trunc('hour', ts) AS b, AVG(value) AS v
+    SELECT user_id, date_trunc('hour', ts) AS b,
+           ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+                 * 100 / COUNT(*)) / 10000 AS v
     FROM events WHERE user_id < 8 GROUP BY 1, 2
 ), spans AS (
     SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM hourly GROUP BY 1

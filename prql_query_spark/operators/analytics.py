@@ -108,6 +108,9 @@ def histogram(
     partial aggregation reduces every scan partition to <= bins rows
     before the single exchange.
     """
+    if bins <= 0 or hi <= lo:
+        raise ValueError(f"histogram needs bins > 0 and hi > lo, got "
+                         f"bins={bins}, lo={lo}, hi={hi}")
     width = (hi - lo) / bins
     idx = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
     clamped = F.least(F.greatest(idx, F.lit(0)), F.lit(bins - 1))

@@ -151,8 +151,11 @@ def weighted_sample(
     w = Window.partitionBy(*(by or [F.lit(1)])).orderBy(
         F.desc("_score"), F.col(key_col)
     )
+    # A-res requires positive weights: w<=0 would flip/blow up the score
+    # ordering silently, so such rows are excluded from the sample frame
     return (
-        df.withColumn("_score", score)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_score", score)
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .drop("_score", "_rk")

@@ -135,9 +135,15 @@ def resample_ffill(
     span/step rows — bound `step` accordingly at ingest, not here.
     """
     bucket = F.date_trunc(unit, F.col(ts_col))
+    # mean in exact integer cents (see streaming.events.sliding_avg): the
+    # 2-decimal data over small bucket counts sits exactly on round-half
+    # boundaries, where float summation order and the engines' differing
+    # round-at-scale paths disagree
+    s_cents = (F.sum(F.col(value_col).cast("decimal(18,2)")) * 100).cast("long")
     hourly = (
         df.groupBy(F.col(key), bucket.alias("_b"))
-        .agg(F.avg(value_col).alias("_v"))
+        .agg((F.round(s_cents.cast("double") * 100 / F.count(F.lit(1)))
+              / 10000).alias("_v"))
     )
     spans = hourly.groupBy(key).agg(
         F.min("_b").alias("_lo"), F.max("_b").alias("_hi")

@@ -33,10 +33,17 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
 
 def sliding_avg(events: DataFrame, width: str = "1 hour",
                 slide: str = "30 minutes") -> DataFrame:
+    # avg in exact integer cents: 2-decimal sums divided by small window
+    # counts land EXACTLY on round-half boundaries, where both float
+    # summation order and the engines' differing round-at-scale paths flip
+    # the 4th decimal.  cents*100/n is either exactly representable at .5
+    # (both engines round away from zero) or >= 1/(2n) from the boundary —
+    # far beyond any float error.
+    s_cents = (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("long")
+    exact_avg = F.round(s_cents.cast("double") * 100 / F.count(F.lit(1))) / 10000
     return (
         events.groupBy(F.window("ts", width, slide).alias("w"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"),
-             F.count(F.lit(1)).alias("n"))
+        .agg(exact_avg.alias("avg_value"), F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "avg_value", "n")
     )
 
@@ -140,10 +147,11 @@ def stream_sliding_avg(
     """Streaming twin of `sliding_avg` (overlapping windows: each event
     lands in width/slide windows; state is bounded by the watermark)."""
     stream = _event_stream(spark, events_path, watermark)
+    s_cents = (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("long")
+    exact_avg = F.round(s_cents.cast("double") * 100 / F.count(F.lit(1))) / 10000
     agg = (
         stream.groupBy(F.window("ts", width, slide))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"),
-             F.count(F.lit(1)).alias("n"))
+        .agg(exact_avg.alias("avg_value"), F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("window_start"), "avg_value", "n")
     )
     return _start_memory_sink(agg, queryName, checkpoint)
