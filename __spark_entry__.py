@@ -2137,3 +2137,30 @@ sort [-revenue, c_custkey]
 take 20
 """,
 })
+
+
+PRQL_QUERIES.update({
+    # chained lets: second CTE consumes the first; exercises statement-level
+    # name resolution and CTE ordering in both dialects
+    "q_let_chain": """
+let big_orders = (
+    from orders
+    filter o_totalprice > 200000
+)
+let big_by_cust = (
+    from big_orders
+    group [o_custkey] (aggregate [n_big = count, spend = round 2 (sum o_totalprice)])
+)
+from big_by_cust
+sort [-spend, o_custkey]
+take 15
+""",
+    # aliased self-join: same-region nation pairs (a < b via key compare)
+    "q_self_join": """
+from nation
+join n2=nation [nation.n_regionkey == n2.n_regionkey]
+filter nation.n_nationkey < n2.n_nationkey
+select [a = nation.n_name, b = n2.n_name, region = nation.n_regionkey]
+sort [region, a, b]
+""",
+})

@@ -352,7 +352,6 @@ class SqlGen:
     def _join(self, t: A.Join) -> None:
         if not self.layer.is_bare():
             self._wrap()
-        em = self.emitter()
         side = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
                 "full": "FULL JOIN"}.get(t.side)
         if side is None:
@@ -360,6 +359,10 @@ class SqlGen:
         tbl = self.d.qualified(t.table)
         alias = t.alias
         tbl_sql = tbl + (f" AS {self.d.quote(alias)}" if alias else "")
+        # the joined alias is in scope inside its own ON clause — register
+        # it before emitting conditions or n2.x in a self-join is stripped
+        self.layer.aliases.add(alias or t.table.split(".")[-1])
+        em = self.emitter()
         using = [c.col for c in t.conds if isinstance(c, A.JoinCondUsing)]
         ons = [c for c in t.conds if not isinstance(c, A.JoinCondUsing)]
         if using and ons:
@@ -374,7 +377,6 @@ class SqlGen:
         else:
             clause = f"CROSS JOIN {tbl_sql}"
         self.layer.joins.append(clause)
-        self.layer.aliases.add(alias or t.table.split(".")[-1])
 
     def _filter(self, t: A.Filter) -> None:
         if (self.layer.limit is not None or self.layer.group_keys or self.layer.aggs
@@ -405,7 +407,17 @@ class SqlGen:
             self.layer.derives.append((a.name, sql))
 
     def _select(self, t: A.Select) -> None:
-        if not self.layer.is_bare():
+        # a wheres-only layer need not wrap: WHERE evaluates before the
+        # projection, so filter|select is the same SELECT — and staying in
+        # the layer keeps join-alias qualifiers (n2.x in a self-join)
+        # resolvable, which a SELECT * wrap would make ambiguous
+        only_wheres = self.layer.wheres and not (
+            self.layer.group_keys or self.layer.aggs or self.layer.derives
+            or self.layer.projection or self.layer.exclude
+            or self.layer.distinct or self.layer.sorts
+            or self.layer.limit is not None
+        )
+        if not self.layer.is_bare() and not only_wheres:
             self._wrap()
         em = self.emitter()
         if t.exclude:

@@ -270,3 +270,22 @@ def test_cli_explain_shows_pushdown(spark, capsys, sf_dir):
     out = capsys.readouterr().out
     assert rc == 0
     assert "PushedFilters" in out and "GreaterThan(l_quantity" in out
+
+
+def test_self_join_keeps_alias_qualifiers():
+    """Aliased self-join: the joined alias must survive in ON, WHERE and
+    SELECT (a premature SELECT-* wrap would strip it and leave ambiguous
+    bare columns)."""
+    from prql_query_spark import compile_prql
+
+    sql = compile_prql(
+        """
+from nation
+join n2=nation [nation.n_regionkey == n2.n_regionkey]
+filter nation.n_nationkey < n2.n_nationkey
+select [a = nation.n_name, b = n2.n_name]
+""",
+        "spark",
+    )
+    assert "`n2`.`n_regionkey`" in sql and "`n2`.`n_name` AS `b`" in sql
+    assert sql.count("SELECT") == 1  # filter|select fused into one layer
