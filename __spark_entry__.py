@@ -2164,3 +2164,51 @@ select [a = nation.n_name, b = n2.n_name, region = nation.n_regionkey]
 sort [region, a, b]
 """,
 })
+
+
+def _x_impute_mean(spark, sf_dir):
+    """Impute a deterministically-nulled value column by per-user mean
+    (global-mean fallback), summarized per user."""
+    from prql_query_spark.operators.quality import impute_mean
+
+    ev = _tbl(spark, sf_dir, "events")
+    holey = ev.withColumn(
+        "value", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    out = impute_mean(holey, "value", by="user_id")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").isNull().cast("int")).alias("n_imputed"),
+             F.round(F.sum(F.col("value_f").cast("decimal(18,4)")), 4)
+              .cast("double").alias("sum_filled"))
+    )
+
+
+EXTENSIONS["x_impute_mean"] = _x_impute_mean
+
+EXTENSION_ORACLES["x_impute_mean"] = """
+WITH holey AS (
+    SELECT user_id, event_id,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+    FROM events
+), m AS (
+    SELECT user_id, event_id, value,
+           COUNT(value) OVER (PARTITION BY user_id) AS gn,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) * 100 AS BIGINT) AS gc,
+           COUNT(value) OVER () AS an,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER () * 100 AS BIGINT) AS ac
+    FROM holey
+), f AS (
+    SELECT user_id, value,
+           COALESCE(value,
+                    CASE WHEN gn > 0 THEN ROUND(CAST(gc AS DOUBLE) * 100 / gn) / 10000 END,
+                    CASE WHEN an > 0 THEN ROUND(CAST(ac AS DOUBLE) * 100 / an) / 10000 END
+           ) AS value_f
+    FROM m
+)
+SELECT user_id, COUNT(*) AS n,
+       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_imputed,
+       CAST(ROUND(SUM(CAST(value_f AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_filled
+FROM f GROUP BY user_id
+"""

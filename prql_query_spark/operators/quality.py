@@ -87,3 +87,38 @@ def winsorize(
         )
         .drop("_lo", "_hi")
     )
+
+
+def impute_mean(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill NULLs in `value_col` with the per-group mean (falling back to
+    the global mean for all-NULL groups) — the standard numeric-feature
+    imputation pass.
+
+    Means are computed in exact integer cents (see the verify notes): a
+    window mean over the group partition plus one scalar global mean, so
+    the fact table shuffles once (the group window) and never joins.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or f"{value_col}_f"
+
+    def cents_mean(scope: Window | None) -> "F.Column":
+        s = F.sum(F.col(value_col).cast("decimal(18,2)"))
+        n = F.count(value_col)
+        if scope is not None:
+            s, n = s.over(scope), n.over(scope)
+        return F.when(
+            n > 0,
+            F.round((s * 100).cast("long").cast("double") * 100 / n) / 10000,
+        )
+
+    grp = cents_mean(Window.partitionBy(by))
+    glob = cents_mean(Window.partitionBy())
+    return df.withColumn(
+        out_col, F.coalesce(F.col(value_col), grp, glob)
+    )

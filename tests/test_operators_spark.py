@@ -1010,3 +1010,24 @@ def test_cosine_topk_arrow_matches_hof(spark, sf_dir):
     b = sorted(map(tuple, cosine_topk_arrow(emb, q, k=5).collect()))
     assert [(r[0], r[1], r[3]) for r in a] == [(r[0], r[1], r[3]) for r in b]
     assert max(abs(x[2] - y[2]) for x, y in zip(a, b)) < 1e-12
+
+
+def test_impute_mean_group_then_global(spark):
+    """NULLs take the group mean; an all-NULL group falls back to the
+    global mean; non-null values pass through untouched."""
+    from prql_query_spark.operators.quality import impute_mean
+
+    rows = [
+        ("a", 10.0), ("a", 20.0), ("a", None),   # group mean 15
+        ("b", None), ("b", None),                # all-NULL -> global mean 15
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = sorted(
+        ((r["grp"], r["v"], r["v_f"]) for r in
+         impute_mean(df, "v", by="grp").collect()),
+        key=lambda t: (t[0], t[1] is not None, t[1] or 0.0),
+    )
+    assert got == [
+        ("a", None, 15.0), ("a", 10.0, 10.0), ("a", 20.0, 20.0),
+        ("b", None, 15.0), ("b", None, 15.0),
+    ]
