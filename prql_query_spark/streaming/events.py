@@ -64,9 +64,12 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def _event_stream(spark: SparkSession, events_path: str, watermark: str):
+def _event_stream(spark: SparkSession, events_path: str,
+                  watermark: str | None):
     """readStream over an events parquet path with the ns-timestamp fix and
-    bare-file handling shared by all streaming twins."""
+    bare-file handling shared by all streaming twins.  Pass watermark=None
+    when the caller attaches its own (e.g. on a renamed column for a
+    stream-stream join — Spark disallows redefining a watermark)."""
     import os
     import tempfile
 
@@ -99,6 +102,8 @@ def _event_stream(spark: SparkSession, events_path: str, watermark: str):
     # isAdjustedToUTC=false reads back as TIMESTAMP_NTZ, so cast it.
     if isinstance(stream.schema["ts"].dataType, TimestampNTZType):
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    if watermark is None:
+        return stream
     return stream.withWatermark("ts", watermark)
 
 
@@ -259,3 +264,61 @@ def stream_enriched_counts(
         .select(F.col("window.start").alias("window_start"), dim_attr, "n")
     )
     return _start_memory_sink(agg, queryName, checkpoint)
+
+
+def stream_purchase_view_join(
+    spark: SparkSession,
+    events_path: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+    queryName: str = "pq_stream_ssjoin",
+):
+    """Stream-stream interval join: each purchase joined to the same
+    user's views in the preceding `within` (attribution join).
+
+    Both sides carry watermarks and the join predicate bounds event time
+    on BOTH streams, so Spark can expire join state — the two conditions
+    that make an unbounded stream-stream join feasible: state is O(users
+    active within watermark+interval), not O(stream).  Batch twin: the
+    same join expression on the static frame (equivalence is tested).
+    """
+    views = (
+        _event_stream(spark, events_path, None)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+                F.col("event_id").alias("view_id"))
+    ).withWatermark("v_ts", watermark)
+    purchases = (
+        _event_stream(spark, events_path, None)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("value").alias("purchase_value"))
+    ).withWatermark("p_ts", watermark)
+    joined = purchases.join(
+        views,
+        F.expr(f"""
+            p_user = v_user AND
+            v_ts >= p_ts - INTERVAL {within} AND
+            v_ts <= p_ts
+        """),
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+    return _start_memory_sink(joined, queryName, checkpoint)
+
+
+def purchase_view_join_batch(events: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Batch twin of stream_purchase_view_join (same predicate, static)."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"))
+    return purchases.join(
+        views,
+        F.expr(f"p_user = v_user AND v_ts >= p_ts - INTERVAL {within} "
+               "AND v_ts <= p_ts"),
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))

@@ -1031,3 +1031,28 @@ def test_impute_mean_group_then_global(spark):
         ("a", None, 15.0), ("a", 10.0, 10.0), ("a", 20.0, 20.0),
         ("b", None, 15.0), ("b", None, 15.0),
     ]
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (purchase<-views attribution) must emit
+    exactly the batch join's rows once all input is processed."""
+    from prql_query_spark.engine.sources import load_parquet
+    from prql_query_spark.streaming.events import (
+        purchase_view_join_batch, stream_purchase_view_join,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    want = {
+        (r["purchase_id"], r["view_id"])
+        for r in purchase_view_join_batch(load_parquet(spark, path)).collect()
+    }
+    q = stream_purchase_view_join(spark, path, queryName="t_ssjoin")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["purchase_id"], r["view_id"])
+            for r in spark.table("t_ssjoin").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want and len(want) > 0
