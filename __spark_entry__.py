@@ -2212,3 +2212,63 @@ SELECT user_id, COUNT(*) AS n,
        CAST(ROUND(SUM(CAST(value_f AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_filled
 FROM f GROUP BY user_id
 """
+
+
+def _x_chunk_docs(spark, sf_dir):
+    """Overlapping 64-token chunks, stride 48 (context-window prep)."""
+    from prql_query_spark.operators.text import chunk_documents
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=64, stride=48)
+    return out.withColumn("n_chunk_tokens", F.col("n_chunk_tokens").cast("long"))
+
+
+def _x_pack_sequences(spark, sf_dir):
+    """First-fit-in-order packing into 512-token bins, summarized per bin."""
+    from prql_query_spark.operators.text import pack_sequences
+
+    docs = _tbl(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, capacity=512)
+    return (
+        packed.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("bin_tokens"),
+             F.min("doc_id").alias("first_doc"))
+    )
+
+
+EXTENSIONS["x_chunk_docs"] = _x_chunk_docs
+EXTENSIONS["x_pack_sequences"] = _x_pack_sequences
+
+EXTENSION_ORACLES["x_chunk_docs"] = """
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM documents
+), n AS (
+    SELECT doc_id, toks,
+           CAST(greatest(ceil((len(toks) - 64) / 48.0) + 1, 1) AS INTEGER) AS nc
+    FROM t
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text,
+       CAST(len(toks[i*48+1 : i*48+64]) AS INTEGER) AS n_chunk_tokens
+FROM n, unnest(range(0, nc)) AS u(i)
+"""
+
+EXTENSION_ORACLES["x_pack_sequences"] = """
+WITH n AS (
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+    FROM documents
+), c AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM n
+)
+SELECT CAST(ceil(cum / 512.0) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens, MIN(doc_id) AS first_doc
+FROM c GROUP BY 1
+"""

@@ -540,3 +540,82 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), F.asc("ngram"))
         .limit(top_k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks (context-window
+    preparation for LLM training/embedding).  Returns (id, chunk_idx,
+    chunk_text, n_chunk_tokens).
+
+    The token array is materialized once per row, chunks come from
+    JVM-side slice/posexplode — narrow plan, no shuffle at all: chunking
+    pipelines into the scan and whatever follows.  stride < chunk_tokens
+    gives overlap; the last partial chunk is kept (training pads it).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_chunks = F.greatest(
+        F.ceil((F.size("_toks") - F.lit(chunk_tokens))
+               / F.lit(stride)) + 1,
+        F.lit(1),
+    ).cast("int")
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.slice(F.col("_toks"), i * stride + 1, chunk_tokens),
+                )
+            ).alias("chunk_idx", "_chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
+            F.size("_chunk").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 512,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-capacity training bins by running token
+    count (deterministic first-fit-in-order sequence packing): bin k holds
+    the docs whose cumulative token count lands in (k*capacity,
+    (k+1)*capacity].  Docs longer than capacity get bins to themselves
+    (chunk first if that matters).
+
+    Returns (id, n_tokens, bin).  One window shuffle (per shard — pass
+    shard_col to parallelize the ordering at 100 TB; packing is then
+    deterministic per shard, which is what a distributed pretraining
+    pipeline wants anyway).
+    """
+    from pyspark.sql import Window
+
+    n = token_count(F.col(text_col)).cast("long")
+    part = [shard_col] if shard_col else [F.lit(1)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = df.select(
+        F.col(id_col), n.alias("n_tokens")
+    ).withColumn("_cum", F.sum("n_tokens").over(w))
+    return with_cum.select(
+        id_col,
+        "n_tokens",
+        F.ceil(F.col("_cum") / F.lit(capacity)).cast("long").alias("bin"),
+    )
