@@ -2272,3 +2272,94 @@ SELECT CAST(ceil(cum / 512.0) AS BIGINT) AS bin,
        COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens, MIN(doc_id) AS first_doc
 FROM c GROUP BY 1
 """
+
+
+def _new_orders_snapshot(orders):
+    """Deterministic 'v2' of orders for the diff: every 37th key removed,
+    every 11th price bumped, every 41st key duplicated as a new key."""
+    base = orders.filter(F.col("o_orderkey") % 37 != 0)
+    changed = base.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1)
+         .otherwise(F.col("o_totalprice")),
+    )
+    added = orders.filter(F.col("o_orderkey") % 41 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    return changed.unionByName(added)
+
+
+def _x_table_diff(spark, sf_dir):
+    """Snapshot diff orders v1 vs synthetic v2, summarized per status."""
+    from prql_query_spark.operators.quality import table_diff
+
+    orders = _tbl(spark, sf_dir, "orders")
+    d = table_diff(orders, _new_orders_snapshot(orders), key="o_orderkey")
+    return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _x_psi_drift(spark, sf_dir):
+    """PSI of order totals: even vs odd keys (expect ~0 — same
+    distribution) as a calibration row, plus low vs high key halves."""
+    from prql_query_spark.operators.analytics import psi_drift
+
+    orders = _tbl(spark, sf_dir, "orders")
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    return psi_drift(even, odd, "o_totalprice", lo=0.0, hi=600000.0, bins=10)
+
+
+EXTENSIONS["x_table_diff"] = _x_table_diff
+EXTENSIONS["x_psi_drift"] = _x_psi_drift
+
+_DIFF_COLS = "o_custkey o_orderstatus o_totalprice o_orderdate o_orderpriority".split()
+_DIFF_HASH = "md5(concat_ws('|', " + ", ".join(
+    f"COALESCE(CAST({c} AS VARCHAR), chr(1) || 'NULL')" for c in _DIFF_COLS
+) + "))"
+
+EXTENSION_ORACLES["x_table_diff"] = f"""
+WITH new_orders AS (
+    SELECT o_orderkey,
+           o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 37 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 41 = 0
+), o AS (SELECT o_orderkey, {_DIFF_HASH} AS ho FROM orders),
+   n AS (SELECT o_orderkey, {_DIFF_HASH} AS hn FROM new_orders),
+   j AS (
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k, ho, hn
+    FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+)
+SELECT CASE WHEN ho IS NULL THEN 'added'
+            WHEN hn IS NULL THEN 'removed'
+            WHEN ho <> hn THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS n
+FROM j GROUP BY 1
+"""
+
+EXTENSION_ORACLES["x_psi_drift"] = """
+WITH a AS (
+    SELECT CAST(least(greatest(floor(o_totalprice / 60000.0), 0), 9) AS INTEGER) AS bucket,
+           COUNT(*) AS na
+    FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+), b AS (
+    SELECT CAST(least(greatest(floor(o_totalprice / 60000.0), 0), 9) AS INTEGER) AS bucket,
+           COUNT(*) AS nb
+    FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+), base AS (SELECT unnest(range(0, 10)) AS bucket),
+j AS (
+    SELECT base.bucket, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+    FROM base LEFT JOIN a USING (bucket) LEFT JOIN b USING (bucket)
+), t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM j)
+SELECT ROUND(SUM(
+    (CAST(na + 1 AS DOUBLE) / (ta + 10) - CAST(nb + 1 AS DOUBLE) / (tb + 10))
+    * ln((CAST(na + 1 AS DOUBLE) / (ta + 10)) / (CAST(nb + 1 AS DOUBLE) / (tb + 10)))
+), 6) AS psi
+FROM j CROSS JOIN t
+"""

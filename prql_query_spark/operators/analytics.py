@@ -188,3 +188,39 @@ def rolling_distinct(
             F.array_distinct(F.flatten(F.collect_list("_s").over(w)))
         ).alias(f"n_users_{days}d"),
     )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two samples of a numeric column
+    over shared fixed bins — the standard distribution-drift monitor
+    (PSI < 0.1 stable, > 0.25 drifted).
+
+    Laplace smoothing ((n_i + 1) / (N + bins)) keeps empty bins finite and
+    the formula identical in the DuckDB oracle.  Each side is one
+    histogram aggregation (map-side combine to <= bins rows); the final
+    join moves 2*bins rows.
+    """
+    ha = histogram(df_a, value_col, lo, hi, bins).select(
+        "bucket", F.col("n").alias("na"))
+    hb = histogram(df_b, value_col, lo, hi, bins).select(
+        "bucket", F.col("n").alias("nb"))
+    base = df_a.sparkSession.range(bins).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        base.join(ha, "bucket", "left").join(hb, "bucket", "left")
+        .fillna(0, ["na", "nb"])
+    )
+    tot = j.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    p = (F.col("na") + 1) / (F.col("ta") + F.lit(bins))
+    q = (F.col("nb") + 1) / (F.col("tb") + F.lit(bins))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(((p - q) * F.log(p / q)).alias("_term"))
+        .agg(F.round(F.sum("_term"), 6).alias("psi"))
+    )

@@ -122,3 +122,39 @@ def impute_mean(
     return df.withColumn(
         out_col, F.coalesce(F.col(value_col), grp, glob)
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff between two table versions: every key classified as
+    added / removed / changed / unchanged — the verification step after
+    any migration, backfill, or CDC apply.
+
+    Rows are compared by an md5 over the null-tagged compare columns
+    (identical expression in the DuckDB oracle), so the full outer join
+    carries ONE hash per side instead of every column; the join is the
+    only shuffle and AQE handles key skew.
+    """
+    compare_cols = compare_cols or [c for c in old.columns if c != key]
+
+    def h(df: DataFrame, name: str) -> DataFrame:
+        tagged = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x01NULL"))
+            for c in compare_cols
+        ]
+        return df.select(F.col(key), F.md5(F.concat_ws("|", *tagged)).alias(name))
+
+    o = h(old, "_ho")
+    n = h(new, "_hn")
+    joined = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("_ho").isNull(), "added")
+        .when(F.col("_hn").isNull(), "removed")
+        .when(F.col("_ho") != F.col("_hn"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(F.col(key), status.alias("status"))

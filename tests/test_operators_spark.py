@@ -1090,3 +1090,24 @@ def test_pack_sequences_capacity_property(spark):
     again = {(r["doc_id"], r["bin"]) for r in
              pack_sequences(df, capacity=512).collect()}
     assert {(r["doc_id"], r["bin"]) for r in packed.collect()} == again
+
+
+def test_table_diff_statuses(spark):
+    from prql_query_spark.operators.quality import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string"
+    )
+    got = {r["k"]: r["status"] for r in table_diff(old, new, key="k").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_psi_zero_for_identical_samples(spark):
+    from prql_query_spark.operators.analytics import psi_drift
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    psi = psi_drift(df, df, "x", lo=0.0, hi=100.0, bins=10).collect()[0]["psi"]
+    assert psi == 0.0
