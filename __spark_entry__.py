@@ -2363,3 +2363,27 @@ SELECT ROUND(SUM(
 ), 6) AS psi
 FROM j CROSS JOIN t
 """
+
+
+def _x_transitions(spark, sf_dir):
+    """Event-type Markov transition matrix over user sequences."""
+    from prql_query_spark.operators.analytics import transition_matrix
+
+    return transition_matrix(_tbl(spark, sf_dir, "events"))
+
+
+EXTENSIONS["x_transitions"] = _x_transitions
+
+EXTENSION_ORACLES["x_transitions"] = """
+WITH s AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+), c AS (
+    SELECT prev AS prev_state, event_type AS state, COUNT(*) AS n
+    FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_state, state, n,
+       ROUND(n * 10000.0 / SUM(n) OVER (PARTITION BY prev_state)) / 10000 AS p
+FROM c
+"""

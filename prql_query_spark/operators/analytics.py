@@ -224,3 +224,34 @@ def psi_drift(
         .select(((p - q) * F.log(p / q)).alias("_term"))
         .agg(F.round(F.sum("_term"), 6).alias("psi"))
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    (prev_state, state, n, p) with p normalized per prev_state — the
+    behavioral-analytics staple (funnel discovery, next-action models).
+
+    One shuffle for the per-key ordering (lag), one for the pair counts;
+    the normalizing total rides a window over the tiny count table.
+    p is computed as round(n*1e4/total)/1e4: exact integer arithmetic into
+    the round, so both engines agree even on exact .5 boundaries.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, id_col)
+    pairs = (
+        events.withColumn("_prev", F.lag(state_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("prev_state"),
+                 F.col(state_col).alias("state"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("prev_state"))
+    return pairs.select(
+        "prev_state", "state", "n",
+        (F.round(F.col("n") * 10000.0 / total) / 10000).alias("p"),
+    )

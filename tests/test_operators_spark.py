@@ -1111,3 +1111,17 @@ def test_psi_zero_for_identical_samples(spark):
     df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
     psi = psi_drift(df, df, "x", lo=0.0, hi=100.0, bins=10).collect()[0]["psi"]
     assert psi == 0.0
+
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    from datetime import datetime
+
+    from prql_query_spark.operators.analytics import transition_matrix
+
+    rows = [(1, i, datetime(2024, 1, 1, i), t) for i, t in
+            enumerate(["a", "b", "a", "b", "c"])]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    out = transition_matrix(ev).collect()
+    got = {(r["prev_state"], r["state"]): (r["n"], r["p"]) for r in out}
+    # a->b twice, b->a once, b->c once
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 0.5), ("b", "c"): (1, 0.5)}
