@@ -126,3 +126,66 @@ def test_attach_errors(spark):
             spark,
             "duckdb:///root/reference/examples/chinook/duckdb/chinook.duckdb",
         )
+
+
+def _refresh_csv_views(engine):
+    """The attach_* tests overwrite the chinook temp views in the shared
+    session; re-register the CSV sources so these goldens are
+    order-independent."""
+    engine.add_sources([
+        f"invoices={CHINOOK}/invoices.csv",
+        f"customers={CHINOOK}/customers.csv",
+        f"albums={CHINOOK}/albums.csv",
+    ])
+
+
+def test_golden_invoices_take5_nulls(engine):
+    # README.md:149-159 — exact rows incl. empty billing_state -> NULL
+    _refresh_csv_views(engine)
+    rows = engine.query("from invoices | sort invoice_id | take 5").collect()
+    assert [r.invoice_id for r in rows] == [1, 2, 3, 4, 5]
+    assert [r.billing_state for r in rows] == [None, None, None, "AB", "MA"]
+    assert [round(r.total, 2) for r in rows] == [1.98, 3.96, 5.94, 8.91, 13.86]
+    assert rows[0].billing_city == "Stuttgart"
+
+
+def test_golden_customer_totals_exact(engine):
+    # README.md:177-197 — exact ids and doubles; ties compared as sets
+    _refresh_csv_views(engine)
+    rows = engine.query(
+        "from invoices | group customer_id "
+        "(aggregate [customer_total = sum total]) "
+        "| sort [-customer_total, customer_id] | take 10"
+    ).collect()
+    got = {(r.customer_id, r.customer_total) for r in rows}
+    want = {
+        (6, 49.620000000000005), (26, 47.620000000000005), (57, 46.62),
+        (46, 45.62), (45, 45.62), (28, 43.620000000000005),
+        (37, 43.62), (24, 43.62), (7, 42.62), (25, 42.62),
+    }
+    assert got == want
+
+
+def test_golden_file_roundtrip_writers(tmp_path):
+    """README.md:171-196 flow: csv -> parquet (writer) -> aggregate ->
+    json (writer) -> read json -> golden top-10. Exercises the CLI
+    single-file parquet and NDJSON writers end to end."""
+    import pq
+
+    pq_file = str(tmp_path / "invoices.parquet")
+    js_file = str(tmp_path / "customer_totals.json")
+    assert pq.main(["-f", f"{CHINOOK}/invoices.csv", "-t", pq_file,
+                    "from invoices"]) == 0
+    assert pq.main(["-f", f"invoices={pq_file}", "-t", js_file,
+                    "from invoices | group customer_id (aggregate "
+                    "[customer_total = sum total])"]) == 0
+    from prql_query_spark.engine import PrqlEngine
+    from prql_query_spark.engine.session import get_spark
+
+    eng = PrqlEngine(get_spark("pytest"))
+    eng.add_sources([f"customer_totals={js_file}"])
+    rows = eng.query(
+        "from customer_totals | sort [-customer_total, customer_id] | take 3"
+    ).collect()
+    assert (rows[0].customer_id, rows[0].customer_total) == (6, 49.620000000000005)
+    assert rows[1].customer_total == 47.620000000000005
