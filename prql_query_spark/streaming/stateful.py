@@ -143,3 +143,101 @@ def stream_user_sessions(
         .queryName(queryName)
         .start()
     )
+
+
+def stream_running_totals(
+    spark,
+    events_path: str,
+    queryName: str = "pq_stream_totals",
+):
+    """Per-user running totals on the Spark 4 `transformWithStateInPandas`
+    API (typed ValueState, RocksDB-backed) — the modern replacement for
+    applyInPandasWithState used by the sessionizer above.
+
+    Emits (user_id, n, total) in Update mode each microbatch; state is one
+    fixed-size row per user, so it scales with |users|, not |events|.
+    Totals accumulate in integer cents so replays/batch comparisons are
+    exact.
+
+    Requires the `protobuf` package (the transformWithState worker
+    protocol is protobuf-based); raises a clear error when absent.
+    """
+    import os
+    import tempfile
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pip install protobuf); falling back to "
+            "applyInPandasWithState (stream_user_sessions) covers the "
+            "same stateful pattern without it"
+        ) from exc
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from prql_query_spark.engine.sources import load_parquet
+
+    state_schema = StructType([
+        StructField("n", LongType()), StructField("cents", LongType()),
+    ])
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ])
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (self._state.get() or (0, 0))
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(float(pdf["value"].sum()) * 100))
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [cents / 100.0]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    batch = load_parquet(spark, events_path)
+    raw_schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="pq_stream_")
+        os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
+        events_path = d
+    stream = spark.readStream.schema(raw_schema).parquet(events_path)
+    for name, field in zip(batch.schema.fieldNames(), batch.schema.fields):
+        raw = raw_schema[name].dataType
+        if raw != field.dataType and str(field.dataType) == "TimestampType()":
+            stream = stream.withColumn(
+                name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(), out_schema, "Update", "None"
+        )
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )

@@ -1125,3 +1125,48 @@ def test_transition_matrix_rows_sum_to_one(spark):
     got = {(r["prev_state"], r["state"]): (r["n"], r["p"]) for r in out}
     # a->b twice, b->a once, b->c once
     assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 0.5), ("b", "c"): (1, 0.5)}
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """transformWithStateInPandas running totals must equal the batch
+    groupBy on the same input (cents-exact, single microbatch here).
+    Skipped where the protobuf worker protocol dependency is absent —
+    the operator then raises a clear RuntimeError (asserted below)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from prql_query_spark.engine.sources import load_parquet
+    from prql_query_spark.streaming.stateful import stream_running_totals
+
+    path = f"{sf_dir}/events.parquet"
+    ev = load_parquet(spark, path)
+    want = {
+        (r["user_id"], r["n"], r["total"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             ((F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+              .cast("long") / 100.0).alias("total"))
+        .collect()
+    }
+    q = stream_running_totals(spark, path, queryName="t_twsip")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["n"], r["total"])
+            for r in spark.table("t_twsip").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want and len(want) > 0
+
+
+def test_transform_with_state_clear_error_without_protobuf(spark, sf_dir):
+    try:
+        import google.protobuf  # noqa: F401
+        pytest.skip("protobuf present — gated path not reachable")
+    except ImportError:
+        pass
+    from prql_query_spark.streaming.stateful import stream_running_totals
+
+    with pytest.raises(RuntimeError, match="protobuf"):
+        stream_running_totals(spark, f"{sf_dir}/events.parquet")
