@@ -2387,3 +2387,67 @@ SELECT prev_state, state, n,
        ROUND(n * 10000.0 / SUM(n) OVER (PARTITION BY prev_state)) / 10000 AS p
 FROM c
 """
+
+
+def _x_twa(spark, sf_dir):
+    """Time-weighted average event value per user."""
+    from prql_query_spark.operators.temporal import time_weighted_avg
+
+    return time_weighted_avg(_tbl(spark, sf_dir, "events"), "user_id")
+
+
+def _x_union_evolve(spark, sf_dir):
+    """Schema-drift union: v1 (subset, narrowed int) + v2 (extra column)
+    of part reconcile by name with numeric widening; aggregated per brand."""
+    from prql_query_spark.operators.reshape import union_evolve
+
+    part = _tbl(spark, sf_dir, "part")
+    v1 = part.select(
+        "p_partkey", "p_brand", F.col("p_size").cast("int").alias("p_size")
+    )
+    v2 = part.select(
+        "p_partkey", "p_brand",
+        F.col("p_size").cast("bigint").alias("p_size"),
+        F.col("p_retailprice").alias("p_price"),
+    )
+    u = union_evolve([v1, v2])
+    return (
+        u.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("p_size").alias("size_sum"),
+             F.sum(F.col("p_price").isNull().cast("int")).alias("n_null_price"),
+             F.round(F.sum(F.coalesce("p_price", F.lit(0.0))), 2).alias("price_sum"))
+    )
+
+
+EXTENSIONS["x_twa"] = _x_twa
+EXTENSIONS["x_union_evolve"] = _x_union_evolve
+
+EXTENSION_ORACLES["x_twa"] = """
+WITH s AS (
+    SELECT user_id, value,
+           LEAD(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - epoch(ts) AS dt
+    FROM events
+)
+SELECT user_id, COUNT(*) AS n_intervals,
+       ROUND(SUM(dt), 3) AS span_s,
+       ROUND(SUM(value * dt) / SUM(dt), 4) AS twa
+FROM s WHERE dt IS NOT NULL GROUP BY user_id
+"""
+
+EXTENSION_ORACLES["x_union_evolve"] = """
+WITH u AS (
+    SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size,
+           CAST(NULL AS DOUBLE) AS p_price
+    FROM part
+    UNION ALL
+    SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size,
+           p_retailprice AS p_price
+    FROM part
+)
+SELECT p_brand, COUNT(*) AS n, SUM(p_size) AS size_sum,
+       SUM(CASE WHEN p_price IS NULL THEN 1 ELSE 0 END) AS n_null_price,
+       ROUND(SUM(COALESCE(p_price, 0.0)), 2) AS price_sum
+FROM u GROUP BY p_brand
+"""

@@ -63,3 +63,48 @@ def json_field(col: Column, path: str, cast: str | None = None) -> Column:
     """Extract one field from a JSON-string column (`$.path` syntax)."""
     out = F.get_json_object(col, f"$.{path}")
     return out.cast(cast) if cast else out
+
+
+def union_evolve(dfs: list[DataFrame]) -> DataFrame:
+    """Union frames whose schemas drifted (the multi-day ingestion case):
+    columns are matched by name, missing columns become NULL, and numeric
+    types widen to the least common type (int -> bigint -> double) instead
+    of failing the union.
+
+    Pure metadata work on the driver + per-frame cast projections — no
+    shuffle at all; the union is a plan concatenation.
+    """
+    from pyspark.sql import functions as F
+
+    rank = {"int": 1, "bigint": 2, "float": 3, "double": 4}
+    target: dict[str, str] = {}
+    order: list[str] = []
+    for df in dfs:
+        for name, dtype in df.dtypes:
+            if name not in target:
+                target[name] = dtype
+                order.append(name)
+            elif dtype != target[name]:
+                a, b = target[name], dtype
+                if a in rank and b in rank:
+                    target[name] = a if rank[a] >= rank[b] else b
+                elif {a, b} == {"timestamp_ntz", "timestamp"}:
+                    target[name] = "timestamp"
+                else:
+                    raise ValueError(
+                        f"union_evolve: column {name!r} has irreconcilable "
+                        f"types {a} vs {b}"
+                    )
+    out = None
+    for df in dfs:
+        have = dict(df.dtypes)
+        cols = [
+            (F.col(c).cast(target[c]) if have[c] != target[c] else F.col(c))
+            .alias(c)
+            if c in have
+            else F.lit(None).cast(target[c]).alias(c)
+            for c in order
+        ]
+        part = df.select(*cols)
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -166,3 +166,36 @@ def resample_ffill(
         F.round(F.last("_v", ignorenulls=True).over(w), 4).alias("value_ff"),
         F.col("_v").isNull().alias("was_gap"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average per key for irregularly sampled series: each
+    sample is weighted by its holding time (seconds until the next
+    sample); the final sample has no interval and is excluded — the
+    standard finance/IoT aggregation where a plain AVG over-weights
+    bursts.
+
+    One shuffle (the per-key ordering); the weighted sums ride the same
+    sort.  Returns (key, n_intervals, span_s, twa).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, id_col)
+    e = F.col(ts_col).cast("timestamp").cast("double")
+    dt = F.lead(e).over(w) - e
+    step = df.select(
+        F.col(key), F.col(value_col).alias("_v"), dt.alias("_dt")
+    ).filter(F.col("_dt").isNotNull())
+    return (
+        step.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(F.sum("_dt"), 3).alias("span_s"),
+            F.round(F.sum(F.col("_v") * F.col("_dt")) / F.sum("_dt"), 4)
+             .alias("twa"),
+        )
+    )

@@ -1170,3 +1170,38 @@ def test_transform_with_state_clear_error_without_protobuf(spark, sf_dir):
 
     with pytest.raises(RuntimeError, match="protobuf"):
         stream_running_totals(spark, f"{sf_dir}/events.parquet")
+
+
+def test_union_evolve_widens_and_nulls(spark):
+    from prql_query_spark.operators.reshape import union_evolve
+
+    a = spark.createDataFrame([(1, 10)], "k long, v int")
+    b = spark.createDataFrame([(2, 2.5, "x")], "k long, v double, extra string")
+    u = union_evolve([a, b])
+    assert dict(u.dtypes) == {"k": "bigint", "v": "double", "extra": "string"}
+    rows = {r["k"]: (r["v"], r["extra"]) for r in u.collect()}
+    assert rows == {1: (10.0, None), 2: (2.5, "x")}
+
+    c = spark.createDataFrame([(1, "s")], "k long, v string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="irreconcilable"):
+        union_evolve([a, c])
+
+
+def test_time_weighted_avg_weights_by_holding_time(spark):
+    from datetime import datetime
+
+    from prql_query_spark.operators.temporal import time_weighted_avg
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 0, 0), 10.0),   # held 10s
+        (1, 2, datetime(2024, 1, 1, 0, 0, 10), 100.0),  # held 90s
+        (1, 3, datetime(2024, 1, 1, 0, 1, 40), 7.0),    # last, excluded
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    r = time_weighted_avg(ev, "user_id").collect()[0]
+    # (10*10 + 100*90) / 100 = 91.0 — a plain AVG would say 39.0
+    assert (r["n_intervals"], r["span_s"], r["twa"]) == (2, 100.0, 91.0)
