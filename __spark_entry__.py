@@ -2451,3 +2451,26 @@ SELECT p_brand, COUNT(*) AS n, SUM(p_size) AS size_sum,
        ROUND(SUM(COALESCE(p_price, 0.0)), 2) AS price_sum
 FROM u GROUP BY p_brand
 """
+
+
+def _x_ewma(spark, sf_dir):
+    """Final exponential moving average of value per user (alpha=0.2)."""
+    from prql_query_spark.operators.analytics import ewma_last
+
+    return ewma_last(_tbl(spark, sf_dir, "events"), alpha=0.2)
+
+
+EXTENSIONS["x_ewma"] = _x_ewma
+
+EXTENSION_ORACLES["x_ewma"] = """
+WITH t AS (
+    SELECT user_id, value AS v,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+)
+SELECT user_id, MAX(n) AS n,
+       ROUND(SUM(CASE WHEN rn = 1 THEN v * pow(0.8, n - rn)
+                      ELSE 0.2 * v * pow(0.8, n - rn) END), 4) AS ewma
+FROM t GROUP BY user_id
+"""

@@ -255,3 +255,39 @@ def transition_matrix(
         "prev_state", "state", "n",
         (F.round(F.col("n") * 10000.0 / total) / 10000).alias("p"),
     )
+
+
+def ewma_last(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Final EWMA per key (exponential smoothing, EWMA_1 = v_1), computed
+    in closed form instead of a sequential fold:
+
+        EWMA_n = (1-a)^(n-1) v_1 + a * sum_{i>=2} (1-a)^(n-i) v_i
+
+    so it is ONE window pass (row numbers) + one aggregation — no
+    iterative state, no UDF, and weights use (1-a)^(n-i) with n from a
+    partition count, so nothing overflows at any series length.
+    Returns (key, n, ewma).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, id_col)
+    wp = Window.partitionBy(key)
+    t = events.select(
+        F.col(key),
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wp).alias("_n"),
+    )
+    decay = F.pow(F.lit(1.0 - alpha), F.col("_n") - F.col("_rn"))
+    term = F.when(
+        F.col("_rn") == 1, F.col("_v") * decay
+    ).otherwise(F.lit(alpha) * F.col("_v") * decay)
+    return (
+        t.groupBy(key)
+        .agg(F.max("_n").alias("n"), F.round(F.sum(term), 4).alias("ewma"))
+    )

@@ -1205,3 +1205,22 @@ def test_time_weighted_avg_weights_by_holding_time(spark):
     r = time_weighted_avg(ev, "user_id").collect()[0]
     # (10*10 + 100*90) / 100 = 91.0 — a plain AVG would say 39.0
     assert (r["n_intervals"], r["span_s"], r["twa"]) == (2, 100.0, 91.0)
+
+
+def test_ewma_matches_sequential_fold(spark):
+    """Closed-form EWMA must equal the textbook sequential recurrence."""
+    from datetime import datetime
+
+    from prql_query_spark.operators.analytics import ewma_last
+
+    vals = [10.0, 20.0, 5.0, 40.0, 15.0]
+    rows = [(1, i, datetime(2024, 1, 1, 0, i), v) for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    a = 0.2
+    want = vals[0]
+    for v in vals[1:]:
+        want = a * v + (1 - a) * want
+    got = ewma_last(ev, alpha=a).collect()[0]
+    assert got["n"] == 5 and abs(got["ewma"] - want) < 1e-9
