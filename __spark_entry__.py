@@ -2474,3 +2474,64 @@ SELECT user_id, MAX(n) AS n,
                       ELSE 0.2 * v * pow(0.8, n - rn) END), 4) AS ewma
 FROM t GROUP BY user_id
 """
+
+
+def _x_equidepth(spark, sf_dir):
+    """10-quantile equi-depth histogram of order totals."""
+    from prql_query_spark.operators.analytics import equidepth_histogram
+
+    return equidepth_histogram(_tbl(spark, sf_dir, "orders"), "o_totalprice", 10)
+
+
+def _x_normalize_text(spark, sf_dir):
+    """Canonicalized text audit: docs whose normalized form differs, with
+    per-source counts and canonical-dedup effect."""
+    from prql_query_spark.operators.text import normalize_text
+
+    docs = _tbl(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", "source",
+        normalize_text(F.col("text")).alias("_n"), F.col("text"),
+    )
+    return (
+        n.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum((F.col("_n") != F.col("text")).cast("int")).alias("n_changed"),
+             F.countDistinct("_n").alias("n_distinct_norm"))
+    )
+
+
+EXTENSIONS["x_equidepth"] = _x_equidepth
+EXTENSIONS["x_normalize_text"] = _x_normalize_text
+
+EXTENSION_ORACLES["x_equidepth"] = """
+WITH t AS (
+    SELECT o_totalprice AS v,
+           ntile(10) OVER (ORDER BY o_totalprice ASC) AS bucket
+    FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT bucket, COUNT(*) AS n,
+       ROUND(MIN(v), 4) AS lo, ROUND(MAX(v), 4) AS hi
+FROM t GROUP BY bucket
+"""
+
+
+def _normalize_oracle() -> str:
+    from prql_query_spark.operators.text import ACCENT_DST, ACCENT_SRC
+
+    return f"""
+WITH n AS (
+    SELECT doc_id, source, text,
+           trim(regexp_replace(
+               translate(lower(text), '{ACCENT_SRC}', '{ACCENT_DST}'),
+               '\\s+', ' ', 'g')) AS nt
+    FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN nt <> text THEN 1 ELSE 0 END) AS n_changed,
+       COUNT(DISTINCT nt) AS n_distinct_norm
+FROM n GROUP BY source
+"""
+
+
+EXTENSION_ORACLES["x_normalize_text"] = _normalize_oracle()

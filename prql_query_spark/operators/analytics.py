@@ -291,3 +291,25 @@ def ewma_last(
         t.groupBy(key)
         .agg(F.max("_n").alias("n"), F.round(F.sum(term), 4).alias("ewma"))
     )
+
+
+def equidepth_histogram(
+    df: DataFrame, value_col: str, buckets: int = 10
+) -> DataFrame:
+    """Equi-depth (quantile) histogram: `buckets` groups of ~equal row
+    count with their value ranges — the summary that stays informative on
+    skewed distributions where equi-width collapses into one bar.
+
+    ntile over a global sort; for 100 TB swap in approx percentile cuts
+    and a bucket join — the output contract is identical.
+    """
+    w = Window.orderBy(F.col(value_col).asc())
+    t = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("_v"), F.ntile(buckets).over(w).alias("bucket")
+    )
+    return (
+        t.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.min("_v"), 4).alias("lo"),
+             F.round(F.max("_v"), 4).alias("hi"))
+    )

@@ -619,3 +619,18 @@ def pack_sequences(
         "n_tokens",
         F.ceil(F.col("_cum") / F.lit(capacity)).cast("long").alias("bin"),
     )
+
+
+# accent fold table shared verbatim with the DuckDB oracle (translate is
+# 1:1 codepoint mapping in both engines)
+ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõúùûüýÿçñ"
+ACCENT_DST = "aaaaaaeeeeiiiioooooouuuuyycn"
+
+
+def normalize_text(text_col: Column) -> Column:
+    """Corpus canonicalization: lowercase, fold common Latin accents
+    (shared 1:1 table), collapse whitespace runs, trim.  All JVM string
+    builtins — narrow, codegen'd, shuffle-free."""
+    t = F.lower(text_col)
+    t = F.translate(t, ACCENT_SRC, ACCENT_DST)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

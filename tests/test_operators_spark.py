@@ -1224,3 +1224,21 @@ def test_ewma_matches_sequential_fold(spark):
         want = a * v + (1 - a) * want
     got = ewma_last(ev, alpha=a).collect()[0]
     assert got["n"] == 5 and abs(got["ewma"] - want) < 1e-9
+
+
+def test_normalize_text_folds_and_collapses(spark):
+    from prql_query_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([("  Café   NAÏVE\tZürich  ",)], "text string")
+    got = df.select(normalize_text(F.col("text")).alias("n")).collect()[0]["n"]
+    assert got == "cafe naive zurich"
+
+
+def test_equidepth_buckets_are_balanced(spark):
+    from prql_query_spark.operators.analytics import equidepth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    rows = equidepth_histogram(df, "x", buckets=4).collect()
+    assert sorted(r["n"] for r in rows) == [25, 25, 25, 25]
+    b = {r["bucket"]: (r["lo"], r["hi"]) for r in rows}
+    assert b[1] == (0.0, 24.0) and b[4] == (75.0, 99.0)
