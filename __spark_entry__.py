@@ -2535,3 +2535,37 @@ FROM n GROUP BY source
 
 
 EXTENSION_ORACLES["x_normalize_text"] = _normalize_oracle()
+
+
+def _x_scale_minmax(spark, sf_dir):
+    """Min-max scaled event values per event_type, summarized."""
+    from prql_query_spark.operators.quality import scale_minmax
+
+    ev = _tbl(spark, sf_dir, "events")
+    s = scale_minmax(ev, "value", by="event_type")
+    return (
+        s.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.min("value_s"), 6).alias("min_s"),
+             F.round(F.max("value_s"), 6).alias("max_s"),
+             F.round(F.avg("value_s"), 4).alias("avg_s"))
+    )
+
+
+EXTENSIONS["x_scale_minmax"] = _x_scale_minmax
+
+EXTENSION_ORACLES["x_scale_minmax"] = """
+WITH s AS (
+    SELECT event_type,
+           CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.5
+                ELSE (value - MIN(value) OVER w)
+                     / (MAX(value) OVER w - MIN(value) OVER w) END AS vs
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, COUNT(*) AS n,
+       ROUND(MIN(ROUND(vs, 6)), 6) AS min_s,
+       ROUND(MAX(ROUND(vs, 6)), 6) AS max_s,
+       ROUND(AVG(ROUND(vs, 6)), 4) AS avg_s
+FROM s GROUP BY event_type
+"""

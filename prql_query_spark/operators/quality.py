@@ -158,3 +158,24 @@ def table_diff(
         .otherwise("unchanged")
     )
     return joined.select(F.col(key), status.alias("status"))
+
+
+def scale_minmax(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group min-max feature scaling to [0, 1] (0.5 for constant
+    groups, NULL passes through) — completes the prep trio with
+    `winsorize` and `impute_mean`.  One window shuffle, no join-back.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or f"{value_col}_s"
+    w = Window.partitionBy(by)
+    lo, hi = F.min(value_col).over(w), F.max(value_col).over(w)
+    scaled = F.when(hi == lo, F.lit(0.5)).otherwise(
+        (F.col(value_col) - lo) / (hi - lo)
+    )
+    return df.withColumn(out_col, F.round(scaled, 6))

@@ -1242,3 +1242,14 @@ def test_equidepth_buckets_are_balanced(spark):
     assert sorted(r["n"] for r in rows) == [25, 25, 25, 25]
     b = {r["bucket"]: (r["lo"], r["hi"]) for r in rows}
     assert b[1] == (0.0, 24.0) and b[4] == (75.0, 99.0)
+
+
+def test_scale_minmax_bounds_and_constant_group(spark):
+    from prql_query_spark.operators.quality import scale_minmax
+
+    rows = [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {(r["grp"], r["v"]): r["v_s"] for r in scale_minmax(df, "v", by="grp").collect()}
+    assert got[("a", 10.0)] == 0.0 and got[("a", 30.0)] == 1.0
+    assert got[("a", 20.0)] == 0.5
+    assert got[("b", 5.0)] == 0.5  # constant group
