@@ -2244,6 +2244,7 @@ EXTENSION_ORACLES["x_chunk_docs"] = """
 WITH t AS (
     SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
     FROM documents
+    WHERE length(trim(text)) > 0
 ), n AS (
     SELECT doc_id, toks,
            CAST(greatest(ceil((len(toks) - 64) / 48.0) + 1, 1) AS INTEGER) AS nc

@@ -51,7 +51,13 @@ WINDOW_FNS = {
 # first/last in PRQL take 1 arg; normalize to templates above with dummy slot
 SCALAR_FNS = {
     "abs": "ABS({0})", "floor": "FLOOR({0})", "ceil": "CEIL({0})",
-    "round": "ROUND({1}, {0})", "sqrt": "SQRT({0})", "ln": "LN({0})",
+    # round goes through exact DECIMAL so both engines apply the same
+    # HALF_UP at the same digit: ROUND(double) diverges by one ulp between
+    # Spark (BigDecimal of the shortest repr) and DuckDB (binary FP) when a
+    # value sits on a .5*10^-n boundary — the one driver-red cell of round 1.
+    # Same convention as the cents-exact averages (commit 22bc6e4).
+    "round": "CAST(ROUND(CAST({1} AS DECIMAL(38,12)), {0}) AS DOUBLE)",
+    "sqrt": "SQRT({0})", "ln": "LN({0})",
     "lower": "LOWER({0})", "upper": "UPPER({0})", "length": "LENGTH({0})",
     "trim": "TRIM({0})", "ltrim": "LTRIM({0})", "rtrim": "RTRIM({0})",
     "coalesce": "COALESCE({0}, {1})", "isnull": "({0} IS NULL)",

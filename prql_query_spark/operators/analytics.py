@@ -63,8 +63,11 @@ def anomaly_zscore(
     threshold: float = 2.0,
 ) -> DataFrame:
     """Flag (key, day) buckets whose daily total deviates > `threshold`
-    sigma from the trailing `trailing`-day mean (current day EXCLUDED from
-    the baseline, so a spike cannot mask itself).
+    sigma from the mean of the trailing `trailing` OBSERVED days (a ROWS
+    frame over the key's daily buckets — gap days don't count toward the
+    window, so for sparse keys the baseline can span more than `trailing`
+    calendar days).  Current day EXCLUDED from the baseline, so a spike
+    cannot mask itself.
 
     Rows with fewer than 2 trailing observations have undefined stddev and
     are never flagged (NULL z, filtered out) — identical in both engines.

@@ -557,7 +557,10 @@ def chunk_documents(
     JVM-side slice/posexplode — narrow plan, no shuffle at all: chunking
     pipelines into the scan and whatever follows.  stride < chunk_tokens
     gives overlap; the last partial chunk is kept (training pads it).
+    Blank/whitespace-only docs produce no chunks (same 0-for-empty
+    convention as token_count — split('') would otherwise yield ['']).
     """
+    df = df.filter(F.length(F.trim(F.col(text_col))) > 0)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n_chunks = F.greatest(
         F.ceil((F.size("_toks") - F.lit(chunk_tokens))
@@ -594,8 +597,10 @@ def pack_sequences(
     """Assign documents to fixed-capacity training bins by running token
     count (deterministic first-fit-in-order sequence packing): bin k holds
     the docs whose cumulative token count lands in (k*capacity,
-    (k+1)*capacity].  Docs longer than capacity get bins to themselves
-    (chunk first if that matters).
+    (k+1)*capacity].  A doc longer than capacity spills across bin
+    boundaries: it lands in the ceil-bucket of its own cumulative end, and
+    a following doc may share that bin (first-fit-by-cumulative-count does
+    NOT isolate oversized docs — chunk first if strict caps matter).
 
     Returns (id, n_tokens, bin).  One window shuffle (per shard — pass
     shard_col to parallelize the ordering at 100 TB; packing is then
@@ -624,7 +629,11 @@ def pack_sequences(
 # accent fold table shared verbatim with the DuckDB oracle (translate is
 # 1:1 codepoint mapping in both engines)
 ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõúùûüýÿçñ"
-ACCENT_DST = "aaaaaaeeeeiiiioooooouuuuyycn"
+ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyycn"
+# translate() maps positionally: any length drift silently mis-folds every
+# char after the drift point (round-1 bug: a 6-char 'o' run shifted ú→o,
+# ý→u, ç→y, ñ→c).
+assert len(ACCENT_SRC) == len(ACCENT_DST), (len(ACCENT_SRC), len(ACCENT_DST))
 
 
 def normalize_text(text_col: Column) -> Column:

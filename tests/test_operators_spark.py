@@ -1234,6 +1234,23 @@ def test_normalize_text_folds_and_collapses(spark):
     assert got == "cafe naive zurich"
 
 
+def test_normalize_text_full_accent_table(spark):
+    # Regression: a 28-vs-27 length drift in ACCENT_DST once mis-folded
+    # everything after the 'o' run (señor -> secor).  Exercise every row
+    # of the table, especially the tail (ú ý ç ñ).
+    from prql_query_spark.operators.text import (
+        ACCENT_DST, ACCENT_SRC, normalize_text,
+    )
+
+    assert len(ACCENT_SRC) == len(ACCENT_DST)
+    df = spark.createDataFrame(
+        [("señor crème brûlée ñoño úti ýolo çade àâäãå òôöõ ùû ìîï ÿ",)],
+        "text string",
+    )
+    got = df.select(normalize_text(F.col("text")).alias("n")).collect()[0]["n"]
+    assert got == "senor creme brulee nono uti yolo cade aaaaa oooo uu iii y"
+
+
 def test_equidepth_buckets_are_balanced(spark):
     from prql_query_spark.operators.analytics import equidepth_histogram
 

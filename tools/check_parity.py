@@ -33,6 +33,10 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # PQ_EXACT=1 mimics the driver's exact value hash (no tolerance);
+        # default keeps a 9-decimal tolerance for float-noise-only diffs.
+        if os.environ.get("PQ_EXACT"):
+            return v
         return round(v, 9)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
