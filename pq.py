@@ -44,8 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--to", default=None, help="file to write TO, else stdout")
     p.add_argument("-d", "--database", default=None,
                    help="database to connect to (duckdb://, sqlite://)")
-    p.add_argument("-b", "--backend", default="auto",
-                   choices=["auto", "spark"], help="engine backend")
+    p.add_argument("-b", "--backend", default=None,
+                   choices=["auto", "spark", "datafusion", "duckdb"],
+                   help="engine backend (datafusion/duckdb accepted for "
+                        "reference-CLI compat, mapped to spark)")
     p.add_argument("--no-exec", action="store_true",
                    help="only generate SQL without executing")
     p.add_argument("--format", default=None,
@@ -63,6 +65,21 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     _load_dotenv()
     args = build_parser().parse_args(argv)
+
+    # -b/--backend + PQ_BACKEND compat (reference src/main.rs:52-53,83-88):
+    # the reference accepts datafusion|duckdb; here both map to the one
+    # available engine with a warning instead of an argparse error, so
+    # existing scripts keep running.
+    backend = args.backend or _env("PQ_BACKEND", "auto")
+    if backend in ("datafusion", "duckdb"):
+        print(
+            f"warning: backend '{backend}' is not available in "
+            "prql-query-spark; running on spark",
+            file=sys.stderr,
+        )
+    elif backend not in ("auto", "spark"):
+        print(f"Error (args): unknown backend '{backend}'", file=sys.stderr)
+        return 1
 
     frm = args.frm if args.frm is not None else (
         _env("PQ_FROM").split(",") if _env("PQ_FROM") else []

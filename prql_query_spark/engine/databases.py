@@ -12,13 +12,18 @@ topology the reference uses (its DuckDB backend runs in-process too) and is
 the right call for the CLI's "query my .duckdb file" use; a cluster-scale
 source should be parquet/JDBC instead, which `load_*`/`read_source` cover.
 
-PostgreSQL needs a live server plus a JDBC driver on the Spark classpath —
-neither exists in this container, so it raises a clear error naming the
-`spark.read.jdbc` path (mirrors how the reference degrades without its
-postgres_scanner extension, duckdb.rs:84-107).
+PostgreSQL attaches over `spark.read.jdbc` — the cluster-correct path (the
+JDBC relation supports predicate pushdown and partitioned reads, unlike the
+reference's in-process postgres_scanner, duckdb.rs:84-107).  The reference's
+`?currentSchema=` handling (duckdb.rs:87-99, default `public`) is mirrored.
+Without the postgres JDBC driver jar on the Spark classpath the attach
+degrades to a clear `DatabaseError` naming the jar, exactly like the
+reference degrades without its postgres_scanner extension.
 """
 
 from __future__ import annotations
+
+from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,22 +35,61 @@ class DatabaseError(Exception):
 def attach_database(spark: SparkSession, url: str) -> list[str]:
     """Register every table of `url` as a temp view; returns the names.
 
-    Schemes: duckdb://path, sqlite://path, postgresql://… (clear error).
+    Schemes: duckdb://path, sqlite://path, postgresql://user:pw@host/db.
     """
     if url.startswith("duckdb://"):
         return _attach_duckdb(spark, url[len("duckdb://"):])
     if url.startswith("sqlite://"):
         return _attach_sqlite(spark, url[len("sqlite://"):])
     if url.startswith(("postgresql://", "postgres://")):
-        raise DatabaseError(
-            "postgresql:// needs a running server and a JDBC driver on the "
-            "Spark classpath (spark.read.jdbc(url, table)); neither is "
-            "available here. Export to parquet or use duckdb:///sqlite://."
-        )
+        return _attach_postgres(spark, url)
     raise DatabaseError(
         f"unsupported database url {url!r} (expected duckdb://, sqlite:// "
         "or postgresql://)"
     )
+
+
+def pg_jdbc_parts(url: str) -> tuple[str, dict, str]:
+    """postgresql://user:pw@host:port/db?currentSchema=s ->
+    (jdbc url, connection properties, schema).  Pure so it is unit-testable
+    without a server; schema defaults to `public` like the reference
+    (duckdb.rs:87-99)."""
+    u = urlparse(url)
+    host = u.hostname or "localhost"
+    port = u.port or 5432
+    db = (u.path or "/").lstrip("/")
+    props = {"driver": "org.postgresql.Driver"}
+    if u.username:
+        props["user"] = u.username
+    if u.password:
+        props["password"] = u.password
+    schema = parse_qs(u.query).get("currentSchema", ["public"])[0]
+    return f"jdbc:postgresql://{host}:{port}/{db}", props, schema
+
+
+def _attach_postgres(spark: SparkSession, url: str) -> list[str]:
+    jdbc_url, props, schema = pg_jdbc_parts(url)
+    tables_q = (
+        "(SELECT table_name FROM information_schema.tables "
+        f"WHERE table_schema = '{schema}' AND table_type = 'BASE TABLE') AS t"
+    )
+    try:
+        names = [
+            r[0] for r in spark.read.jdbc(jdbc_url, tables_q, properties=props)
+            .collect()
+        ]
+        for t in names:
+            _register(
+                spark, t,
+                spark.read.jdbc(jdbc_url, f'"{schema}"."{t}"', properties=props),
+            )
+        return sorted(names)
+    except Exception as e:  # ClassNotFound (driver jar) or connection failure
+        raise DatabaseError(
+            f"cannot attach {jdbc_url}: {e}. spark.read.jdbc needs the "
+            "postgresql JDBC driver jar (org.postgresql:postgresql) on the "
+            "Spark classpath (spark.jars.packages) and a reachable server."
+        ) from e
 
 
 def _register(spark: SparkSession, name: str, df: DataFrame) -> None:

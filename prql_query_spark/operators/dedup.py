@@ -340,13 +340,38 @@ def simhash(text_col_name: str, bits: int = 64) -> Column:
     return F.expr(packed)
 
 
+def _token_hash_sql(text_col: str, hash_fn: str) -> str:
+    """SQL expr producing the per-token 64-bit hash array.
+
+    ``xxhash64`` is the scale path (one JVM hash per token, zero
+    allocation).  ``md5_60`` is the portable twin — the low 60 bits of
+    md5's hex form via CONV — chosen because DuckDB computes the identical
+    value (md5 hex is engine-independent), which makes the whole simhash
+    pipeline expressible as an oracle query.  Only the base hash differs;
+    voting/packing/blocking logic is shared.
+    """
+    toks = f"split(trim(lower(`{text_col}`)), '\\\\s+')"
+    if hash_fn == "xxhash64":
+        return f"transform({toks}, t -> xxhash64(t))"
+    if hash_fn == "md5_60":
+        return (
+            f"transform({toks}, "
+            "t -> CAST(CONV(SUBSTR(MD5(t), 1, 15), 16, 10) AS BIGINT))"
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64|md5_60)")
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    max_hamming: int = 3, blocks: int = 4,
+    max_hamming: int = 3, blocks: int = 4, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash with block-permutation blocking: split the
     64-bit hash into `blocks` segments; by pigeonhole, pairs within
     max_hamming <= blocks-1 share at least one exact segment — join on it.
+
+    NOTE: blocking is exhaustive only for max_hamming <= blocks-1; larger
+    thresholds trade recall for fewer blocks (document the recall drop or
+    raise `blocks`).
     """
     seg_bits = 64 // blocks
     # stage the token-hash array in its own projection so the split+hash runs
@@ -366,9 +391,7 @@ def simhash_pairs(
         _spread(df)
         .select(
             F.col(id_col).alias("_id"),
-            F.expr(
-                f"transform(split(trim(lower(`{text_col}`)), '\\\\s+'), t -> xxhash64(t))"
-            ).alias("_th"),
+            F.expr(_token_hash_sql(text_col, hash_fn)).alias("_th"),
         )
         .select("_id", F.expr(packed).alias("_sh"))
     )

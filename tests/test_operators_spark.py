@@ -133,12 +133,37 @@ def test_multimodal_roundtrip(docs):
     assert frames.count() >= 20
 
 
-def test_multimodal_real_decode_raises(docs):
+def test_multimodal_real_decode_parses_png_dims(docs):
     from prql_query_spark.operators.multimodal import extract_features, synthesize_media
 
-    media = synthesize_media(docs.limit(1), "doc_id", "text")
-    with pytest.raises(Exception):  # NotImplementedError inside the task
-        extract_features(media, use_real_decode=True).collect()
+    media = synthesize_media(docs.limit(20), "doc_id", "text")
+    rows = extract_features(media, use_real_decode=True).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.format == "png"
+        assert r.width == r.media_id % 640 + 1
+        assert r.height == (r.media_id * 7) % 480 + 1
+
+
+def test_decode_image_meta_formats():
+    from prql_query_spark.operators.multimodal import (
+        _decode_pixels, decode_image_meta,
+    )
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + (320).to_bytes(4, "big") + (200).to_bytes(4, "big")
+           + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
+    assert decode_image_meta(png) == ("png", 320, 200)
+    # JPEG: SOI, APP0 segment (skipped), SOF0 with height=7, width=9
+    jpeg = (b"\xff\xd8" + b"\xff\xe0\x00\x04\x4a\x46"
+            + b"\xff\xc0\x00\x11\x08" + (7).to_bytes(2, "big")
+            + (9).to_bytes(2, "big") + b"\x03" + b"\x00" * 10)
+    assert decode_image_meta(jpeg) == ("jpeg", 9, 7)
+    gif = b"GIF89a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little") + b"\x00" * 4
+    assert decode_image_meta(gif) == ("gif", 12, 34)
+    assert decode_image_meta(b"plain text") == ("unknown", None, None)
+    with pytest.raises(NotImplementedError):
+        _decode_pixels(png)  # pixel tier still needs PIL, by design
 
 
 def test_events_batch_windows(spark, sf_dir):
@@ -1130,15 +1155,23 @@ def test_transition_matrix_rows_sum_to_one(spark):
 def test_transform_with_state_running_totals(spark, sf_dir):
     """transformWithStateInPandas running totals must equal the batch
     groupBy on the same input (cents-exact, single microbatch here).
-    Skipped where the protobuf worker protocol dependency is absent —
-    the operator then raises a clear RuntimeError (asserted below)."""
-    pytest.importorskip("google.protobuf")
-    from pyspark.sql import functions as F
-
-    from prql_query_spark.engine.sources import load_parquet
+    Where the protobuf worker-protocol dependency is absent, the operator's
+    documented gating RuntimeError is asserted instead — either way the
+    contract is exercised, never skipped."""
     from prql_query_spark.streaming.stateful import stream_running_totals
 
     path = f"{sf_dir}/events.parquet"
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stream_running_totals(spark, path)
+        return
+
+    from pyspark.sql import functions as F
+
+    from prql_query_spark.engine.sources import load_parquet
+
     ev = load_parquet(spark, path)
     want = {
         (r["user_id"], r["n"], r["total"])
@@ -1158,18 +1191,6 @@ def test_transform_with_state_running_totals(spark, sf_dir):
     finally:
         q.stop()
     assert got == want and len(want) > 0
-
-
-def test_transform_with_state_clear_error_without_protobuf(spark, sf_dir):
-    try:
-        import google.protobuf  # noqa: F401
-        pytest.skip("protobuf present — gated path not reachable")
-    except ImportError:
-        pass
-    from prql_query_spark.streaming.stateful import stream_running_totals
-
-    with pytest.raises(RuntimeError, match="protobuf"):
-        stream_running_totals(spark, f"{sf_dir}/events.parquet")
 
 
 def test_union_evolve_widens_and_nulls(spark):
