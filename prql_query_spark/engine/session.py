@@ -20,14 +20,14 @@ def get_spark(app_name: str = "prql-query-spark",
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(os.environ.get("PQ_SHUFFLE_PARTITIONS", cpus))
-    # Local mode reads small files: shrink the scan split so all cores get
-    # work (a 10 MB parquet is one task under the 128 MB default, 2x slower
-    # end-to-end).  On a real cluster (non-local master) Spark's defaults
-    # are correct for 100 TB inputs and are left untouched.
-    max_part = os.environ.get(
-        "PQ_MAX_PARTITION_BYTES",
-        str(8 * 1024 * 1024) if master.startswith("local") else None,
-    )
+    # Scan split size stays at Spark's 128 MB default: the local testdata
+    # parquet files are SINGLE-row-group, so sub-file splits cannot add scan
+    # parallelism — they only schedule empty tasks (interleaved A/B at
+    # sf0.1: 8 MB splits measured ~5% slower than 128 MB across the
+    # headline queries).  Operators that need CPU parallelism on small
+    # inputs get it from _spread()/repartition, not from splits.  The env
+    # knob remains for genuinely multi-row-group local files.
+    max_part = os.environ.get("PQ_MAX_PARTITION_BYTES")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
