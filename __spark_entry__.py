@@ -631,11 +631,21 @@ def _x_cosine_lsh(spark, sf_dir):
 
 
 def _x_cosine_ivf(spark, sf_dir):
+    """IVF with PROVIDED cells (anchors = the 16 lowest vec_ids) — the
+    production shape where centroids are trained offline and shipped as
+    literals.  Assignment/probe/rerank mechanics are identical to the
+    KMeans-trained path (pytest-covered) but fully value-checkable: the
+    oracle recomputes the same anchor cells in SQL.  Driver holds only
+    n_cells x dim floats, as at scale."""
     from prql_query_spark.operators.similarity import cosine_topk_ivf
 
     emb = _tbl(spark, sf_dir, "embeddings")
+    anchors = [
+        r.embedding
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
     queries_df = emb.filter(F.col("vec_id") < 5)
-    out = cosine_topk_ivf(emb, queries_df, k=10, n_cells=16, n_probe=4)
+    out = cosine_topk_ivf(emb, queries_df, k=10, n_probe=4, centroids=anchors)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
@@ -946,8 +956,10 @@ EXTENSIONS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     4 blocks is pigeonhole-exhaustive, so equality is structural.
 #   * hyperplane LSH — hyperplanes are seeded numpy; the oracle embeds the
 #     same constants as literals (generated below, not hand-copied).
-# Still rows-only by design: x_cosine_ivf (KMeans training has no SQL
-# twin), x_multimodal_frames (byte-plumbing stub).
+#   * IVF — the driver query uses provided anchor cells (16 lowest
+#     vec_ids), so cell assignment is recomputable in SQL; the
+#     KMeans-trained path stays pytest-covered.
+# Rows-only by design: none — every queries() entry has a value oracle.
 
 # Shared verified-pair CTE body (threshold 0.6, k=5 shingles).
 _MINHASH_VP_CTE = """
@@ -1074,6 +1086,32 @@ WITH m AS (SELECT doc_id AS media_id,
            FROM documents)
 SELECT media_id, CAST(i AS INT) AS frame_idx, CAST(i * 64 AS INT) AS byte_offset
 FROM m, unnest(range(0, greatest(CAST(floor(nb / 64.0) AS INT) - 1, 0) + 1)) AS r(i)
+""",
+    "x_cosine_ivf": """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM emb WHERE vec_id < 16),
+ranked_cells AS (
+  SELECT e.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS crk
+  FROM emb e CROSS JOIN cells c
+),
+corpus_cell AS (SELECT vec_id, cell FROM ranked_cells WHERE crk = 1),
+query_cells AS (SELECT vec_id, cell FROM ranked_cells WHERE crk <= 4 AND vec_id < 5),
+cand AS (
+  SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id
+  FROM query_cells q JOIN corpus_cell cc ON cc.cell = q.cell
+  WHERE cc.vec_id <> q.vec_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, list_cosine_similarity(ce.v, qe.v) AS c
+  FROM cand JOIN emb ce ON ce.vec_id = cand.neighbor_id
+            JOIN emb qe ON qe.vec_id = cand.query_id),
+ranked AS (SELECT query_id, neighbor_id, c,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
+           FROM scored)
+SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rk AS INT) AS rank
+FROM ranked WHERE rk <= 10
 """,
     "x_dedup_exact": """
 SELECT doc_id, text, lang, source, n_chars FROM (

@@ -173,9 +173,9 @@ def rolling_distinct(
     unions the sets across a RANGE frame in day units — gap days are
     handled by the range frame, not assumed contiguous.  The final window
     is a single ordered pass over |days| rows (kilobytes at any corpus
-    size).  At 100 TB the per-day sets themselves get large: swap
-    collect_set for an HLL sketch union (approx_count_distinct) — the
-    plan shape is identical.
+    size).  At 100 TB the per-day sets themselves get large: use
+    `rolling_distinct_approx` (same plan shape, constant-size HLL
+    sketches instead of user-id sets).
     """
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
     daily = events.select(day.alias("_d"), F.col(user_col).alias("_u")).distinct()
@@ -190,6 +190,38 @@ def rolling_distinct(
         F.size(
             F.array_distinct(F.flatten(F.collect_list("_s").over(w)))
         ).alias(f"n_users_{days}d"),
+    )
+
+
+def rolling_distinct_approx(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    days: int = 7,
+    lg_k: int = 12,
+) -> DataFrame:
+    """The 100 TB path of `rolling_distinct`: per-day HLL sketches
+    (Datasketches `hll_sketch_agg`, ~2.5 KB at lg_k=12 regardless of
+    cardinality) unioned across the same RANGE frame, then estimated.
+    Identical plan shape — per-day pre-aggregation, one day-ordered window
+    — but state per day is a constant-size sketch instead of a user-id
+    set, so a 10-billion-user day costs the same kilobytes as a small one.
+    Standard error ~1.04/sqrt(2^lg_k) ≈ 1.6% at the default.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    per_day = (
+        events.select(day.alias("_d"), F.col(user_col).alias("_u"))
+        .groupBy("_d")
+        .agg(F.expr(f"hll_sketch_agg(_u, {lg_k})").alias("_sk"))
+    )
+    dayn = F.datediff(F.col("_d"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(dayn).rangeBetween(-(days - 1), Window.currentRow)
+    return per_day.select(
+        F.col("_d").alias("day"),
+        F.expr("hll_union_agg(_sk)").over(w).alias("_uni"),
+    ).select(
+        F.col("day"),
+        F.expr("hll_sketch_estimate(_uni)").cast("long").alias(f"n_users_{days}d"),
     )
 
 
@@ -303,8 +335,9 @@ def equidepth_histogram(
     count with their value ranges — the summary that stays informative on
     skewed distributions where equi-width collapses into one bar.
 
-    ntile over a global sort; for 100 TB swap in approx percentile cuts
-    and a bucket join — the output contract is identical.
+    ntile over a global sort — exact, but single-task at the sort; for
+    100 TB use `equidepth_histogram_approx` (same output contract, approx
+    cuts, no global sort).
     """
     w = Window.orderBy(F.col(value_col).asc())
     t = df.filter(F.col(value_col).isNotNull()).select(
@@ -312,6 +345,36 @@ def equidepth_histogram(
     )
     return (
         t.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.min("_v"), 4).alias("lo"),
+             F.round(F.max("_v"), 4).alias("hi"))
+    )
+
+
+def equidepth_histogram_approx(
+    df: DataFrame, value_col: str, buckets: int = 10, accuracy: int = 10000
+) -> DataFrame:
+    """The 100 TB path of `equidepth_histogram`: ntile needs a GLOBAL sort
+    through one task, which does not scale; this computes approx quantile
+    cuts in one aggregate (Greenwald-Khanna, error ≤ 1/accuracy of rank),
+    broadcasts the ≤buckets cut points back as a literal array, and bucket-
+    assigns with a narrow projection — no global sort anywhere.  Same
+    output contract (bucket, n, lo, hi); bucket populations are equal to
+    within the sketch's rank error.
+    """
+    v = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("_v")
+    )
+    fracs = [i / buckets for i in range(1, buckets)]
+    cuts = v.agg(
+        F.percentile_approx("_v", fracs, accuracy).alias("c")
+    ).collect()[0]["c"]
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + F.when(F.col("_v") > float(c), 1).otherwise(0)
+    return (
+        v.select("_v", bucket.alias("bucket"))
+        .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.min("_v"), 4).alias("lo"),
              F.round(F.max("_v"), 4).alias("hi"))

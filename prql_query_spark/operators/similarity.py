@@ -108,6 +108,7 @@ def cosine_topk_ivf(
     train_fraction: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: k-means cells
     trained on a corpus sample, each corpus vector assigned to its nearest
@@ -118,15 +119,25 @@ def cosine_topk_ivf(
     probing are pure JVM expressions; the candidate join is an equi-join on
     cell id.  Versus LSH the cells adapt to the data distribution, so
     recall at equal candidate count is higher on clustered corpora.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(array_to_vector(_normalize(F.col(vec_col))).alias("features"))
-    if train_fraction < 1.0:
-        train = train.sample(fraction=train_fraction, seed=42)
-    model = KMeans(k=n_cells, seed=42, maxIter=20).fit(train)
-    centers = [c.tolist() for c in model.clusterCenters()]
+    ``centroids`` (list of dim-length float lists) skips training and uses
+    the given cell centers — the common production shape where cells are
+    trained once offline (or anchors are picked by rule) and reused across
+    index builds.  Everything downstream of training is identical.
+    """
+    if centroids is not None:
+        centers = [list(map(float, c)) for c in centroids]
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = corpus.select(
+            array_to_vector(_normalize(F.col(vec_col))).alias("features")
+        )
+        if train_fraction < 1.0:
+            train = train.sample(fraction=train_fraction, seed=42)
+        model = KMeans(k=n_cells, seed=42, maxIter=20).fit(train)
+        centers = [c.tolist() for c in model.clusterCenters()]
 
     def cell_dists(vec: Column) -> Column:
         # negative dot with each centroid (unit sphere: max dot = min dist),

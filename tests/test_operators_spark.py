@@ -423,6 +423,25 @@ def test_ann_recall_clustered(clustered_emb):
     assert len(exact & lsh) / len(exact) >= 0.7
 
 
+def test_ivf_provided_centroids_full_probe_is_exact(clustered_emb):
+    """With provided centroids and n_probe = n_cells, every cell is probed,
+    so IVF must return exactly the brute-force top-k (the approximation
+    comes ONLY from probing fewer cells — a structural property worth
+    pinning).  Also proves the provided-centroids path needs no pyspark.ml
+    training."""
+    from prql_query_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+
+    q = clustered_emb.filter(F.col("vec_id") < 6)
+    anchors = [r.embedding for r in
+               clustered_emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    exact = {(r.query_id, r.neighbor_id, r.rank)
+             for r in cosine_topk(clustered_emb, q, k=10).collect()}
+    ivf = {(r.query_id, r.neighbor_id, r.rank)
+           for r in cosine_topk_ivf(clustered_emb, q, k=10, n_probe=8,
+                                    centroids=anchors).collect()}
+    assert ivf == exact
+
+
 def test_pivot_unpivot_roundtrip(spark):
     """pivot_wide with an explicit category list must not run a discovery
     job, and unpivot_long must invert it (modulo NULL cells for absent
@@ -1270,6 +1289,39 @@ def test_normalize_text_full_accent_table(spark):
     )
     got = df.select(normalize_text(F.col("text")).alias("n")).collect()[0]["n"]
     assert got == "senor creme brulee nono uti yolo cade aaaaa oooo uu iii y"
+
+
+def test_rolling_distinct_approx_tracks_exact(spark, sf_dir):
+    """HLL path must agree with the exact path within sketch error on the
+    events table (~1.6% at lg_k=12; assert 5% headroom) and keep the same
+    output contract."""
+    from prql_query_spark.engine.sources import load_parquet
+    from prql_query_spark.operators.analytics import (
+        rolling_distinct, rolling_distinct_approx,
+    )
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")
+    exact = {r.day: r.n_users_7d for r in rolling_distinct(ev).collect()}
+    approx = {r.day: r.n_users_7d for r in rolling_distinct_approx(ev).collect()}
+    assert set(exact) == set(approx) and len(exact) > 0
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(2, 0.05 * n), (d, n, approx[d])
+
+
+def test_equidepth_approx_no_global_sort(spark):
+    """Approx variant must match the exact contract on clean data and —
+    the point of its existence — plan without a global sort (no ntile
+    single-task bottleneck)."""
+    from prql_query_spark.operators.analytics import equidepth_histogram_approx
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "x double")
+    rows = {r.bucket: r for r in equidepth_histogram_approx(df, "x", buckets=4).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for b in rows.values():
+        assert abs(b.n - 250) <= 25
+    plan = equidepth_histogram_approx(df, "x", buckets=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan  # ntile path would show a global-sort Window
 
 
 def test_equidepth_buckets_are_balanced(spark):
