@@ -250,3 +250,59 @@ def test_fuzzy_join_blocks_never_cross_product(spark, sf_dir):
     plan = _plan(spark, fuzzy_join(names, names, "p_name"), "simple")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_minhash_verified_pipeline_no_cartesian(spark, sf_dir):
+    """The round-2 driver query (candidates + exact-Jaccard verify) must
+    keep the dedup tier's contract end-to-end: zero Python, no cartesian
+    product (the verify is a melt + ONE equi-join on doc id, never
+    pair x shingle-table cross), bounded exchanges."""
+    from prql_query_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, num_perm=64, bands=16, k=5)
+    verified = ngram_jaccard(pairs, docs, k=5).filter(F.col("jaccard") >= 0.6)
+    plan = _plan(spark, verified, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_simhash_portable_twin_stays_jvm(spark, sf_dir):
+    """md5-60bit portable hash is still a JVM expression (CONV/MD5), not a
+    Python fallback, and blocking is an equi-join on (segment, value)."""
+    from prql_query_spark.operators.dedup import simhash_pairs
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    plan = _plan(spark, simhash_pairs(docs, max_hamming=3, hash_fn="md5_60"), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_provided_centroids_broadcasts_queries(spark, sf_dir):
+    """Anchor-cell IVF: query side broadcast (corpus never moves for the
+    candidate join), no training stage, no Python."""
+    from prql_query_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    anchors = [r.embedding for r in
+               emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = _plan(spark, cosine_topk_ivf(emb, q, k=10, n_probe=4,
+                                        centroids=anchors), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "BatchEvalPython" not in plan
+
+
+def test_multimodal_decode_is_one_arrow_stage(spark, sf_dir):
+    """Real header decode runs as ONE mapInPandas (Arrow-batched) stage —
+    the sanctioned Python island — over a JVM-assembled payload: no
+    row-at-a-time Python UDF, no extra Python stages, synthesis stays in
+    hex/unhex/concat expressions."""
+    from prql_query_spark.operators.multimodal import extract_features, synthesize_media
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    feats = extract_features(synthesize_media(docs, "doc_id", "text"),
+                             use_real_decode=True)
+    plan = _plan(spark, feats, "simple")
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDF anywhere
