@@ -2835,3 +2835,61 @@ SELECT event_type, COUNT(*) AS n,
        ROUND(AVG(ROUND(vs, 6)), 4) AS avg_s
 FROM s GROUP BY event_type
 """
+
+
+def _x_dedup_report(spark, sf_dir):
+    """One-row corpus governance summary composing the verified dedup tier
+    (exact surplus + transitive MinHash near-dups)."""
+    from prql_query_spark.operators.dedup import corpus_dedup_report
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return corpus_dedup_report(docs, threshold=0.6)
+
+
+def _x_token_length_summary(spark, sf_dir):
+    """Training-mix length distribution (data-card percentiles) per lang."""
+    from prql_query_spark.operators.text import token_length_summary
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return token_length_summary(docs, by="lang")
+
+
+EXTENSIONS["x_dedup_report"] = _x_dedup_report
+EXTENSIONS["x_token_length_summary"] = _x_token_length_summary
+
+EXTENSION_ORACLES["x_dedup_report"] = "WITH RECURSIVE " + _MINHASH_VP_CTE + """,
+e AS (SELECT a, b FROM vp UNION SELECT b, a FROM vp),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+r(node, m) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.node, e.b FROM r JOIN e ON e.a = r.m
+),
+comp AS (SELECT node, MIN(m) AS component FROM r GROUP BY node),
+losers AS (SELECT node FROM comp WHERE component <> node),
+base AS (SELECT COUNT(*) AS n_docs FROM documents),
+ex AS (SELECT COALESCE(SUM(c - 1), 0) AS n_exact FROM
+       (SELECT COUNT(*) AS c FROM documents GROUP BY lower(trim(text))) g),
+lo AS (SELECT COUNT(*) AS n_losers FROM losers)
+SELECT CAST(base.n_docs AS BIGINT) AS n_docs,
+       CAST(ex.n_exact AS BIGINT) AS n_exact_dup,
+       CAST(lo.n_losers - ex.n_exact AS BIGINT) AS n_near_dup,
+       CAST(base.n_docs - lo.n_losers AS BIGINT) AS n_after_dedup
+FROM base, ex, lo
+"""
+
+EXTENSION_ORACLES["x_token_length_summary"] = """
+WITH n AS (
+    SELECT lang,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tn
+    FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(tn) AS total_tokens,
+       CAST(ROUND(CAST(quantile_cont(tn, 0.10) AS DECIMAL(38,12)), 4) AS DOUBLE) AS p10,
+       CAST(ROUND(CAST(quantile_cont(tn, 0.50) AS DECIMAL(38,12)), 4) AS DOUBLE) AS p50,
+       CAST(ROUND(CAST(quantile_cont(tn, 0.90) AS DECIMAL(38,12)), 4) AS DOUBLE) AS p90,
+       CAST(ROUND(CAST(quantile_cont(tn, 0.99) AS DECIMAL(38,12)), 4) AS DOUBLE) AS p99,
+       ROUND(SUM(tn) * 10000.0 / COUNT(*)) / 10000 AS mean_tokens
+FROM n GROUP BY lang
+"""

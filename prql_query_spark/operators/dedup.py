@@ -432,3 +432,40 @@ def simhash_pairs(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("a", "b", "hamming")
+
+
+def corpus_dedup_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """One-row corpus governance summary: how much of the corpus is exact-
+    or near-duplicate.  Returns (n_docs, n_exact_dup, n_near_dup,
+    n_after_dedup) where exact dupes are surplus rows per identical text
+    and near dupes are the additional rows removed by transitive verified
+    MinHash dedup.  Composes the existing verified pipeline, so the whole
+    report stays value-checkable; everything reduces to tiny aggregates —
+    at 100 TB the report costs one dedup pass, which a corpus release
+    runs anyway.
+    """
+    n_docs = df.count()
+    exact_groups = (
+        df.groupBy(F.lower(F.trim(F.col(text_col))).alias("_t"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    n_exact_dup = (
+        exact_groups.agg(F.sum(F.col("_c") - 1).alias("s")).collect()[0]["s"] or 0
+    )
+    kept = minhash_dedup_cc(
+        df, id_col, text_col, threshold, num_perm, bands, k
+    ).count()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(n_docs), int(n_exact_dup), int(n_docs - kept - n_exact_dup),
+          int(kept))],
+        "n_docs long, n_exact_dup long, n_near_dup long, n_after_dedup long",
+    )

@@ -643,3 +643,37 @@ def normalize_text(text_col: Column) -> Column:
     t = F.lower(text_col)
     t = F.translate(t, ACCENT_SRC, ACCENT_DST)
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def token_length_summary(
+    df: DataFrame, text_col: str = "text", by: str | None = None
+) -> DataFrame:
+    """Training-mix length distribution: token-count percentiles
+    (p10/p50/p90/p99), mean, and total per group (or one global row) —
+    the numbers a pretraining data card reports and a packing planner
+    needs.  One narrow projection + one aggregate; exact percentiles here,
+    swap percentile -> approx_percentile at 100 TB (same contract).
+    """
+    n = token_count(F.col(text_col)).cast("long")
+    # decimal-exact round (same convention as the compiler's `round`) so
+    # both engines HALF_UP the interpolated percentile at the same digit
+    pct = lambda f: F.expr(  # noqa: E731
+        f"CAST(ROUND(CAST(percentile(_n, {f}) AS DECIMAL(38,12)), 4) AS DOUBLE)"
+    )
+    keys = [by] if by else []
+    sel = ([F.col(by)] if by else []) + [n.alias("_n")]
+    out = (
+        df.select(*sel)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            pct(0.10).alias("p10"),
+            pct(0.50).alias("p50"),
+            pct(0.90).alias("p90"),
+            pct(0.99).alias("p99"),
+            (F.round(F.sum("_n") * F.lit(10000.0) / F.count(F.lit(1))) / 10000)
+            .alias("mean_tokens"),
+        )
+    )
+    return out

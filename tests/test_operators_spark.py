@@ -1343,3 +1343,32 @@ def test_scale_minmax_bounds_and_constant_group(spark):
     assert got[("a", 10.0)] == 0.0 and got[("a", 30.0)] == 1.0
     assert got[("a", 20.0)] == 0.5
     assert got[("b", 5.0)] == 0.5  # constant group
+
+
+def test_corpus_dedup_report_consistency(spark, sf_dir):
+    """Report numbers must tie out: kept == minhash_dedup_cc count, parts
+    sum to n_docs, and exact dupes are a subset of transitive losers
+    (identical text => identical signature => always caught)."""
+    from prql_query_spark.engine.sources import load_parquet
+    from prql_query_spark.operators.dedup import corpus_dedup_report, minhash_dedup_cc
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    r = corpus_dedup_report(docs, threshold=0.6).collect()[0]
+    assert r.n_docs == docs.count()
+    assert r.n_after_dedup == minhash_dedup_cc(docs, threshold=0.6).count()
+    assert r.n_docs == r.n_exact_dup + r.n_near_dup + r.n_after_dedup
+    assert r.n_exact_dup >= 0 and r.n_near_dup >= 0
+
+
+def test_token_length_summary_known_values(spark):
+    from prql_query_spark.operators.text import token_length_summary
+
+    df = spark.createDataFrame(
+        [("a", "one two three"), ("a", "one"), ("a", ""), ("b", "x y")],
+        "lang string, text string",
+    )
+    rows = {r.lang: r for r in token_length_summary(df, by="lang").collect()}
+    assert rows["a"].n_docs == 3 and rows["a"].total_tokens == 4
+    assert rows["a"].p50 == 1.0  # counts [3, 1, 0] -> median 1
+    assert rows["b"].p50 == 2.0 and rows["b"].mean_tokens == 2.0
+    assert abs(rows["a"].mean_tokens - round(4 * 10000 / 3) / 10000) < 1e-12
