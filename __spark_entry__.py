@@ -29,13 +29,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+_REG_DONE: set = set()
+
+
 def _reg(spark: SparkSession, sf_dir: str) -> None:
+    """Register the sf_dir tables as temp views, once per (session, dir).
+
+    Every _prql_runner calls this, so memoization matters: re-registering
+    ten parquet views costs ~700 ms (file listing + footer reads) and was
+    silently dominating per-query timings in tools/bench_extensions.py.
+    """
+    key = (id(spark), os.path.abspath(sf_dir))
+    if key in _REG_DONE:
+        return
     from prql_query_spark.engine.sources import load_parquet
 
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             load_parquet(spark, path).createOrReplaceTempView(t)
+    _REG_DONE.add(key)
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
