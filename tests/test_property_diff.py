@@ -93,3 +93,45 @@ def test_random_filters_match(engines, cond):
     duck_rows = [int(k) for (k,) in
                  con.execute(compile_prql(prql, "duckdb")).fetchall()]
     assert spark_rows == duck_rows, f"cond: {cond}"
+
+
+def _floats(depth: int):
+    """Float expression trees over n_nationkey: +, -, *, sqrt(abs(.)),
+    and float literals — the operand mix that feeds `round`."""
+    lit = st.sampled_from(
+        ["0.1", "0.25", "1.5", "2.7182818", "3.3333333", "0.005"]
+    )
+    base = st.sampled_from(["n_nationkey"]) | lit
+    if depth <= 0:
+        return base
+    sub = _floats(depth - 1)
+    arith = st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
+        lambda t: f"({t[0]} {t[1]} {t[2]})"
+    )
+    root = sub.map(lambda e: f"(sqrt (abs {e}))")
+    return base | arith | root
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(expr=_floats(3), digits=st.integers(min_value=0, max_value=6))
+def test_random_round_float_expressions_match_exactly(engines, expr, digits):
+    """EXACT float equality across dialects for `round d (float expr)`:
+    the decimal-exact ROUND emission must HALF_UP at the same digit in
+    both engines for any operand shape (regression surface of the round-1
+    q_scalar_funcs hash mismatch — Spark's BigDecimal round vs DuckDB's
+    binary-FP round diverged by one ulp on .5*10^-n boundaries)."""
+    spark, con = engines
+    prql = (
+        f"from nation | derive [e = round {digits} ({expr})] "
+        f"| select [n_nationkey, e] | sort [n_nationkey]"
+    )
+    spark_rows = [
+        (r.n_nationkey, r.e)
+        for r in spark.sql(compile_prql(prql, "spark")).collect()
+    ]
+    duck_rows = [
+        (int(k), float(e) if e is not None else None)
+        for k, e in con.execute(compile_prql(prql, "duckdb")).fetchall()
+    ]
+    assert spark_rows == duck_rows, f"expr: round {digits} ({expr})"
