@@ -29,18 +29,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-_REG_DONE: set = set()
+_REG_CURRENT: dict = {}
 
 
 def _reg(spark: SparkSession, sf_dir: str) -> None:
-    """Register the sf_dir tables as temp views, once per (session, dir).
+    """Register the sf_dir tables as temp views, skipping the work when
+    this session's views ALREADY point at sf_dir.
 
     Every _prql_runner calls this, so memoization matters: re-registering
     ten parquet views costs ~700 ms (file listing + footer reads) and was
     silently dominating per-query timings in tools/bench_extensions.py.
+    Tracked as "current dir per session", NOT a seen-set — a session that
+    alternates sf dirs must re-register every switch or views would
+    silently keep serving the previous scale factor.
     """
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    if key in _REG_DONE:
+    app = spark.sparkContext.applicationId
+    sf_dir = os.path.abspath(sf_dir)
+    if _REG_CURRENT.get(app) == sf_dir:
         return
     from prql_query_spark.engine.sources import load_parquet
 
@@ -48,7 +53,7 @@ def _reg(spark: SparkSession, sf_dir: str) -> None:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             load_parquet(spark, path).createOrReplaceTempView(t)
-    _REG_DONE.add(key)
+    _REG_CURRENT[app] = sf_dir
 
 
 _TBL_CACHE: dict = {}

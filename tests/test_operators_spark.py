@@ -1372,3 +1372,20 @@ def test_token_length_summary_known_values(spark):
     assert rows["a"].p50 == 1.0  # counts [3, 1, 0] -> median 1
     assert rows["b"].p50 == 2.0 and rows["b"].mean_tokens == 2.0
     assert abs(rows["a"].mean_tokens - round(4 * 10000 / 3) / 10000) < 1e-12
+
+
+def test_reg_memo_follows_sf_dir_switches(spark):
+    """_reg must re-register when the SAME session switches sf dirs —
+    a seen-set memo would silently keep serving the previous scale."""
+    import __spark_entry__ as entry
+
+    entry._reg(spark, "/root/testdata/sf0.001")
+    n1 = spark.table("documents").count()
+    entry._reg(spark, "/root/testdata/sf0.01")
+    n2 = spark.table("documents").count()
+    entry._reg(spark, "/root/testdata/sf0.001")
+    n3 = spark.table("documents").count()
+    assert n1 == n3 == 500 and n2 == 500  # same rowcount at these SFs...
+    o1 = spark.table("orders").count()
+    entry._reg(spark, "/root/testdata/sf0.01")
+    assert spark.table("orders").count() != o1  # ...orders differs: 1500 vs 15000
