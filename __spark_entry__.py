@@ -2921,3 +2921,69 @@ SELECT lang, COUNT(*) AS n_docs, SUM(tn) AS total_tokens,
        ROUND(SUM(tn) * 10000.0 / COUNT(*)) / 10000 AS mean_tokens
 FROM n GROUP BY lang
 """
+
+
+def _x_paragraph_dedup(spark, sf_dir):
+    """CCNet/C4-style cross-corpus boilerplate removal: 10-token segments
+    occurring in >3 distinct docs are dropped, docs reassembled in order.
+    Summarized per doc (full text kept — it IS the deliverable)."""
+    from prql_query_spark.operators.text import paragraph_dedup, token_windows
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return paragraph_dedup(
+        docs, paras=token_windows(F.col("text"), 10), max_doc_freq=3
+    )
+
+
+EXTENSIONS["x_paragraph_dedup"] = _x_paragraph_dedup
+EXTENSION_ORACLES["x_paragraph_dedup"] = """
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM documents
+), seg AS (
+    SELECT doc_id, i AS para_pos,
+           array_to_string(toks[i*10+1 : i*10+10], ' ') AS para
+    FROM t, unnest(range(0, CAST(greatest(ceil(len(toks)/10.0), 1) AS INTEGER))) AS u(i)
+), common AS (
+    SELECT para FROM seg GROUP BY para HAVING COUNT(DISTINCT doc_id) > 3
+), totals AS (
+    SELECT doc_id, COUNT(*) AS n_paras FROM seg GROUP BY doc_id
+), kept AS (
+    SELECT doc_id, string_agg(para, ' ' ORDER BY para_pos) AS text,
+           COUNT(*) AS n_kept
+    FROM seg WHERE para NOT IN (SELECT para FROM common)
+    GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(k.text, '') AS text, t.n_paras,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM totals t LEFT JOIN kept k USING (doc_id)
+"""
+
+
+def _x_char_entropy(spark, sf_dir):
+    """Character-entropy gibberish signal per doc + corpus mean per lang."""
+    from prql_query_spark.operators.text import char_entropy
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", char_entropy(F.col("text")).alias("h_bits"))
+
+
+EXTENSIONS["x_char_entropy"] = _x_char_entropy
+EXTENSION_ORACLES["x_char_entropy"] = """
+WITH e AS (
+    SELECT doc_id, text, length(text) AS n,
+           list_sort(list_distinct(regexp_split_to_array(text, ''))) AS uniq
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n <= 0 THEN 0.0 ELSE
+         CAST(ROUND(CAST(
+           log2(n) - list_aggregate(
+             list_transform(uniq, c ->
+               (length(text) - length(replace(text, c, '')))
+               * log2(length(text) - length(replace(text, c, '')))),
+             'sum') / n
+         AS DECIMAL(38,12)), 6) AS DOUBLE)
+       END AS h_bits
+FROM e
+"""

@@ -677,3 +677,103 @@ def token_length_summary(
         )
     )
     return out
+
+
+def token_windows(text_col: Column, width: int = 10) -> Column:
+    """Non-overlapping fixed-width token segments — a deterministic
+    paragraph proxy for corpora without line structure (the synthetic
+    documents table is newline-free word soup).  Pure array HOFs, narrow."""
+    toks = tokens(text_col)
+    nseg = F.greatest(F.ceil(F.size(toks) / F.lit(width)), F.lit(1)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    paras: Column | None = None,
+    sep: str = "\n",
+    max_doc_freq: int = 1,
+    join_sep: str = " ",
+) -> DataFrame:
+    """CCNet/C4-style cross-corpus paragraph dedup: drop every paragraph
+    whose exact content occurs in more than `max_doc_freq` distinct
+    documents (navbars, license footers, cookie banners), keep the rest
+    in original order.  `paras` overrides the default newline split —
+    pass `token_windows(...)` for corpora without line structure.
+
+    Returns (id, text, n_paras, n_kept); documents whose every paragraph
+    is boilerplate survive with text='' so the corpus row set is stable.
+
+    Scale shape: paragraphs are exploded once (narrow); the doc-frequency
+    aggregate keyed on xxhash64(para) is one shuffle; the offending set
+    (doc_freq > max_doc_freq) is the boilerplate tail — orders of
+    magnitude smaller than the corpus — so removal is a BROADCAST anti
+    join and the paragraph table is never shuffled for it; reassembly and
+    the per-doc totals group on the id, one more shuffle that AQE
+    co-plans.  No driver collect, no per-row Python.
+    """
+    paras = paras if paras is not None else F.split(F.col(text_col), sep)
+    pl = (
+        df.select(F.col(id_col), F.posexplode(paras).alias("para_pos", "para"))
+        .withColumn("para_h", F.xxhash64("para"))
+    )
+    common = (
+        pl.groupBy("para_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("doc_freq"))
+        .where(F.col("doc_freq") > max_doc_freq)
+        .select("para_h")
+    )
+    totals = pl.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    kept = (
+        pl.join(F.broadcast(common), "para_h", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                join_sep,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def char_entropy(text_col: Column) -> Column:
+    """Shannon entropy (bits) of the character distribution — the cheap
+    gibberish/binary-spill detector (natural text ~4 bits, base64 blobs
+    ~6, single-char spam ~0).
+
+    Formula is arranged over INTEGER counts — H = log2(n) - (1/n)·Σ
+    cnt·log2(cnt) — with a deterministic summation order (sorted distinct
+    chars), then decimal-exact HALF_UP rounding to 6 digits, the repo's
+    cross-engine float convention.  Distinct-chars × doc-length HOF work,
+    all JVM-side, narrow, shuffle-free."""
+    chars = F.split(text_col, "")
+    n = F.size(chars)
+    uniq = F.array_sort(F.array_distinct(chars))
+    s = F.aggregate(
+        uniq,
+        F.lit(0.0),
+        lambda acc, c: acc
+        + F.size(F.filter(chars, lambda x: x == c))
+        * F.log2(F.size(F.filter(chars, lambda x: x == c))),
+    )
+    h = F.log2(n) - s / n
+    h6 = F.round(h.cast("decimal(38,12)"), 6).cast("double")
+    return F.when(n <= 0, F.lit(0.0)).otherwise(h6)

@@ -1389,3 +1389,45 @@ def test_reg_memo_follows_sf_dir_switches(spark):
     o1 = spark.table("orders").count()
     entry._reg(spark, "/root/testdata/sf0.01")
     assert spark.table("orders").count() != o1  # ...orders differs: 1500 vs 15000
+
+
+def test_paragraph_dedup_removes_boilerplate_keeps_order(spark):
+    from prql_query_spark.operators.text import paragraph_dedup
+
+    rows = [
+        (1, "unique one\nCOOKIE BANNER\nunique two"),
+        (2, "COOKIE BANNER\nother text"),
+        (3, "COOKIE BANNER"),
+        (4, "solo document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           paragraph_dedup(df, max_doc_freq=1, join_sep="\n").collect()}
+    # the banner occurs in 3 docs > max_doc_freq=1 -> dropped everywhere
+    assert out[1].text == "unique one\nunique two"      # order preserved
+    assert out[1].n_paras == 3 and out[1].n_kept == 2
+    assert out[2].text == "other text"
+    # a doc that is ALL boilerplate survives with empty text (stable row set)
+    assert out[3].text == "" and out[3].n_kept == 0
+    assert out[4].text == "solo document" and out[4].n_kept == 1
+
+
+def test_token_windows_segmentation(spark):
+    from prql_query_spark.operators.text import token_windows
+
+    df = spark.createDataFrame([("a b c d e",)], "text string")
+    segs = df.select(token_windows(F.col("text"), 2).alias("s")).first().s
+    assert segs == ["a b", "c d", "e"]
+
+
+def test_char_entropy_known_values(spark):
+    from prql_query_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [("aab",), ("abcd",), ("aaaa",), ("",)], "t string"
+    )
+    got = [r.h for r in df.select(char_entropy(F.col("t")).alias("h")).collect()]
+    assert got[0] == pytest.approx(0.918296, abs=1e-6)  # 2/3,1/3 distribution
+    assert got[1] == 2.0                                # uniform over 4 chars
+    assert got[2] == 0.0                                # single repeated char
+    assert got[3] == 0.0                                # empty
