@@ -2987,3 +2987,49 @@ SELECT doc_id,
        END AS h_bits
 FROM e
 """
+
+
+# Shared mix spec: Spark query and DuckDB oracle are generated from THIS
+# dict, so the check is a true twin (rate semantics: full epochs + md5
+# fractional top-up; see operators/sampling.py mix_corpora).
+MIX_RATES = {"src0": 2.4, "src1": 0.5, "src2": 1.0}
+MIX_SEED = 42
+
+
+def _x_mix_corpora(spark, sf_dir):
+    """Training-mix construction: up/down-weight three corpus sources
+    (2.4 epochs / 50% / 1 epoch), tagged by source and epoch."""
+    from prql_query_spark.operators.sampling import mix_corpora
+
+    docs = _tbl(spark, sf_dir, "documents")
+    srcs = {
+        name: (docs.filter(F.col("source") == name), rate)
+        for name, rate in MIX_RATES.items()
+    }
+    out = mix_corpora(srcs, key_col="doc_id", seed=MIX_SEED)
+    return out.select("doc_id", "source", "mix_source", "mix_epoch")
+
+
+def _mix_oracle() -> str:
+    from prql_query_spark.operators.sampling import BUCKETS, hash_bucket_sql
+
+    parts = []
+    for name, rate in MIX_RATES.items():
+        n_full = int(rate)
+        frac = rate - n_full
+        base = (f"SELECT doc_id, source, '{name}' AS mix_source, "
+                "{epoch} AS mix_epoch "
+                f"FROM documents WHERE source = '{name}'")
+        for e in range(n_full):
+            parts.append(base.format(epoch=e))
+        if frac > 0:
+            bucket = hash_bucket_sql(
+                f"concat('{name}:', CAST(doc_id AS VARCHAR))", MIX_SEED
+            )
+            parts.append(base.format(epoch=n_full)
+                         + f" AND {bucket} < {int(round(frac * BUCKETS))}")
+    return "\nUNION ALL\n".join(parts)
+
+
+EXTENSIONS["x_mix_corpora"] = _x_mix_corpora
+EXTENSION_ORACLES["x_mix_corpora"] = _mix_oracle()

@@ -160,3 +160,49 @@ def weighted_sample(
         .filter(F.col("_rk") <= k)
         .drop("_score", "_rk")
     )
+
+
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_col: str = "doc_id",
+    seed: int = 42,
+    source_col: str = "mix_source",
+    epoch_col: str = "mix_epoch",
+) -> DataFrame:
+    """Build a training mix: for each named source, `rate` full passes over
+    the data plus a deterministic fractional sample (rate 2.4 = epochs 0,1
+    complete + a 40% hash-sample as epoch 2) — the standard way pretraining
+    mixes up/down-weight corpora.  Rows are tagged with the source name and
+    epoch index so the mix is auditable and the loader can interleave.
+
+    The fractional pass is keyed on md5(source || ':' || key) — same row,
+    same in/out decision on every run and cluster size, and independent
+    decisions across sources sharing a key space.
+
+    Scale shape: a union of narrow branches (filter + projection only —
+    no shuffle, no RNG state); each full epoch is one more scan of its
+    source, which is exactly the I/O the materialized mix costs anyway.
+    All sources must share a schema (unionByName, no missing-column fill).
+    """
+    parts = []
+    for name, (df, rate) in sources.items():
+        if rate < 0:
+            raise ValueError(f"negative rate for {name!r}: {rate}")
+        n_full = int(rate)
+        frac = rate - n_full
+        tagged = df.withColumn(source_col, F.lit(name))
+        for e in range(n_full):
+            parts.append(tagged.withColumn(epoch_col, F.lit(e)))
+        if frac > 0:
+            key = F.concat(F.lit(f"{name}:"), F.col(key_col).cast("string"))
+            bound = int(round(frac * BUCKETS))
+            parts.append(
+                tagged.filter(hash_bucket(key, seed) < bound)
+                .withColumn(epoch_col, F.lit(n_full))
+            )
+    if not parts:
+        raise ValueError("mix_corpora needs at least one source with rate > 0")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1431,3 +1431,23 @@ def test_char_entropy_known_values(spark):
     assert got[1] == 2.0                                # uniform over 4 chars
     assert got[2] == 0.0                                # single repeated char
     assert got[3] == 0.0                                # empty
+
+
+def test_mix_corpora_epochs_and_determinism(docs):
+    from prql_query_spark.operators.sampling import mix_corpora
+
+    a = docs.filter(F.col("source") == "src0")
+    b = docs.filter(F.col("source") == "src1")
+    n_a = a.count()
+    out = mix_corpora({"a": (a, 2.4), "b": (b, 0.5)}, key_col="doc_id")
+    per = {(r.mix_source, r.mix_epoch): r["count"]
+           for r in out.groupBy("mix_source", "mix_epoch").count().collect()}
+    # two complete epochs of a, a fractional third, no full epoch of b
+    assert per[("a", 0)] == n_a and per[("a", 1)] == n_a
+    assert 0 < per[("a", 2)] < n_a
+    assert ("b", 1) not in per and 0 < per[("b", 0)] < b.count()
+    # deterministic: same spec -> identical fractional membership
+    out2 = mix_corpora({"a": (a, 2.4), "b": (b, 0.5)}, key_col="doc_id")
+    ids1 = sorted(r.doc_id for r in out.filter("mix_epoch = 2").collect())
+    ids2 = sorted(r.doc_id for r in out2.filter("mix_epoch = 2").collect())
+    assert ids1 == ids2
