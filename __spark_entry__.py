@@ -2456,6 +2456,36 @@ filter nation.n_nationkey < n2.n_nationkey
 select [a = nation.n_name, b = n2.n_name, region = nation.n_regionkey]
 sort [region, a, b]
 """,
+    # TPC-H Q12 silhouette (shipmode columns absent in the synthetic
+    # schema -> l_linestatus stands in): join + CASE-in-aggregate
+    # conditional counts, the Q12-specific compiler shape
+    "q_priority_lines_q12": """
+from lineitem
+join orders [l_orderkey == o_orderkey]
+filter l_shipdate >= @1997-01-01
+filter l_shipdate < @1998-01-01
+group [l_linestatus] (
+    aggregate [
+        high_count = sum (case [o_orderpriority == '1-URGENT' -> 1, o_orderpriority == '2-HIGH' -> 1, true -> 0]),
+        low_count = sum (case [o_orderpriority == '1-URGENT' -> 0, o_orderpriority == '2-HIGH' -> 0, true -> 1]),
+    ]
+)
+sort [l_linestatus]
+""",
+    # TPC-H Q14 silhouette: conditional-revenue share.  Both sums are
+    # rounded to cents in DECIMAL first, so the derived ratio divides
+    # identical doubles on both engines (FP convention, see FIXTURES.md)
+    "q_promo_revenue_q14": """
+from lineitem
+join part [l_partkey == p_partkey]
+filter l_shipdate >= @1997-09-01
+filter l_shipdate < @1997-10-01
+aggregate [
+    promo_rev = round 2 (sum (case [p_type == 'PROMO' -> l_extendedprice * (1 - l_discount), true -> 0])),
+    total_rev = round 2 (sum (l_extendedprice * (1 - l_discount))),
+]
+derive [promo_share = round 4 (100 * promo_rev / total_rev)]
+""",
 })
 
 
