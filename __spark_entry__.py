@@ -3063,3 +3063,27 @@ def _mix_oracle() -> str:
 
 EXTENSIONS["x_mix_corpora"] = _x_mix_corpora
 EXTENSION_ORACLES["x_mix_corpora"] = _mix_oracle()
+
+
+def _x_nb_classifier(spark, sf_dir):
+    """Train a hashed-token NB classifier on a text-derived label
+    (doc mentions 'spark') and score the corpus — the fastText-style
+    quality-gate architecture, end-to-end relational."""
+    from prql_query_spark.operators.classify import (
+        score_nb_classifier, train_nb_classifier)
+
+    docs = _tbl(spark, sf_dir, "documents")
+    labeled = docs.withColumn("_y", F.col("text").contains("spark"))
+    model = train_nb_classifier(labeled, "_y", dim=256, seed=7)
+    return score_nb_classifier(docs, model, dim=256, seed=7)
+
+
+def _nb_oracle() -> str:
+    from prql_query_spark.operators.classify import nb_oracle_sql
+
+    return nb_oracle_sql("documents", "text LIKE '%spark%'",
+                         dim=256, seed=7)
+
+
+EXTENSIONS["x_nb_classifier"] = _x_nb_classifier
+EXTENSION_ORACLES["x_nb_classifier"] = _nb_oracle()

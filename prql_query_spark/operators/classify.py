@@ -1,0 +1,151 @@
+"""Hashing-trick text classification (fastText-style NB baseline).
+
+A quality/domain classifier you can train AND score entirely with
+relational operators: tokens are hashed into `dim` buckets with the
+repo's portable md5 bucket (operators/sampling.py — bit-identical in
+Spark, DuckDB, Python), per-bucket Naive-Bayes log-odds weights come
+from one grouped aggregation, and scoring is one explode + one
+broadcast join + one per-doc sum.  No UDFs, no driver-side math, and
+every step is SQL-expressible, so the full train→score pipeline is
+value-checked against the DuckDB oracle.
+
+Scale shape: training is a single shuffle (explode → groupBy bucket —
+map-side combine applies, dim bounds the result at any corpus size);
+the model is `dim` rows, so scoring joins it BROADCAST — the corpus is
+never shuffled to score, and the per-doc sum groups on the id.  This is
+the standard architecture for corpus-scale quality filters (the
+"educational value" / fastText gates of public LLM-data pipelines),
+with the classifier deliberately linear so 100 TB scoring stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket, hash_bucket_sql
+from .text import tokens
+
+
+def hashed_token_buckets(text_col: Column, dim: int = 256, seed: int = 7) -> Column:
+    """Array of per-token feature ids in [0, dim) (hashing trick)."""
+    return F.transform(tokens(text_col), lambda t: hash_bucket(t, seed, dim))
+
+
+def train_nb_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    dim: int = 256,
+    seed: int = 7,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-bucket NB log-odds weights from a boolean label column:
+
+        w_b = ln((cnt_pos_b + alpha) / (tot_pos + alpha*dim))
+            - ln((cnt_neg_b + alpha) / (tot_neg + alpha*dim))
+
+    Returns exactly `dim` rows (bucket, w) — unseen buckets get the
+    smoothed prior weight, so scoring never needs an outer join.
+    """
+    spark = df.sparkSession
+    ex = df.select(
+        F.col(label_col).cast("boolean").alias("_y"),
+        F.explode(hashed_token_buckets(F.col(text_col), dim, seed)).alias("bucket"),
+    )
+    counts = ex.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("c_neg"),
+    )
+    totals = ex.agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("t_pos"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("t_neg"),
+    )
+    grid = spark.range(dim).select(F.col("id").cast("bigint").alias("bucket"))
+    full = (
+        grid.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("c_pos", F.lit(0)).alias("c_pos"),
+            F.coalesce("c_neg", F.lit(0)).alias("c_neg"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    w = (
+        F.log((F.col("c_pos") + alpha) / (F.col("t_pos") + alpha * dim))
+        - F.log((F.col("c_neg") + alpha) / (F.col("t_neg") + alpha * dim))
+    )
+    return full.select("bucket", w.alias("w"))
+
+
+def score_nb_classifier(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    seed: int = 7,
+) -> DataFrame:
+    """score = Σ_tokens w[bucket(token)], decimal-rounded to 6 digits
+    (cross-engine float convention); pred = score > 0.  Docs with no
+    tokens score 0.0.  Model joins broadcast — the corpus never shuffles
+    for the join, only the per-doc sum groups on the id."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(hashed_token_buckets(F.col(text_col), dim, seed)).alias("bucket"),
+    )
+    scored = (
+        ex.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("_s"))
+    )
+    out = df.select(id_col).join(scored, id_col, "left")
+    s6 = F.round(F.coalesce("_s", F.lit(0.0)).cast("decimal(38,12)"), 6).cast("double")
+    return out.select(id_col, s6.alias("score"), (s6 > 0).alias("pred"))
+
+
+def nb_oracle_sql(
+    table: str,
+    label_expr: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+    seed: int = 7,
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB twin of train_nb_classifier + score_nb_classifier, generated
+    from the same constants (true-twin oracle convention)."""
+    bucket = hash_bucket_sql("t.tok", seed, dim)
+    return f"""
+WITH toks AS (
+    SELECT {id_col}, ({label_expr}) AS y,
+           unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS tok
+    FROM {table}
+), b AS (
+    SELECT {id_col}, y, {bucket} AS bucket FROM toks t
+), counts AS (
+    SELECT bucket,
+           SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+           SUM(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
+    FROM b GROUP BY bucket
+), totals AS (
+    SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) AS t_pos,
+           SUM(CASE WHEN y THEN 0 ELSE 1 END) AS t_neg
+    FROM b
+), model AS (
+    SELECT g.bucket,
+           ln((COALESCE(c.c_pos, 0) + {alpha}) / (t.t_pos + {alpha} * {dim}))
+         - ln((COALESCE(c.c_neg, 0) + {alpha}) / (t.t_neg + {alpha} * {dim})) AS w
+    FROM (SELECT unnest(range(0, {dim})) AS bucket) g
+    LEFT JOIN counts c USING (bucket), totals t
+), scored AS (
+    SELECT b.{id_col}, SUM(m.w) AS s
+    FROM b JOIN model m USING (bucket)
+    GROUP BY b.{id_col}
+)
+SELECT d.{id_col},
+       CAST(ROUND(CAST(COALESCE(s.s, 0.0) AS DECIMAL(38,12)), 6) AS DOUBLE) AS score,
+       CAST(ROUND(CAST(COALESCE(s.s, 0.0) AS DECIMAL(38,12)), 6) AS DOUBLE) > 0 AS pred
+FROM {table} d LEFT JOIN scored s USING ({id_col})
+"""

@@ -1451,3 +1451,35 @@ def test_mix_corpora_epochs_and_determinism(docs):
     ids1 = sorted(r.doc_id for r in out.filter("mix_epoch = 2").collect())
     ids2 = sorted(r.doc_id for r in out2.filter("mix_epoch = 2").collect())
     assert ids1 == ids2
+
+
+def test_nb_classifier_separates_crafted_classes(spark):
+    from prql_query_spark.operators.classify import (
+        score_nb_classifier, train_nb_classifier)
+
+    pos = [(i, "good clean prose with citations and structure", True)
+           for i in range(20)]
+    neg = [(100 + i, "spam casino pills click here buy now", False)
+           for i in range(20)]
+    df = spark.createDataFrame(pos + neg, "doc_id bigint, text string, y boolean")
+    model = train_nb_classifier(df, "y", dim=64, seed=7)
+    assert model.count() == 64
+    scored = {r.doc_id: r for r in
+              score_nb_classifier(df, model, dim=64, seed=7).collect()}
+    # fully separable vocab -> every doc on the right side of 0
+    assert all(scored[i].pred for i, _, _ in pos)
+    assert not any(scored[i].pred for i, _, _ in neg)
+
+
+def test_nb_classifier_empty_doc_scores_zero(spark):
+    from prql_query_spark.operators.classify import (
+        score_nb_classifier, train_nb_classifier)
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "gamma delta", False), (3, "", True)],
+        "doc_id bigint, text string, y boolean",
+    )
+    model = train_nb_classifier(df, "y", dim=32, seed=7)
+    got = {r.doc_id: r.score for r in
+           score_nb_classifier(df, model, dim=32, seed=7).collect()}
+    assert 3 in got  # empty doc kept in the output row set
