@@ -3087,3 +3087,31 @@ def _nb_oracle() -> str:
 
 EXTENSIONS["x_nb_classifier"] = _x_nb_classifier
 EXTENSION_ORACLES["x_nb_classifier"] = _nb_oracle()
+
+
+PAGERANK_EDGES_SQL = """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"""
+
+
+def _x_pagerank(spark, sf_dir):
+    """PageRank over the part co-purchase graph (parts sharing an order),
+    5 fixed power iterations — the iterative-algorithm representative."""
+    from prql_query_spark.operators.graph import cooccurrence_edges, pagerank
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return pagerank(edges, iters=5).withColumnRenamed("node", "part")
+
+
+def _pagerank_oracle() -> str:
+    from prql_query_spark.operators.graph import pagerank_oracle_sql
+
+    sql = pagerank_oracle_sql(PAGERANK_EDGES_SQL, iters=5)
+    # rename only in the final projection (r0's inner `SELECT node,` must
+    # keep its name for the USING(node) chain)
+    return sql.replace("SELECT node, CAST(ROUND", "SELECT node AS part, CAST(ROUND")
+
+
+EXTENSIONS["x_pagerank"] = _x_pagerank
+EXTENSION_ORACLES["x_pagerank"] = _pagerank_oracle()

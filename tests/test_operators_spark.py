@@ -1483,3 +1483,30 @@ def test_nb_classifier_empty_doc_scores_zero(spark):
     got = {r.doc_id: r.score for r in
            score_nb_classifier(df, model, dim=32, seed=7).collect()}
     assert 3 in got  # empty doc kept in the output row set
+
+
+def test_pagerank_star_graph_and_mass(spark):
+    from prql_query_spark.operators.graph import pagerank
+
+    # undirected star: hub 0 <-> spokes 1..5 (symmetric directed edges)
+    rows = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=20).collect()}
+    # probability mass preserved (no dangling nodes in symmetric graphs)
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+    # hub dominates, spokes tie
+    assert ranks[0] == max(ranks.values())
+    spoke_vals = {ranks[i] for i in range(1, 6)}
+    assert len(spoke_vals) == 1
+
+
+def test_cooccurrence_edges_shape(spark):
+    from prql_query_spark.operators.graph import cooccurrence_edges
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 10), (2, 11), (2, 12), (3, 13)],
+        "g bigint, item bigint",
+    )
+    got = {(r.src, r.dst) for r in cooccurrence_edges(df, "g", "item").collect()}
+    # duplicates collapsed, both directions, no self-loops, singles drop out
+    assert got == {(10, 11), (11, 10), (11, 12), (12, 11)}
