@@ -1472,13 +1472,18 @@ DRIVER_ORDER = [
     "q_case_buckets", "q_coalesce", "q_in_list", "q_scalar_funcs",
     "q_agg_stats", "q_percentiles", "q_loop_series",
     # — LLM-pipeline extension tier —
-    "x_dedup_exact", "x_dedup_content", "x_clean_corpus",
-    "x_minhash_pairs", "x_minhash_dedup", "x_minhash_dedup_cc",
+    # (one row per family: where a family has several variants the most
+    # complete one sits in the window — x_dedup_content, x_minhash_dedup,
+    # x_embed_neardup, x_events_tumbling, x_stratified_sample moved below
+    # the window in round 2b to make room for the new flagship ops; the
+    # in-repo parity harness still value-checks all of them every round)
+    "x_dedup_exact", "x_paragraph_dedup", "x_clean_corpus",
+    "x_minhash_pairs", "x_minhash_dedup_cc",
     "x_cc_components", "x_simhash_pairs", "x_ngram_jaccard",
-    "x_cosine_topk", "x_cosine_lsh", "x_embed_neardup",
-    "x_asof_join", "x_range_join", "x_events_tumbling", "x_events_sessions",
+    "x_cosine_topk", "x_cosine_lsh", "x_nb_classifier",
+    "x_asof_join", "x_range_join", "x_events_sessions", "x_pagerank",
     "x_lang_id", "x_gopher_audit", "x_scrub_pii", "x_hash_split",
-    "x_stratified_sample",
+    "x_mix_corpora", "x_char_entropy",
 ]
 
 
@@ -3115,3 +3120,41 @@ def _pagerank_oracle() -> str:
 
 EXTENSIONS["x_pagerank"] = _x_pagerank
 EXTENSION_ORACLES["x_pagerank"] = _pagerank_oracle()
+
+
+def _x_multimodal_av(spark, sf_dir):
+    """Audio/video container-header extraction: synthesize valid WAV and
+    MP4 payloads (JVM-side byte assembly, id-derived fields), then parse
+    them back with the stdlib RIFF/ISO-BMFF walkers.  The oracle recomputes
+    every parsed field from the same synthesis rules."""
+    from prql_query_spark.operators.multimodal import (
+        extract_av_features, synthesize_mp4, synthesize_wav)
+
+    docs = _tbl(spark, sf_dir, "documents")
+    wav = synthesize_wav(docs, "doc_id", "text")
+    mp4 = synthesize_mp4(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000), "doc_id", "text"
+    )
+    return extract_av_features(wav.unionByName(mp4))
+
+
+EXTENSIONS["x_multimodal_av"] = _x_multimodal_av
+EXTENSION_ORACLES["x_multimodal_av"] = """
+SELECT doc_id AS media_id, 'audio' AS kind,
+       CAST(44 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'wav' AS format,
+       CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+       CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+       CAST((octet_length(encode(text)) * 1000)
+            // ((8000 + (doc_id % 8) * 1000) * 2) AS INTEGER) AS duration_ms
+FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS media_id, 'video' AS kind,
+       CAST(240 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'mp4' AS format,
+       CAST(NULL AS INTEGER) AS sample_rate,
+       CAST((doc_id + 1000000) % 1920 + 16 AS INTEGER) AS width,
+       CAST(((doc_id + 1000000) * 3) % 1080 + 16 AS INTEGER) AS height,
+       CAST((doc_id + 1000000) * 37 % 5000 + 250 AS INTEGER) AS duration_ms
+FROM documents
+"""

@@ -11,6 +11,12 @@ Decode has two tiers:
 * fake path — `_fake_descriptor` byte-histogram moments, kept for
   determinism tests and as the stand-in for learned embeddings.
 
+Audio/video get the same treatment (bottom of this module): stdlib
+RIFF/WAV chunk walking and ISO-BMFF (MP4) box walking extract
+sample-rate/duration/dimensions from real container bytes, with
+JVM-side synthesized fixtures whose id-derived fields the SQL oracle
+recomputes independently (`x_multimodal_av`).
+
 The Spark-side contract is identical either way: schemas, Arrow batch
 shapes, mapInPandas iterator signatures, partition sizing.
 
@@ -199,3 +205,191 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
         ).alias("frame_idx", "byte_offset"),
     )
+
+
+# --- audio / video header tier ---------------------------------------------
+
+AV_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("format", StringType()),      # wav|mp4|unknown
+    StructField("sample_rate", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+])
+
+
+def decode_audio_meta(payload: bytes) -> tuple[str, int | None, int | None]:
+    """Real stdlib WAV/RIFF chunk walk: (format, sample_rate, duration_ms).
+    Walks fmt /data chunks (word-aligned) rather than assuming the
+    canonical 44-byte layout, like a real ingest scanner must."""
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i, sr, byte_rate, data_size = 12, None, None, None
+        while i + 8 <= len(payload):
+            tag = payload[i : i + 4]
+            size = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if tag == b"fmt " and i + 20 <= len(payload):
+                sr = int.from_bytes(payload[i + 12 : i + 16], "little")
+                byte_rate = int.from_bytes(payload[i + 16 : i + 20], "little")
+            elif tag == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)
+        dur = (int(data_size * 1000 // byte_rate)
+               if byte_rate and data_size is not None else None)
+        return "wav", sr, dur
+    return "unknown", None, None
+
+
+def _iter_boxes(p: bytes, start: int, end: int):
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(p[i : i + 4], "big")
+        if size < 8:
+            break
+        yield p[i + 4 : i + 8], i + 8, min(i + size, end)
+        i += size
+
+
+def decode_video_meta(
+    payload: bytes,
+) -> tuple[str, int | None, int | None, int | None]:
+    """Real stdlib ISO-BMFF (MP4) box walk: (format, width, height,
+    duration_ms) from moov/mvhd (timescale+duration) and moov/trak/tkhd
+    (16.16 fixed-point dimensions)."""
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        w = h = dur = None
+        for tag, s, e in _iter_boxes(payload, 0, len(payload)):
+            if tag != b"moov":
+                continue
+            for t2, s2, e2 in _iter_boxes(payload, s, e):
+                if t2 == b"mvhd" and e2 - s2 >= 20:
+                    ts = int.from_bytes(payload[s2 + 12 : s2 + 16], "big")
+                    d = int.from_bytes(payload[s2 + 16 : s2 + 20], "big")
+                    dur = int(d * 1000 // ts) if ts else None
+                elif t2 == b"trak":
+                    for t3, s3, e3 in _iter_boxes(payload, s2, e2):
+                        if t3 == b"tkhd" and e3 - s3 >= 84:
+                            w = int.from_bytes(payload[s3 + 76 : s3 + 80], "big") >> 16
+                            h = int.from_bytes(payload[s3 + 80 : s3 + 84], "big") >> 16
+        return "mp4", w, h, dur
+    return "unknown", None, None, None
+
+
+def _le32(c):
+    h = F.lpad(F.hex(c.cast("bigint")), 8, "0")
+    return F.unhex(F.concat(F.substring(h, 7, 2), F.substring(h, 5, 2),
+                            F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+
+def _le16(c):
+    h = F.lpad(F.hex(c.cast("bigint")), 4, "0")
+    return F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+
+def _be32(c):
+    return F.unhex(F.lpad(F.hex(c.cast("bigint")), 8, "0"))
+
+
+# id-derived synthesis rules, shared with the SQL oracle (the parser must
+# recover exactly these values from the assembled container bytes)
+WAV_SR = "8000 + (id % 8) * 1000"           # mono 16-bit -> byte_rate = sr*2
+MP4_DUR = "(id * 37) % 5000 + 250"
+MP4_W = "id % 1920 + 16"
+MP4_H = "(id * 3) % 1080 + 16"
+
+
+def synthesize_wav(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic audio fixture: a VALID canonical-layout WAV whose
+    fmt-chunk fields derive from the id and whose data chunk is the utf-8
+    text bytes.  JVM-side hex/unhex assembly — no Python."""
+    i = F.col(id_col)
+    sr = (i % 8) * 1000 + 8000
+    data = F.encode(F.col(text_col), "utf-8")
+    ds = F.octet_length(data)
+    payload = F.concat(
+        F.encode(F.lit("RIFF"), "utf-8"), _le32(ds + 36),
+        F.encode(F.lit("WAVEfmt "), "utf-8"), _le32(F.lit(16)),
+        _le16(F.lit(1)), _le16(F.lit(1)),              # PCM, mono
+        _le32(sr), _le32(sr * 2),                      # sample rate, byte rate
+        _le16(F.lit(2)), _le16(F.lit(16)),             # block align, bits
+        F.encode(F.lit("data"), "utf-8"), _le32(ds), data,
+    )
+    return df.select(
+        i.alias("media_id"), F.lit("audio").alias("kind"),
+        payload.alias("payload"), F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.floor(ds * 1000 / (sr * 2)).cast("int").alias("duration_ms"),
+    )
+
+
+def synthesize_mp4(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic video fixture: minimal ISO-BMFF with ftyp, a moov
+    carrying mvhd (timescale 1000, id-derived duration) and trak/tkhd
+    (id-derived 16.16 dimensions), and the text bytes as mdat."""
+    i = F.col(id_col)
+    dur = (i * 37) % 5000 + 250
+    w = i % 1920 + 16
+    h = (i * 3) % 1080 + 16
+    data = F.encode(F.col(text_col), "utf-8")
+    ds = F.octet_length(data)
+    zeros = lambda n: F.unhex(F.lit("00" * n))  # noqa: E731
+    mvhd = F.concat(                      # size 108 = 8 hdr + 100 body
+        _be32(F.lit(108)), F.encode(F.lit("mvhd"), "utf-8"),
+        zeros(12), _be32(F.lit(1000)), _be32(dur), zeros(80),
+    )
+    tkhd = F.concat(                      # size 92 = 8 hdr + 84 body
+        _be32(F.lit(92)), F.encode(F.lit("tkhd"), "utf-8"),
+        zeros(76), _be32(w * 65536), _be32(h * 65536),
+    )
+    trak = F.concat(_be32(F.lit(100)), F.encode(F.lit("trak"), "utf-8"), tkhd)
+    moov = F.concat(_be32(F.lit(216)), F.encode(F.lit("moov"), "utf-8"), mvhd, trak)
+    ftyp = F.concat(_be32(F.lit(16)), F.encode(F.lit("ftypisom"), "utf-8"),
+                    _be32(F.lit(0)))
+    mdat = F.concat(_be32(ds + 8), F.encode(F.lit("mdat"), "utf-8"), data)
+    payload = F.concat(ftyp, moov, mdat)
+    return df.select(
+        i.alias("media_id"), F.lit("video").alias("kind"),
+        payload.alias("payload"), F.lit("video/mp4").alias("mime"),
+        w.cast("int").alias("width"), h.cast("int").alias("height"),
+        dur.cast("int").alias("duration_ms"),
+    )
+
+
+def extract_av_features(df: DataFrame) -> DataFrame:
+    """mapInPandas header extraction for audio/video payloads (iterator
+    form, one Arrow batch in flight).  Dispatches on the `kind` column;
+    always real decode — there is no fake tier for containers because the
+    stdlib parsers have no dependencies to stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, srs, ws, hs, durs, nbs = [], [], [], [], [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                nbs.append(len(b))
+                if kind == "audio":
+                    fmt, sr, dur = decode_audio_meta(b)
+                    w = h = None
+                else:
+                    fmt, w, h, dur = decode_video_meta(b)
+                    sr = None
+                fmts.append(fmt)
+                srs.append(sr)
+                ws.append(w)
+                hs.append(h)
+                durs.append(dur)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": nbs,
+                "format": fmts,
+                "sample_rate": pd.array(srs, dtype="Int32"),
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "duration_ms": pd.array(durs, dtype="Int32"),
+            })
+
+    return df.mapInPandas(run, schema=AV_FEATURE_SCHEMA)

@@ -1510,3 +1510,25 @@ def test_cooccurrence_edges_shape(spark):
     got = {(r.src, r.dst) for r in cooccurrence_edges(df, "g", "item").collect()}
     # duplicates collapsed, both directions, no self-loops, singles drop out
     assert got == {(10, 11), (11, 10), (11, 12), (12, 11)}
+
+
+def test_av_header_parsers_handle_garbage_and_truncation(spark):
+    from prql_query_spark.operators.multimodal import (
+        decode_audio_meta, decode_video_meta, synthesize_mp4, synthesize_wav)
+
+    assert decode_audio_meta(b"") == ("unknown", None, None)
+    assert decode_audio_meta(b"RIFFxxxxNOPE") == ("unknown", None, None)
+    assert decode_video_meta(b"\x00" * 20) == ("unknown", None, None, None)
+
+    df = spark.createDataFrame([(5, "hello world")], "doc_id bigint, text string")
+    wav = bytes(synthesize_wav(df, "doc_id", "text").first().payload)
+    mp4_row = synthesize_mp4(df, "doc_id", "text").first()
+    mp4 = bytes(mp4_row.payload)
+    # full payloads parse to the synthesis-rule values
+    assert decode_audio_meta(wav) == ("wav", 13000, len(b"hello world") * 1000 // 26000)
+    assert decode_video_meta(mp4) == ("mp4", 21, 31, 435)
+    # truncating inside moov loses the fields but never raises
+    fmt, w, h, dur = decode_video_meta(mp4[:30])
+    assert fmt == "mp4" and w is None and dur is None
+    fmt, sr, dur = decode_audio_meta(wav[:16])
+    assert fmt == "wav" and dur is None
