@@ -306,3 +306,61 @@ def test_multimodal_decode_is_one_arrow_stage(spark, sf_dir):
     plan = _plan(spark, feats, "simple")
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan  # no row-at-a-time UDF anywhere
+
+
+def test_paragraph_dedup_removal_is_broadcast_anti(spark, sf_dir):
+    from prql_query_spark.operators.text import paragraph_dedup, token_windows
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    out = paragraph_dedup(docs, paras=token_windows(F.col("text"), 10),
+                          max_doc_freq=3)
+    plan = _plan(spark, out, "simple")
+    # the boilerplate set broadcasts; the paragraph table is never
+    # shuffled for the removal join
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+    assert "CartesianProduct" not in plan
+    # no Python anywhere — explode/hash/reassembly are all JVM-side
+    assert "Python" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nb_classifier_scores_with_broadcast_model(spark, sf_dir):
+    from prql_query_spark.operators.classify import (
+        score_nb_classifier, train_nb_classifier)
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    model = train_nb_classifier(
+        docs.withColumn("_y", F.col("text").contains("spark")), "_y", dim=64
+    )
+    plan = _plan(spark, score_nb_classifier(docs, model, dim=64), "simple")
+    # the dim-row model broadcasts into the scoring join; the corpus
+    # never shuffles to be scored, and nothing drops to Python
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_pagerank_no_cartesian_no_python(spark, sf_dir):
+    from prql_query_spark.operators.graph import cooccurrence_edges, pagerank
+
+    li = load_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    ranks = pagerank(cooccurrence_edges(li, "l_orderkey", "l_partkey"), iters=2)
+    plan = _plan(spark, ranks, "simple")
+    # N rides as a broadcast scalar (BroadcastNestedLoopJoin on a 1-row
+    # aggregate is the crossJoin-scalar attach pattern); contribution
+    # joins stay keyed — never a CartesianProduct, never Python
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_mix_corpora_is_union_of_narrow_branches(spark, sf_dir):
+    from prql_query_spark.operators.sampling import mix_corpora
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    out = mix_corpora(
+        {"a": (docs.filter(F.col("source") == "src0"), 1.5),
+         "b": (docs.filter(F.col("source") == "src1"), 0.25)},
+        key_col="doc_id",
+    )
+    plan = _plan(spark, out, "simple")
+    # pure scan/filter/project union: zero shuffles, zero joins
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Python" not in plan
