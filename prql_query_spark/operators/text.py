@@ -728,7 +728,9 @@ def paragraph_dedup(
         .where(F.col("doc_freq") > max_doc_freq)
         .select("para_h")
     )
-    totals = pl.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    # per-doc totals come from size(paras) on the BASE rows — narrow, no
+    # second explode+shuffle of the paragraph table
+    totals = df.select(F.col(id_col), F.size(paras).cast("long").alias("n_paras"))
     kept = (
         pl.join(F.broadcast(common), "para_h", "left_anti")
         .groupBy(id_col)
