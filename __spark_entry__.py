@@ -3158,3 +3158,42 @@ SELECT doc_id + 1000000 AS media_id, 'video' AS kind,
        CAST((doc_id + 1000000) * 37 % 5000 + 250 AS INTEGER) AS duration_ms
 FROM documents
 """
+
+
+def _x_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup: the 20% batch (doc_id % 5 == 0) deduped
+    against the 80% corpus via persisted-LSH-index probe + exact-Jaccard
+    verify; survivors returned.  New-vs-new dups deliberately kept."""
+    from prql_query_spark.operators.dedup import dedup_against_corpus
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    out = dedup_against_corpus(new, corpus, threshold=0.6)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+EXTENSIONS["x_incremental_dedup"] = _x_incremental_dedup
+# Same all-pairs exact-Jaccard twin as the minhash family (hash() only
+# keeps set cardinalities; the 3/5 size-ratio block is implied by j>=0.6),
+# restricted to batch x corpus pairs.
+EXTENSION_ORACLES["x_incremental_dedup"] = """
+WITH sized AS MATERIALIZED (
+    SELECT doc_id, s, len(s) AS n FROM (
+        SELECT doc_id,
+               list_distinct(list_transform([substr(lt, x, 5)
+                   for x in range(1, greatest(len(lt) - 4, 1) + 1)],
+                   g -> hash(g))) AS s
+        FROM (SELECT doc_id, lower(text) AS lt FROM documents)
+    )
+), dup AS (
+    SELECT DISTINCT n.doc_id AS a
+    FROM sized n JOIN sized c
+      ON n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+     AND least(n.n, c.n) * 5 >= greatest(n.n, c.n) * 3
+    WHERE CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+          / (n.n + c.n - len(list_intersect(n.s, c.s))) >= 0.6
+)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT a FROM dup)
+"""

@@ -102,6 +102,34 @@ def minhash_signatures(
     )
 
 
+def _banded_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    k: int,
+) -> DataFrame:
+    """(_id, _band, _bucket): each document's banded signature buckets —
+    the unit both the self-join pair generator (minhash_lsh_pairs) and the
+    persistable corpus index (build_minhash_index) are made of."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(_spread(df), id_col, text_col, num_perm, k)
+    return sig.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",", F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                    )
+                ),
+            )
+        ).alias("_band", "_bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -116,21 +144,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands; two docs collide if any band of their
     signatures matches exactly.  Returns (a, b, n_bands) distinct pairs.
     """
-    rows_per_band = num_perm // bands
-    sig = minhash_signatures(_spread(df), id_col, text_col, num_perm, k)
-    banded = sig.select(
-        "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",", F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
-                    )
-                ),
-            )
-        ).alias("_band", "_bucket"),
-    )
+    banded = _banded_buckets(df, id_col, text_col, num_perm, bands, k)
     # ONE shuffle: group ids per (band, bucket) and generate the i<j pairs
     # JVM-side with indexed transforms — no window pass, no self-join (a
     # self-join would recompute the signature stage twice).  max_bucket caps
@@ -469,3 +483,102 @@ def corpus_dedup_report(
           int(kept))],
         "n_docs long, n_exact_dup long, n_near_dup long, n_after_dedup long",
     )
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Persistable LSH index over a corpus: (corpus_id, band, bucket).
+
+    This is the all-time index an incremental-ingest pipeline maintains —
+    write it partitioned/bucketed by (band, bucket) and append each day's
+    batch rows so tomorrow's probe joins co-located.  Exactly the same
+    banding as minhash_lsh_pairs, so index + probe find the same
+    candidates the one-shot self-dedup would."""
+    return _banded_buckets(corpus, id_col, text_col, num_perm, bands, k).select(
+        F.col("_id").alias("corpus_id"),
+        F.col("_band").alias("band"),
+        F.col("_bucket").alias("bucket"),
+    )
+
+
+def probe_minhash_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate (new_id, corpus_id, n_bands) matches of a new batch
+    against a persisted corpus index.
+
+    Scale shape: the daily batch is orders of magnitude smaller than the
+    all-time corpus, so the BATCH side's banded buckets broadcast and the
+    corpus-scale index is probed in place — it never shuffles (with the
+    index bucketed by (band, bucket) the probe also never full-scans).
+    """
+    nb = _banded_buckets(new_df, id_col, text_col, num_perm, bands, k).select(
+        F.col("_id").alias("new_id"),
+        F.col("_band").alias("band"),
+        F.col("_bucket").alias("bucket"),
+    )
+    return (
+        index.join(F.broadcast(nb), ["band", "bucket"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental dedup: rows of `new_df` that are neither exact nor
+    verified near-duplicates (k-shingle Jaccard >= threshold) of any
+    corpus document.  New-vs-new duplicates are deliberately kept — that
+    is the self-dedup pass (minhash_dedup/_cc), run separately.
+
+    Two tiers, production shape:
+    1. exact — xxhash64(lower(text)) anti-join (cheapest filter first;
+       at scale keep the corpus hash set as a bucketed table for a
+       co-located anti-join).
+    2. near — probe the LSH `index` (built here from `corpus` when not
+       provided), then verify candidates with exact shingle Jaccard; the
+       verify join only ever touches the candidate corpus rows.
+    Requires new and corpus id spaces to be disjoint (asserted nowhere —
+    ids are caller-owned — but the verify melt relies on it).
+    """
+    h = lambda c: F.xxhash64(F.lower(c))  # noqa: E731
+    corpus_hashes = corpus.select(h(F.col(text_col)).alias("_ch")).distinct()
+    stage1 = new_df.join(
+        corpus_hashes, h(F.col(text_col)) == F.col("_ch"), "left_anti"
+    )
+    idx = (
+        index
+        if index is not None
+        else build_minhash_index(corpus, id_col, text_col, num_perm, bands, k)
+    )
+    cand = probe_minhash_index(stage1, idx, id_col, text_col, num_perm, bands, k)
+    pairs = cand.select(F.col("new_id").alias("a"), F.col("corpus_id").alias("b"))
+    both = new_df.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    verified = ngram_jaccard(pairs, both, id_col, text_col, k).filter(
+        F.col("jaccard") >= threshold
+    )
+    losers = verified.select(F.col("a").alias(id_col)).distinct()
+    return stage1.join(losers, id_col, "left_anti")

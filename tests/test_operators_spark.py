@@ -1532,3 +1532,46 @@ def test_av_header_parsers_handle_garbage_and_truncation(spark):
     assert fmt == "mp4" and w is None and dur is None
     fmt, sr, dur = decode_audio_meta(wav[:16])
     assert fmt == "wav" and dur is None
+
+
+def test_incremental_dedup_tiers_and_new_vs_new_kept(spark):
+    from prql_query_spark.operators.dedup import (
+        build_minhash_index, dedup_against_corpus, probe_minhash_index)
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog in the morning sun"),
+         (2, "completely different corpus content about spark shuffles and joins")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG IN THE MORNING SUN"),
+         (11, "the quick brown fox jumps over the lazy dog in the morning fog"),
+         (12, "an entirely novel document that matches nothing in the corpus"),
+         (13, "an entirely novel document that matches nothing in the corpus")],
+        "doc_id bigint, text string",
+    )
+    out = sorted(r.doc_id for r in dedup_against_corpus(
+        new, corpus, threshold=0.6).collect())
+    # 10 = case-folded exact dup, 11 = near dup, 12/13 survive even though
+    # they duplicate EACH OTHER (new-vs-new is the self-dedup pass's job)
+    assert out == [12, 13]
+    # index probe finds the near-dup candidate pair
+    idx = build_minhash_index(corpus)
+    cand = {(r.new_id, r.corpus_id)
+            for r in probe_minhash_index(new, idx).collect()}
+    assert (11, 1) in cand
+
+
+def test_probe_index_broadcasts_batch_side(spark, sf_dir):
+    from prql_query_spark.operators.dedup import (
+        build_minhash_index, probe_minhash_index)
+    from prql_query_spark.engine.sources import load_parquet
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    idx = build_minhash_index(docs.filter(F.col("doc_id") % 5 != 0))
+    cand = probe_minhash_index(docs.filter(F.col("doc_id") % 5 == 0), idx)
+    plan = cand._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    # the batch side broadcasts; the corpus-scale index never shuffles
+    # for the probe join
+    assert "BroadcastHashJoin" in plan
