@@ -3197,3 +3197,23 @@ WITH sized AS MATERIALIZED (
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT a FROM dup)
 """
+
+
+def _x_kmeans(spark, sf_dir):
+    """Pure-DataFrame Lloyd k-means over the embeddings (k=4, 3 fixed
+    iterations, deterministic lowest-id init): final centroids in long
+    format + cluster sizes.  Exactly twinned in SQL by kmeans_oracle_sql."""
+    from prql_query_spark.operators.cluster import kmeans_fit
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return kmeans_fit(emb, k=4, iters=3)
+
+
+def _kmeans_oracle() -> str:
+    from prql_query_spark.operators.cluster import kmeans_oracle_sql
+
+    return kmeans_oracle_sql("embeddings", k=4, iters=3, dim=64)
+
+
+EXTENSIONS["x_kmeans"] = _x_kmeans
+EXTENSION_ORACLES["x_kmeans"] = _kmeans_oracle()

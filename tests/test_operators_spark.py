@@ -1575,3 +1575,29 @@ def test_probe_index_broadcasts_batch_side(spark, sf_dir):
     # the batch side broadcasts; the corpus-scale index never shuffles
     # for the probe join
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_separates_crafted_clusters(spark):
+    from prql_query_spark.operators.cluster import kmeans_fit
+
+    # ids 0 and 1 land in different blobs so the lowest-id init seeds one
+    # centroid per blob (k-means from a degenerate same-blob init settles
+    # in a mixed local optimum, as it should)
+    rows = ([(2 * i, [0.0, 0.0, float(i % 3) * 0.01]) for i in range(10)]
+            + [(2 * i + 1, [10.0, 10.0, float(i % 3) * 0.01]) for i in range(10)])
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = kmeans_fit(df, k=2, iters=5)
+    sizes = {r.cluster: r.n_members for r in
+             out.select("cluster", "n_members").distinct().collect()}
+    assert sorted(sizes.values()) == [10, 10]
+    # centroid x-coordinates land on the two blobs
+    cx = {r.cluster: r.c for r in out.filter("pos = 0").collect()}
+    assert sorted(round(v) for v in cx.values()) == [0, 10]
+
+
+def test_kmeans_deterministic(emb):
+    from prql_query_spark.operators.cluster import kmeans_fit
+
+    a = sorted(map(tuple, kmeans_fit(emb, k=3, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_fit(emb, k=3, iters=2).collect()))
+    assert a == b
