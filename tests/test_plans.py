@@ -364,3 +364,30 @@ def test_mix_corpora_is_union_of_narrow_branches(spark, sf_dir):
     # pure scan/filter/project union: zero shuffles, zero joins
     assert "Exchange" not in plan
     assert "Join" not in plan and "Python" not in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    from prql_query_spark.operators.cluster import kmeans_fit
+
+    emb = load_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    plan = _plan(spark, kmeans_fit(emb, k=3, iters=2), "simple")
+    # the packed k-row centroid table rides as a broadcast into a narrow
+    # HOF projection; assignment never shuffles the corpus and nothing
+    # drops to Python
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_incremental_dedup_no_corpus_selfjoin(spark, sf_dir):
+    from prql_query_spark.operators.dedup import dedup_against_corpus
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    out = dedup_against_corpus(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        threshold=0.6,
+    )
+    plan = _plan(spark, out, "simple")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
