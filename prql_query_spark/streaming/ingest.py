@@ -1,0 +1,78 @@
+"""Streaming corpus ingestion: continuous dedup of arriving documents
+against the all-time corpus.
+
+The production shape of `operators/dedup.dedup_against_corpus`: documents
+land as files, each microbatch is deduped against a STATIC corpus LSH
+index (built once per query start, reused every batch), and survivors are
+appended to the warehouse idempotently (same `_batch_id` dynamic-overwrite
+trick as events.stream_to_warehouse — replayed batches rewrite their own
+partitions).
+
+Because the reference set is static, per-document decisions are
+independent of batching, so the stream is EXACTLY equivalent to one batch
+`dedup_against_corpus` over the same files — pinned by
+tests::test_stream_ingest_dedup_matches_batch.  New-vs-new duplicates
+within/between microbatches are deliberately kept, same contract as the
+batch operator (self-dedup is a separate compaction pass).  At scale:
+the index is a bucketed table appended per batch if the corpus itself
+must grow; here it is immutable for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_dedup_against_corpus(
+    spark: SparkSession,
+    docs_path: str,
+    corpus: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    queryName: str = "pq_stream_ingest_dedup",
+    max_files_per_trigger: int | None = None,
+):
+    from prql_query_spark.operators.dedup import (
+        build_minhash_index, dedup_against_corpus)
+
+    # build the index and the corpus hash set ONCE; localCheckpoint so
+    # every microbatch probes materialized rows instead of re-running the
+    # signature stage per batch
+    idx = build_minhash_index(
+        corpus, id_col, text_col, num_perm, bands, k
+    ).localCheckpoint()
+    corpus_slim = corpus.select(id_col, text_col).localCheckpoint()
+
+    schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_path)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = dedup_against_corpus(
+            batch_df, corpus_slim, id_col, text_col, threshold,
+            num_perm, bands, k, index=idx,
+        )
+        (
+            survivors.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(queryName)
+        .start()
+    )

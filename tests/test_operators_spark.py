@@ -1601,3 +1601,33 @@ def test_kmeans_deterministic(emb):
     a = sorted(map(tuple, kmeans_fit(emb, k=3, iters=2).collect()))
     b = sorted(map(tuple, kmeans_fit(emb, k=3, iters=2).collect()))
     assert a == b
+
+
+def test_stream_ingest_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous ingest dedup == one batch dedup over the same files
+    (the reference set is static, so per-doc decisions are batch-size
+    independent), processed as multiple microbatches."""
+    from prql_query_spark.operators.dedup import dedup_against_corpus
+    from prql_query_spark.streaming.ingest import stream_dedup_against_corpus
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    in_dir = str(tmp_path / "incoming")
+    new.repartition(3).write.parquet(in_dir)  # several files -> several batches
+
+    out = str(tmp_path / "deduped")
+    q = stream_dedup_against_corpus(
+        spark, in_dir, corpus, out, checkpoint=str(tmp_path / "ck"),
+        threshold=0.6, queryName="t_ingest", max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    want = sorted(r.doc_id for r in
+                  dedup_against_corpus(new, corpus, threshold=0.6).collect())
+    assert got == want and len(got) > 0
