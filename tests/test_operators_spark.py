@@ -1631,3 +1631,37 @@ def test_stream_ingest_dedup_matches_batch(spark, sf_dir, tmp_path):
     want = sorted(r.doc_id for r in
                   dedup_against_corpus(new, corpus, threshold=0.6).collect())
     assert got == want and len(got) > 0
+
+
+def test_bpe_learns_and_roundtrips(spark, docs):
+    from prql_query_spark.operators.bpe import (
+        END, bpe_encode, learn_bpe_merges)
+
+    # crafted corpus: 'ab' dominates -> first merge must be (a, b)
+    toy = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab ab cd")], "doc_id bigint, text string"
+    )
+    merges = learn_bpe_merges(toy, n_merges=3)
+    assert merges[0] == ("a", "b")
+
+    # encoding round-trip on the real corpus: concatenated subwords
+    # reconstruct each word exactly (END sentinel marks boundaries)
+    merges = learn_bpe_merges(docs, n_merges=30)
+    enc = bpe_encode(docs.limit(20), merges)
+    for r in enc.select("text", "bpe_tokens").collect():
+        rebuilt = "".join(r.bpe_tokens).replace(END, " ").strip()
+        assert rebuilt == " ".join(r.text.lower().split())
+    # merges actually compress: fewer tokens than characters
+    r0 = enc.first()
+    assert len(r0.bpe_tokens) < len(r0.text)
+
+
+def test_bpe_encode_deterministic(docs):
+    from prql_query_spark.operators.bpe import bpe_encode, learn_bpe_merges
+
+    m1 = learn_bpe_merges(docs, n_merges=20)
+    m2 = learn_bpe_merges(docs, n_merges=20)
+    assert m1 == m2
+    e1 = bpe_encode(docs.limit(10), m1).select("doc_id", "bpe_tokens").collect()
+    e2 = bpe_encode(docs.limit(10), m1).select("doc_id", "bpe_tokens").collect()
+    assert sorted(map(str, e1)) == sorted(map(str, e2))
