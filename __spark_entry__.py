@@ -3217,3 +3217,48 @@ def _kmeans_oracle() -> str:
 
 EXTENSIONS["x_kmeans"] = _x_kmeans
 EXTENSION_ORACLES["x_kmeans"] = _kmeans_oracle()
+
+
+def _x_dup_ngrams(spark, sf_dir):
+    """Gopher repetition family: duplicate 2/3/4-gram fractions per doc,
+    summarized as corpus means per language."""
+    from prql_query_spark.operators.text import dup_ngram_fraction
+
+    docs = _tbl(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        *[dup_ngram_fraction(F.col("text"), n).alias(f"d{n}") for n in (2, 3, 4)],
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.round(F.sum(f"d{n}") * 10000 / F.count(F.lit(1))) .alias(f"_r{n}")
+          .cast("double").alias(f"mean_dup{n}_x1e4") for n in (2, 3, 4)],
+    )
+
+
+EXTENSIONS["x_dup_ngrams"] = _x_dup_ngrams
+EXTENSION_ORACLES["x_dup_ngrams"] = """
+WITH g AS (
+    SELECT lang, toks,
+           len(toks) AS nt
+    FROM (SELECT lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+          FROM documents)
+), f AS (
+    SELECT lang,
+        CASE WHEN nt - 1 <= 0 THEN 0.0 ELSE ROUND(1.0 - CAST(len(list_distinct(
+            [array_to_string(toks[i : i + 1], ' ') for i in range(1, greatest(nt - 1, 1) + 1)]
+        )) AS DOUBLE) / (nt - 1), 4) END AS d2,
+        CASE WHEN nt - 2 <= 0 THEN 0.0 ELSE ROUND(1.0 - CAST(len(list_distinct(
+            [array_to_string(toks[i : i + 2], ' ') for i in range(1, greatest(nt - 2, 1) + 1)]
+        )) AS DOUBLE) / (nt - 2), 4) END AS d3,
+        CASE WHEN nt - 3 <= 0 THEN 0.0 ELSE ROUND(1.0 - CAST(len(list_distinct(
+            [array_to_string(toks[i : i + 3], ' ') for i in range(1, greatest(nt - 3, 1) + 1)]
+        )) AS DOUBLE) / (nt - 3), 4) END AS d4
+    FROM g
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(SUM(d2) * 10000 / COUNT(*)) AS mean_dup2_x1e4,
+       ROUND(SUM(d3) * 10000 / COUNT(*)) AS mean_dup3_x1e4,
+       ROUND(SUM(d4) * 10000 / COUNT(*)) AS mean_dup4_x1e4
+FROM f GROUP BY lang
+"""

@@ -779,3 +779,21 @@ def char_entropy(text_col: Column) -> Column:
     h = F.log2(n) - s / n
     h6 = F.round(h.cast("decimal(38,12)"), 6).cast("double")
     return F.when(n <= 0, F.lit(0.0)).otherwise(h6)
+
+
+def dup_ngram_fraction(text_col: Column, n: int = 2) -> Column:
+    """Fraction of duplicated token n-grams — the rest of the
+    Gopher/MassiveText repetition family (dup_token_fraction is the n=1
+    case; the published gates use n=2..4 over duplicates and n=5..10 over
+    characters-in-duplicates).  1 - distinct/total over the materialized
+    n-gram array; one projection, no explode, no shuffle.  Docs with fewer
+    than n tokens score 0.0 (nothing can repeat)."""
+    toks = tokens(text_col)
+    m = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(m <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(grams)) / m, 4)
+    )

@@ -1665,3 +1665,17 @@ def test_bpe_encode_deterministic(docs):
     e1 = bpe_encode(docs.limit(10), m1).select("doc_id", "bpe_tokens").collect()
     e2 = bpe_encode(docs.limit(10), m1).select("doc_id", "bpe_tokens").collect()
     assert sorted(map(str, e1)) == sorted(map(str, e2))
+
+
+def test_dup_ngram_fraction_known_values(spark):
+    from prql_query_spark.operators.text import dup_ngram_fraction
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("all distinct words here",), ("x",), ("",)], "t string"
+    )
+    got = [r.d for r in df.select(
+        dup_ngram_fraction(F.col("t"), 2).alias("d")).collect()]
+    assert got[0] == pytest.approx(0.3333, abs=1e-4)  # "a b" repeats: 1-2/3
+    assert got[1] == 0.0                              # no repeated bigram
+    assert got[2] == 0.0                              # shorter than n
+    assert got[3] == 0.0
