@@ -2491,6 +2491,31 @@ aggregate [
 ]
 derive [promo_share = round 4 (100 * promo_rev / total_rev)]
 """,
+    # TPC-H Q18 silhouette: a HAVING-style let CTE (aggregate + post-
+    # filter) consumed as the join's build side — the large-volume-customer
+    # shape
+    "q_large_orders_q18": """
+let big_orders = (
+    from lineitem
+    group [l_orderkey] (aggregate [total_qty = sum l_quantity])
+    filter total_qty > 150
+)
+from orders
+join big_orders [o_orderkey == l_orderkey]
+join customer [o_custkey == c_custkey]
+select [c_name, o_orderkey, o_orderdate, o_totalprice, total_qty]
+sort [-o_totalprice, o_orderkey]
+take 20
+""",
+    # TPC-H Q19 silhouette: disjunction of conjunctive brand/quantity
+    # bands — exercises and/or precedence and whole-disjunct predicate
+    # pushdown through the join
+    "q_disjunctive_filter_q19": """
+from lineitem
+join part [l_partkey == p_partkey]
+filter (p_brand == 'Brand#1' and l_quantity >= 10 and l_quantity <= 20) or (p_brand == 'Brand#2' and l_quantity >= 20 and l_quantity <= 30)
+aggregate [rev = round 2 (sum (l_extendedprice * (1 - l_discount))), n = count]
+""",
 })
 
 
