@@ -3270,15 +3270,15 @@ WITH g AS (
           FROM documents)
 ), f AS (
     SELECT lang,
-        CASE WHEN nt - 1 <= 0 THEN 0.0 ELSE ROUND(1.0 - CAST(len(list_distinct(
+        CASE WHEN nt - 1 <= 0 THEN 0.0 ELSE CAST(ROUND(CAST(1.0 - CAST(len(list_distinct(
             [array_to_string(toks[i : i + 1], ' ') for i in range(1, greatest(nt - 1, 1) + 1)]
-        )) AS DOUBLE) / (nt - 1), 4) END AS d2,
-        CASE WHEN nt - 2 <= 0 THEN 0.0 ELSE ROUND(1.0 - CAST(len(list_distinct(
+        )) AS DOUBLE) / (nt - 1) AS DECIMAL(38,12)), 4) AS DOUBLE) END AS d2,
+        CASE WHEN nt - 2 <= 0 THEN 0.0 ELSE CAST(ROUND(CAST(1.0 - CAST(len(list_distinct(
             [array_to_string(toks[i : i + 2], ' ') for i in range(1, greatest(nt - 2, 1) + 1)]
-        )) AS DOUBLE) / (nt - 2), 4) END AS d3,
-        CASE WHEN nt - 3 <= 0 THEN 0.0 ELSE ROUND(1.0 - CAST(len(list_distinct(
+        )) AS DOUBLE) / (nt - 2) AS DECIMAL(38,12)), 4) AS DOUBLE) END AS d3,
+        CASE WHEN nt - 3 <= 0 THEN 0.0 ELSE CAST(ROUND(CAST(1.0 - CAST(len(list_distinct(
             [array_to_string(toks[i : i + 3], ' ') for i in range(1, greatest(nt - 3, 1) + 1)]
-        )) AS DOUBLE) / (nt - 3), 4) END AS d4
+        )) AS DOUBLE) / (nt - 3) AS DECIMAL(38,12)), 4) AS DOUBLE) END AS d4
     FROM g
 )
 SELECT lang, COUNT(*) AS n_docs,

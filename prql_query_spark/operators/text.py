@@ -698,13 +698,15 @@ def paragraph_dedup(
     paras: Column | None = None,
     sep: str = "\n",
     max_doc_freq: int = 1,
-    join_sep: str = " ",
+    join_sep: str | None = None,
 ) -> DataFrame:
     """CCNet/C4-style cross-corpus paragraph dedup: drop every paragraph
     whose exact content occurs in more than `max_doc_freq` distinct
     documents (navbars, license footers, cookie banners), keep the rest
     in original order.  `paras` overrides the default newline split —
-    pass `token_windows(...)` for corpora without line structure.
+    pass `token_windows(...)` for corpora without line structure, with
+    `join_sep` (default: `sep` when splitting on it, else a space) naming
+    the reassembly separator.
 
     Returns (id, text, n_paras, n_kept); documents whose every paragraph
     is boilerplate survive with text='' so the corpus row set is stable.
@@ -717,6 +719,8 @@ def paragraph_dedup(
     the per-doc totals group on the id, one more shuffle that AQE
     co-plans.  No driver collect, no per-row Python.
     """
+    if join_sep is None:
+        join_sep = sep if paras is None else " "
     paras = paras if paras is not None else F.split(F.col(text_col), sep)
     pl = (
         df.select(F.col(id_col), F.posexplode(paras).alias("para_pos", "para"))
@@ -794,6 +798,10 @@ def dup_ngram_fraction(text_col: Column, n: int = 2) -> Column:
         F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
+    # decimal-exact HALF_UP round (repo float convention): a ratio of small
+    # ints can land exactly on a 4th-decimal half boundary, where plain
+    # double ROUND diverges between engines
+    frac = (1.0 - F.size(F.array_distinct(grams)) / m).cast("decimal(38,12)")
     return F.when(m <= 0, F.lit(0.0)).otherwise(
-        F.round(1.0 - F.size(F.array_distinct(grams)) / m, 4)
+        F.round(frac, 4).cast("double")
     )
