@@ -3021,7 +3021,7 @@ FROM totals t LEFT JOIN kept k USING (doc_id)
 
 
 def _x_char_entropy(spark, sf_dir):
-    """Character-entropy gibberish signal per doc + corpus mean per lang."""
+    """Character-entropy gibberish signal, one row per document."""
     from prql_query_spark.operators.text import char_entropy
 
     docs = _tbl(spark, sf_dir, "documents")

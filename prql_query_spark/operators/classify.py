@@ -29,8 +29,12 @@ from .text import tokens
 
 
 def hashed_token_buckets(text_col: Column, dim: int = 256, seed: int = 7) -> Column:
-    """Array of per-token feature ids in [0, dim) (hashing trick)."""
-    return F.transform(tokens(text_col), lambda t: hash_bucket(t, seed, dim))
+    """Array of per-token feature ids in [0, dim) (hashing trick).
+    Blank docs yield an EMPTY array — split('') produces a phantom ''
+    token that would otherwise score every empty document on md5('')'s
+    bucket."""
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    return F.transform(toks, lambda t: hash_bucket(t, seed, dim))
 
 
 def train_nb_classifier(
@@ -123,7 +127,7 @@ WITH toks AS (
            unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS tok
     FROM {table}
 ), b AS (
-    SELECT {id_col}, y, {bucket} AS bucket FROM toks t
+    SELECT {id_col}, y, {bucket} AS bucket FROM toks t WHERE t.tok <> ''
 ), counts AS (
     SELECT bucket,
            SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,

@@ -57,28 +57,30 @@ def kmeans_fit(
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
+        # keep the cluster LABEL inside the packed structs: an empty
+        # cluster drops out of `centroids`, and an array-position argmin
+        # would silently renumber the survivors (diverging from the
+        # oracle, which carries original labels)
         packed = centroids.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("cluster", "_c"))),
-                lambda s: s["_c"],
-            ).alias("_cs")
+            F.array_sort(F.collect_list(F.struct("cluster", "_c"))).alias("_cs")
         )
-        dists = F.transform(
+        scored = F.transform(
             F.col("_cs"),
-            lambda c: F.aggregate(
-                F.zip_with(F.col("_v"), c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("_v"), s["_c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                s["cluster"].alias("cluster"),
             ),
         )
+        # struct comparison is lexicographic -> min by (dist, cluster),
+        # the same tie-break as the oracle's ORDER BY dist, cluster
         return (
             base.crossJoin(F.broadcast(packed))
-            .withColumn("_d", dists)
-            .select(
-                "_kid", "_v",
-                (F.array_position("_d", F.array_min("_d")) - 1)
-                .cast("int").alias("cluster"),
-            )
+            .withColumn("_best", F.array_min(scored))
+            .select("_kid", "_v", F.col("_best.cluster").alias("cluster"))
         )
 
     for _ in range(iters):

@@ -574,8 +574,18 @@ def dedup_against_corpus(
     )
     cand = probe_minhash_index(stage1, idx, id_col, text_col, num_perm, bands, k)
     pairs = cand.select(F.col("new_id").alias("a"), F.col("corpus_id").alias("b"))
-    both = new_df.select(id_col, text_col).unionByName(
-        corpus.select(id_col, text_col)
+    # restrict the verify-side shingle table to CANDIDATE ids before
+    # ngram_jaccard — otherwise every corpus document's shingles are
+    # recomputed on every call (per microbatch in streaming ingest)
+    cand_ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .union(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    both = (
+        new_df.select(id_col, text_col)
+        .unionByName(corpus.select(id_col, text_col))
+        .join(cand_ids, id_col, "left_semi")
     )
     verified = ngram_jaccard(pairs, both, id_col, text_col, k).filter(
         F.col("jaccard") >= threshold

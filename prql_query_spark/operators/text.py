@@ -773,12 +773,13 @@ def char_entropy(text_col: Column) -> Column:
     chars = F.split(text_col, "")
     n = F.size(chars)
     uniq = F.array_sort(F.array_distinct(chars))
+    # count each distinct char ONCE (one array scan per char), then fold
+    # cnt*log2(cnt) over the counts — same sorted summation order
+    cnts = F.transform(uniq, lambda c: F.size(F.filter(chars, lambda x: x == c)))
     s = F.aggregate(
-        uniq,
+        cnts,
         F.lit(0.0),
-        lambda acc, c: acc
-        + F.size(F.filter(chars, lambda x: x == c))
-        * F.log2(F.size(F.filter(chars, lambda x: x == c))),
+        lambda acc, c: acc + c * F.log2(c),
     )
     h = F.log2(n) - s / n
     h6 = F.round(h.cast("decimal(38,12)"), 6).cast("double")

@@ -1482,7 +1482,7 @@ def test_nb_classifier_empty_doc_scores_zero(spark):
     model = train_nb_classifier(df, "y", dim=32, seed=7)
     got = {r.doc_id: r.score for r in
            score_nb_classifier(df, model, dim=32, seed=7).collect()}
-    assert 3 in got  # empty doc kept in the output row set
+    assert got[3] == 0.0  # blank doc: EMPTY token array, true zero score
 
 
 def test_pagerank_star_graph_and_mass(spark):
@@ -1679,3 +1679,17 @@ def test_dup_ngram_fraction_known_values(spark):
     assert got[1] == 0.0                              # no repeated bigram
     assert got[2] == 0.0                              # shorter than n
     assert got[3] == 0.0
+
+
+def test_kmeans_empty_cluster_keeps_labels(spark):
+    """Duplicate seed vectors empty a cluster mid-run; surviving clusters
+    must keep their ORIGINAL labels (an array-position argmin silently
+    renumbered them before this was pinned — caught in round-2 review)."""
+    from prql_query_spark.operators.cluster import kmeans_fit
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [10.0, 10.0]),
+            (3, [10.0, 10.2]), (4, [0.2, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = kmeans_fit(df, k=3, iters=2)
+    labels = sorted({r.cluster for r in out.collect()})
+    assert labels == [0, 2]  # cluster 1 (duplicate seed) emptied; 0/2 kept
