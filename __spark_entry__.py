@@ -3287,3 +3287,59 @@ SELECT lang, COUNT(*) AS n_docs,
        ROUND(SUM(d4) * 10000 / COUNT(*)) AS mean_dup4_x1e4
 FROM f GROUP BY lang
 """
+
+
+def _x_top_ngrams(spark, sf_dir):
+    """Gopher top-n-gram character coverage: per-language mean fraction of
+    characters covered by each doc's most frequent 2- and 3-gram."""
+    from prql_query_spark.operators.text import top_ngram_char_fraction
+
+    docs = _tbl(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        top_ngram_char_fraction(F.col("text"), 2).alias("f2"),
+        top_ngram_char_fraction(F.col("text"), 3).alias("f3"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("f2") * 10000 / F.count(F.lit(1))).alias("mean_top2_x1e4"),
+        F.round(F.sum("f3") * 10000 / F.count(F.lit(1))).alias("mean_top3_x1e4"),
+    )
+
+
+def _top_ngram_branch(n: int, col: str) -> str:
+    span = n - 1
+    return f"""
+g{n} AS (
+    SELECT doc_id, lang, tc, len(toks) - {span} AS m,
+           unnest([array_to_string(toks[i : i + {span}], ' ')
+                   for i in range(1, greatest(len(toks) - {span}, 1) + 1)]) AS gram
+    FROM t
+), c{n} AS (
+    SELECT doc_id, lang, tc, m, gram, COUNT(*) AS cnt,
+           length(replace(gram, ' ', '')) AS chars
+    FROM g{n} GROUP BY ALL
+), b{n} AS (
+    SELECT doc_id, lang,
+           CASE WHEN m <= 0 OR tc <= 0 THEN 0.0 ELSE
+             CAST(ROUND(CAST(cnt * chars * 1.0 / tc AS DECIMAL(38,12)), 4)
+                  AS DOUBLE) END AS {col},
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk
+    FROM c{n}
+)"""
+
+
+EXTENSIONS["x_top_ngrams"] = _x_top_ngrams
+EXTENSION_ORACLES["x_top_ngrams"] = ("""
+WITH t AS (
+    SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+           length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS tc
+    FROM documents
+),""" + _top_ngram_branch(2, "f2") + "," + _top_ngram_branch(3, "f3") + """
+SELECT b2.lang, COUNT(*) AS n_docs,
+       ROUND(SUM(b2.f2) * 10000 / COUNT(*)) AS mean_top2_x1e4,
+       ROUND(SUM(b3.f3) * 10000 / COUNT(*)) AS mean_top3_x1e4
+FROM (SELECT * FROM b2 WHERE rk = 1) b2
+JOIN (SELECT * FROM b3 WHERE rk = 1) b3 USING (doc_id)
+GROUP BY b2.lang
+""")

@@ -806,3 +806,51 @@ def dup_ngram_fraction(text_col: Column, n: int = 2) -> Column:
     return F.when(m <= 0, F.lit(0.0)).otherwise(
         F.round(frac, 4).cast("double")
     )
+
+
+def top_ngram_char_fraction(text_col: Column, n: int = 2) -> Column:
+    """Fraction of CHARACTERS covered by the single most frequent token
+    n-gram — the other half of the Gopher repetition family
+    (dup_ngram_fraction counts duplicated grams; the published gates also
+    cut on top-2/3/4-gram character coverage).  coverage = occurrences x
+    len(gram) / len(text-without-spaces).
+
+    One projection: grams materialized once, counted with an O(m^2)
+    nested HOF scan (m = token count, the per-row cost a doc-length gate
+    bounds anyway), ties broken toward the lexicographically smallest
+    gram.  Decimal-exact round per the repo float convention."""
+    toks = tokens(text_col)
+    m = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    uniq = F.array_sort(F.array_distinct(grams))
+    counted = F.transform(
+        uniq,
+        lambda g: F.struct(
+            F.size(F.filter(grams, lambda x: x == g)).alias("cnt"),
+            F.length(F.replace(g, F.lit(" "), F.lit(""))).alias("chars"),
+            g.alias("gram"),
+        ),
+    )
+    # max by (cnt, -lex)?  array_max on struct = lexicographic max by
+    # (cnt, chars, gram); to break count-ties toward the SMALLEST gram
+    # deterministically in both engines, compare (cnt, gram) via a
+    # reduce that prefers strictly-greater cnt, else smaller gram
+    best = F.aggregate(
+        counted,
+        F.struct(F.lit(0).alias("cnt"), F.lit(0).alias("chars"),
+                 F.lit("").alias("gram")),
+        lambda acc, s: F.when(
+            (s["cnt"] > acc["cnt"])
+            | ((s["cnt"] == acc["cnt"]) & (s["gram"] < acc["gram"])
+               & (acc["cnt"] > 0)),
+            s,
+        ).otherwise(acc),
+    )
+    total_chars = F.length(F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", ""))
+    frac = (best["cnt"] * best["chars"] / total_chars).cast("decimal(38,12)")
+    return F.when((m <= 0) | (total_chars <= 0), F.lit(0.0)).otherwise(
+        F.round(frac, 4).cast("double")
+    )

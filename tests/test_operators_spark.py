@@ -1693,3 +1693,18 @@ def test_kmeans_empty_cluster_keeps_labels(spark):
     out = kmeans_fit(df, k=3, iters=2)
     labels = sorted({r.cluster for r in out.collect()})
     assert labels == [0, 2]  # cluster 1 (duplicate seed) emptied; 0/2 kept
+
+
+def test_top_ngram_char_fraction_known_values(spark):
+    from prql_query_spark.operators.text import top_ngram_char_fraction
+
+    df = spark.createDataFrame(
+        [("ab cd ab cd ab",), ("x y z",), ("",)], "t string"
+    )
+    got = [r.f for r in df.select(
+        top_ngram_char_fraction(F.col("t"), 2).alias("f")).collect()]
+    # "ab cd" occurs 2x among bigrams, covers 2*4 of 10 non-space chars
+    assert got[0] == pytest.approx(0.8, abs=1e-4)
+    # all bigrams unique -> best count 1, covers 2/3 of chars
+    assert got[1] == pytest.approx(0.6667, abs=1e-4)
+    assert got[2] == 0.0
