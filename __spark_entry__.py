@@ -3343,3 +3343,39 @@ FROM (SELECT * FROM b2 WHERE rk = 1) b2
 JOIN (SELECT * FROM b3 WHERE rk = 1) b3 USING (doc_id)
 GROUP BY b2.lang
 """)
+
+
+def _x_semantic_dedup(spark, sf_dir):
+    """Semantic dedup end-to-end: exact cosine near-dup pairs (>= 0.4)
+    -> connected components -> keep each cluster's lowest-id member.
+    The embedding-space twin of minhash_dedup_cc."""
+    from prql_query_spark.operators.dedup import connected_components
+    from prql_query_spark.operators.similarity import embedding_neardup
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup(emb, threshold=0.4, exact=True)
+    comp = connected_components(pairs, "a", "b")
+    losers = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("vec_id")
+    )
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id", "label")
+
+
+EXTENSIONS["x_semantic_dedup"] = _x_semantic_dedup
+EXTENSION_ORACLES["x_semantic_dedup"] = """
+WITH RECURSIVE vp AS (
+    SELECT e1.vec_id AS a, e2.vec_id AS b
+    FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+    WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                 CAST(e2.embedding AS DOUBLE[])) >= 0.4
+), e AS (SELECT a, b FROM vp UNION SELECT b, a FROM vp),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+r(node, m) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.node, e.b FROM r JOIN e ON e.a = r.m
+),
+comp AS (SELECT node, MIN(m) AS component FROM r GROUP BY node)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE component <> node)
+"""
