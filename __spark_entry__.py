@@ -1432,8 +1432,11 @@ m AS (
            {counts['phone_n']} AS phone_n
     FROM salted
 )
-SELECT source, SUM(delta) AS chars_redacted, SUM(email_n) AS emails,
-       SUM(ip_n) AS ips, SUM(phone_n) AS phones
+SELECT source,
+       CAST(SUM(delta) AS BIGINT) AS chars_redacted,
+       CAST(SUM(email_n) AS BIGINT) AS emails,
+       CAST(SUM(ip_n) AS BIGINT) AS ips,
+       CAST(SUM(phone_n) AS BIGINT) AS phones
 FROM m GROUP BY source ORDER BY source
 """,
     }
@@ -1462,28 +1465,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # splits/sampling).  Everything after index 50 still runs under the
 # in-repo parity harness (tools/check_parity.py) every round.
 DRIVER_ORDER = [
-    # — PRQL layer: covering set, one row per §2.A feature family —
-    "q_agg_q1", "q_join_agg_q5", "q_flagship_monthly", "q_window_running",
-    "q_window_rolling7", "q_window_range_frame", "q_lag_lead_rank",
-    "q_take_range", "q_topk_customers", "q_topk_per_group",
-    "q_select_exclude", "q_filter_derive", "q_having", "q_left_join_nulls",
-    "q_right_full_joins", "q_self_join", "q_distinct_status", "q_set_ops",
-    "q_sort_nulls", "q_let_cte", "q_func_inline", "q_fstring_label",
-    "q_case_buckets", "q_coalesce", "q_in_list", "q_scalar_funcs",
-    "q_agg_stats", "q_percentiles", "q_loop_series",
-    # — LLM-pipeline extension tier —
-    # (one row per family: where a family has several variants the most
-    # complete one sits in the window — x_dedup_content, x_minhash_dedup,
-    # x_embed_neardup, x_events_tumbling, x_stratified_sample moved below
-    # the window in round 2b to make room for the new flagship ops; the
-    # in-repo parity harness still value-checks all of them every round)
-    "x_dedup_exact", "x_paragraph_dedup", "x_clean_corpus",
-    "x_minhash_pairs", "x_minhash_dedup_cc",
-    "x_cc_components", "x_simhash_pairs", "x_ngram_jaccard",
-    "x_cosine_topk", "x_cosine_lsh", "x_nb_classifier",
-    "x_asof_join", "x_range_join", "x_events_sessions", "x_pagerank",
-    "x_lang_id", "x_gopher_audit", "x_scrub_pii", "x_hash_split",
-    "x_mix_corpora", "x_char_entropy",
+    # Round-3 rotation (VERDICT r2 item 6): 66 queries were driver-hashed
+    # across r1+r2; this window keeps a 5-query stable core — the flagship
+    # trio plus the two r2 reds whose type fixes must be PROVEN driver-side
+    # this round (q_scalar_funcs: FLOOR/CEIL now CAST AS DOUBLE;
+    # x_scrub_pii: oracle SUMs now CAST AS BIGINT) — and fills the other
+    # 45 slots with queries never audited by the driver.  The remaining 25
+    # never-audited rotate in next round; the in-repo typed parity harness
+    # (tools/check_parity.py, now Arrow-type-class-aware) still
+    # value-checks all 136 every round.
+    "q_agg_q1", "q_join_agg_q5", "q_flagship_monthly",
+    "q_scalar_funcs", "x_scrub_pii",
+    # — never-audited PRQL/TPC-H silhouettes —
+    "q_disjunctive_filter_q19", "q_large_orders_q18",
+    "q_priority_lines_q12", "q_promo_revenue_q14",
+    # — never-audited extension tier —
+    "x_anomaly_zscore", "x_bigram_top", "x_blocklist_filter",
+    "x_bpe_count", "x_chunk_docs", "x_constraint_audit",
+    "x_contamination", "x_cosine_ivf", "x_cube_agg", "x_dedup_report",
+    "x_dup_ngrams", "x_dup_tokens", "x_embed_centroid",
+    "x_embed_neardup", "x_equidepth", "x_events_sliding",
+    "x_events_tumbling", "x_ewma", "x_fingerprint_groups", "x_funnel",
+    "x_fuzzy_match", "x_group_trend", "x_histogram", "x_impute_mean",
+    "x_incremental_dedup", "x_json_props", "x_json_struct", "x_kmeans",
+    "x_levenshtein", "x_multimodal_av", "x_multimodal_features",
+    "x_multimodal_frames", "x_multimodal_pixels", "x_normalize_text",
+    "x_pack_sequences", "x_pivot_events", "x_pmi_top", "x_profile_orders",
+    "x_psi_drift", "x_resample_ffill", "x_retention_cohort",
 ]
 
 
@@ -2047,7 +2055,9 @@ WITH daily AS (
 SELECT * FROM scored WHERE abs(zscore) > 2
 """,
     "x_histogram": """
-SELECT bucket, ROUND(0.0 + bucket * 5000.0, 6) AS bucket_lo, COUNT(*) AS n
+SELECT bucket,
+       ROUND(CAST(0.0 + bucket * 5000.0 AS DOUBLE), 6) AS bucket_lo,
+       COUNT(*) AS n
 FROM (
     SELECT CAST(least(greatest(floor((l_extendedprice - 0.0) / 5000.0), 0), 23)
                 AS INTEGER) AS bucket
@@ -3137,10 +3147,7 @@ def _x_pagerank(spark, sf_dir):
 def _pagerank_oracle() -> str:
     from prql_query_spark.operators.graph import pagerank_oracle_sql
 
-    sql = pagerank_oracle_sql(PAGERANK_EDGES_SQL, iters=5)
-    # rename only in the final projection (r0's inner `SELECT node,` must
-    # keep its name for the USING(node) chain)
-    return sql.replace("SELECT node, CAST(ROUND", "SELECT node AS part, CAST(ROUND")
+    return pagerank_oracle_sql(PAGERANK_EDGES_SQL, iters=5, node_alias="part")
 
 
 EXTENSIONS["x_pagerank"] = _x_pagerank
@@ -3185,10 +3192,58 @@ FROM documents
 """
 
 
+def _x_multimodal_pixels(spark, sf_dir):
+    """SAMPLE-LEVEL image decode, end-to-end real: synthesize valid
+    grayscale PNGs (stdlib zlib-compressed IDAT, pixel(x,y) =
+    (id + x + 7y) % 256, dims id-derived), then decode the actual bytes
+    back through the pure-stdlib PNG decoder (inflate + unfilter) and
+    aggregate integer-exact pixel statistics.  The oracle recomputes the
+    same stats from the synthesis rule per grid cell in SQL — the Spark
+    side must inflate/unfilter correctly for the hashes to agree."""
+    from prql_query_spark.operators.multimodal import (
+        pixel_stats, synthesize_png_images)
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return pixel_stats(synthesize_png_images(docs, "doc_id"))
+
+
+EXTENSIONS["x_multimodal_pixels"] = _x_multimodal_pixels
+EXTENSION_ORACLES["x_multimodal_pixels"] = """
+WITH dims AS (
+    SELECT doc_id, doc_id % 32 + 8 AS w, (doc_id * 7) % 32 + 8 AS h
+    FROM documents
+), cells AS (
+    SELECT doc_id, w, h,
+           unnest([(doc_id + (i % w) + 7 * (i // w)) % 256
+                   for i in range(0, w * h)]) AS v
+    FROM dims
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INTEGER) AS px_min,
+       CAST(MAX(v) AS INTEGER) AS px_max
+FROM cells GROUP BY doc_id, w, h
+"""
+
+
 def _x_incremental_dedup(spark, sf_dir):
     """Incremental ingest dedup: the 20% batch (doc_id % 5 == 0) deduped
     against the 80% corpus via persisted-LSH-index probe + exact-Jaccard
-    verify; survivors returned.  New-vs-new dups deliberately kept."""
+    verify; survivors returned.  New-vs-new dups deliberately kept.
+
+    Oracle-recall assumption (same convention as x_minhash_pairs): the
+    oracle is ALL-PAIRS exact Jaccard while this path is 16-band/4-row
+    LSH, whose collision probability at the j=0.6 threshold is only ~89%.
+    Equality holds because the driver fixture's true near-dup pairs sit
+    at j >= 0.92, where band-collision probability is 1-1e-10 — verified
+    empirically at sf0.001/0.01 (2026-08-14): the minimum pair Jaccard
+    above 0.5 is 0.92; no pair exists in [0.5, 0.92).  If the fixture
+    generator ever changes to emit marginal
+    pairs, a red here means recall-at-the-margin, not an operator bug."""
     from prql_query_spark.operators.dedup import dedup_against_corpus
 
     docs = _tbl(spark, sf_dir, "documents")

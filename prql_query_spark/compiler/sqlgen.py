@@ -50,7 +50,10 @@ WINDOW_FNS = {
 }
 # first/last in PRQL take 1 arg; normalize to templates above with dummy slot
 SCALAR_FNS = {
-    "abs": "ABS({0})", "floor": "FLOOR({0})", "ceil": "CEIL({0})",
+    "abs": "ABS({0})",
+    # floor/ceil: Spark returns BIGINT, DuckDB DOUBLE — pin both to DOUBLE
+    # (the reference's engines return float64) so driver value-hashes agree.
+    "floor": "CAST(FLOOR({0}) AS DOUBLE)", "ceil": "CAST(CEIL({0}) AS DOUBLE)",
     # round goes through exact DECIMAL so both engines apply the same
     # HALF_UP at the same digit: ROUND(double) diverges by one ulp between
     # Spark (BigDecimal of the shortest repr) and DuckDB (binary FP) when a

@@ -16,9 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def write_pretty(df: DataFrame, n: int = 1000) -> str:
-    """Markdown-ish table like arrow::pretty_format_batches (datafusion.rs:129)."""
-    rows = df.limit(n).collect()
+def write_pretty(df: DataFrame, n: int | None = None) -> str:
+    """Markdown-ish table like arrow::pretty_format_batches (datafusion.rs:129).
+
+    Prints EVERY collected row by default, matching the reference, which
+    pretty-formats all batches with no cap (datafusion.rs:128-132).  Pass
+    ``n`` to cap explicitly (e.g. interactive previews).
+    """
+    rows = (df.limit(n) if n is not None else df).collect()
     cols = df.columns
     cells = [[_fmt(r[c]) for c in cols] for r in rows]
     widths = [max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)

@@ -515,6 +515,7 @@ def probe_minhash_index(
     num_perm: int = 64,
     bands: int = 16,
     k: int = 5,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Candidate (new_id, corpus_id, n_bands) matches of a new batch
     against a persisted corpus index.
@@ -523,6 +524,13 @@ def probe_minhash_index(
     all-time corpus, so the BATCH side's banded buckets broadcast and the
     corpus-scale index is probed in place — it never shuffles (with the
     index bucketed by (band, bucket) the probe also never full-scans).
+
+    Pass ``broadcast_batch=False`` when the "batch" is not actually small
+    (e.g. a backfill, or a first streaming microbatch that swallowed the
+    whole backlog because maxFilesPerTrigger was unset): the banded
+    buckets are ~bands rows per document, and a too-large broadcast fails
+    the job at ``spark.sql.autoBroadcastJoinThreshold``-scale.  Without
+    the hint Spark/AQE picks the join strategy from actual sizes.
     """
     nb = _banded_buckets(new_df, id_col, text_col, num_perm, bands, k).select(
         F.col("_id").alias("new_id"),
@@ -530,7 +538,7 @@ def probe_minhash_index(
         F.col("_bucket").alias("bucket"),
     )
     return (
-        index.join(F.broadcast(nb), ["band", "bucket"])
+        index.join(F.broadcast(nb) if broadcast_batch else nb, ["band", "bucket"])
         .groupBy("new_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
@@ -559,10 +567,15 @@ def dedup_against_corpus(
     2. near — probe the LSH `index` (built here from `corpus` when not
        provided), then verify candidates with exact shingle Jaccard; the
        verify join only ever touches the candidate corpus rows.
-    Requires new and corpus id spaces to be disjoint (asserted nowhere —
-    ids are caller-owned — but the verify melt relies on it).
+
+    Id spaces may overlap: the verify stage internally prefixes new ids
+    with ``n:`` and corpus ids with ``c:`` before the shingle-table
+    union, so a new row and a corpus row sharing the same id can never be
+    confused for each other.  The final anti-join uses the ORIGINAL new
+    ids carried through the pair table, untouched by the prefixing.
     """
     h = lambda c: F.xxhash64(F.lower(c))  # noqa: E731
+    pref = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
     corpus_hashes = corpus.select(h(F.col(text_col)).alias("_ch")).distinct()
     stage1 = new_df.join(
         corpus_hashes, h(F.col(text_col)) == F.col("_ch"), "left_anti"
@@ -573,7 +586,11 @@ def dedup_against_corpus(
         else build_minhash_index(corpus, id_col, text_col, num_perm, bands, k)
     )
     cand = probe_minhash_index(stage1, idx, id_col, text_col, num_perm, bands, k)
-    pairs = cand.select(F.col("new_id").alias("a"), F.col("corpus_id").alias("b"))
+    pairs = cand.select(
+        pref("n:", "new_id").alias("a"),
+        pref("c:", "corpus_id").alias("b"),
+        F.col("new_id").alias("_orig_new"),
+    )
     # restrict the verify-side shingle table to CANDIDATE ids before
     # ngram_jaccard — otherwise every corpus document's shingles are
     # recomputed on every call (per microbatch in streaming ingest)
@@ -583,12 +600,12 @@ def dedup_against_corpus(
         .distinct()
     )
     both = (
-        new_df.select(id_col, text_col)
-        .unionByName(corpus.select(id_col, text_col))
+        new_df.select(pref("n:", id_col).alias(id_col), F.col(text_col))
+        .unionByName(corpus.select(pref("c:", id_col).alias(id_col), F.col(text_col)))
         .join(cand_ids, id_col, "left_semi")
     )
     verified = ngram_jaccard(pairs, both, id_col, text_col, k).filter(
         F.col("jaccard") >= threshold
     )
-    losers = verified.select(F.col("a").alias(id_col)).distinct()
+    losers = verified.select(F.col("_orig_new").alias(id_col)).distinct()
     return stage1.join(losers, id_col, "left_anti")

@@ -71,6 +71,15 @@ def pagerank(
     Python once so the oracle embeds the identical double.  Final ranks
     are decimal-rounded (HALF_UP) to `round_digits` — the cross-engine
     float convention, far above the ~1e-14 iteration noise floor.
+
+    Dangling-node caveat: sink nodes (in-edges only) ABSORB mass — their
+    rank is not redistributed, so on a general directed edge list ranks
+    do NOT sum to 1 (matching the oracle twin, which makes the same
+    choice).  On symmetric graphs — e.g. cooccurrence_edges output, the
+    intended input here — every node has out-edges and mass is conserved.
+    For general webgraph-style inputs add a dangling-mass redistribution
+    term before trusting rank magnitudes (relative ordering is still
+    meaningful in most uses).
     """
     teleport = 1.0 - damping
     # nodes and N are reused by EVERY iteration's rank rebuild — checkpoint
@@ -127,11 +136,14 @@ def pagerank_oracle_sql(
     iters: int = 5,
     damping: float = 0.85,
     round_digits: int = 8,
+    node_alias: str = "node",
 ) -> str:
     """DuckDB twin: the same fixed-iteration power iteration unrolled as a
     CTE chain (no recursive aggregation needed), generated from the same
     constants as `pagerank` — teleport is embedded as the repr() of the
-    identical Python double."""
+    identical Python double.  `node_alias` renames the node column in the
+    final projection (callers whose Spark-side output uses a different
+    name pass it here instead of post-editing the generated SQL)."""
     teleport = repr(1.0 - damping)
     d = repr(damping)
     parts = [
@@ -150,8 +162,9 @@ def pagerank_oracle_sql(
             f"JOIN r{k-1} p ON e.src = p.node JOIN deg ON deg.src = e.src "
             "GROUP BY e.dst) c USING (node))"
         )
+    alias = "node" if node_alias == "node" else f"node AS {node_alias}"
     final = (
-        f"SELECT node, CAST(ROUND(CAST(r AS DECIMAL(38,12)), {round_digits}) "
+        f"SELECT {alias}, CAST(ROUND(CAST(r AS DECIMAL(38,12)), {round_digits}) "
         f"AS DOUBLE) AS rank FROM r{iters}"
     )
     return ",\n".join(parts) + "\n" + final

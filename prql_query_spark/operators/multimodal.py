@@ -126,14 +126,29 @@ def decode_image_meta(payload: bytes) -> tuple[str, int | None, int | None]:
     return "unknown", None, None
 
 
-def _decode_pixels(payload: bytes) -> "object":
-    """Full pixel decode needs PIL/pillow (not in this container); the
-    header tier above is dependency-free.  Raise exactly like an optional
-    dependency would."""
-    raise NotImplementedError(
-        "pixel decode requires PIL/pillow which is not installed; "
-        "decode_image_meta provides the header tier without it"
-    )
+def _decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full pixel decode: (width, height, channels, row-major bytes).
+
+    PNG decodes for REAL with zero dependencies (stdlib zlib inflate +
+    unfilter — decode_png_pixels below); other formats fall back to
+    PIL/pillow when importable, else raise like an optional dependency."""
+    try:
+        return decode_png_pixels(payload)
+    except ValueError:
+        pass
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # optional dependency
+    except ImportError as e:
+        raise NotImplementedError(
+            "non-PNG pixel decode requires PIL/pillow which is not "
+            "installed; PNG decodes natively via decode_png_pixels and "
+            "decode_image_meta provides the header tier for all formats"
+        ) from e
+    img = Image.open(BytesIO(payload))
+    ch = len(img.getbands())
+    return img.width, img.height, ch, img.tobytes()
 
 
 def _fake_descriptor(payload: bytes, dim: int = 8) -> list[float]:
@@ -393,3 +408,189 @@ def extract_av_features(df: DataFrame) -> DataFrame:
             })
 
     return df.mapInPandas(run, schema=AV_FEATURE_SCHEMA)
+
+
+# --- pixel tier: real PNG decode, zero dependencies -------------------------
+#
+# The reference treats media as opaque bytes; a training-data pipeline needs
+# at least one REAL sample-level decode path.  PNG is fully decodable with
+# the stdlib (zlib inflate + per-scanline unfilter), so the pixel tier is
+# implemented here for real — PIL/pillow remains the swap-in for JPEG and
+# friends via _decode_pixels' fallback.
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(width: int, height: int, pixels: bytes,
+               color_type: int = 0) -> bytes:
+    """Minimal REAL PNG encoder (stdlib zlib + crc32): 8-bit depth, filter
+    type 0 on every scanline, one IDAT.  `pixels` is row-major
+    width*height*channels bytes.  Fixture builder for the pixel-decode
+    tests — any standards-compliant reader decodes its output."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    ch = _PNG_CHANNELS[color_type]
+    if len(pixels) != width * height * ch:
+        raise ValueError(
+            f"pixels length {len(pixels)} != {width}x{height}x{ch}")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * ch
+    raw = b"".join(
+        b"\x00" + pixels[y * stride:(y + 1) * stride] for y in range(height)
+    )
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL stdlib PNG pixel decode: (width, height, channels, pixel bytes).
+
+    Walks chunks, inflates the concatenated IDAT stream, and reverses all
+    five scanline filters (None/Sub/Up/Average/Paeth).  Supports 8-bit
+    depth, color types 0/2/3/4/6 (palette resolved through PLTE), no
+    interlacing.  Raises ValueError on anything else — the caller decides
+    whether to fall back to PIL."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i, w = 8, None
+    idat, plte = [], None
+    while i + 8 <= len(payload):
+        size = int.from_bytes(payload[i:i + 4], "big")
+        tag = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + size]
+        if tag == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, _comp, _filt, interlace = data[8:13]
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={interlace})")
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        i += 12 + size
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:      # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ftype == 2:    # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:    # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:    # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    if color == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        rgb = bytearray(h * w * 3)
+        for j, idx in enumerate(out):
+            rgb[j * 3:j * 3 + 3] = plte[idx * 3:idx * 3 + 3]
+        return w, h, 3, bytes(rgb)
+    return w, h, ch, bytes(out)
+
+
+PIXEL_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_pixels", LongType()),
+    StructField("px_sum", LongType()),
+    StructField("px_min", IntegerType()),
+    StructField("px_max", IntegerType()),
+])
+
+
+def synthesize_png_images(df: DataFrame, id_col: str = "doc_id",
+                          max_dim: int = 32) -> DataFrame:
+    """Deterministic REAL-PNG fixture: each row becomes a grayscale PNG
+    with width = id % max_dim + 8, height = (id * 7) % max_dim + 8 and
+    pixel(x, y) = (id + x + 7*y) % 256 — a rule plain SQL can recompute
+    per cell, so sample-level decode is value-checkable end to end.
+    Assembly needs zlib, hence mapInPandas (Python) — this is a fixture
+    generator, not a production scan path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w = i % max_dim + 8
+                h = (i * 7) % max_dim + 8
+                px = bytes(((i + x + 7 * y) % 256
+                            for y in range(h) for x in range(w)))
+                ids.append(i)
+                payloads.append(encode_png(w, h, px, color_type=0))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        run, schema="media_id long, payload binary")
+
+
+def pixel_stats(df: DataFrame) -> DataFrame:
+    """Sample-level image statistics via REAL pixel decode (mapInPandas,
+    iterator form — one Arrow batch of payloads in flight per task):
+    (media_id, width, height, channels, n_pixels, px_sum, px_min,
+    px_max).  Integer-exact outputs so the cross-engine oracle compares
+    without float-rounding conventions.  Uses the stdlib PNG decoder;
+    non-PNG payloads raise into _decode_pixels' PIL fallback."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "width", "height",
+                                    "channels", "n_pixels", "px_sum",
+                                    "px_min", "px_max")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h, ch, px = decode_png_pixels(b)
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["n_pixels"].append(w * h)
+                rows["px_sum"].append(sum(px))
+                rows["px_min"].append(min(px))
+                rows["px_max"].append(max(px))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)

@@ -37,8 +37,16 @@ def stream_dedup_against_corpus(
     bands: int = 16,
     k: int = 5,
     queryName: str = "pq_stream_ingest_dedup",
-    max_files_per_trigger: int | None = None,
+    max_files_per_trigger: int | None = 64,
 ):
+    """See module docstring.
+
+    ``max_files_per_trigger`` defaults to 64 so the FIRST microbatch after
+    a cold start cannot swallow an arbitrarily large backlog: the probe
+    join broadcasts the batch side (probe_minhash_index's contract), and
+    an unbounded first batch can blow past Spark's broadcast limit.  Pass
+    ``None`` to disable the cap only when the backlog is known-bounded.
+    """
     from prql_query_spark.operators.dedup import (
         build_minhash_index, dedup_against_corpus)
 

@@ -231,3 +231,21 @@ def test_golden_file_roundtrip_writers(tmp_path):
     ).collect()
     assert (rows[0].customer_id, rows[0].customer_total) == (6, 49.620000000000005)
     assert rows[1].customer_total == 47.620000000000005
+
+
+def test_write_pretty_prints_all_rows():
+    """Reference pretty-prints every collected batch with no row cap
+    (/root/reference/src/backends/datafusion.rs:128-132); the old silent
+    1,000-row truncation was a divergence.  1,500 rows must all appear."""
+    from prql_query_spark.engine.session import get_spark
+    from prql_query_spark.engine.writers import write_pretty
+
+    spark = get_spark("pytest")
+    df = spark.range(1500).selectExpr("id", "id * 2 AS twice")
+    out = write_pretty(df)
+    lines = out.splitlines()
+    # 3 header/sep lines + 1500 data rows + closing sep
+    assert len(lines) == 3 + 1500 + 1
+    assert any(" 1499 " in ln for ln in lines)
+    # explicit cap still available for previews
+    assert len(write_pretty(df, n=10).splitlines()) == 3 + 10 + 1

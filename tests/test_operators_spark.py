@@ -163,7 +163,93 @@ def test_decode_image_meta_formats():
     assert decode_image_meta(gif) == ("gif", 12, 34)
     assert decode_image_meta(b"plain text") == ("unknown", None, None)
     with pytest.raises(NotImplementedError):
-        _decode_pixels(png)  # pixel tier still needs PIL, by design
+        # header-only payload (no IDAT) is not decodable as PNG, so the
+        # pixel tier falls through to the PIL branch, absent by design
+        _decode_pixels(png)
+
+
+def test_png_pixel_tier_roundtrip():
+    """Real stdlib PNG decode: encoder→decoder round trip (gray + RGB),
+    every scanline filter type reversed, palette resolution, and
+    _decode_pixels dispatching PNG natively without PIL."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    from prql_query_spark.operators.multimodal import (
+        _decode_pixels, decode_png_pixels, encode_png,
+    )
+
+    px = bytes(((3 + x + 7 * y) % 256 for y in range(11) for x in range(9)))
+    assert decode_png_pixels(encode_png(9, 11, px, 0)) == (9, 11, 1, px)
+    assert _decode_pixels(encode_png(9, 11, px, 0)) == (9, 11, 1, px)
+    rgb = bytes((i * 37) % 256 for i in range(6 * 4 * 3))
+    assert decode_png_pixels(encode_png(6, 4, rgb, 2))[3] == rgb
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", crc32(tag + data) & 0xFFFFFFFF))
+
+    # hand-encode one scanline per filter type (0..4) and decode back
+    W = H = 5
+    pix = bytes(((x * 3 + y * 11) % 256 for y in range(H) for x in range(W)))
+    lines, prev = [], bytes(W)
+    for y in range(H):
+        line, f, enc = pix[y * W:(y + 1) * W], y % 5, bytearray()
+        for x in range(W):
+            a = line[x - 1] if x >= 1 else 0
+            b, c = prev[x], (prev[x - 1] if x >= 1 else 0)
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = (line[x] - a) & 0xFF
+            elif f == 2:
+                v = (line[x] - b) & 0xFF
+            elif f == 3:
+                v = (line[x] - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                v = (line[x] - pred) & 0xFF
+            enc.append(v)
+        lines.append(bytes([f]) + bytes(enc))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", W, H, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+           + chunk(b"IEND", b""))
+    assert decode_png_pixels(png)[3] == pix
+
+    plte = bytes(i % 256 for i in range(12))
+    raw = b"".join(b"\x00" + bytes([0, 1, 2, 3]) for _ in range(4))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", plte) + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    w, h, ch, out = decode_png_pixels(png)
+    assert (w, h, ch) == (4, 4, 3) and out[:6] == plte[:6]
+
+
+def test_pixel_stats_spark(spark, sf_dir):
+    """synthesize→decode→stats over real PNG bytes on Spark; stats must
+    equal the synthesis rule recomputed in Python."""
+    from prql_query_spark.engine.sources import load_parquet
+    from prql_query_spark.operators.multimodal import (
+        pixel_stats, synthesize_png_images,
+    )
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet").limit(25)
+    rows = pixel_stats(synthesize_png_images(docs, "doc_id")).collect()
+    assert len(rows) == 25
+    for r in rows:
+        i = r.media_id
+        w, h = i % 32 + 8, (i * 7) % 32 + 8
+        vals = [(i + x + 7 * y) % 256 for y in range(h) for x in range(w)]
+        assert (r.width, r.height, r.channels) == (w, h, 1)
+        assert r.n_pixels == w * h
+        assert r.px_sum == sum(vals)
+        assert r.px_min == min(vals) and r.px_max == max(vals)
 
 
 def test_events_batch_windows(spark, sf_dir):
@@ -1560,6 +1646,29 @@ def test_incremental_dedup_tiers_and_new_vs_new_kept(spark):
     cand = {(r.new_id, r.corpus_id)
             for r in probe_minhash_index(new, idx).collect()}
     assert (11, 1) in cand
+
+
+def test_incremental_dedup_overlapping_id_spaces(spark):
+    """New and corpus ids COLLIDE on purpose: new id 1 is a near-dup of
+    corpus id 2 (and unrelated to corpus id 1).  Before the internal
+    n:/c: prefixing, the verify union attributed one text to the other id
+    and produced wrong keep/drop decisions for exactly this shape."""
+    from prql_query_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(1, "completely different corpus content about spark shuffles and joins"),
+         (2, "the quick brown fox jumps over the lazy dog in the morning sun")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog in the morning fog"),
+         (2, "an entirely novel document that matches nothing in the corpus")],
+        "doc_id bigint, text string",
+    )
+    out = sorted(r.doc_id for r in dedup_against_corpus(
+        new, corpus, threshold=0.6).collect())
+    # new 1 ~ corpus 2 (near-dup, dropped); new 2 matches nothing (kept)
+    assert out == [2]
 
 
 def test_probe_index_broadcasts_batch_side(spark, sf_dir):

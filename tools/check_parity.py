@@ -21,27 +21,39 @@ from prql_query_spark.engine.session import get_spark
 
 
 def norm_cell(v):
+    """Normalize a cell to a (type-class, value) pair.
+
+    Type-class tagging is the point: the driver's value hash is computed on
+    typed cells, so Spark BIGINT 1863 vs DuckDB DOUBLE 1863.0 (or HUGEINT →
+    decimal128) must FAIL here even though Python's ``==`` equates them.
+    That blindness is how the two round-2 driver reds escaped the local gate
+    (VERDICT r2 "What's wrong" #3).
+    """
     import datetime
     import decimal
 
     if v is None:
         return None
     if isinstance(v, bool):
-        return v
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, decimal.Decimal):
-        v = float(v)
+        # DuckDB HUGEINT/DECIMAL exports as decimal128 — distinct from both
+        # int64 and float64 in the driver's Arrow-typed hash.
+        return ("decimal", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("float", "NaN")
         # PQ_EXACT=1 mimics the driver's exact value hash (no tolerance);
         # default keeps a 9-decimal tolerance for float-noise-only diffs.
         if os.environ.get("PQ_EXACT"):
-            return v
-        return round(v, 9)
+            return ("float", v)
+        return ("float", round(v, 9))
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return ("date", v.isoformat())
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     return v
