@@ -85,3 +85,50 @@ def sources_bytes(paths: list[str]) -> int:
         elif os.path.exists(p):
             total += os.path.getsize(p)
     return total
+
+
+def tune_splits_for_layout(spark: SparkSession, paths: list[str]) -> None:
+    """Layout-aware scan-split sizing.
+
+    Spark parallelizes parquet at row-group/file granularity, so split
+    size only matters when the source HAS independent units to hand out:
+
+    * single-file single-row-group sources (the driver's testdata) cannot
+      be split — sub-128 MB splits only schedule empty tasks (measured
+      ~5% slower in round 2) — so defaults stay;
+    * multi-file / multi-row-group sources (e.g. compact_for_parallelism
+      output, or any real table) get splits sized to keep every core
+      busy: split = clamp(total/(2*cores), 1 MB, 128 MB), with
+      openCostInBytes scaled down so small files aren't bin-packed into
+      one task by the default 4 MB open-cost.
+
+    At 100 TB total/(2*cores) clamps to 128 MB and this is a no-op — the
+    tuning exists for small inputs, where the default bin-packing
+    otherwise starves cores.
+    """
+    units = 0
+    total = 0
+    try:
+        import pyarrow.parquet as papq
+    except ImportError:  # pragma: no cover
+        return
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, names in os.walk(p):
+                files += [os.path.join(root, f) for f in names
+                          if f.endswith(".parquet")]
+        elif p.endswith(".parquet"):
+            files.append(p)
+    for f in files:
+        total += os.path.getsize(f)
+        try:
+            units += papq.ParquetFile(f).num_row_groups
+        except Exception:
+            units += 1
+    cores = spark.sparkContext.defaultParallelism
+    if units < 2 * min(cores, max(1, len(files))) and len(files) <= 1:
+        return  # unsplittable layout: defaults are already optimal
+    split = max(1 << 20, min(total // (2 * cores) or (1 << 20), 128 << 20))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(max(64 << 10, split // 8)))

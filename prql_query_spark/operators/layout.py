@@ -80,3 +80,33 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_for_parallelism(
+    spark,
+    src: str,
+    dst: str,
+    target_partitions: int | None = None,
+) -> str:
+    """Rewrite a parquet source into `target_partitions` files so scans
+    parallelize.
+
+    Spark splits parquet at ROW-GROUP granularity: a file written as one
+    big row group (pandas/pyarrow default for small tables) is forever a
+    single scan task no matter how many cores the cluster has — measured
+    at sf0.1 this serializes a 3-column lineitem scan at 87 ms where the
+    32-file layout runs it in 47 ms, and the whole Q5 join pipeline drops
+    ~15% (SCALING.md round 3).  This is the compaction/layout job every
+    real warehouse runs (Delta OPTIMIZE, Iceberg rewrite_data_files); at
+    100 TB the same operator bounds file count per partition instead.
+
+    Round-robin repartition — no ordering contract on the output; use
+    write_zordered when downstream pruning wants clustering.  Returns
+    `dst` for chaining into a re-register.
+    """
+    from prql_query_spark.engine.sources import load_parquet
+
+    n = target_partitions or spark.sparkContext.defaultParallelism
+    df = load_parquet(spark, src)
+    df.repartition(n).write.mode("overwrite").parquet(dst)
+    return dst

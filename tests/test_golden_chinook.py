@@ -115,11 +115,11 @@ def test_attach_errors(spark):
 
     from prql_query_spark.engine.databases import DatabaseError, attach_database
 
-    # no postgres JDBC driver jar in this container: the attach code path
-    # runs (URL parse -> spark.read.jdbc) and degrades to a clear error
-    # naming the jar, mirroring the reference without postgres_scanner
-    with _pytest.raises(DatabaseError, match="JDBC driver jar"):
-        attach_database(spark, "postgresql://u:p@h:5432/db")
+    # unreachable postgres: JDBC path fails (no jar here) and the pgwire
+    # fallback surfaces the real connection failure as a DatabaseError —
+    # the live attach itself is covered by tests/test_postgres_live.py
+    with _pytest.raises(DatabaseError, match="cannot attach"):
+        attach_database(spark, "postgresql://u:p@127.0.0.1:1/db")
     with _pytest.raises(DatabaseError, match="no such file"):
         attach_database(spark, "sqlite:///nope/missing.sqlite")
     # reference's chinook.duckdb is an old storage version: clear error, not
