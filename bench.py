@@ -65,7 +65,8 @@ take 10
         "q_filter_derive": entrymod.PRQL_QUERIES["q_filter_derive"],
     }
     extension_names = [
-        "x_dedup_exact", "x_minhash_pairs", "x_token_count",
+        "x_dedup_exact", "x_minhash_pairs", "x_minhash_dedup_cc",
+        "x_embed_neardup_lsh", "x_token_count",
         "x_cosine_topk", "x_events_sessions", "x_retention_cohort",
         "x_unigram_logprob",
     ]
@@ -81,7 +82,22 @@ take 10
         docs = load_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
         return minhash_lsh_pairs(docs, num_perm=64, bands=16, k=5)
 
-    bench_overrides = {"x_minhash_pairs": _minhash_candidates}
+    # x_embed_neardup_lsh: the SCALE path of embedding near-dup — random-
+    # hyperplane LSH bucketing with verification restricted to buckets.
+    # (The queries() entry runs exact=True all-pairs because that is the
+    # value-checkable oracle configuration; benching that would measure
+    # the oracle twin, not the production plan.)
+    def _embed_neardup_lsh(spark, sf_dir):
+        from prql_query_spark.engine.sources import load_parquet
+        from prql_query_spark.operators.similarity import embedding_neardup
+
+        emb = load_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+        return embedding_neardup(emb, threshold=0.4, exact=False)
+
+    bench_overrides = {
+        "x_minhash_pairs": _minhash_candidates,
+        "x_embed_neardup_lsh": _embed_neardup_lsh,
+    }
 
     results: dict[str, float] = {}
 
@@ -115,7 +131,7 @@ take 10
     for name, prql in bench_prql.items():
         execute(spark.sql(compile_prql(prql, "spark")))
     for name in extension_names:
-        fn = bench_overrides.get(name, all_queries[name])
+        fn = bench_overrides[name] if name in bench_overrides else all_queries[name]
         execute(fn(spark, sf_dir))
     warmup = time.time() - t_w
 
@@ -125,7 +141,7 @@ take 10
         note(f"bench {name}: {results[name]}s")
 
     for name in extension_names:
-        fn = bench_overrides.get(name, all_queries[name])
+        fn = bench_overrides[name] if name in bench_overrides else all_queries[name]
         results[name] = time_df(lambda f=fn: f(spark, sf_dir))
         note(f"bench {name}: {results[name]}s")
 

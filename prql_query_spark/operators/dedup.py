@@ -272,10 +272,17 @@ def connected_components(
     grow exponentially across iterations; at cluster scale swap for
     checkpoint() on durable storage.
     """
+    # edges are loop-INVARIANT but referenced by every iteration's join:
+    # without materializing them once, the entire upstream pipeline that
+    # produced `pairs` (for minhash_dedup_cc: signatures -> banding ->
+    # shingle verify) re-executes per iteration — measured 18.9 s vs 6.2 s
+    # end-to-end at sf0.1 (same class of bug as pagerank's round-2
+    # per-iteration recompute fix)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -18,6 +18,7 @@ driver (numpy) and shipped as literal arrays — deterministic.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -78,6 +79,59 @@ def cosine_topk(
 def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def lsh_buckets_vec(dim: int, n_bits: int, n_tables: int,
+                    seed_base: int = 42):
+    """Arrow-vectorized multi-table bucketing: pandas_udf mapping an
+    embedding column to array<long> of `n_tables` bucket ids.
+
+    Bit-identical to `lsh_bucket` chained per table (same seeds 42+t, same
+    >=0 sign convention, plane 0 = MSB) — pinned by
+    tests::test_lsh_buckets_vec_matches_expr.  One BLAS matmul per Arrow
+    batch replaces n_tables*n_bits interpreted HOF array-dots per row:
+    the expression form builds a ~2,000-literal Catalyst tree whose
+    analyze+codegen alone costs seconds per plan, and measured 10.2 s for
+    2,000 vectors at sf0.1 vs 0.7 s for this UDF.  At 10^9 vectors the
+    matmul amortizes even better (batch_size x dim @ dim x bits)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.concatenate(
+        [np.asarray(_hyperplanes(dim, n_bits, seed=seed_base + t)).T
+         for t in range(n_tables)], axis=1)  # (dim, n_tables*n_bits)
+    weights = (1 << np.arange(n_bits - 1, -1, -1, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        bits = (x @ planes) >= 0  # (n, n_tables*n_bits)
+        b = bits.reshape(len(x), n_tables, n_bits).astype(np.int64)
+        ids = (b * weights).sum(axis=2)  # (n, n_tables)
+        return pd.Series(list(ids))
+
+    return _buckets
+
+
+def cosine_pairs_vec(a: Column, b: Column) -> Column:
+    """Arrow-vectorized pair cosine: numpy einsum per batch instead of
+    three interpreted HOF aggregates per row.  Same float64 math as
+    `cosine` up to summation order (parallel reduce vs left fold) — use
+    the expression form when an oracle twin must match bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in va])
+        y = np.asarray([np.asarray(v, dtype=np.float64) for v in vb])
+        if x.size == 0:
+            return pd.Series([], dtype=float)
+        num = np.einsum("ij,ij->i", x, y)
+        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+        return pd.Series(num / den)
+
+    return _cos(a, b)
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -199,27 +253,35 @@ def embedding_neardup(
     q = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     if exact:
         cand = c.join(F.broadcast(q), F.col("a") < F.col("b"))
-    else:
-        dim = len(corpus.select(vec_col).first()[0])
-
-        def buckets(vec: Column) -> Column:
-            return F.array(*[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    lsh_bucket(vec, _hyperplanes(dim, n_bits, seed=42 + t)).alias("b"),
-                )
-                for t in range(n_tables)
-            ])
-
-        cb = c.withColumn("_tb", F.explode(buckets(F.col("_va"))))
-        qb = q.withColumn("_tb", F.explode(buckets(F.col("_vb"))))
-        cand = (
-            cb.join(qb, on="_tb")
-            .filter(F.col("a") < F.col("b"))
-            .dropDuplicates(["a", "b"])
+        return (
+            cand.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine")
         )
+    # LSH path, round-3 shape: (1) bucket ids via ONE Arrow/BLAS matmul per
+    # batch (lsh_buckets_vec) instead of a ~2,000-literal HOF expression
+    # tree; (2) the candidate join and dedup move BARE (t, bucket, id)
+    # rows — vectors re-join only for the surviving unique pairs, so the
+    # dedup exchange doesn't carry two dim-length arrays per candidate.
+    # Measured at sf0.1 (2,000 vecs, 64-dim): 10.2 s -> 0.7 s warm.
+    dim = len(corpus.select(vec_col).first()[0])
+    bud = lsh_buckets_vec(dim, n_bits, n_tables)
+    ids = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    bucketed = ids.select(
+        "_id", F.posexplode(bud(F.col("_v"))).alias("_t", "_b"))
+    left = bucketed.select(F.col("_id").alias("a"), "_t", "_b")
+    right = bucketed.select(F.col("_id").alias("b"), "_t", "_b")
+    pairs = (
+        left.join(right, ["_t", "_b"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     return (
-        cand.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        pairs.join(va, "a").join(vb, "b")
+        .withColumn("cosine", cosine_pairs_vec(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
@@ -252,31 +314,31 @@ def cosine_topk_lsh(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
 
-    def buckets(vec: Column) -> Column:
-        # array of (table, bucket) structs, exploded for the candidate join
-        return F.array(*[
-            F.struct(
-                F.lit(t).alias("t"),
-                lsh_bucket(vec, _hyperplanes(dim, n_bits, seed=42 + t)).alias("b"),
-            )
-            for t in range(n_tables)
-        ])
-
+    # bucket ids via one Arrow/BLAS matmul per batch (bit-identical to the
+    # lsh_bucket expression chain — see lsh_buckets_vec); candidate join +
+    # dedup move bare ids, vectors re-join for survivors only.  Scoring
+    # stays on the expression-form cosine so the DuckDB oracle twin
+    # (x_cosine_lsh) matches to the last ulp.
+    bud = lsh_buckets_vec(dim, n_bits, n_tables)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        F.explode(buckets(F.col(vec_col))).alias("_tb"),
+        F.posexplode(bud(F.col(vec_col))).alias("_t", "_b"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.explode(buckets(F.col(vec_col))).alias("_tb"),
+        F.posexplode(bud(F.col(vec_col))).alias("_t", "_b"),
     )
     joined = (
-        c.join(F.broadcast(q), on="_tb")
+        c.join(F.broadcast(q), on=["_t", "_b"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_cvec"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qvec"))
+    joined = joined.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
     scored = joined.withColumn("cosine", cosine(F.col("_cvec"), F.col("_qvec")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

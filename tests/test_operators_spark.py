@@ -106,6 +106,44 @@ def test_lsh_recall_vs_exact(emb):
     assert recall >= 0.2, f"recall {recall}"
 
 
+def test_lsh_buckets_vec_matches_expr(emb):
+    """The Arrow/BLAS bucketing (one matmul per batch) must be
+    BIT-IDENTICAL to the lsh_bucket expression chain — same hyperplanes
+    (seeds 42+t), same >=0 sign convention, plane 0 = MSB.  This is the
+    invariant that lets embedding_neardup / cosine_topk_lsh swap the
+    ~2,000-literal HOF tree for the vectorized form without moving any
+    candidate across buckets."""
+    from prql_query_spark.operators.similarity import (
+        _hyperplanes, lsh_bucket, lsh_buckets_vec,
+    )
+
+    dim = len(emb.select("embedding").first()[0])
+    n_bits, n_tables = 4, 8
+    bud = lsh_buckets_vec(dim, n_bits, n_tables)
+    exprs = [
+        lsh_bucket(F.col("embedding"),
+                   _hyperplanes(dim, n_bits, seed=42 + t)).alias(f"e{t}")
+        for t in range(n_tables)
+    ]
+    df = emb.select(bud(F.col("embedding")).alias("vb"), *exprs)
+    cond = " OR ".join(f"vb[{t}] != e{t}" for t in range(n_tables))
+    assert df.filter(cond).count() == 0
+
+
+def test_embedding_neardup_lsh_subset_of_exact(emb):
+    """LSH candidates verify with exact cosine, so every LSH pair must
+    appear in the exact all-pairs output (subset, never superset)."""
+    from prql_query_spark.operators.similarity import embedding_neardup
+
+    exact = {(r.a, r.b) for r in
+             embedding_neardup(emb, threshold=0.4, exact=True).collect()}
+    lsh = {(r.a, r.b) for r in
+           embedding_neardup(emb, threshold=0.4, exact=False).collect()}
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.2  # coarse buckets -> real recall
+
+
 def test_text_profile_columns(docs):
     from prql_query_spark.operators.text import text_profile
 

@@ -106,51 +106,83 @@ def main() -> None:
     # lineitem sf0.1 as a 32-file copy (what any real 100 TB table looks
     # like) and re-measure both engines on it: Spark's slope term drops by
     # the parallelism factor, which is the term a cluster multiplies.
+    from prql_query_spark.engine.session import tune_splits_for_layout
+    from prql_query_spark.engine.sources import load_parquet
+    from prql_query_spark.operators.layout import compact_for_parallelism
+
     probe_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                             ".scratch", "lineitem_mrg")
+                             ".scratch", "compact_mrg")
     mrg: dict[str, dict[str, float]] = {}
     sf_dir = SF_DIRS[-1]
-    if not os.path.exists(probe_dir):
-        (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-         .repartition(32).write.mode("overwrite").parquet(probe_dir))
+    cores = spark.sparkContext.defaultParallelism
+    probe_tables = ["lineitem", "orders"]
+    for t in probe_tables:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(probe_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            # size-proportional: one ~512 KB file per unit, cap at cores —
+            # 32 tiny files for a 3 MB table measured WORSE than 1 file
+            n = max(1, min(cores, os.path.getsize(src) // (1 << 19)))
+            compact_for_parallelism(spark, src, dst, int(n))
     entrymod._reg(spark, sf_dir)
-    spark.read.parquet(probe_dir).createOrReplaceTempView("lineitem")
     con = duckdb.connect()
     for t in entrymod.TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    con.execute("DROP VIEW lineitem")
-    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{probe_dir}/*.parquet')")
+    for t in probe_tables:
+        con.execute(f"DROP VIEW {t}")
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{probe_dir}/{t}.parquet/*.parquet')")
     # Interleave the two layouts A/B (and re-measure 1-rg here rather than
     # reusing the sweep row) so JIT/GC drift cannot masquerade as a layout
     # effect — one-shot layout probes produced a 2x phantom regression.
-    mrg_single = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    mrg_multi = spark.read.parquet(probe_dir)
-    for name in ("q_agg_q1", "q_join_agg_q5", "q_filter_derive"):
+    singles = {t: load_parquet(spark, os.path.join(sf_dir, f"{t}.parquet"))
+               for t in probe_tables}
+    multis = {t: load_parquet(spark, os.path.join(probe_dir, f"{t}.parquet"))
+              for t in probe_tables}
+    defaults = ("134217728", "4194304")
+
+    def _use(layout: str) -> None:
+        views = singles if layout == "1rg" else multis
+        for t, v in views.items():
+            v.createOrReplaceTempView(t)
+        if layout == "1rg":
+            spark.conf.set("spark.sql.files.maxPartitionBytes", defaults[0])
+            spark.conf.set("spark.sql.files.openCostInBytes", defaults[1])
+        else:
+            tune_splits_for_layout(
+                spark, [os.path.join(probe_dir, f"{t}.parquet")
+                        for t in probe_tables])
+
+    for name in ("q_agg_q1", "q_join_agg_q5", "q_topk", "q_filter_derive"):
         sql = compile_prql(PRQL[name], "spark")
-        osql = oracles.get(name) or compile_prql(PRQL[name], "duckdb")
-        samples: dict[str, list[float]] = {"1rg": [], "32rg": []}
+        osql = (oracles.get(name)
+                or {"q_topk": oracles["q_topk_customers"]}.get(name)
+                or compile_prql(PRQL[name], "duckdb"))
+        samples: dict[str, list[float]] = {"1rg": [], "mrg": []}
         exe = lambda s=sql: spark.sql(s).write.format("noop").mode("overwrite").save()
-        for layout, view in (("1rg", mrg_single), ("32rg", mrg_multi)):
-            view.createOrReplaceTempView("lineitem")
+        for layout in ("1rg", "mrg"):
+            _use(layout)
             for _ in range(3):
                 exe()
         for _ in range(7):
-            for layout, view in (("1rg", mrg_single), ("32rg", mrg_multi)):
-                view.createOrReplaceTempView("lineitem")
+            for layout in ("1rg", "mrg"):
+                _use(layout)
                 t0 = time.time()
                 exe()
                 samples[layout].append(time.time() - t0)
         mrg[name] = {
             "spark_1rg": round(statistics.median(samples["1rg"]) * 1000, 1),
-            "spark_32rg": round(statistics.median(samples["32rg"]) * 1000, 1),
+            "spark_32rg": round(statistics.median(samples["mrg"]) * 1000, 1),
             "duckdb": round(_median(lambda c=con, s=osql: c.execute(s).fetchall()) * 1000, 1),
         }
-        print(f"{name} sf0.1: spark 1rg {mrg[name]['spark_1rg']} / 32rg "
-              f"{mrg[name]['spark_32rg']} ms, duckdb 32rg {mrg[name]['duckdb']} ms",
+        print(f"{name} sf0.1: spark 1rg {mrg[name]['spark_1rg']} / compacted "
+              f"{mrg[name]['spark_32rg']} ms, duckdb compacted {mrg[name]['duckdb']} ms",
               file=sys.stderr, flush=True)
     con.close()
+    spark.conf.set("spark.sql.files.maxPartitionBytes", defaults[0])
+    spark.conf.set("spark.sql.files.openCostInBytes", defaults[1])
     # restore the canonical single-file views (bust the per-session memo —
     # it tracks the dir, not the lineitem override)
     entrymod._REG_CURRENT.pop(spark.sparkContext.applicationId, None)
@@ -213,15 +245,17 @@ def main() -> None:
                          "does not).")
     lines += [
         "",
-        "## Row-group parallelism probe (sf0.1, lineitem rewritten as 32 files)",
+        "## Layout probe (sf0.1, lineitem+orders compacted size-proportionally)",
         "",
         "The sweep above runs on the driver's SINGLE-row-group parquet, so",
         "Spark's fact-table scan is structurally serial (parquet splits are",
         "per row group) and the fitted Spark slope is a 1-core decode slope.",
         "Real 100 TB tables are many thousands of row groups.  Same queries,",
-        "same rows, lineitem rewritten as 32 files:",
+        "same rows, lineitem+orders rewritten by",
+        "`operators/layout.compact_for_parallelism` (one ~512 KB file per",
+        "unit, cap 32) with `tune_splits_for_layout` sizing the scan splits:",
         "",
-        "| query | spark 1-rg (ms) | spark 32-rg (ms) | duckdb 32-rg (ms) |",
+        "| query | spark 1-file (ms) | spark compacted (ms) | duckdb compacted (ms) |",
         "|---|---|---|---|",
     ]
     for name, r in mrg.items():
@@ -231,20 +265,39 @@ def main() -> None:
         "",
         "## Reading",
         "",
-        "The floor column is what BENCH_r01/BENCH_r02 pay per query at",
+        "The floor column is what the BENCH_r* rounds pay per query at",
         "sf0.1 — it does not grow with data.  The slope column is the 100 TB",
         "cost driver, and it further divides by the executor count on a",
         "cluster, while the single-node oracle's slope cannot.  This is the",
         "measured version of BASELINE.md §4's floor analysis.",
         "",
-        "One non-floor term was isolated for `q_join_agg_q5`: the",
-        "driver-side broadcast hash build of `orders` (150k rows) measures",
-        "~300-470 ms per execution (1-row-probe-side experiment), dominating",
-        "the query and insensitive to fact-table layout.  It is the correct",
-        "trade locally — disabling broadcast measured 910 ms vs 623 ms",
-        "(interleaved A/B over thresholds 64M/10M/1M/off) — and at cluster",
-        "scale an orders-sized side exceeds any sane threshold, so AQE flips",
-        "the join to a parallel shuffle join and this term disappears.",
+        "Round-3 interleaved A/B findings on the q_join_agg_q5 slope (the",
+        "one flagged 4.7x-per-byte gap), superseding the round-2 broadcast",
+        "story:",
+        "",
+        "- Catalyst planning is 6-28 ms/query (analyzed-plan reuse saves",
+        "  ~10 ms — not the gap).",
+        "- autoBroadcastJoinThreshold 64 MB vs 1 MB is within noise at",
+        "  sf0.1 (0.539 vs 0.531 s medians, interleaved) — the round-2",
+        "  claim that the orders broadcast build dominates did not",
+        "  reproduce under interleaving; the build adds ~55 ms over a",
+        "  tiny-dimension build (li JOIN orders 173 ms vs li JOIN nation",
+        "  118 ms, both broadcast, compacted layout).  Forcing the shuffle",
+        "  join instead measured 0.75 vs 0.43 s — broadcast remains right.",
+        "- An explicit REPARTITION(32) of lineitem before the join is 2x",
+        "  WORSE (1.06 vs 0.54 s): the shuffle costs more than the",
+        "  parallelism wins at this size; layout compaction is the correct",
+        "  lever, not in-plan repartition.",
+        "- AQE on/off is within noise on every headline query (e.g. q5",
+        "  0.412/0.396, q_agg 0.234/0.243) — confirming the round-2 note.",
+        "- The residual q5 gap after compaction decomposes as: ~70 ms job",
+        "  floor + 47 ms parallel scan + ~55 ms orders hash build + the",
+        "  GROUP BY n_name hash aggregation, which alone adds ~210 ms over",
+        "  the join pipeline (string-key row-based hash map; grouping by",
+        "  the int key c_nationkey and joining 25-row nation AFTER the",
+        "  aggregate measures ~16% faster end to end).  All terms except",
+        "  the string-agg are constant or divide by executors at scale;",
+        "  the agg term divides too (partial aggregation is per-task).",
         "",
     ]
     with open(out_path, "w") as f:
