@@ -3105,6 +3105,80 @@ EXTENSIONS["x_mix_corpora"] = _x_mix_corpora
 EXTENSION_ORACLES["x_mix_corpora"] = _mix_oracle()
 
 
+def _x_temperature_mix(spark, sf_dir):
+    """Temperature-weighted corpus rebalancing (q_s ∝ p_s^0.5): flatten
+    the natural per-source size skew the way multilingual pretraining
+    mixes do; audited per source.  alpha=0.5 so the power is IEEE sqrt —
+    exactly rounded in every engine — and temperature_bounds sums in
+    sorted-source order, which the oracle replicates with
+    list_sum(list(... ORDER BY source))."""
+    from prql_query_spark.operators.sampling import temperature_mix
+
+    docs = _tbl(spark, sf_dir, "documents")
+    out = temperature_mix(docs, source_col="source", alpha=0.5)
+    return (
+        out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.sum("doc_id").alias("id_sum"))
+        .orderBy("source")
+    )
+
+
+def _temperature_mix_oracle() -> str:
+    from prql_query_spark.operators.sampling import hash_bucket_sql
+
+    b = hash_bucket_sql("concat(d.source, ':', CAST(d.doc_id AS VARCHAR))")
+    return f"""
+WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM documents GROUP BY source),
+t AS (SELECT SUM(n) AS total FROM c),
+p AS (SELECT source, n / (SELECT total FROM t) AS p FROM c),
+z AS (SELECT list_sum(list(sqrt(p) ORDER BY source)) AS z FROM p),
+r AS (SELECT source, (sqrt(p) / (SELECT z FROM z)) / p AS ratio FROM p),
+m AS (SELECT MAX(ratio) AS m FROM r),
+bounds AS (SELECT source,
+                  CAST(ROUND(ratio / (SELECT m FROM m) * 10000) AS BIGINT)
+                  AS bound FROM r)
+SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+FROM documents d JOIN bounds bo ON d.source = bo.source
+WHERE {b} < bo.bound
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+EXTENSIONS["x_temperature_mix"] = _x_temperature_mix
+EXTENSION_ORACLES["x_temperature_mix"] = _temperature_mix_oracle()
+
+
+def _x_token_budget(spark, sf_dir):
+    """Quality-ranked token-budget selection: fill a 20k-token training
+    budget from the highest-quality (here: longest) documents down; the
+    boundary-crossing doc is kept.  Integer cumulative sums, so the gate
+    compares exactly."""
+    from prql_query_spark.operators.sampling import token_budget_select
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return token_budget_select(docs, 20_000, quality_col="n_chars")
+
+
+EXTENSIONS["x_token_budget"] = _x_token_budget
+EXTENSION_ORACLES["x_token_budget"] = """
+WITH t AS (
+    SELECT doc_id, n_chars AS quality,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS BIGINT) AS n_tokens
+    FROM documents
+), c AS (
+    SELECT *, SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+    FROM t
+)
+SELECT doc_id, quality, n_tokens, cum_tokens FROM c
+WHERE cum_tokens - n_tokens < 20000
+"""
+
+
 def _x_nb_classifier(spark, sf_dir):
     """Train a hashed-token NB classifier on a text-derived label
     (doc mentions 'spark') and score the corpus — the fastText-style

@@ -206,3 +206,98 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def temperature_bounds(
+    counts: dict[str, int], alpha: float, buckets: int = BUCKETS
+) -> dict[str, int]:
+    """Pure math shared with the oracle: per-source keep bounds for
+    temperature-weighted sampling (multilingual-pretraining style,
+    q_s ∝ p_s^alpha).  Rates are normalized so the most-upweighted source
+    keeps everything (downsample-only — no row duplication; combine with
+    mix_corpora for >1 epochs).  Returned as integer bucket bounds so both
+    engines embed IDENTICAL literals and no cross-engine float comparison
+    ever happens."""
+    if not 0 <= alpha <= 1:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    total = sum(counts.values())
+    # sum in SORTED source order: collect() row order varies run to run,
+    # and float summation order changes ulps — the oracle twin replicates
+    # this exact order with list_sum(list(... ORDER BY source))
+    p = {s: counts[s] / total for s in sorted(counts) if counts[s] > 0}
+    z = sum(v ** alpha for v in p.values())
+    ratio = {s: ((v ** alpha) / z) / v for s, v in p.items()}
+    m = max(ratio.values())
+    return {s: int(round(r / m * buckets)) for s, r in ratio.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.7,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-weighted corpus rebalancing: sample source s at a rate
+    proportional to p_s^(alpha-1), flattening the size distribution the
+    way multilingual/multi-domain pretraining mixes do (alpha=1 keeps the
+    natural mix, alpha=0 equalizes expected counts).
+
+    Per-source counts are one aggregate (tiny result, collected — the
+    scalar-agg exception); the keep decision is the usual md5 hash-bucket
+    against a per-source integer bound, so the pass itself is a narrow
+    filter: no shuffle, no RNG, same rows kept on every run/cluster
+    size/partitioning.
+    """
+    counts = {r[0]: r[1] for r in df.groupBy(source_col).count().collect()}
+    bounds = temperature_bounds(counts, alpha)
+    key = F.concat(F.col(source_col).cast("string"), F.lit(":"),
+                   F.col(key_col).cast("string"))
+    b = hash_bucket(key, seed)
+    bound = F.lit(0)
+    for s, v in bounds.items():
+        bound = F.when(F.col(source_col) == s, F.lit(v)).otherwise(bound)
+    return df.filter(b < bound)
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Quality-ranked token-budget selection: walk documents from highest
+    `quality_col` down (ties broken by id) and keep them until the token
+    budget is filled; the document that crosses the boundary is kept, so
+    the budget is always reached when the corpus allows.
+
+    Returns (id, quality, n_tokens, cum_tokens).  One window shuffle; as
+    with pack_sequences, pass `shard_col` at 100 TB to rank within shards
+    (a global total order is a single-reducer sort — per-shard budgets are
+    what a distributed curriculum actually uses).
+    """
+    from pyspark.sql import Window
+
+    from prql_query_spark.operators.text import token_count
+
+    part = [shard_col] if shard_col else [F.lit(1)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("quality").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = df.select(
+        F.col(id_col),
+        F.col(quality_col).alias("quality"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        *([F.col(shard_col)] if shard_col else []),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    if shard_col:
+        with_cum = with_cum.drop(shard_col) if shard_col not in (
+            id_col, "quality") else with_cum
+    # keep docs whose PRECEDING cumulative total was still under budget
+    return with_cum.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget_tokens)
+    )

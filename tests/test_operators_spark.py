@@ -1855,3 +1855,58 @@ def test_top_ngram_char_fraction_known_values(spark):
     # all bigrams unique -> best count 1, covers 2/3 of chars
     assert got[1] == pytest.approx(0.6667, abs=1e-4)
     assert got[2] == 0.0
+
+
+def test_temperature_bounds_math():
+    from prql_query_spark.operators.sampling import BUCKETS, temperature_bounds
+
+    counts = {"big": 8000, "mid": 1500, "small": 500}
+    # alpha=1 keeps the natural mix: every source at full rate
+    assert set(temperature_bounds(counts, 1.0).values()) == {BUCKETS}
+    # alpha=0 equalizes expected counts: rate_s = min_count / n_s
+    b0 = temperature_bounds(counts, 0.0)
+    assert b0["small"] == BUCKETS
+    assert b0["big"] == round(500 / 8000 * BUCKETS)
+    # monotone: lower alpha downsamples the big source harder
+    b5 = temperature_bounds(counts, 0.5)
+    assert b0["big"] < b5["big"] < BUCKETS
+    # the most-upweighted source always keeps everything
+    assert max(b5.values()) == BUCKETS
+
+
+def test_temperature_mix_spark(spark, sf_dir):
+    from prql_query_spark.engine.sources import load_parquet
+    from prql_query_spark.operators.sampling import (
+        temperature_bounds, temperature_mix,
+    )
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    natural = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    kept = {r[0]: r[1] for r in temperature_mix(docs, alpha=0.5)
+            .groupBy("source").count().collect()}
+    bounds = temperature_bounds(natural, 0.5)
+    for s, n in natural.items():
+        assert kept.get(s, 0) <= n
+        # kept fraction tracks the bound within hash noise
+        expect = n * bounds[s] / 10_000
+        assert abs(kept.get(s, 0) - expect) <= max(5, 0.35 * n)
+    # determinism: same rows on re-run
+    again = {r[0]: r[1] for r in temperature_mix(docs, alpha=0.5)
+             .groupBy("source").count().collect()}
+    assert kept == again
+
+
+def test_token_budget_select_boundary(spark):
+    from prql_query_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [(1, 10, "a b c"), (2, 9, "d e f g"), (3, 8, "h i"), (4, 7, "j")],
+        "doc_id bigint, q int, text string",
+    )
+    # budget 5: doc1 (3 tokens, cum 3) kept; doc2 starts at 3 < 5 so the
+    # straddler is kept (cum 7); doc3 starts at 7 >= 5 -> dropped
+    rows = token_budget_select(df, 5, quality_col="q").collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]
+    assert {r.doc_id: r.cum_tokens for r in rows} == {1: 3, 2: 7}
+    # budget larger than corpus keeps everything
+    assert token_budget_select(df, 100, quality_col="q").count() == 4
