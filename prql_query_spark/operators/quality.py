@@ -77,13 +77,16 @@ def winsorize(
     """
     # BOTH percentiles from one buffer: percentile(col, array(lo, hi))
     # sorts the group once; two separate percentile() aggregates each
-    # build and sort their own 600k-value buffer (measured 2.4 s vs 1.3 s
-    # at sf0.1 — the exact-percentile buffer is the whole cost of this
-    # operator; swap in approx_percentile at 100 TB where the oracle-exact
-    # contract isn't needed)
+    # build and sort their own value buffer (measured 2.4 s vs 1.4 s at
+    # sf0.1 — the exact-percentile buffer IS the cost of this operator).
+    # A row_number-window + boundary-rank interpolation rewrite was
+    # measured too (round 3): 1.53 s — the window's sort exchange costs
+    # what the buffer cost, so the simpler form stays.  approx_percentile
+    # is the 100 TB path when the oracle-exact contract isn't owed.
     bounds = df.groupBy(by).agg(
         F.percentile(value_col, F.array(F.lit(p_lo), F.lit(p_hi))).alias("_b"),
     ).select(by, F.col("_b")[0].alias("_lo"), F.col("_b")[1].alias("_hi"))
+
     return (
         df.join(F.broadcast(bounds), by)
         .withColumn(
