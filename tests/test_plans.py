@@ -391,3 +391,44 @@ def test_incremental_dedup_no_corpus_selfjoin(spark, sf_dir):
     plan = _plan(spark, out, "simple")
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_temperature_mix_is_narrow(spark, sf_dir):
+    """After the one count aggregate (collected), the kept-rows pass must
+    be a pure filter over the scan: zero Exchange, zero Python."""
+    from prql_query_spark.operators.sampling import temperature_mix
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    plan = _plan(spark, temperature_mix(docs, alpha=0.5))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_token_budget_single_window_shuffle(spark, sf_dir):
+    """One window exchange and nothing else — the ranking IS the cost."""
+    from prql_query_spark.operators.sampling import token_budget_select
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    plan = _plan(spark, token_budget_select(docs, 10_000, quality_col="n_chars"))
+    # formatted mode names each node once in the tree ("Exchange (3)")
+    # and once as a detail header ("(3) Exchange")
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1
+    assert "Window" in plan
+
+
+def test_embedding_neardup_lsh_plan_shape(spark, sf_dir):
+    """The LSH path must never cartesian, must carry the vectors OUTSIDE
+    the candidate-dedup exchange (bare id pairs only), and must compute
+    buckets in Arrow-vectorized Python (one matmul per batch), not a
+    per-bit expression chain."""
+    from prql_query_spark.operators.similarity import embedding_neardup
+
+    emb = load_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    plan = _plan(spark, embedding_neardup(emb, threshold=0.4, exact=False))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    # the a<b dedup exchange must move (a, b) pairs only — no embedding
+    # arrays in any hashpartitioning exchange on the pair keys
+    for m in re.finditer(r"Exchange hashpartitioning\(a#\d+L?, b#\d+L?[^)]*\)"
+                         r".*?(?=\n\(|\Z)", plan, re.S):
+        assert "_va" not in m.group(0) and "_vb" not in m.group(0)
