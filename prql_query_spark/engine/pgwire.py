@@ -17,6 +17,14 @@ typed decoding of the common scalar OIDs.  Not a general driver — no
 extended protocol, COPY, or TLS — but a complete one for attach/discovery
 /table-scan traffic, which is all the engine sends.
 
+Memory contract: the simple protocol buffers each statement's full result
+in the calling task.  That is by design here — the partitioned read path
+(databases.read_postgres_table) bounds per-task volume by splitting the
+key range, so "one slice" is the unit a Spark task holds anyway.  Size
+num_partitions so a slice fits executor memory; a cursor-based
+(DECLARE/FETCH) loop is the drop-in upgrade if unbounded rows-per-slice
+ever matters.
+
 Protocol reference: PostgreSQL docs "Frontend/Backend Protocol" (public),
 SCRAM per RFC 5802/7677.
 """

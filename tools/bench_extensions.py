@@ -76,13 +76,52 @@ def main() -> None:
             s_times.append(time.time() - t0)
         s_ms = statistics.median(s_times) * 1000
 
-        con.execute(osql).fetchall()
+        # DuckDB side under a wall-clock cap (PQ_DUCK_TIMEOUT_S, default
+        # 120 s): some exact oracle twins are deliberately O(n^2)/recursive
+        # formulations that take minutes-to-hours at sf0.1 — a sweep must
+        # record "exceeds cap" and move on, not wedge (round-3 incident:
+        # one oracle burned 50 CPU-minutes single-threaded).
+        import threading
+
+        cap = float(os.environ.get("PQ_DUCK_TIMEOUT_S", "120"))
+
+        def run_capped() -> float | None:
+            done: list[float] = []
+            err: list[BaseException] = []
+
+            def work():
+                try:
+                    t0 = time.time()
+                    con.execute(osql).fetchall()
+                    done.append(time.time() - t0)
+                except BaseException as e:  # interrupt lands here
+                    err.append(e)
+
+            th = threading.Thread(target=work, daemon=True)
+            th.start()
+            th.join(cap)
+            if th.is_alive():
+                con.interrupt()
+                th.join(30)
+                return None
+            if err:
+                return None
+            return done[0]
+
+        warm = run_capped()
+        if warm is None:
+            out[name] = {"spark_ms": round(s_ms, 1), "duckdb_ms": None,
+                         "ratio": None}
+            print(f"| {name} | {s_ms:.1f} | >cap ({cap:.0f}s) | — |",
+                  flush=True)
+            continue
         d_times = []
         for _ in range(3):
-            t0 = time.time()
-            con.execute(osql).fetchall()
-            d_times.append(time.time() - t0)
-        d_ms = statistics.median(d_times) * 1000
+            d = run_capped()
+            if d is None:
+                break
+            d_times.append(d)
+        d_ms = statistics.median(d_times or [warm]) * 1000
 
         ratio = s_ms / d_ms if d_ms else float("inf")
         out[name] = {"spark_ms": round(s_ms, 1), "duckdb_ms": round(d_ms, 1),
