@@ -3424,15 +3424,23 @@ def _x_top_ngrams(spark, sf_dir):
     from prql_query_spark.operators.text import top_ngram_char_fraction
 
     docs = _tbl(spark, sf_dir, "documents")
+    # Per-doc fractions are 4-decimal, so f*10000 is integer-valued: sum
+    # exact BIGINTs, not doubles.  SUM(double) made the gate flaky — the
+    # fr mean sits exactly on a .5 rounding boundary, and hash-agg
+    # summation ORDER flipped DuckDB between 587.499... and 587.500...1
+    # run to run (one ulp).  Integer units + one final division is
+    # order-independent in both engines.
     d = docs.select(
         "lang",
-        top_ngram_char_fraction(F.col("text"), 2).alias("f2"),
-        top_ngram_char_fraction(F.col("text"), 3).alias("f3"),
+        F.round(top_ngram_char_fraction(F.col("text"), 2) * 10000)
+         .cast("long").alias("f2i"),
+        F.round(top_ngram_char_fraction(F.col("text"), 3) * 10000)
+         .cast("long").alias("f3i"),
     )
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.sum("f2") * 10000 / F.count(F.lit(1))).alias("mean_top2_x1e4"),
-        F.round(F.sum("f3") * 10000 / F.count(F.lit(1))).alias("mean_top3_x1e4"),
+        F.round(F.sum("f2i") / F.count(F.lit(1))).alias("mean_top2_x1e4"),
+        F.round(F.sum("f3i") / F.count(F.lit(1))).alias("mean_top3_x1e4"),
     )
 
 
@@ -3466,8 +3474,10 @@ WITH t AS (
     FROM documents
 ),""" + _top_ngram_branch(2, "f2") + "," + _top_ngram_branch(3, "f3") + """
 SELECT b2.lang, COUNT(*) AS n_docs,
-       ROUND(SUM(b2.f2) * 10000 / COUNT(*)) AS mean_top2_x1e4,
-       ROUND(SUM(b3.f3) * 10000 / COUNT(*)) AS mean_top3_x1e4
+       ROUND(SUM(CAST(ROUND(b2.f2 * 10000) AS BIGINT)) * 1.0 / COUNT(*))
+         AS mean_top2_x1e4,
+       ROUND(SUM(CAST(ROUND(b3.f3 * 10000) AS BIGINT)) * 1.0 / COUNT(*))
+         AS mean_top3_x1e4
 FROM (SELECT * FROM b2 WHERE rk = 1) b2
 JOIN (SELECT * FROM b3 WHERE rk = 1) b3 USING (doc_id)
 GROUP BY b2.lang

@@ -152,6 +152,58 @@ take 10
         results[name] = time_df(lambda f=fn: f(spark, sf_dir))
         note(f"bench {name}: {results[name]}s")
 
+    # Same-run DuckDB baseline (round 3).  BASELINE.md §2 was measured on
+    # 2026-08-13 hardware; driver VMs drift 20-40% run to run (verified by
+    # re-running the untouched r2 tree on r3 hardware: 4.41 s recorded vs
+    # 5.45 s replayed, identical code).  Re-measuring the §2 DuckDB queries
+    # (FIXTURES.md §3 SQL, warm median of 5, full fetch — the §2 protocol)
+    # inside the same bench run pins numerator and denominator to the same
+    # machine at the same minute, so the ratio is drift-free.
+    duck: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("lineitem", "orders", "customer", "nation"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')")
+        duck_sql = {
+            "q_take": "SELECT * FROM lineitem LIMIT 5",
+            "q_agg": """SELECT l_returnflag, l_linestatus, sum(l_quantity) sq,
+                sum(l_extendedprice) se, avg(l_discount) ad, count(*) c
+                FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+            "q_join_agg": """SELECT n_name, sum(l_extendedprice*(1-l_discount)) rev
+                FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+                JOIN customer ON o_custkey=c_custkey
+                JOIN nation ON c_nationkey=n_nationkey
+                GROUP BY 1 ORDER BY rev DESC""",
+            "q_window": """SELECT o_custkey, o_orderdate,
+                sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) rt
+                FROM orders ORDER BY o_custkey, o_orderdate LIMIT 10""",
+            "q_topk": """SELECT c_name, sum(o_totalprice) s FROM orders
+                JOIN customer ON o_custkey=c_custkey
+                GROUP BY 1 ORDER BY s DESC LIMIT 10""",
+            "q_filter_derive": """SELECT l_orderkey,
+                l_extendedprice*(1-l_discount) AS disc_price
+                FROM lineitem WHERE l_shipdate >= '1995-01-01' AND l_discount > 0.05
+                ORDER BY disc_price DESC LIMIT 20""",
+        }
+        for name, q in duck_sql.items():
+            con.execute(q).fetchall()
+            con.execute(q).fetchall()
+            samples = []
+            for _ in range(5):
+                t = time.time()
+                con.execute(q).fetchall()
+                samples.append(time.time() - t)
+            duck[name] = round(statistics.median(samples), 4)
+        con.close()
+        note(f"duckdb same-run baseline: {duck}")
+    except Exception as exc:  # baseline section must never fail the bench
+        note(f"duckdb baseline section skipped: {exc}")
+
     heavy: dict[str, float] = {}
     for name in heavy_names:
         fn = bench_overrides[name] if name in bench_overrides else all_queries[name]
@@ -216,6 +268,16 @@ take 10
         "startup_sec": round(startup, 2),
         "warmup_sec": round(warmup, 2),
     }
+    if duck:
+        out["queries_duckdb_samerun"] = duck
+        out["value_duckdb_samerun"] = round(sum(duck.values()), 4)
+        spark6 = round(sum(results[k] for k in duck), 4)
+        out["headline6_spark"] = spark6
+        out["headline6_ratio"] = round(spark6 / sum(duck.values()), 2)
+        if compacted:
+            comp6 = round(sum(compacted[k] for k in duck if k in compacted), 4)
+            out["headline6_ratio_compacted"] = round(
+                comp6 / sum(duck.values()), 2)
     if heavy:
         out["queries_heavy"] = heavy
         out["value_heavy"] = round(sum(heavy.values()), 4)
