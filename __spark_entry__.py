@@ -3518,3 +3518,335 @@ comp AS (SELECT node, MIN(m) AS component FROM r GROUP BY node)
 SELECT vec_id, label FROM embeddings
 WHERE vec_id NOT IN (SELECT node FROM comp WHERE component <> node)
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion sweep (round 3).  The reference executes arbitrary SQL
+# through its embedded engines (`--sql`, /root/reference/src/main.rs:53-56),
+# so the full TPC-H shape family is reference surface even where PRQL 0.6.1
+# has no spelling for it.  Silhouettes are adapted to the driver's synthetic
+# schema (no partsupp/commitdate/receiptdate/phone columns — predicates
+# substituted, join/subquery SHAPE preserved).  Two tiers:
+#   * PRQL-expressible (q2, q7, q8, q9, q13, q17): compiled for both engines
+#     by the in-repo compiler, like every other q_* entry.
+#   * Semi/anti-join + scalar-subquery shapes (q4, q15, q16, q21, q22):
+#     DataFrame API on the Spark side — explicit leftsemi/leftanti joins,
+#     the operators Catalyst plans EXISTS/NOT EXISTS into — with handwritten
+#     ANSI EXISTS/NOT EXISTS oracles.
+# ---------------------------------------------------------------------------
+
+PRQL_QUERIES.update({
+    # TPC-H Q2 silhouette: min-cost-supplier — per-part best supplier via
+    # the group(sort take 1) idiom over a lineitem-derived part↔supplier
+    # link table (no partsupp in the synthetic schema; s_acctbal stands in
+    # for the ps_supplycost ranking).
+    "q_min_cost_supplier_q2": """
+let links = (
+    from lineitem
+    select [l_partkey, l_suppkey]
+    group [l_partkey, l_suppkey] (take 1)
+)
+from links
+join supplier [l_suppkey == s_suppkey]
+join part [l_partkey == p_partkey]
+filter p_size >= 10 and p_size <= 20
+group [l_partkey] (
+    sort [-s_acctbal, s_suppkey]
+    take 1
+)
+select [p_partkey = l_partkey, s_name, s_acctbal, p_brand, p_size]
+sort [-s_acctbal, p_partkey]
+take 25
+""",
+    # TPC-H Q7 silhouette: volume shipping between two nations — the
+    # double-aliased nation join (supplier nation x customer nation) with a
+    # symmetric pair filter.
+    "q_volume_shipping_q7": """
+from lineitem
+join supplier [l_suppkey == s_suppkey]
+join orders [l_orderkey == o_orderkey]
+join customer [o_custkey == c_custkey]
+join n1=nation [supplier.s_nationkey == n1.n_nationkey]
+join n2=nation [customer.c_nationkey == n2.n_nationkey]
+filter (n1.n_name == 'NATION_1' and n2.n_name == 'NATION_2') or (n1.n_name == 'NATION_2' and n2.n_name == 'NATION_1')
+derive [supp_nation = n1.n_name, cust_nation = n2.n_name, l_year = s"EXTRACT(YEAR FROM l_shipdate)"]
+group [supp_nation, cust_nation, l_year] (
+    aggregate [volume = round 2 (sum (l_extendedprice * (1 - l_discount)))]
+)
+sort [supp_nation, cust_nation, l_year]
+""",
+    # TPC-H Q8 silhouette: market share — conditional-sum / total-sum ratio
+    # per order year (nation market share of global volume).
+    "q_market_share_q8": """
+from lineitem
+join orders [l_orderkey == o_orderkey]
+join customer [o_custkey == c_custkey]
+join nation [c_nationkey == n_nationkey]
+derive [o_year = s"EXTRACT(YEAR FROM o_orderdate)", vol = l_extendedprice * (1 - l_discount)]
+group [o_year] (
+    aggregate [
+        mkt_share = round 6 ((sum (case [n_name == 'NATION_3' -> vol, true -> 0])) / (sum vol)),
+        total_vol = round 2 (sum vol)
+    ]
+)
+sort [o_year]
+""",
+    # TPC-H Q9 silhouette: product-type profit by supplier nation and year
+    # (p_retailprice*qty*0.1 stands in for ps_supplycost*qty; LIKE filter
+    # on p_name via s-string passthrough, both dialects).
+    "q_product_profit_q9": """
+from lineitem
+join part [l_partkey == p_partkey]
+join supplier [l_suppkey == s_suppkey]
+join orders [l_orderkey == o_orderkey]
+join nation [s_nationkey == n_nationkey]
+filter s"p_name LIKE '%red%'"
+derive [o_year = s"EXTRACT(YEAR FROM o_orderdate)",
+        amount = l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1]
+group [nation = n_name, o_year] (
+    aggregate [sum_profit = round 2 (sum amount)]
+)
+sort [nation, -o_year]
+""",
+    # TPC-H Q13 silhouette: customer order-count distribution — LEFT JOIN
+    # with an extra theta term inside the join condition, then a second
+    # aggregation over the first's result (count-of-counts).
+    "q_cust_distribution_q13": """
+let per_cust = (
+    from customer
+    join side:left orders [c_custkey == o_custkey and o_orderpriority != '1-URGENT']
+    group [c_custkey] (aggregate [c_count = s"COUNT(o_orderkey)"])
+)
+from per_cust
+group [c_count] (aggregate [custdist = count])
+sort [-custdist, -c_count]
+""",
+    # TPC-H Q17 silhouette: small-quantity-order revenue — correlated
+    # per-part average via a let-CTE joined back USING(l_partkey), the
+    # decorrelated form Catalyst/DuckDB both plan Q17 into anyway.
+    "q_small_qty_revenue_q17": """
+let part_avg = (
+    from lineitem
+    group [l_partkey] (aggregate [avg_qty = average l_quantity])
+)
+from lineitem
+join part_avg [==l_partkey]
+join part [l_partkey == p_partkey]
+filter p_brand == 'Brand#3' and l_quantity < 0.5 * avg_qty
+aggregate [avg_yearly = round 2 ((sum l_extendedprice) / 7.0)]
+""",
+})
+
+
+def _q_order_priority_q4(spark, sf_dir):
+    """TPC-H Q4 silhouette: order-priority counts over orders that have at
+    least one returned line — EXISTS as an explicit leftsemi join (the
+    operator Catalyst rewrites EXISTS into).  l_returnflag='R' stands in
+    for the missing commitdate<receiptdate columns."""
+    orders = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        orders
+        .filter((F.col("o_orderdate") >= F.lit("1996-01-01")) &
+                (F.col("o_orderdate") < F.lit("1997-01-01")))
+        .join(returned, "o_orderkey", "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+EXTENSIONS["q_order_priority_q4"] = _q_order_priority_q4
+EXTENSION_ORACLES["q_order_priority_q4"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _q_top_supplier_q15(spark, sf_dir):
+    """TPC-H Q15 silhouette: top supplier by quarterly revenue — the
+    scalar-subquery MAX expressed as a global window max over the tiny
+    aggregated revenue table (<= #suppliers rows), then filter-to-max.
+    Ties (multiple suppliers at max) are all returned, as in Q15."""
+    from pyspark.sql import Window
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    sup = _tbl(spark, sf_dir, "supplier")
+    rev = (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01")) &
+                  (F.col("l_shipdate") < F.lit("1996-04-01")))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                     .cast("decimal(38,12)"), 2).cast("double").alias("total_rev"))
+    )
+    w = Window.partitionBy(F.lit(1))
+    top = (rev.withColumn("max_rev", F.max("total_rev").over(w))
+              .filter(F.col("total_rev") == F.col("max_rev")))
+    return (top.join(sup, top.l_suppkey == sup.s_suppkey)
+               .select("s_suppkey", "s_name", "total_rev")
+               .orderBy("s_suppkey"))
+
+
+EXTENSIONS["q_top_supplier_q15"] = _q_top_supplier_q15
+EXTENSION_ORACLES["q_top_supplier_q15"] = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount))
+                           AS DECIMAL(38,12)), 2) AS DOUBLE) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def _q_parts_suppliers_q16(spark, sf_dir):
+    """TPC-H Q16 silhouette: supplier counts per (brand, size) excluding
+    flagged suppliers — NOT EXISTS as an explicit leftanti join against
+    the excluded-supplier set (s_acctbal < 0 stands in for the complaints
+    LIKE filter), distinct part↔supplier links derived from lineitem."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    part = _tbl(spark, sf_dir, "part")
+    sup = _tbl(spark, sf_dir, "supplier")
+    bad = sup.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey"))
+    ps = (li.select("l_partkey", "l_suppkey").distinct()
+            .join(bad, "l_suppkey", "leftanti"))
+    return (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .filter(F.col("p_brand") != "Brand#1")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+EXTENSIONS["q_parts_suppliers_q16"] = _q_parts_suppliers_q16
+EXTENSION_ORACLES["q_parts_suppliers_q16"] = """
+SELECT p_brand, p_size, COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON ps.l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = ps.l_suppkey AND s.s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+def _q_waiting_suppliers_q21(spark, sf_dir):
+    """TPC-H Q21 silhouette: suppliers solely responsible for a problem in
+    multi-supplier finalized orders — the EXISTS(other supplier) +
+    NOT EXISTS(other supplier also flagged) pair as chained leftsemi /
+    leftanti self-joins on lineitem.  l_returnflag='R' stands in for the
+    missing receipt-after-commit columns."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    orders = _tbl(spark, sf_dir, "orders")
+    sup = _tbl(spark, sf_dir, "supplier")
+    fin = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (li.filter(F.col("l_returnflag") == "R")
+            .join(fin, li.l_orderkey == fin.o_orderkey, "leftsemi"))
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l1 = l1.join(l2, (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2),
+                 "leftsemi")
+    l3 = (li.filter(F.col("l_returnflag") == "R")
+            .select(F.col("l_orderkey").alias("k3"),
+                    F.col("l_suppkey").alias("s3")))
+    l1 = l1.join(l3, (l1.l_orderkey == l3.k3) & (l1.l_suppkey != l3.s3),
+                 "leftanti")
+    return (
+        l1.join(sup, l1.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+EXTENSIONS["q_waiting_suppliers_q21"] = _q_waiting_suppliers_q21
+EXTENSION_ORACLES["q_waiting_suppliers_q21"] = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def _q_idle_customers_q22(spark, sf_dir):
+    """TPC-H Q22 silhouette: above-average-balance customers with no
+    orders — scalar AVG subquery (broadcast 1-row cross join) + NOT EXISTS
+    as a leftanti join.  The average comparison runs in exact integer
+    cents (sum_cents vs cents*n) so the threshold cannot land on a
+    float summation-order boundary in either engine.  The anti-join side
+    is restricted to urgent 1996 orders: in the synthetic data every
+    customer has SOME order (150k orders over 1.5k customers), so Q22's
+    literal no-orders-at-all predicate is empty by construction."""
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")) * 100)
+        .cast("long").alias("cents"),
+        F.count(F.lit(1)).alias("n"))
+    c = cust.crossJoin(F.broadcast(stats)).filter(
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+        * F.col("n") > F.col("cents"))
+    urgent = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") &
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) &
+        (F.col("o_orderdate") < F.lit("1997-01-01")))
+    c = c.join(urgent.select(F.col("o_custkey").alias("c_custkey")),
+               "c_custkey", "leftanti")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+              .cast("double").alias("totacctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+EXTENSIONS["q_idle_customers_q22"] = _q_idle_customers_q22
+EXTENSION_ORACLES["q_idle_customers_q22"] = """
+WITH s AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+           COUNT(*) AS n
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS totacctbal
+FROM customer, s
+WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n > cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'
+                    AND o_orderdate >= TIMESTAMP '1996-01-01'
+                    AND o_orderdate < TIMESTAMP '1997-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -432,3 +432,38 @@ def test_embedding_neardup_lsh_plan_shape(spark, sf_dir):
     for m in re.finditer(r"Exchange hashpartitioning\(a#\d+L?, b#\d+L?[^)]*\)"
                          r".*?(?=\n\(|\Z)", plan, re.S):
         assert "_va" not in m.group(0) and "_vb" not in m.group(0)
+
+
+def test_tpch_semi_anti_shapes(spark, reg, sf_dir):
+    """Q4/Q16/Q21/Q22 silhouettes: EXISTS/NOT EXISTS run as real semi/anti
+    hash joins — no cartesian, no subquery re-execution per row."""
+    q4 = reg.queries()["q_order_priority_q4"](spark, sf_dir)
+    p4 = _plan(spark, q4, "simple")
+    assert "LeftSemi" in p4 and "Cartesian" not in p4
+
+    q16 = reg.queries()["q_parts_suppliers_q16"](spark, sf_dir)
+    p16 = _plan(spark, q16, "simple")
+    assert "LeftAnti" in p16 and "Cartesian" not in p16
+
+    q21 = reg.queries()["q_waiting_suppliers_q21"](spark, sf_dir)
+    p21 = _plan(spark, q21, "simple")
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert "Cartesian" not in p21
+
+    q22 = reg.queries()["q_idle_customers_q22"](spark, sf_dir)
+    p22 = _plan(spark, q22, "simple")
+    assert "LeftAnti" in p22
+    # the scalar-stats side is a broadcast of ONE row, not a join shuffle
+    assert "BroadcastNestedLoopJoin" in p22 or "BroadcastHashJoin" in p22
+
+
+def test_tpch_q2_per_part_topk_is_single_window(spark, reg):
+    """Q2 silhouette: the per-part best-supplier pick compiles to one
+    row_number window over the joined links, not a join-back against a
+    per-group aggregate."""
+    from prql_query_spark import compile_prql
+
+    sql = compile_prql(reg.PRQL_QUERIES["q_min_cost_supplier_q2"], "spark")
+    plan = _plan(spark, spark.sql(sql), "simple")
+    assert plan.count("Window") >= 1
+    assert "Cartesian" not in plan
