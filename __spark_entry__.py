@@ -491,13 +491,11 @@ def _x_minhash_pairs(spark, sf_dir):
     holds because the corpus' true near-dup pairs sit at j >= 0.92 where
     16-band/4-row collision probability is 1-1e-10 (verified at sf0.001
     and sf0.01: identical pair sets AND identical IEEE jaccard doubles)."""
-    from prql_query_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard
+    from prql_query_spark.operators.dedup import minhash_verified_pairs
 
     docs = _tbl(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(docs, num_perm=64, bands=16, k=5)
     return (
-        ngram_jaccard(cand, docs, k=5)
-        .filter(F.col("jaccard") >= 0.6)
+        minhash_verified_pairs(docs, threshold=0.6, num_perm=64, bands=16, k=5)
         .select("a", "b", "jaccard")
     )
 

