@@ -1474,20 +1474,26 @@ DRIVER_ORDER = [
     # value-checks all 136 every round.
     "q_agg_q1", "q_join_agg_q5", "q_flagship_monthly",
     "q_scalar_funcs", "x_scrub_pii",
-    # — never-audited PRQL/TPC-H silhouettes —
+    # — never-audited PRQL/TPC-H silhouettes, incl. the round-3 semi/anti
+    # tier (a NEW operator family — leftsemi/leftanti/scalar-subquery —
+    # takes audit priority over same-family variants; the displaced
+    # never-audited variants rotate in over rounds 4+) —
     "q_disjunctive_filter_q19", "q_large_orders_q18",
     "q_priority_lines_q12", "q_promo_revenue_q14",
+    "q_order_priority_q4", "q_volume_shipping_q7",
+    "q_idle_customers_q22", "q_min_cost_supplier_q2",
+    "q_cust_distribution_q13",
     # — never-audited extension tier —
     "x_anomaly_zscore", "x_bigram_top", "x_blocklist_filter",
     "x_bpe_count", "x_chunk_docs", "x_constraint_audit",
     "x_contamination", "x_cosine_ivf", "x_cube_agg", "x_dedup_report",
     "x_dup_ngrams", "x_dup_tokens", "x_embed_centroid",
-    "x_embed_neardup", "x_equidepth", "x_events_sliding",
-    "x_events_tumbling", "x_ewma", "x_fingerprint_groups", "x_funnel",
+    "x_embed_neardup", "x_equidepth",
+    "x_events_tumbling", "x_fingerprint_groups", "x_funnel",
     "x_fuzzy_match", "x_group_trend", "x_histogram", "x_impute_mean",
-    "x_incremental_dedup", "x_json_props", "x_json_struct", "x_kmeans",
-    "x_levenshtein", "x_multimodal_av", "x_multimodal_features",
-    "x_multimodal_frames", "x_multimodal_pixels", "x_normalize_text",
+    "x_incremental_dedup", "x_json_props", "x_kmeans",
+    "x_levenshtein", "x_multimodal_features",
+    "x_multimodal_pixels", "x_normalize_text",
     "x_pack_sequences", "x_pivot_events", "x_pmi_top", "x_profile_orders",
     "x_psi_drift", "x_resample_ffill", "x_retention_cohort",
 ]
