@@ -92,7 +92,14 @@ take 10
     # hyperplane LSH bucketing with verification restricted to buckets.
     # (The queries() entry runs exact=True all-pairs because that is the
     # value-checkable oracle configuration; benching that would measure
-    # the oracle twin, not the production plan.)
+    # the oracle twin, not the production plan.)  Operating point:
+    # threshold 0.4 / 4-bit / 8-table — measured recall 0.76 of the 920
+    # exact pairs with 814k of 2M candidates.  That retention is the
+    # honest number for LOW-threshold similarity: the 0.4-pairs sit on
+    # cluster boundaries, and the measured IVF sweep (see
+    # embedding_neardup_ivf's docstring) needs 1.45M+ candidates for
+    # recall >= 0.97 — geometric pruning only pays above ~0.7 cosine,
+    # and the fixture's similarity mass tops out at 0.60.
     def _embed_neardup_lsh(spark, sf_dir):
         from prql_query_spark.engine.sources import load_parquet
         from prql_query_spark.operators.similarity import embedding_neardup

@@ -566,6 +566,26 @@ def test_ivf_provided_centroids_full_probe_is_exact(clustered_emb):
     assert ivf == exact
 
 
+def test_embedding_neardup_ivf_full_probe_is_exact(clustered_emb):
+    """Pair-generation twin of the top-k property: with provided
+    centroids and n_probe = n_cells every vector lands in every probed
+    cell set, so the IVF near-dup pipeline must return EXACTLY the
+    all-pairs result — approximation comes only from probing fewer
+    cells."""
+    from prql_query_spark.operators.similarity import (
+        embedding_neardup, embedding_neardup_ivf)
+
+    anchors = [r.embedding for r in
+               clustered_emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    exact = {(r.a, r.b, round(r.cosine, 9)) for r in
+             embedding_neardup(clustered_emb, threshold=0.4,
+                               exact=True).collect()}
+    ivf = {(r.a, r.b, round(r.cosine, 9)) for r in
+           embedding_neardup_ivf(clustered_emb, threshold=0.4, n_probe=8,
+                                 centroids=anchors).collect()}
+    assert ivf == exact and len(exact) > 0
+
+
 def test_pivot_unpivot_roundtrip(spark):
     """pivot_wide with an explicit category list must not run a discovery
     job, and unpivot_long must invert it (modulo NULL cells for absent
