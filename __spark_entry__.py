@@ -3854,3 +3854,63 @@ WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n > cents
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def _x_dup_substrings(spark, sf_dir):
+    """Exact substring dedup summary: per document, the number of maximal
+    duplicated spans (winnowed k=20/window=16 fingerprints shared by >= 2
+    docs) and the characters they cover.  Portable md5-60bit hashes, so
+    the oracle recomputes the identical fingerprints (same convention as
+    x_simhash_pairs)."""
+    from prql_query_spark.operators.dedup import duplicated_spans
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return (
+        duplicated_spans(docs, k=20, window=16)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.sum(F.col("span_end") - F.col("span_start") + 1)
+              .alias("dup_chars"))
+        .orderBy("doc_id")
+    )
+
+
+EXTENSIONS["x_dup_substrings"] = _x_dup_substrings
+EXTENSION_ORACLES["x_dup_substrings"] = """
+WITH base AS (
+  SELECT doc_id, text, greatest(length(text) - 19, 1) AS m FROM documents
+), hs AS (
+  SELECT doc_id, m, least(16, m) AS w,
+         [list_reduce([CAST(strpos('0123456789abcdef', md5(substr(text, i, 20))[j]) AS BIGINT) - 1
+                       for j in range(1, 16)], (a, x) -> a * 16 + x)
+          for i in range(1, m + 1)] AS h
+  FROM base
+), fp0 AS (
+  SELECT doc_id,
+         [list_reduce([{'h': h[q], 'q': q} for q in range(p, p + w)],
+                      (a, x) -> CASE WHEN x.h < a.h THEN x ELSE a END)
+          for p in range(1, m - w + 2)] AS fpl
+  FROM hs
+), fps AS (
+  SELECT DISTINCT doc_id, f.q AS pos, f.h AS fp
+  FROM (SELECT doc_id, unnest(fpl) AS f FROM fp0)
+), dupfp AS (
+  SELECT fp FROM (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM fps GROUP BY fp)
+  WHERE nd >= 2
+), hits AS (
+  SELECT doc_id, pos, pos + 19 AS e FROM fps JOIN dupfp USING (fp)
+), isl AS (
+  SELECT doc_id, pos, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM hits
+), isl2 AS (
+  SELECT *, SUM(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(e) AS e FROM isl2 GROUP BY doc_id, g
+)
+SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""

@@ -889,3 +889,130 @@ def dedup_against_corpus(
     )
     losers = verified.select(F.col("_orig_new").alias(id_col)).distinct()
     return stage1.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (round 3) — the winnowing-fingerprint formulation of
+# "find byte-identical substrings shared across documents and excise them"
+# (the suffix-array dedup of training-data pipelines, re-expressed as the
+# MOSS/winnowing scheme that Spark can run as joins: any shared substring of
+# length >= k + window - 1 is GUARANTEED to produce at least one shared
+# fingerprint, so recall at the guarantee length is exact, not probabilistic).
+# ---------------------------------------------------------------------------
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    window: int = 16,
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """(doc_id, pos, fp): winnowed fingerprints of every document.
+
+    Position-p k-grams are hashed; within every `window` consecutive
+    positions the (hash, position)-lexicographic minimum is kept.  Classic
+    winnowing guarantee: two documents sharing a substring of length
+    >= k + window - 1 share at least one (fp) value.  `pos` is 1-based
+    (SQL substr convention).
+
+    ``hash_fn="md5_60"`` is the portable twin (DuckDB computes identical
+    values — same convention as simhash_pairs), used by the value-checked
+    gate query; the winnow/span/join logic is hash-agnostic.
+    """
+    if hash_fn != "md5_60":
+        raise ValueError("portable md5_60 is the only implemented hash")
+    lt = F.col(text_col)
+    m = F.greatest(F.length(lt) - F.lit(k - 1), F.lit(1))
+    hs = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> CAST(CONV(SUBSTR(MD5(SUBSTR({text_col}, i, {k})), 1, 15), 16, 10)"
+        " AS BIGINT))"
+    )
+    base = df.select(F.col(id_col), hs.alias("_hs"),
+                     m.alias("_m")).withColumn(
+        "_w", F.least(F.lit(window), F.col("_m")))
+    # per winnow-window minimum of (hash, position); distinct across
+    # overlapping windows = the fingerprint set
+    fps = base.select(
+        id_col,
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, _m - _w + 1), p -> "
+            "aggregate(sequence(p, p + _w - 1), "
+            "named_struct('h', 9223372036854775807L, 'q', -1), "
+            "(acc, q) -> IF(_hs[q - 1] < acc.h, "
+            "named_struct('h', _hs[q - 1], 'q', q), acc)))"
+        ))).alias("_fp"),
+    )
+    return fps.select(id_col, F.col("_fp.q").alias("pos"),
+                      F.col("_fp.h").alias("fp"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    window: int = 16,
+    min_docs: int = 2,
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """(doc_id, span_start, span_end): maximal merged character intervals
+    covered by fingerprints whose value occurs in >= min_docs DISTINCT
+    documents.  One groupBy on fp + one join back + one per-doc window
+    pass (gaps-and-islands) — never a doc x doc product."""
+    fps = winnowed_fingerprints(df, id_col, text_col, k, window, hash_fn)
+    dup = (fps.groupBy("fp")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .filter(F.col("_nd") >= min_docs)
+           .select("fp"))
+    hits = fps.join(dup, "fp").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # island starts where this span begins after every previous span ended
+    islands = (
+        hits.withColumn("_end", F.col("pos") + F.lit(k - 1))
+        .withColumn("_prev_max",
+                    F.max("_end").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("_new", (F.col("_prev_max").isNull() |
+                             (F.col("pos") > F.col("_prev_max") + 1)).cast("int"))
+        .withColumn("_isl", F.sum("_new").over(w))
+    )
+    return (islands.groupBy(id_col, "_isl")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max("_end").alias("span_end"))
+            .drop("_isl")
+            .select(id_col, "span_start", "span_end"))
+
+
+def scrub_duplicated_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    window: int = 16,
+    min_docs: int = 2,
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """Documents with cross-document duplicated substrings excised: the
+    kept segments between duplicated spans are re-concatenated.  Rows
+    without any duplicated span pass through untouched."""
+    spans = duplicated_spans(df, id_col, text_col, k, window, min_docs, hash_fn)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("span_start", "span_end")))
+        .alias("_spans"))
+    joined = df.join(per_doc, id_col, "left")
+    scrubbed = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+        F.concat(
+            F.expr(
+                f"aggregate(_spans, named_struct('acc', '', 'nxt', 1), "
+                f"(s, sp) -> named_struct("
+                f"'acc', s.acc || substr({text_col}, s.nxt, sp.span_start - s.nxt), "
+                f"'nxt', sp.span_end + 1), "
+                f"s -> s.acc)"
+            ),
+            F.expr(
+                f"substr({text_col}, element_at(_spans, -1).span_end + 1)"
+            ),
+        )
+    )
+    return joined.withColumn(text_col, scrubbed).drop("_spans")

@@ -1930,3 +1930,38 @@ def test_token_budget_select_boundary(spark):
     assert {r.doc_id: r.cum_tokens for r in rows} == {1: 3, 2: 7}
     # budget larger than corpus keeps everything
     assert token_budget_select(df, 100, quality_col="q").count() == 4
+
+
+def test_exact_substring_dedup_scrub(spark):
+    """Cross-document boilerplate is excised; unique text and no-dup docs
+    survive untouched.  Winnowing guarantee: any shared substring of
+    length >= k + window - 1 produces at least one shared fingerprint."""
+    from prql_query_spark.operators.dedup import (
+        duplicated_spans, scrub_duplicated_substrings)
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR DAILY UPDATES AND MORE!"
+    docs = spark.createDataFrame([
+        (1, "Unique text about apples and orchards in autumn. " + boiler),
+        (2, boiler + " Different story concerning rivers and bridges."),
+        (3, "Nothing shared here at all; plain filler words padding this."),
+    ], "doc_id int, text string")
+    spans = duplicated_spans(docs, k=20, window=16)
+    by_doc = {r.doc_id for r in spans.collect()}
+    assert by_doc == {1, 2}  # the guarantee fires for the 55-char boiler
+    out = {r.doc_id: r.text
+           for r in scrub_duplicated_substrings(docs, k=20, window=16).collect()}
+    assert boiler not in out[1] and boiler not in out[2]
+    assert "apples" in out[1] and "rivers" in out[2]
+    assert out[3].endswith("padding this.")
+
+
+def test_exact_substring_no_false_spans(spark):
+    """Documents with no >= (k+window-1)-length shared substring produce
+    no spans (fingerprints are exact k-gram hashes, not sketches)."""
+    from prql_query_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+    ], "doc_id int, text string")
+    assert duplicated_spans(docs, k=20, window=16).count() == 0

@@ -473,3 +473,14 @@ def test_tpch_q2_per_part_topk_is_single_window(spark, reg):
     plan = _plan(spark, spark.sql(sql), "simple")
     assert plan.count("Window") >= 1
     assert "Cartesian" not in plan
+
+
+def test_substring_dedup_no_cartesian_one_fp_shuffle(spark, sf_dir):
+    """Exact substring dedup: the duplicated-fingerprint discovery is a
+    groupBy on fp + ONE equi-join back — never doc x doc, never Python."""
+    from prql_query_spark.operators.dedup import duplicated_spans
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    plan = _plan(spark, duplicated_spans(docs), "simple")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
