@@ -3914,3 +3914,55 @@ WITH base AS (
 SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
 FROM spans GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def _x_image_neardup(spark, sf_dir):
+    """Perceptual image dedup, end-to-end real: synthesize valid PNGs,
+    decode actual bytes, box-pool to a brightness grid with integer
+    arithmetic, pack the 49-bit dHash, and find near-dup pairs (hamming
+    <= 4) via pigeonhole block joins.  The oracle recomputes the same
+    dHash per image from the synthesis rule in SQL (integer
+    cross-multiplied comparisons — no floats) and does the all-pairs
+    hamming filter; ids congruent mod 256 produce IDENTICAL images
+    (hamming 0), nearby ids produce brightness-shifted near-dups."""
+    from prql_query_spark.operators.multimodal import (
+        image_neardup_pairs, synthesize_png_images)
+
+    docs = _tbl(spark, sf_dir, "documents")
+    media = synthesize_png_images(docs, "doc_id", pattern="mixed")
+    return image_neardup_pairs(media, max_hamming=4).orderBy("a", "b")
+
+
+EXTENSIONS["x_image_neardup"] = _x_image_neardup
+EXTENSION_ORACLES["x_image_neardup"] = """
+WITH dims AS (
+    SELECT doc_id, doc_id % 32 + 8 AS w, (doc_id * 7) % 32 + 8 AS h
+    FROM documents
+), cell AS (
+    SELECT doc_id,
+           (c.y * 7) // h AS r, (c.x * 8) // w AS cc, c.v AS v
+    FROM (SELECT doc_id, w, h,
+                 unnest([{'x': i % w, 'y': i // w,
+                          'v': ((doc_id + 1) * ((i % w) + 3 * (i // w))
+                                + (i % w) * (i // w)) % 256}
+                         for i in range(0, w * h)]) AS c
+          FROM dims)
+), agg AS (
+    SELECT doc_id, r, cc, SUM(v) AS s, COUNT(*) AS n
+    FROM cell GROUP BY doc_id, r, cc
+), bits AS (
+    SELECT l.doc_id, l.r, l.cc,
+           CASE WHEN rt.s * l.n > l.s * rt.n THEN 1 ELSE 0 END AS b
+    FROM agg l JOIN agg rt
+      ON rt.doc_id = l.doc_id AND rt.r = l.r AND rt.cc = l.cc + 1
+), dh AS (
+    SELECT doc_id,
+           CAST(SUM(CAST(b AS BIGINT) << (r * 7 + cc)) AS BIGINT) AS dhash
+    FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+ORDER BY a, b
+"""

@@ -542,13 +542,27 @@ PIXEL_STATS_SCHEMA = StructType([
 
 
 def synthesize_png_images(df: DataFrame, id_col: str = "doc_id",
-                          max_dim: int = 32) -> DataFrame:
+                          max_dim: int = 32,
+                          pattern: str = "gradient") -> DataFrame:
     """Deterministic REAL-PNG fixture: each row becomes a grayscale PNG
-    with width = id % max_dim + 8, height = (id * 7) % max_dim + 8 and
-    pixel(x, y) = (id + x + 7*y) % 256 — a rule plain SQL can recompute
-    per cell, so sample-level decode is value-checkable end to end.
+    with width = id % max_dim + 8, height = (id * 7) % max_dim + 8 and an
+    id-derived pixel rule plain SQL can recompute per cell, so
+    sample-level decode is value-checkable end to end.
+
+    ``pattern="gradient"``: pixel(x, y) = (id + x + 7y) % 256 — the
+    x_multimodal_pixels rule (every image shares the same diagonal
+    structure, which makes global stats interesting but perceptual
+    hashes degenerate).  ``pattern="mixed"``: pixel(x, y) =
+    ((id+1)(x + 3y) + xy) % 256 — per-id slopes, so images are
+    perceptually DIVERSE and only ids congruent mod 256 (identical
+    payloads) plus a small true near-dup tail collide under dHash.
     Assembly needs zlib, hence mapInPandas (Python) — this is a fixture
     generator, not a production scan path."""
+
+    def px_val(i: int, x: int, y: int) -> int:
+        if pattern == "mixed":
+            return ((i + 1) * (x + 3 * y) + x * y) % 256
+        return (i + x + 7 * y) % 256
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -557,7 +571,7 @@ def synthesize_png_images(df: DataFrame, id_col: str = "doc_id",
                 i = int(i)
                 w = i % max_dim + 8
                 h = (i * 7) % max_dim + 8
-                px = bytes(((i + x + 7 * y) % 256
+                px = bytes((px_val(i, x, y)
                             for y in range(h) for x in range(w)))
                 ids.append(i)
                 payloads.append(encode_png(w, h, px, color_type=0))
@@ -594,3 +608,92 @@ def pixel_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
+
+
+def image_dhash(df: DataFrame, grid: int = 7) -> DataFrame:
+    """(media_id, dhash): perceptual difference-hash over REAL decoded
+    pixels — the image-space member of the dedup family.
+
+    The decoded image is box-pooled onto a (grid+1) x grid brightness
+    grid with integer cell assignment (col = x*(grid+1)//w, row =
+    y*grid//h), and bit (r, c) is set when cell (r, c+1) is brighter
+    than cell (r, c).  The comparison is done on cross-multiplied
+    integer sums (s_right * n_left > s_left * n_right) so there is no
+    float rounding anywhere — the cross-engine oracle recomputes the
+    identical hash from the synthesis rule.  grid=7 packs 49 bits into
+    a BIGINT and needs min dim >= 8, which the fixture guarantees.
+
+    Perceptual property: brightness shifts and mild noise leave most
+    gradient signs unchanged, so near-identical images land within a
+    few hamming bits — pair them with image_neardup_pairs.
+    """
+    cols = grid + 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = decode_png_pixels(bytes(payload))
+                a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                if ch > 1:
+                    a = a.reshape(h, w, ch).sum(axis=2).reshape(-1)
+                x = np.arange(w * h) % w
+                y = np.arange(w * h) // w
+                cell = (y * grid // h) * cols + (x * cols // w)
+                s = np.bincount(cell, weights=a, minlength=grid * cols)
+                n = np.bincount(cell, minlength=grid * cols)
+                s = s.reshape(grid, cols).astype(np.int64)
+                n = n.reshape(grid, cols).astype(np.int64)
+                bits = (s[:, 1:] * n[:, :-1]) > (s[:, :-1] * n[:, 1:])
+                dh = 0
+                for r in range(grid):
+                    for c in range(grid):
+                        if bits[r, c]:
+                            dh |= 1 << (r * grid + c)
+                ids.append(int(mid))
+                hashes.append(dh)
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return df.mapInPandas(run, schema="media_id long, dhash long")
+
+
+def image_neardup_pairs(
+    df: DataFrame, max_hamming: int = 4, grid: int = 7, blocks: int = 7,
+) -> DataFrame:
+    """(a, b, hamming): near-duplicate image pairs by dHash with
+    pigeonhole block joins — split the grid*grid-bit hash into `blocks`
+    segments; pairs within max_hamming <= blocks-1 share at least one
+    exact segment, so the join is an equi-join on (segment, value) and
+    recall at the threshold is EXACT, never probabilistic (same blocking
+    as simhash_pairs)."""
+    if max_hamming > blocks - 1:
+        raise ValueError("blocking is exhaustive only for "
+                         "max_hamming <= blocks - 1")
+    total_bits = grid * grid
+    seg_bits = (total_bits + blocks - 1) // blocks
+    mask = (1 << seg_bits) - 1
+    dh = image_dhash(df, grid).localCheckpoint(eager=False)
+    seg = dh.select(
+        F.col("media_id").alias("_id"), "dhash",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {blocks - 1}), "
+            f"b -> shiftright(`dhash`, b * {seg_bits}) & {mask}L)"
+        )).alias("_seg", "_segval"),
+    )
+    l, r = seg.alias("l"), seg.alias("r")
+    cand = (
+        l.join(r, on=["_seg", "_segval"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("a"), F.col("r._id").alias("b"),
+                F.col("l.dhash").alias("_da"), F.col("r.dhash").alias("_db"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("_da").bitwiseXOR(F.col("_db"))).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1965,3 +1965,21 @@ def test_exact_substring_no_false_spans(spark):
         (2, "one two three four five six seven eight nine ten eleven"),
     ], "doc_id int, text string")
     assert duplicated_spans(docs, k=20, window=16).count() == 0
+
+
+def test_image_dhash_identical_and_blocking(spark):
+    """Ids congruent mod 256 synthesize byte-identical PNGs, so their
+    dHashes must be equal (hamming 0) and the blocked pair join must
+    surface them; perceptually diverse ids must NOT pair."""
+    from prql_query_spark.operators.multimodal import (
+        image_dhash, image_neardup_pairs, synthesize_png_images)
+
+    ids = spark.createDataFrame([(i,) for i in (3, 259, 7, 100)],
+                                "doc_id long")
+    media = synthesize_png_images(ids, "doc_id", pattern="mixed")
+    dh = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    assert dh[3] == dh[259]
+    pairs = {(r.a, r.b): r.hamming
+             for r in image_neardup_pairs(media, max_hamming=4).collect()}
+    assert pairs[(3, 259)] == 0
+    assert (3, 7) not in pairs and (7, 100) not in pairs

@@ -484,3 +484,17 @@ def test_substring_dedup_no_cartesian_one_fp_shuffle(spark, sf_dir):
     plan = _plan(spark, duplicated_spans(docs), "simple")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_image_neardup_blocked_equijoin(spark, sf_dir):
+    """Image near-dup: candidates come from an equi-join on dHash
+    segments (pigeonhole blocking), never a cross product; the decode
+    is a single Arrow stage whose result is checkpointed, not re-run
+    per join side."""
+    from prql_query_spark.operators.multimodal import (
+        image_neardup_pairs, synthesize_png_images)
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    media = synthesize_png_images(docs, "doc_id", pattern="mixed")
+    plan = _plan(spark, image_neardup_pairs(media), "simple")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
