@@ -3966,3 +3966,40 @@ FROM dh a JOIN dh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
 ORDER BY a, b
 """
+
+
+def _x_resize_thumbs(spark, sf_dir):
+    """Image resize (box-average 4x4 thumbnails) over REAL decoded
+    pixels — floor-division integer means, so the oracle rebuilds every
+    thumb cell from the synthesis rule bit-for-bit."""
+    from prql_query_spark.operators.multimodal import (
+        resize_image, synthesize_png_images)
+
+    docs = _tbl(spark, sf_dir, "documents")
+    media = synthesize_png_images(docs, "doc_id", pattern="mixed")
+    return resize_image(media, 4, 4).orderBy("media_id")
+
+
+EXTENSIONS["x_resize_thumbs"] = _x_resize_thumbs
+EXTENSION_ORACLES["x_resize_thumbs"] = """
+WITH dims AS (
+    SELECT doc_id, doc_id % 32 + 8 AS w, (doc_id * 7) % 32 + 8 AS h
+    FROM documents
+), cell AS (
+    SELECT doc_id, w, h,
+           ((c.y * 4) // h) * 4 + (c.x * 4) // w AS cl, c.v AS v
+    FROM (SELECT doc_id, w, h,
+                 unnest([{'x': i % w, 'y': i // w,
+                          'v': ((doc_id + 1) * ((i % w) + 3 * (i // w))
+                                + (i % w) * (i // w)) % 256}
+                         for i in range(0, w * h)]) AS c
+          FROM dims)
+), agg AS (
+    SELECT doc_id, w, h, cl, SUM(v) // COUNT(*) AS tv
+    FROM cell GROUP BY doc_id, w, h, cl
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       list(CAST(tv AS BIGINT) ORDER BY cl) AS thumb
+FROM agg GROUP BY doc_id, w, h ORDER BY media_id
+"""

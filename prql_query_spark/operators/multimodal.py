@@ -697,3 +697,41 @@ def image_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def resize_image(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """(media_id, width, height, thumb): box-average downscale of REAL
+    decoded pixels to out_w x out_h — the thumbnail/normalize step of an
+    image-training pipeline (vision encoders consume fixed grids).
+
+    Deterministic integer arithmetic end to end: cell value =
+    floor(sum / count) over the box x*out_w//w, y*out_h//h, so the
+    cross-engine oracle reproduces every thumb byte exactly from the
+    synthesis rule.  Decode + pool is one Arrow stage (mapInPandas,
+    iterator form), no shuffle at all; at scale this pipelines with the
+    media scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ws, hs, thumbs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = decode_png_pixels(bytes(payload))
+                a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                if ch > 1:
+                    a = a.reshape(h, w, ch).sum(axis=2).reshape(-1) // ch
+                x = np.arange(w * h) % w
+                y = np.arange(w * h) // w
+                cell = (y * out_h // h) * out_w + (x * out_w // w)
+                s = np.bincount(cell, weights=a, minlength=out_w * out_h)
+                n = np.bincount(cell, minlength=out_w * out_h)
+                ids.append(int(mid))
+                ws.append(w)
+                hs.append(h)
+                thumbs.append((s.astype(np.int64) // n).tolist())
+            yield pd.DataFrame({"media_id": ids, "width": ws, "height": hs,
+                                "thumb": thumbs})
+
+    return df.mapInPandas(
+        run, schema="media_id long, width int, height int, thumb array<long>")
