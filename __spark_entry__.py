@@ -4003,3 +4003,56 @@ SELECT doc_id AS media_id,
        list(CAST(tv AS BIGINT) ORDER BY cl) AS thumb
 FROM agg GROUP BY doc_id, w, h ORDER BY media_id
 """
+
+
+def _x_audio_fingerprint(spark, sf_dir):
+    """Audio perceptual fingerprint, end-to-end real: synthesize valid
+    WAVs (data chunk = utf-8 text bytes), walk the RIFF chunks, decode
+    16-bit LE PCM samples, and fingerprint windowed energy deltas.  The
+    oracle re-derives every sample from the text's hex bytes in SQL —
+    the Spark side must parse the container and byte order correctly for
+    the exact-int64 energies to agree."""
+    from prql_query_spark.operators.multimodal import (
+        audio_fingerprint, synthesize_wav)
+
+    docs = _tbl(spark, sf_dir, "documents")
+    media = synthesize_wav(docs, "doc_id", "text")
+    return audio_fingerprint(media, windows=16).orderBy("media_id")
+
+
+EXTENSIONS["x_audio_fingerprint"] = _x_audio_fingerprint
+EXTENSION_ORACLES["x_audio_fingerprint"] = r"""
+WITH s AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) // 2 AS n
+  FROM documents
+), smp0 AS (
+  SELECT doc_id, n,
+         unnest([{'k': k,
+                  'u': (strpos('0123456789ABCDEF', hx[4*k+1]) - 1) * 16
+                       + (strpos('0123456789ABCDEF', hx[4*k+2]) - 1)
+                       + 256 * ((strpos('0123456789ABCDEF', hx[4*k+3]) - 1) * 16
+                                + (strpos('0123456789ABCDEF', hx[4*k+4]) - 1))}
+                 for k in range(0, n)]) AS c
+  FROM s WHERE n >= 16
+), smp AS (
+  SELECT doc_id, n, c.k AS k,
+         CASE WHEN c.u >= 32768 THEN c.u - 65536 ELSE c.u END AS v
+  FROM smp0
+), e AS (
+  SELECT doc_id, n, (k * 16) // n AS w,
+         CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
+  FROM smp GROUP BY doc_id, n, (k * 16) // n
+), bits AS (
+  SELECT l.doc_id, l.n, l.w,
+         CASE WHEN r.energy > l.energy THEN 1 ELSE 0 END AS b
+  FROM e l JOIN e r ON r.doc_id = l.doc_id AND r.w = l.w + 1
+), fps AS (
+  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+         CAST(SUM(CAST(b AS BIGINT) << w) AS BIGINT) AS fp
+  FROM bits GROUP BY doc_id
+)
+SELECT s.doc_id AS media_id, CAST(s.n AS BIGINT) AS n_samples, fps.fp
+FROM s LEFT JOIN fps ON fps.doc_id = s.doc_id
+ORDER BY media_id
+"""

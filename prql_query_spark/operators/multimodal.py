@@ -735,3 +735,62 @@ def resize_image(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
 
     return df.mapInPandas(
         run, schema="media_id long, width int, height int, thumb array<long>")
+
+
+def audio_fingerprint(df: DataFrame, windows: int = 16) -> DataFrame:
+    """(media_id, n_samples, fp): energy-delta fingerprint over REAL
+    decoded WAV samples — the audio member of the perceptual-dedup
+    family (dHash's 1-D twin).
+
+    The RIFF chunks are walked to the data chunk, samples decode as
+    16-bit little-endian PCM (trailing odd byte dropped), sample k maps
+    to window k*windows//n, and bit w of the fingerprint is set when
+    window w+1 carries more energy (sum of squared samples — exact
+    int64) than window w.  fp is NULL when n_samples < windows (not
+    enough signal to window).  Identical audio payloads produce
+    identical fingerprints, so exact dedup is a groupBy on fp."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ns, fps = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                data = _wav_data_chunk(b)
+                n = len(data) // 2
+                ids.append(int(mid))
+                ns.append(n)
+                if n < windows:
+                    fps.append(None)
+                    continue
+                s = np.frombuffer(data[: 2 * n], dtype="<i2").astype(np.int64)
+                w = np.arange(n) * windows // n
+                # int64 accumulate (np.add.at), not float bincount weights:
+                # energy sums must stay exact past 2^53 for long audio
+                e = np.zeros(windows, dtype=np.int64)
+                np.add.at(e, w, s * s)
+                fp = 0
+                for i in range(windows - 1):
+                    if e[i + 1] > e[i]:
+                        fp |= 1 << i
+                fps.append(fp)
+            yield pd.DataFrame({"media_id": ids, "n_samples": ns, "fp": fps})
+
+    return df.mapInPandas(
+        run, schema="media_id long, n_samples long, fp long")
+
+
+def _wav_data_chunk(payload: bytes) -> bytes:
+    """Raw bytes of the first RIFF 'data' chunk (real chunk walk, not a
+    fixed-offset assumption)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    while i + 8 <= len(payload):
+        tag = payload[i:i + 4]
+        size = int.from_bytes(payload[i + 4:i + 8], "little")
+        if tag == b"data":
+            return payload[i + 8:i + 8 + size]
+        i += 8 + size + (size & 1)
+    raise ValueError("no data chunk")

@@ -1983,3 +1983,23 @@ def test_image_dhash_identical_and_blocking(spark):
              for r in image_neardup_pairs(media, max_hamming=4).collect()}
     assert pairs[(3, 259)] == 0
     assert (3, 7) not in pairs and (7, 100) not in pairs
+
+
+def test_audio_fingerprint_dup_and_short(spark):
+    """Identical audio payloads fingerprint identically; distinct audio
+    differs; sub-window audio yields NULL fp but a real sample count."""
+    from prql_query_spark.operators.multimodal import (
+        audio_fingerprint, synthesize_wav)
+
+    docs = spark.createDataFrame([
+        (1, "the same sentence rendered as pcm audio bytes for this test"),
+        (2, "the same sentence rendered as pcm audio bytes for this test"),
+        (3, "a completely different waveform comes out of this text here"),
+        (4, "tiny"),
+    ], "doc_id long, text string")
+    out = {r.media_id: (r.n_samples, r.fp)
+           for r in audio_fingerprint(synthesize_wav(docs, "doc_id", "text"),
+                                      windows=16).collect()}
+    assert out[1] == out[2] and out[1][1] is not None
+    assert out[1][1] != out[3][1]
+    assert out[4][0] == 2 and out[4][1] is None
