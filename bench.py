@@ -75,7 +75,8 @@ take 10
     # the same total as six sub-second queries would read as a regression
     # when it is new coverage.  (DuckDB head-to-head for these:
     # BASELINE.md §4.3 — the all-pairs oracle twin times out at 10 min.)
-    heavy_names = ["x_minhash_dedup_cc", "x_embed_neardup_lsh"]
+    heavy_names = ["x_minhash_dedup_cc", "x_embed_neardup_lsh",
+                   "x_dup_substrings"]
 
     # x_minhash_pairs here measures the LSH CANDIDATE op (signatures ->
     # bands -> bucket pairs), the same computation BENCH_r01 recorded —

@@ -922,6 +922,7 @@ def winnowed_fingerprints(
     """
     if hash_fn != "md5_60":
         raise ValueError("portable md5_60 is the only implemented hash")
+    df = _spread(df)
     lt = F.col(text_col)
     m = F.greatest(F.length(lt) - F.lit(k - 1), F.lit(1))
     hs = F.expr(
