@@ -4056,3 +4056,54 @@ SELECT s.doc_id AS media_id, CAST(s.n AS BIGINT) AS n_samples, fps.fp
 FROM s LEFT JOIN fps ON fps.doc_id = s.doc_id
 ORDER BY media_id
 """
+
+
+def _x_video_fingerprint(spark, sf_dir):
+    """Video perceptual fingerprint, end-to-end real: synthesize valid
+    ISO-BMFF payloads (text bytes as mdat), walk the box tree to mdat,
+    and fingerprint frame-brightness deltas pooled onto temporal
+    windows — the temporal twin of the image dHash.  The oracle
+    re-derives every mdat byte from the text's hex in SQL."""
+    from prql_query_spark.operators.multimodal import (
+        synthesize_mp4, video_fingerprint)
+
+    docs = _tbl(spark, sf_dir, "documents")
+    media = synthesize_mp4(docs, "doc_id", "text")
+    return video_fingerprint(media, frame_bytes=16,
+                             windows=16).orderBy("media_id")
+
+
+EXTENSIONS["x_video_fingerprint"] = _x_video_fingerprint
+EXTENSION_ORACLES["x_video_fingerprint"] = r"""
+WITH s AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+), d AS (
+  SELECT doc_id, hx, nb, nb // 16 AS nf FROM s
+), byts AS (
+  SELECT doc_id, nf,
+         unnest([{'j': j,
+                  'v': (strpos('0123456789ABCDEF', hx[2*j+1]) - 1) * 16
+                       + (strpos('0123456789ABCDEF', hx[2*j+2]) - 1)}
+                 for j in range(0, nf * 16)]) AS c
+  FROM d WHERE nf >= 16
+), fr AS (
+  SELECT doc_id, nf, c.j // 16 AS f, SUM(c.v) AS bright
+  FROM byts GROUP BY doc_id, nf, c.j // 16
+), wnd AS (
+  SELECT doc_id, nf, (f * 16) // nf AS w,
+         CAST(SUM(bright) AS BIGINT) AS s, COUNT(*) AS c
+  FROM fr GROUP BY doc_id, nf, (f * 16) // nf
+), bits AS (
+  SELECT l.doc_id, l.w,
+         CASE WHEN r.s * l.c > l.s * r.c THEN 1 ELSE 0 END AS b
+  FROM wnd l JOIN wnd r ON r.doc_id = l.doc_id AND r.w = l.w + 1
+), fps AS (
+  SELECT doc_id, CAST(SUM(CAST(b AS BIGINT) << w) AS BIGINT) AS fp
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id, CAST(d.nf AS BIGINT) AS n_frames, fps.fp
+FROM d LEFT JOIN fps ON fps.doc_id = d.doc_id
+ORDER BY media_id
+"""

@@ -794,3 +794,60 @@ def _wav_data_chunk(payload: bytes) -> bytes:
             return payload[i + 8:i + 8 + size]
         i += 8 + size + (size & 1)
     raise ValueError("no data chunk")
+
+
+def video_fingerprint(df: DataFrame, frame_bytes: int = 16,
+                      windows: int = 16) -> DataFrame:
+    """(media_id, n_frames, fp): temporal brightness-delta fingerprint
+    over a REAL ISO-BMFF walk — the video member of the perceptual-dedup
+    family (image dHash = spatial gradient signs; audio = windowed
+    energy deltas; this = frame-brightness deltas over time).
+
+    The mdat box is located by walking the box tree (never a fixed
+    offset), its payload splits into frame_bytes-sized 'frames'
+    (trailing partial frame dropped), each frame's brightness is the
+    exact integer sum of its bytes, frames pool onto `windows` temporal
+    windows (f*windows//n), and bit w is set when window w+1 is
+    brighter than window w — with exact cross-multiplied integer means
+    since windows can hold different frame counts.  fp is NULL when
+    n_frames < windows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ns, fps = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                data = _mdat_payload(b)
+                n = len(data) // frame_bytes
+                ids.append(int(mid))
+                ns.append(n)
+                if n < windows:
+                    fps.append(None)
+                    continue
+                a = np.frombuffer(data[: n * frame_bytes], dtype=np.uint8)
+                bright = a.reshape(n, frame_bytes).sum(axis=1,
+                                                       dtype=np.int64)
+                w = np.arange(n) * windows // n
+                s = np.zeros(windows, dtype=np.int64)
+                c = np.zeros(windows, dtype=np.int64)
+                np.add.at(s, w, bright)
+                np.add.at(c, w, 1)
+                fp = 0
+                for i in range(windows - 1):
+                    if s[i + 1] * c[i] > s[i] * c[i + 1]:
+                        fp |= 1 << i
+                fps.append(fp)
+            yield pd.DataFrame({"media_id": ids, "n_frames": ns, "fp": fps})
+
+    return df.mapInPandas(
+        run, schema="media_id long, n_frames long, fp long")
+
+
+def _mdat_payload(payload: bytes) -> bytes:
+    """Raw bytes of the first top-level mdat box (real box walk)."""
+    for tag, s, e in _iter_boxes(payload, 0, len(payload)):
+        if tag == b"mdat":
+            return payload[s:e]
+    raise ValueError("no mdat box")

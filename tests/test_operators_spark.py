@@ -2003,3 +2003,24 @@ def test_audio_fingerprint_dup_and_short(spark):
     assert out[1] == out[2] and out[1][1] is not None
     assert out[1][1] != out[3][1]
     assert out[4][0] == 2 and out[4][1] is None
+
+
+def test_video_fingerprint_dup_and_walk(spark):
+    """Identical mdat payloads fingerprint identically; the mdat is
+    located by a real box walk (ftyp+moov precede it), and sub-window
+    videos yield NULL fp with a real frame count."""
+    from prql_query_spark.operators.multimodal import (
+        synthesize_mp4, video_fingerprint)
+
+    long_text = "frame brightness deltas need enough bytes " * 10
+    docs = spark.createDataFrame([
+        (1, long_text), (2, long_text),
+        (3, "totally different content stream for the third video " * 8),
+        (4, "short"),
+    ], "doc_id long, text string")
+    out = {r.media_id: (r.n_frames, r.fp)
+           for r in video_fingerprint(synthesize_mp4(docs, "doc_id", "text"),
+                                      frame_bytes=16, windows=16).collect()}
+    assert out[1] == out[2] and out[1][1] is not None
+    assert out[1][1] != out[3][1]
+    assert out[4][1] is None and out[4][0] == 0
