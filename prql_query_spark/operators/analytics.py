@@ -379,3 +379,35 @@ def equidepth_histogram_approx(
              F.round(F.min("_v"), 4).alias("lo"),
              F.round(F.max("_v"), 4).alias("hi"))
     )
+
+
+def distinct_sketch_build(
+    df: DataFrame, keys: list[str], col: str, lg_k: int = 12,
+) -> DataFrame:
+    """(keys..., sketch): per-key HLL distinct-count sketches (Apache
+    DataSketches via Spark's hll_sketch_agg) — the MERGEABLE building
+    block for incremental distinct maintenance at warehouse scale.
+
+    The 100 TB pattern: build one sketch row per (partition key, day) as
+    data lands, persist the tiny sketch table, and answer "distinct users
+    over any key/date slice" by unioning sketches
+    (distinct_sketch_merge) — no rescan of the raw data, ever.  A sketch
+    is ~2^lg_k bytes regardless of input size; lg_k=12 gives ~2% relative
+    error.  Exact COUNT(DISTINCT) over the raw data stays the
+    value-checkable twin (see tests)."""
+    return df.groupBy(*keys).agg(
+        F.expr(f"hll_sketch_agg({col}, {lg_k})").alias("sketch"))
+
+
+def distinct_sketch_merge(
+    sketches: DataFrame, keys: list[str],
+) -> DataFrame:
+    """(keys..., approx_distinct): union previously-built sketch rows
+    down to the requested key grain and estimate.  Union is lossless in
+    sketch space (union of HLLs = HLL of the union), so estimates from
+    merged partial sketches EQUAL the estimate a single pass would give
+    — pinned by the split-vs-whole test."""
+    agg = F.expr("hll_sketch_estimate(hll_union_agg(sketch, true))")
+    if keys:
+        return sketches.groupBy(*keys).agg(agg.alias("approx_distinct"))
+    return sketches.agg(agg.alias("approx_distinct"))

@@ -2024,3 +2024,31 @@ def test_video_fingerprint_dup_and_walk(spark):
     assert out[1] == out[2] and out[1][1] is not None
     assert out[1][1] != out[3][1]
     assert out[4][1] is None and out[4][0] == 0
+
+
+def test_distinct_sketch_merge_equals_single_pass(spark, sf_dir):
+    """Sketch mergeability: building per-day sketches and unioning them
+    yields the SAME estimate as one sketch over all days (lossless in
+    sketch space), and the estimate tracks exact COUNT DISTINCT within
+    HLL error."""
+    from prql_query_spark.operators.analytics import (
+        distinct_sketch_build, distinct_sketch_merge)
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date("ts"))
+    daily = distinct_sketch_build(ev, ["event_type", "day"], "user_id")
+    merged = {r.event_type: r.approx_distinct
+              for r in distinct_sketch_merge(daily, ["event_type"]).collect()}
+    single = {r.event_type: r.approx_distinct
+              for r in distinct_sketch_merge(
+                  distinct_sketch_build(ev, ["event_type"], "user_id"),
+                  ["event_type"]).collect()}
+    assert merged == single
+    exact = {r.event_type: r.n for r in ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n")).collect()}
+    for k, est in merged.items():
+        assert abs(est - exact[k]) / max(exact[k], 1) < 0.05
+    # global rollup from the same persisted daily sketches
+    g = distinct_sketch_merge(daily, []).collect()[0].approx_distinct
+    ge = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(g - ge) / ge < 0.05
