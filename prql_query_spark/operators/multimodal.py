@@ -851,3 +851,57 @@ def _mdat_payload(payload: bytes) -> bytes:
         if tag == b"mdat":
             return payload[s:e]
     raise ValueError("no mdat box")
+
+
+def build_dhash_index(corpus: DataFrame, grid: int = 7,
+                      blocks: int = 7) -> DataFrame:
+    """Persistable perceptual index over a media corpus:
+    (corpus_id, _seg, _segval, _dh) — each image's dHash split into
+    pigeonhole segments, the image-space twin of
+    dedup.build_minhash_index.  Write it bucketed by (_seg, _segval) and
+    append each day's batch so tomorrow's probe joins co-located."""
+    total_bits = grid * grid
+    seg_bits = (total_bits + blocks - 1) // blocks
+    mask = (1 << seg_bits) - 1
+    return image_dhash(corpus, grid).select(
+        F.col("media_id").alias("corpus_id"),
+        F.col("dhash").alias("_dh"),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {blocks - 1}), "
+            f"b -> shiftright(`dhash`, b * {seg_bits}) & {mask}L)"
+        )).alias("_seg", "_segval"),
+    )
+
+
+def image_dedup_against_corpus(
+    new_media: DataFrame,
+    index: DataFrame,
+    max_hamming: int = 4,
+    grid: int = 7,
+    blocks: int = 7,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Rows of `new_media` that are NOT perceptual near-duplicates
+    (dHash hamming <= max_hamming) of any indexed corpus image.
+
+    Scale shape mirrors dedup.probe_minhash_index: the (small) batch
+    side's segments broadcast and the corpus-scale index is probed in
+    place; recall at the threshold is exact by pigeonhole
+    (max_hamming <= blocks-1).  Pass broadcast_batch=False for
+    backfill-sized batches."""
+    if max_hamming > blocks - 1:
+        raise ValueError("blocking is exhaustive only for "
+                         "max_hamming <= blocks - 1")
+    nb = build_dhash_index(new_media, grid, blocks).select(
+        F.col("corpus_id").alias("_new_id"),
+        F.col("_dh").alias("_ndh"), "_seg", "_segval")
+    probe = index.join(
+        F.broadcast(nb) if broadcast_batch else nb, ["_seg", "_segval"])
+    dupes = (
+        probe.withColumn(
+            "_ham", F.bit_count(F.col("_dh").bitwiseXOR(F.col("_ndh"))))
+        .filter(F.col("_ham") <= max_hamming)
+        .select(F.col("_new_id").alias("media_id"))
+        .distinct()
+    )
+    return new_media.join(dupes, "media_id", "left_anti")

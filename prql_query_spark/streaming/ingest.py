@@ -84,3 +84,52 @@ def stream_dedup_against_corpus(
         .queryName(queryName)
         .start()
     )
+
+
+def stream_image_dedup_against_corpus(
+    spark: SparkSession,
+    media_path: str,
+    corpus_media: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    max_hamming: int = 4,
+    grid: int = 7,
+    blocks: int = 7,
+    queryName: str = "pq_stream_image_dedup",
+    max_files_per_trigger: int | None = 64,
+):
+    """Continuous perceptual image dedup: arriving media files are probed
+    against a STATIC corpus dHash index (built once per query start) and
+    survivors append to the warehouse idempotently — the multimodal twin
+    of stream_dedup_against_corpus, same batch-equivalence contract
+    (static reference set -> per-image decisions independent of
+    batching).  The decode+hash of corpus images runs exactly once."""
+    from prql_query_spark.operators.multimodal import (
+        build_dhash_index, image_dedup_against_corpus)
+
+    idx = build_dhash_index(corpus_media, grid, blocks).localCheckpoint()
+
+    schema = spark.read.parquet(media_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(media_path)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = image_dedup_against_corpus(
+            batch_df, idx, max_hamming, grid, blocks)
+        (
+            survivors.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(queryName)
+        .start()
+    )

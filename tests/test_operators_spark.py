@@ -2052,3 +2052,40 @@ def test_distinct_sketch_merge_equals_single_pass(spark, sf_dir):
     g = distinct_sketch_merge(daily, []).collect()[0].approx_distinct
     ge = ev.agg(F.countDistinct("user_id")).collect()[0][0]
     assert abs(g - ge) / ge < 0.05
+
+
+def test_stream_image_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous image ingest dedup == one batch probe over the same
+    files (static corpus index), across multiple microbatches; ids
+    congruent mod 256 are byte-identical images so the corpus member
+    must knock out its newly-arriving twin."""
+    from prql_query_spark.operators.multimodal import (
+        build_dhash_index, image_dedup_against_corpus,
+        synthesize_png_images)
+    from prql_query_spark.streaming.ingest import (
+        stream_image_dedup_against_corpus)
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    media = synthesize_png_images(docs, "doc_id", pattern="mixed")
+    corpus = media.filter(F.col("media_id") % 2 == 0)
+    new = media.filter(F.col("media_id") % 2 == 1)
+    in_dir = str(tmp_path / "incoming")
+    new.repartition(3).write.parquet(in_dir)
+
+    out = str(tmp_path / "kept")
+    q = stream_image_dedup_against_corpus(
+        spark, in_dir, corpus, out, checkpoint=str(tmp_path / "ck"),
+        queryName="t_img_ingest", max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    got = sorted(r.media_id for r in spark.read.parquet(out).collect())
+    idx = build_dhash_index(corpus)
+    want = sorted(r.media_id for r in
+                  image_dedup_against_corpus(
+                      spark.read.parquet(in_dir), idx).collect())
+    assert got == want and 0 < len(got) < new.count()
