@@ -678,6 +678,33 @@ def _x_cosine_ivf(spark, sf_dir):
     )
 
 
+def _x_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k with PROVIDED codebooks (anchor
+    rows = the 16 lowest vec_ids, split into 8 sub-codebooks) — same
+    provided-anchor convention as x_cosine_ivf: the KMeans-trained
+    codebook path is pytest-covered, while this configuration is fully
+    value-checkable because the oracle rebuilds the identical
+    sub-codebooks, code assignments, and ADC lookup sums in SQL.  The
+    driver holds only m x n_codes x (dim/m) doubles, as at scale."""
+    from prql_query_spark.operators.similarity import (
+        cosine_topk_pq, pq_codebooks_from_anchors,
+    )
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    anchors = [
+        r.embedding
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    cbs = pq_codebooks_from_anchors(anchors, m=8)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_pq(emb, queries_df, k=10, codebooks=cbs)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("approx_cosine", 6).alias("approx_cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def _x_embed_neardup(spark, sf_dir):
     from prql_query_spark.operators.similarity import embedding_neardup
 
@@ -948,6 +975,7 @@ EXTENSIONS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_cosine_topk": _x_cosine_topk,
     "x_cosine_lsh": _x_cosine_lsh,
     "x_cosine_ivf": _x_cosine_ivf,
+    "x_pq_topk": _x_pq_topk,
     "x_embed_neardup": _x_embed_neardup,
     "x_events_tumbling": _x_events_tumbling,
     "x_events_sliding": _x_events_sliding,
@@ -1137,6 +1165,50 @@ ranked AS (SELECT query_id, neighbor_id, c,
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rk
            FROM scored)
 SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rk AS INT) AS rank
+FROM ranked WHERE rk <= 10
+""",
+    # x_pq_topk: rebuilds the full PQ pipeline relationally — anchor
+    # sub-codebooks (16 lowest vec_ids split into 8 x 8-dim slices), code
+    # assignment by squared-L2 argmin written as ip(a,a)+ip(b,b)-2*ip(a,b)
+    # (the exact formula `_sq_dist` uses, so the doubles are bit-identical),
+    # and the ADC sum written as an explicit left-nested 8-term addition
+    # matching Spark's sequential aggregate() fold order.
+    "x_pq_topk": """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+anchors AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v FROM emb WHERE vec_id < 16),
+subq AS (SELECT CAST(j AS INT) AS j FROM range(8) r(j)),
+cb AS (SELECT s.j, a.code, a.v[s.j*8+1 : s.j*8+8] AS c FROM anchors a CROSS JOIN subq s),
+esub AS (SELECT e.vec_id, s.j, e.v[s.j*8+1 : s.j*8+8] AS sv FROM emb e CROSS JOIN subq s),
+assign AS (
+  SELECT vec_id, j, code FROM (
+    SELECT es.vec_id, es.j, cb.code,
+           ROW_NUMBER() OVER (PARTITION BY es.vec_id, es.j
+             ORDER BY list_inner_product(es.sv, es.sv) + list_inner_product(cb.c, cb.c)
+                      - 2*list_inner_product(es.sv, cb.c), cb.code) AS rk
+    FROM esub es JOIN cb ON cb.j = es.j
+  ) t WHERE rk = 1),
+norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM emb),
+lut AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.j,
+         list_inner_product(q.v[a.j*8+1 : a.j*8+8], cb.c) AS p
+  FROM emb q
+  JOIN assign a ON a.vec_id <> q.vec_id
+  JOIN cb ON cb.j = a.j AND cb.code = a.code
+  WHERE q.vec_id < 5),
+adc AS (
+  SELECT query_id, neighbor_id,
+    ((((((MAX(CASE WHEN j=0 THEN p END) + MAX(CASE WHEN j=1 THEN p END))
+      + MAX(CASE WHEN j=2 THEN p END)) + MAX(CASE WHEN j=3 THEN p END))
+      + MAX(CASE WHEN j=4 THEN p END)) + MAX(CASE WHEN j=5 THEN p END))
+      + MAX(CASE WHEN j=6 THEN p END)) + MAX(CASE WHEN j=7 THEN p END) AS s
+  FROM lut GROUP BY 1, 2),
+scored AS (
+  SELECT adc.query_id, adc.neighbor_id, adc.s / (qn.nrm * nn.nrm) AS ac
+  FROM adc JOIN norms qn ON qn.vec_id = adc.query_id
+           JOIN norms nn ON nn.vec_id = adc.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, ac,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ac DESC, neighbor_id) rk FROM scored)
+SELECT query_id, neighbor_id, ROUND(ac, 6) AS approx_cosine, CAST(rk AS INT) AS rank
 FROM ranked WHERE rk <= 10
 """,
     "x_dedup_exact": """
@@ -1471,7 +1543,7 @@ DRIVER_ORDER = [
     # 45 slots with queries never audited by the driver.  The remaining 25
     # never-audited rotate in next round; the in-repo typed parity harness
     # (tools/check_parity.py, now Arrow-type-class-aware) still
-    # value-checks all 136 every round.
+    # value-checks all 156 every round.
     "q_agg_q1", "q_join_agg_q5", "q_flagship_monthly",
     "q_scalar_funcs", "x_scrub_pii",
     # — never-audited PRQL/TPC-H silhouettes, incl. the round-3 semi/anti
@@ -1486,7 +1558,8 @@ DRIVER_ORDER = [
     # — never-audited extension tier —
     "x_anomaly_zscore", "x_bigram_top", "x_blocklist_filter",
     "x_bpe_count", "x_chunk_docs", "x_constraint_audit",
-    "x_contamination", "x_cosine_ivf", "x_cube_agg", "x_dedup_report",
+    "x_contamination", "x_cosine_ivf", "x_pq_topk", "x_cube_agg",
+    "x_dedup_report",
     "x_dup_ngrams", "x_dup_tokens", "x_embed_centroid",
     "x_embed_neardup", "x_equidepth",
     "x_events_tumbling", "x_fingerprint_groups", "x_funnel",
@@ -1495,7 +1568,10 @@ DRIVER_ORDER = [
     "x_levenshtein", "x_multimodal_features",
     "x_multimodal_pixels", "x_normalize_text",
     "x_pack_sequences", "x_pivot_events", "x_pmi_top", "x_profile_orders",
-    "x_psi_drift", "x_resample_ffill", "x_retention_cohort",
+    "x_psi_drift", "x_resample_ffill",
+    # x_retention_cohort rotated back out to make room for the new
+    # x_pq_topk family (new-operator-family audit priority); it re-enters
+    # in round 4 with the remaining never-audited tail.
 ]
 
 

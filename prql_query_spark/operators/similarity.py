@@ -590,3 +590,207 @@ def cosine_topk_arrow(
         .filter(F.col("_rk") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("_rk").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory tier of ANN at 100 TB.  IVF/LSH
+# shrink the CANDIDATE count; PQ shrinks the BYTES PER VECTOR — a
+# dim-double vector becomes m uint8 codes (64 doubles = 512 B -> 8 B),
+# so the compressed corpus scan stays in memory/cache where the raw
+# vectors cannot.  Classic IVF-PQ pairing (Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+
+def pq_codebooks_from_anchors(anchors: list, m: int) -> list:
+    """Split ``n_codes`` full-dimension anchor vectors into ``m``
+    sub-codebooks: codebook[j][c] = anchors[c][j*sub : (j+1)*sub].
+
+    The provided-anchor path mirrors `cosine_topk_ivf(centroids=...)` —
+    production trains codebooks offline once (or picks anchor rows by
+    rule) and ships them to every index build; it is also the
+    value-checkable configuration, since an oracle can rebuild the same
+    sub-codebooks in SQL."""
+    dim = len(anchors[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[float(x) for x in a[j * sub:(j + 1) * sub]] for a in anchors]
+        for j in range(m)
+    ]
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    train_fraction: float = 1.0,
+    seed: int = 42,
+) -> list:
+    """Train per-subspace k-means codebooks (the PQ fit step).
+
+    One ML fit per subspace over (a sample of) the corpus slices; the
+    driver holds only m x n_codes x (dim/m) doubles — constant in corpus
+    size, exactly like `_ivf_centers`.  Returns
+    ``codebooks[j][code] = list[dim/m floats]``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    base = corpus.select(F.col(vec_col).alias("v"))
+    if train_fraction < 1.0:
+        base = base.sample(fraction=train_fraction, seed=seed)
+    base = base.cache()
+    try:
+        books = []
+        for j in range(m):
+            train = base.select(
+                array_to_vector(
+                    F.transform(
+                        F.slice("v", j * sub + 1, sub),
+                        lambda x: x.cast("double"),
+                    )
+                ).alias("features")
+            )
+            model = KMeans(k=n_codes, seed=seed + j, maxIter=20).fit(train)
+            books.append([c.tolist() for c in model.clusterCenters()])
+        return books
+    finally:
+        base.unpersist()
+
+
+def _pack_codebooks(spark, codebooks: list) -> DataFrame:
+    """1-row broadcastable DataFrame `_cbs`: array over subspaces j (in
+    order) of struct(j, cents: array over codes (in order) of
+    struct(code, c)) — broadcast DATA, never literal expression trees
+    (the `_pack_cells` lesson: literals re-materialize per evaluation)."""
+    rows = [
+        (j, [(c, [float(x) for x in cent]) for c, cent in enumerate(book)])
+        for j, book in enumerate(codebooks)
+    ]
+    cb = spark.createDataFrame(
+        rows, "j int, cents array<struct<code:int, c:array<double>>>"
+    )
+    return cb.agg(
+        F.array_sort(F.collect_list(F.struct("j", "cents"))).alias("_cbs")
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 via the inner-product identity |a|^2 + |b|^2 - 2ab.
+    Composed purely from `dot`, whose sequential fold both engines
+    reproduce bit-for-bit — so an oracle writing
+    ip(a,a) + ip(b,b) - 2*ip(a,b) gets the identical double."""
+    return dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to m uint8-range codes + its true norm.
+
+    Per subspace j: code = argmin_c |v_sub - codebook[j][c]|^2 (ties to
+    the smallest code).  One narrow projection against the broadcast
+    packed codebooks — no shuffle, no UDF; output is (id, codes
+    array<int>, vnorm double), the compressed representation that
+    replaces the raw vector in the scan."""
+    spark = df.sparkSession
+    sub = len(codebooks[0][0])
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def code_for(s):
+        subv = F.slice(vd, s["j"] * sub + 1, sub)
+        return F.array_min(
+            F.transform(
+                s["cents"],
+                lambda c: F.struct(
+                    _sq_dist(subv, c["c"]).alias("d"), c["code"].alias("code")
+                ),
+            )
+        )["code"]
+
+    return df.crossJoin(F.broadcast(_pack_codebooks(spark, codebooks))).select(
+        F.col(id_col),
+        F.transform(F.col("_cbs"), code_for).alias("codes"),
+        norm(vd).alias("vnorm"),
+    )
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    codebooks: list | None = None,
+    train_fraction: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over PQ
+    codes: `approx_cos(q, x) = (sum_j LUT_q[j][codes_x[j]]) / (|q||x|)`
+    where `LUT_q[j][c] = <q_sub_j, codebook[j][c]>` is computed once per
+    query and broadcast with it.
+
+    Scale shape: the corpus is touched once to encode (narrow, no
+    shuffle), then the ranking scan reads m ints per row instead of dim
+    floats — the compressed-domain scan that fits in cache at 10^9
+    vectors.  Queries ride broadcast with their LUTs (m x n_codes doubles
+    each); the only exchange is the final per-query top-k window, with
+    the same tie rules (score desc, neighbor_id asc) as every other topk
+    op here.  Compose with IVF cells to also cut the candidate count —
+    PQ shrinks bytes/row, IVF shrinks rows."""
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, m=m, n_codes=n_codes, vec_col=vec_col,
+            train_fraction=train_fraction,
+        )
+    spark = corpus.sparkSession
+    sub = len(codebooks[0][0])
+    packed = _pack_codebooks(spark, codebooks)
+    enc = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+
+    qd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = queries.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(
+            F.col("_cbs"),
+            lambda s: F.transform(
+                s["cents"], lambda c: dot(F.slice(qd, s["j"] * sub + 1, sub), c["c"])
+            ),
+        ).alias("_lut"),
+        norm(qd).alias("qnorm"),
+    )
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("_lut"),
+            lambda code, dots: F.element_at(dots, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        enc.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .withColumn("approx_cosine", adc / (F.col("qnorm") * F.col("vnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "approx_cosine",
+            F.col("_rk").alias("rank"),
+        )
+    )

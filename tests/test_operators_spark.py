@@ -144,6 +144,78 @@ def test_embedding_neardup_lsh_subset_of_exact(emb):
         assert len(lsh) / len(exact) >= 0.2  # coarse buckets -> real recall
 
 
+def test_pq_encode_anchor_rows_self_code(emb):
+    """Every anchor row's subvector is at distance exactly 0 from its own
+    codebook entry, so anchors must encode to their own code in every
+    subspace — pins slice offsets, argmin direction, and tie-break."""
+    from prql_query_spark.operators.similarity import (
+        pq_codebooks_from_anchors, pq_encode,
+    )
+
+    anchors = [r.embedding for r in
+               emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    cbs = pq_codebooks_from_anchors(anchors, m=8)
+    assert len(cbs) == 8 and len(cbs[0]) == 8 and len(cbs[0][0]) == 8
+    enc = pq_encode(emb.filter(F.col("vec_id") < 8), cbs)
+    for r in enc.collect():
+        assert r.codes == [r.vec_id] * 8
+        assert r.vnorm > 0
+    rest = pq_encode(emb.filter(F.col("vec_id") >= 8), cbs).collect()
+    assert all(0 <= c < 8 for r in rest for c in r.codes)
+
+
+def test_pq_full_codebook_matches_exact(emb):
+    """With every corpus vector as an anchor, each vector quantizes to
+    itself (distance 0), so the ADC score IS the true dot product and
+    cosine_topk_pq must reproduce exact cosine scores (to float
+    re-association tolerance: ADC folds 8 subspace sums instead of one
+    64-term fold) — the PQ analogue of the IVF full-probe==exact test."""
+    from prql_query_spark.operators.similarity import (
+        cosine_topk, cosine_topk_pq, pq_codebooks_from_anchors,
+    )
+
+    anchors = [r.embedding for r in emb.orderBy("vec_id").collect()]
+    cbs = pq_codebooks_from_anchors(anchors, m=8)
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.neighbor_id): r.cosine
+             for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id): r.approx_cosine
+              for r in cosine_topk_pq(emb, q, k=5, codebooks=cbs).collect()}
+    assert set(approx) == set(exact)
+    assert all(abs(approx[k] - exact[k]) < 1e-9 for k in approx)
+
+
+def test_pq_trained_recall_on_clustered_data(spark):
+    """Trained (per-subspace KMeans) codebooks on data with real cluster
+    structure: exact top-5 neighbors are same-cluster members, and PQ —
+    whose whole premise is that the corpus is NOT uniform noise — must
+    recover nearly all of them.  (The parquet fixture is near-random
+    gaussian, where any quantizer's ranking is provably near-chance; the
+    provided-anchor paths are pinned on that fixture by the exact oracle
+    instead.)"""
+    import random
+
+    from prql_query_spark.operators.similarity import cosine_topk, cosine_topk_pq
+
+    rng = random.Random(7)
+    centers = [[10.0 * ((c >> b) & 1) - 5.0 for b in range(16)] for c in range(4)]
+    rows = []
+    for i in range(80):
+        ctr = centers[i % 4]
+        rows.append((i, [x + rng.gauss(0, 0.4) for x in ctr]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(df, q, k=5).collect()
+    assert all(r.neighbor_id % 4 == r.query_id % 4 for r in exact)
+    approx = cosine_topk_pq(df, q, k=5, m=4, n_codes=8).collect()
+    # Within a tight cluster every cosine is ~0.996-0.998, so no quantizer
+    # can reproduce the exact top-5 ORDER — the meaningful property is
+    # cluster retrieval: every ADC-ranked neighbor must come from the
+    # query's own cluster, like the exact ranking's do.
+    assert len(approx) == 15
+    assert all(r.neighbor_id % 4 == r.query_id % 4 for r in approx)
+
+
 def test_text_profile_columns(docs):
     from prql_query_spark.operators.text import text_profile
 
