@@ -4183,3 +4183,173 @@ SELECT d.doc_id AS media_id, CAST(d.nf AS BIGINT) AS n_frames, fps.fp
 FROM d LEFT JOIN fps ON fps.doc_id = d.doc_id
 ORDER BY media_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-3 web-curation tier: URL canonicalization / registered domains /
+# per-domain caps (operators/web.py) and the C4 line+page rule pack
+# (text.c4_clean).  The documents fixture carries neither URLs nor line
+# structure, so both tiers use the x_scrub_pii salting convention: the
+# QUERY deterministically synthesizes the structure (messy URLs from
+# doc_id/source; sentence lines via literal-string replaces) identically
+# in both engines, and the operator under test consumes the salted column.
+
+
+def _url_expr():
+    """Messy-URL salt, Spark side: scheme/host/port/path/params vary by
+    doc_id so every canonicalization rule fires on a real subset."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    host = (
+        F.when(d % 3 == 0, F.concat(F.lit("WWW."), F.col("source"), F.lit(".Example.com:443")))
+        .when(d % 3 == 1, F.concat(F.col("source"), F.lit(".blog.co.uk")))
+        .otherwise(F.concat(F.lit("cdn."), F.col("source"), F.lit(".Example.com:80")))
+    )
+    path = F.concat(
+        F.lit("//Docs//"), d.cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    qs = F.concat(
+        F.lit("?utm_source=feed&id="), d.cast("string"),
+        F.lit("&utm_medium=rss#sec"),
+    )
+    return F.concat(scheme, F.lit("://"), host, path, qs)
+
+
+_URL_SALT_SQL = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+       || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || source || '.Example.com:443'
+                WHEN doc_id % 3 = 1 THEN source || '.blog.co.uk'
+                ELSE 'cdn.' || source || '.Example.com:80' END)
+       || '//Docs//' || CAST(doc_id AS VARCHAR)
+       || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+       || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=rss#sec'
+       AS u
+FROM documents
+"""
+
+
+def _x_url_canon(spark, sf_dir):
+    """Canonical URL + registered domain per doc over the salted messy
+    URLs — exercises scheme/host lowering, default-port + www + fragment
+    + tracking-param stripping, slash collapsing, and the multi-part-TLD
+    domain heuristic in one narrow zero-shuffle projection."""
+    from prql_query_spark.operators.web import (
+        canonicalize_url, registered_domain, url_host,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    url = _url_expr()
+    return docs.select(
+        "doc_id",
+        canonicalize_url(url).alias("canonical_url"),
+        registered_domain(url_host(url)).alias("domain"),
+    )
+
+
+def _url_canon_oracle() -> str:
+    from prql_query_spark.operators.web import canonicalize_oracle_exprs
+
+    e = canonicalize_oracle_exprs()
+    return f"""
+WITH urls AS ({_URL_SALT_SQL}),
+c AS (
+  SELECT doc_id, {e['canonical']} AS canonical_url,
+         {e['host']} AS h
+  FROM urls
+)
+SELECT doc_id, canonical_url, {e['domain']} AS domain FROM c
+"""
+
+
+def _x_domain_cap(spark, sf_dir):
+    """Per-domain document cap via the deterministic md5 lottery: at most
+    3 docs per registered domain survive.  One window shuffle."""
+    from prql_query_spark.operators.web import cap_per_domain
+
+    docs = _tbl(spark, sf_dir, "documents")
+    capped = cap_per_domain(
+        docs.select("doc_id", _url_expr().alias("url")),
+        url_col="url", id_col="doc_id", max_per_domain=3,
+    )
+    return capped.select("doc_id", "domain")
+
+
+def _domain_cap_oracle() -> str:
+    from prql_query_spark.operators.web import canonicalize_oracle_exprs
+
+    e = canonicalize_oracle_exprs()
+    return f"""
+WITH urls AS ({_URL_SALT_SQL}),
+c AS (SELECT doc_id, {e['host']} AS h FROM urls),
+d AS (SELECT doc_id, {e['domain']} AS domain FROM c),
+r AS (
+  SELECT doc_id, domain,
+         ROW_NUMBER() OVER (
+             PARTITION BY domain
+             ORDER BY md5(domain || '|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM d
+)
+SELECT doc_id, domain FROM r WHERE rk <= 3
+"""
+
+
+EXTENSIONS["x_url_canon"] = _x_url_canon
+EXTENSIONS["x_domain_cap"] = _x_domain_cap
+EXTENSION_ORACLES["x_url_canon"] = _url_canon_oracle()
+EXTENSION_ORACLES["x_domain_cap"] = _domain_cap_oracle()
+
+
+def _c4_salt_expr():
+    """Line/sentence salt, Spark side: literal-string replaces (identical
+    non-overlapping left-to-right semantics in both engines) inject line
+    breaks, terminal punctuation, a javascript poison word, and the
+    lorem-ipsum / curly-brace page poisons on fixed doc_id residues."""
+    t = F.col("text")
+    s = F.replace(t, F.lit(" table "), F.concat(F.lit(".\n"), F.lit("")))
+    s = F.replace(s, F.lit(" row "), F.lit(" javascript "))
+    s = F.concat(s, F.lit("."))
+    s = F.when(F.col("doc_id") % 17 == 0, F.concat(s, F.lit(" lorem ipsum"))).otherwise(s)
+    s = F.when(F.col("doc_id") % 23 == 0, F.concat(s, F.lit(" {"))).otherwise(s)
+    return s
+
+
+_C4_SALT_SQL = """
+SELECT doc_id,
+       replace(replace(text, ' table ', '.' || chr(10)), ' row ', ' javascript ')
+       || '.'
+       || (CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum' ELSE '' END)
+       || (CASE WHEN doc_id % 23 = 0 THEN ' {' ELSE '' END)
+       AS text
+FROM documents
+"""
+
+
+def _x_c4_audit(spark, sf_dir):
+    """C4 line+page rule pack with per-reason accounting over the salted
+    line-structured corpus — the companion row to x_gopher_audit."""
+    from prql_query_spark.operators.text import c4_clean
+
+    docs = _tbl(spark, sf_dir, "documents")
+    salted = docs.select("doc_id", _c4_salt_expr().alias("text"))
+    out = c4_clean(salted)
+    return (
+        out.groupBy(F.coalesce("reject_reason", F.lit("kept")).alias("reason"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sentences").cast("long").alias("total_sentences"),
+        )
+        .orderBy("reason")
+    )
+
+
+def _c4_oracle() -> str:
+    from prql_query_spark.operators.text import c4_clean_oracle_sql
+
+    return c4_clean_oracle_sql(_C4_SALT_SQL)
+
+
+EXTENSIONS["x_c4_audit"] = _x_c4_audit
+EXTENSION_ORACLES["x_c4_audit"] = _c4_oracle()

@@ -232,6 +232,102 @@ def strip_html(text_col: Column) -> Column:
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
+C4_THRESHOLDS = {
+    "min_line_words": 5,
+    "min_sentences": 3,
+}
+
+
+def c4_clean(df: DataFrame, text_col: str = "text", **overrides) -> DataFrame:
+    """C4-style line+page cleaning (Raffel et al. 2020 heuristics) with
+    per-rule accounting, the companion gate to `gopher_audit`:
+
+    line tier — keep only lines that end in a terminal punctuation mark
+    (. ! ? "), contain at least ``min_line_words`` words, and do not
+    mention javascript/cookie-banner boilerplate; page tier — reject the
+    document when fewer than ``min_sentences`` sentences survive, or the
+    page contains "lorem ipsum" or a curly brace (leaked code/templates).
+
+    Adds `clean_text` (surviving lines re-joined), `n_lines_kept`,
+    `n_sentences`, `reject_reason` (first failing rule, NULL = kept), and
+    `keep`.  Single narrow projection — split/filter/rejoin are all JVM
+    higher-order functions, zero shuffle/UDF, pipelines into the scan.
+    """
+    th = {**C4_THRESHOLDS, **overrides}
+    t = F.col(text_col)
+    lines = F.split(t, "\\n")
+    line_ok = lambda ln: (
+        F.regexp_like(ln, F.lit('[.!?"]\\s*$'))
+        & (F.size(F.split(F.trim(ln), "\\s+")) >= th["min_line_words"])
+        & ~F.lower(ln).contains("javascript")
+        & ~F.lower(ln).contains("enable cookies")
+    )
+    kept = F.filter(lines, line_ok)
+    clean = F.concat_ws("\n", kept)
+    base = (
+        df.withColumn("clean_text", clean)
+        .withColumn("n_lines_kept", F.size(kept).cast("long"))
+        .withColumn(
+            "n_sentences",
+            F.when(F.length("clean_text") == 0, F.lit(0)).otherwise(
+                F.size(F.regexp_extract_all(F.col("clean_text"), F.lit("[.!?]"), 0))
+            ).cast("long"),
+        )
+    )
+    reason = (
+        F.when(F.lower(t).contains("lorem ipsum"), F.lit("lorem_ipsum"))
+        .when(t.contains("{"), F.lit("curly_brace"))
+        .when(F.col("n_sentences") < th["min_sentences"], F.lit("too_few_sentences"))
+    )
+    return base.withColumn("reject_reason", reason).withColumn(
+        "keep", F.col("reject_reason").isNull()
+    )
+
+
+def c4_clean_oracle_sql(salted: str, **overrides) -> str:
+    """DuckDB twin of `c4_clean`'s per-reason accounting, generated from
+    the SAME threshold dict; ``salted`` is a CTE body yielding
+    (doc_id, text)."""
+    th = {**C4_THRESHOLDS, **overrides}
+    return f"""
+WITH salted AS ({salted}),
+l AS (
+    SELECT doc_id, text,
+           list_filter(
+               string_split(text, chr(10)),
+               ln -> regexp_matches(ln, '[.!?"]\\s*$')
+                     AND len(regexp_split_to_array(trim(ln), '\\s+')) >= {th["min_line_words"]}
+                     AND NOT contains(lower(ln), 'javascript')
+                     AND NOT contains(lower(ln), 'enable cookies')
+           ) AS kept
+    FROM salted
+), m AS (
+    SELECT doc_id, text,
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept
+    FROM l
+), s AS (
+    SELECT doc_id, text, n_lines_kept,
+           CAST(CASE WHEN length(clean_text) = 0 THEN 0
+                ELSE len(regexp_extract_all(clean_text, '[.!?]')) END AS BIGINT)
+               AS n_sentences
+    FROM m
+), r AS (
+    SELECT n_sentences,
+        CASE
+            WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+            WHEN contains(text, '{{') THEN 'curly_brace'
+            WHEN n_sentences < {th["min_sentences"]} THEN 'too_few_sentences'
+        END AS reason
+    FROM s
+)
+SELECT COALESCE(reason, 'kept') AS reason,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_sentences) AS BIGINT) AS total_sentences
+FROM r GROUP BY reason ORDER BY reason
+"""
+
+
 # Gopher/MassiveText-style document gates (word-count band, mean/max word
 # length, repetition).  One dict so the Spark operator and the generated
 # DuckDB oracle share thresholds and cannot drift.

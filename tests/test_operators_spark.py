@@ -2161,3 +2161,70 @@ def test_stream_image_dedup_matches_batch(spark, sf_dir, tmp_path):
                   image_dedup_against_corpus(
                       spark.read.parquet(in_dir), idx).collect())
     assert got == want and 0 < len(got) < new.count()
+
+
+def test_canonicalize_url_rules(spark):
+    """Each canonicalization rule on a crafted URL: scheme/host lowering,
+    credential + default-port + www + fragment stripping, tracking-param
+    scrub with separator tidying, slash collapse, trailing slash."""
+    from prql_query_spark.operators.web import canonicalize_url, registered_domain, url_host
+
+    cases = [
+        ("HTTP://WWW.Site.com:80/A//b/?utm_source=x&id=1&fbclid=z#frag",
+         "http://site.com/A/b?id=1"),
+        ("https://user:pw@Sub.Site.CO.UK:443/x/", "https://sub.site.co.uk/x"),
+        ("http://site.com/?utm_campaign=a&utm_medium=b", "http://site.com"),
+        ("https://site.com/path", "https://site.com/path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+    doms = [
+        ("a.b.site.com", "site.com"),
+        ("sub.site.co.uk", "site.co.uk"),
+        ("localhost", "localhost"),
+        ("site.org", "site.org"),
+    ]
+    ddf = spark.createDataFrame([(h,) for h, _ in doms], "h string")
+    got_d = [r[0] for r in ddf.select(registered_domain(F.col("h"))).collect()]
+    assert got_d == [w for _, w in doms]
+    hdf = spark.createDataFrame(
+        [("https://u:p@WWW.Ex.com:443/a?q=1#f",)], "url string")
+    assert hdf.select(url_host(F.col("url"))).first()[0] == "www.ex.com"
+
+
+def test_cap_per_domain_bound_and_determinism(spark):
+    from prql_query_spark.operators.web import cap_per_domain
+
+    rows = [(i, f"https://site{i % 3}.com/p/{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out1 = cap_per_domain(df, max_per_domain=7)
+    counts = {r.domain: r.n for r in
+              out1.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {f"site{i}.com": 7 for i in range(3)}
+    ids1 = sorted(r.doc_id for r in out1.collect())
+    ids2 = sorted(r.doc_id for r in cap_per_domain(df, max_per_domain=7).collect())
+    assert ids1 == ids2
+
+
+def test_c4_clean_rules(spark):
+    """Line tier: terminal punctuation, min words, javascript poison;
+    page tier: lorem ipsum, curly brace, min surviving sentences."""
+    from prql_query_spark.operators.text import c4_clean
+
+    good = "This line has five good words.\nAnother fine sentence right here!\nA third proper sentence stands here."
+    rows = [
+        (0, good),                                      # kept
+        (1, good + "\nplease enable javascript now."),  # poison line dropped, page kept
+        (2, "Too short.\nno punct here at all\nstub."), # all lines die -> too few
+        (3, good + " lorem ipsum"),                     # page poison
+        (4, good + " {"),                               # code leak
+    ]
+    out = {r.doc_id: r for r in
+           c4_clean(spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[0].keep and out[0].n_lines_kept == 3 and out[0].n_sentences == 3
+    assert out[1].keep and out[1].n_lines_kept == 3
+    assert out[2].reject_reason == "too_few_sentences"
+    assert out[3].reject_reason == "lorem_ipsum"
+    assert out[4].reject_reason == "curly_brace"
