@@ -4353,3 +4353,30 @@ def _c4_oracle() -> str:
 
 EXTENSIONS["x_c4_audit"] = _x_c4_audit
 EXTENSION_ORACLES["x_c4_audit"] = _c4_oracle()
+
+
+def _x_bigram_backoff(spark, sf_dir):
+    """Stupid-backoff bigram LM surprise: score src0/src1 docs under
+    bigram statistics from the REST of the corpus (held-out split, so
+    unseen bigrams actually exercise the backoff tier)."""
+    from prql_query_spark.operators.text import bigram_logprob
+
+    docs = _tbl(spark, sf_dir, "documents")
+    score = docs.filter(F.col("source").isin("src0", "src1"))
+    model = docs.filter(~F.col("source").isin("src0", "src1"))
+    return bigram_logprob(score, model)
+
+
+EXTENSIONS["x_bigram_backoff"] = _x_bigram_backoff
+
+
+def _bigram_backoff_oracle() -> str:
+    from prql_query_spark.operators.text import bigram_logprob_oracle_sql
+
+    return bigram_logprob_oracle_sql(
+        score_where="source IN ('src0', 'src1')",
+        model_where="source NOT IN ('src0', 'src1')",
+    )
+
+
+EXTENSION_ORACLES["x_bigram_backoff"] = _bigram_backoff_oracle()

@@ -591,6 +591,116 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    score_df: DataFrame,
+    model_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Bigram language-model surprise with stupid backoff (Brants et al.
+    2007): score each document in ``score_df`` under bigram statistics
+    counted from ``model_df`` (held-out reference corpus — scoring a
+    corpus against itself never exercises backoff).
+
+    Per bigram position: p = count(w1,w2)/count(w1) when the model saw
+    the bigram, else alpha * count(w2)/N (alpha/N when w2 is itself
+    unseen).  Returns (id, n_bigrams, avg_logprob, backoff_frac); docs
+    with fewer than 2 tokens produce no bigrams and drop out, mirroring
+    the oracle.
+
+    Scale shape, same contract as `unigram_logprob`: the model aggregates
+    are corpus-sized in the worst case, so both probes are planned as
+    shuffle joins on purpose (a web-scale bigram table exceeds broadcast;
+    head-token skew is AQE's job); one final map-side-combined doc-id
+    aggregation.  Zero UDFs — log/backoff arithmetic is all codegen'd.
+    """
+    def bigrams(df):
+        toks = tokens(F.col(text_col))
+        pairs = F.arrays_zip(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        )
+        return df.select(
+            F.col(id_col), F.explode(pairs).alias("_p")
+        ).select(
+            F.col(id_col), F.col("_p")["0"].alias("_w1"), F.col("_p")["1"].alias("_w2")
+        )
+
+    mb = bigrams(model_df).groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_cb"))
+    mu = (
+        model_df.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+        .groupBy("_w").agg(F.count(F.lit(1)).alias("_cu"))
+    )
+    total = mu.agg(F.sum("_cu").alias("_n"))
+
+    sb = bigrams(score_df)
+    joined = (
+        sb.join(mb, ["_w1", "_w2"], "left")
+        .join(mu.withColumnRenamed("_w", "_w1").withColumnRenamed("_cu", "_cu1"),
+              "_w1", "left")
+        .join(mu.withColumnRenamed("_w", "_w2").withColumnRenamed("_cu", "_cu2"),
+              "_w2", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    p = (
+        F.when(F.col("_cb").isNotNull(), F.col("_cb") / F.col("_cu1"))
+        .when(F.col("_cu2").isNotNull(), alpha * F.col("_cu2") / F.col("_n"))
+        .otherwise(alpha / F.col("_n"))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log2(p)), 4).alias("avg_logprob"),
+            F.round(F.avg(F.col("_cb").isNull().cast("double")), 4).alias("backoff_frac"),
+        )
+    )
+
+
+def bigram_logprob_oracle_sql(
+    score_where: str, model_where: str, alpha: float = 0.4
+) -> str:
+    """DuckDB twin of `bigram_logprob`, generated with the same alpha;
+    ``score_where``/``model_where`` split `documents` into the scored and
+    reference partitions."""
+    return f"""
+WITH mt AS (
+    SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+    FROM documents WHERE {model_where}
+), mb AS (
+    SELECT w[i] AS w1, w[i+1] AS w2, COUNT(*) AS cb
+    FROM mt, unnest(range(1, len(w))) AS r(i)
+    GROUP BY 1, 2
+), mu AS (
+    SELECT t AS w, COUNT(*) AS cu
+    FROM (SELECT unnest(w) AS t FROM mt) GROUP BY 1
+), tot AS (SELECT SUM(cu) AS n FROM mu),
+st AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+    FROM documents WHERE {score_where}
+), sb AS (
+    SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+    FROM st, unnest(range(1, len(w))) AS r(i)
+), j AS (
+    SELECT sb.doc_id,
+           CASE WHEN mb.cb IS NOT NULL THEN CAST(mb.cb AS DOUBLE) / u1.cu
+                WHEN u2.cu IS NOT NULL THEN {alpha} * u2.cu / tot.n
+                ELSE {alpha} / tot.n END AS p,
+           CASE WHEN mb.cb IS NULL THEN 1.0 ELSE 0.0 END AS backoff
+    FROM sb
+    LEFT JOIN mb ON mb.w1 = sb.w1 AND mb.w2 = sb.w2
+    LEFT JOIN mu u1 ON u1.w = sb.w1
+    LEFT JOIN mu u2 ON u2.w = sb.w2
+    CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(log2(p)), 4) AS avg_logprob,
+       ROUND(AVG(backoff), 4) AS backoff_frac
+FROM j GROUP BY doc_id
+"""
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",

@@ -2228,3 +2228,22 @@ def test_c4_clean_rules(spark):
     assert out[2].reject_reason == "too_few_sentences"
     assert out[3].reject_reason == "lorem_ipsum"
     assert out[4].reject_reason == "curly_brace"
+
+
+def test_bigram_backoff_known_values(spark):
+    """Hand-computed stupid-backoff: model 'a b a b'+'b c' gives
+    cu(a)=2, cu(b)=3, cu(c)=1, N=6, cb(a,b)=2; scoring 'a b z c' hits
+    a seen bigram (p=2/2), an unseen-unigram backoff (0.4/6), and a
+    seen-unigram backoff (0.4*1/6)."""
+    import math
+
+    from prql_query_spark.operators.text import bigram_logprob
+
+    model = spark.createDataFrame(
+        [(10, "a b a b"), (11, "b c")], "doc_id long, text string")
+    score = spark.createDataFrame([(1, "a b z c")], "doc_id long, text string")
+    r = bigram_logprob(score, model).first()
+    assert r.n_bigrams == 3
+    want = (math.log2(1.0) + math.log2(0.4 / 6) + math.log2(0.4 * 1 / 6)) / 3
+    assert abs(r.avg_logprob - round(want, 4)) < 1e-9
+    assert r.backoff_frac == round(2 / 3, 4)
