@@ -4380,3 +4380,83 @@ def _bigram_backoff_oracle() -> str:
 
 
 EXTENSION_ORACLES["x_bigram_backoff"] = _bigram_backoff_oracle()
+
+
+def _x_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composition with PROVIDED cells AND codebooks (both from
+    the 16 lowest vec_ids) — candidates restricted to 4 probed cells,
+    scored by PQ ADC.  Oracle rebuilds cell assignment, sub-codebook
+    encoding, and the ADC fold relationally."""
+    from prql_query_spark.operators.similarity import (
+        cosine_topk_ivfpq, pq_codebooks_from_anchors,
+    )
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    anchors = [
+        r.embedding
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    out = cosine_topk_ivfpq(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_probe=4,
+        centroids=anchors, codebooks=pq_codebooks_from_anchors(anchors, m=8),
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("approx_cosine", 6).alias("approx_cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+EXTENSIONS["x_ivfpq_topk"] = _x_ivfpq_topk
+EXTENSION_ORACLES["x_ivfpq_topk"] = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM emb WHERE vec_id < 16),
+ranked_cells AS (
+  SELECT e.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS crk
+  FROM emb e CROSS JOIN cells c
+),
+corpus_cell AS (SELECT vec_id, cell FROM ranked_cells WHERE crk = 1),
+query_cells AS (SELECT vec_id, cell FROM ranked_cells WHERE crk <= 4 AND vec_id < 5),
+anchors AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v FROM emb WHERE vec_id < 16),
+subq AS (SELECT CAST(j AS INT) AS j FROM range(8) r(j)),
+cb AS (SELECT s.j, a.code, a.v[s.j*8+1 : s.j*8+8] AS c FROM anchors a CROSS JOIN subq s),
+esub AS (SELECT e.vec_id, s.j, e.v[s.j*8+1 : s.j*8+8] AS sv FROM emb e CROSS JOIN subq s),
+assign AS (
+  SELECT vec_id, j, code FROM (
+    SELECT es.vec_id, es.j, cb.code,
+           ROW_NUMBER() OVER (PARTITION BY es.vec_id, es.j
+             ORDER BY list_inner_product(es.sv, es.sv) + list_inner_product(cb.c, cb.c)
+                      - 2*list_inner_product(es.sv, cb.c), cb.code) AS rk
+    FROM esub es JOIN cb ON cb.j = es.j
+  ) t WHERE rk = 1),
+norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM emb),
+cand AS (
+  SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id
+  FROM query_cells q JOIN corpus_cell cc ON cc.cell = q.cell
+  WHERE cc.vec_id <> q.vec_id),
+lut AS (
+  SELECT cand.query_id, cand.neighbor_id, a.j,
+         list_inner_product(qe.v[a.j*8+1 : a.j*8+8], cb.c) AS p
+  FROM cand
+  JOIN emb qe ON qe.vec_id = cand.query_id
+  JOIN assign a ON a.vec_id = cand.neighbor_id
+  JOIN cb ON cb.j = a.j AND cb.code = a.code),
+adc AS (
+  SELECT query_id, neighbor_id,
+    ((((((MAX(CASE WHEN j=0 THEN p END) + MAX(CASE WHEN j=1 THEN p END))
+      + MAX(CASE WHEN j=2 THEN p END)) + MAX(CASE WHEN j=3 THEN p END))
+      + MAX(CASE WHEN j=4 THEN p END)) + MAX(CASE WHEN j=5 THEN p END))
+      + MAX(CASE WHEN j=6 THEN p END)) + MAX(CASE WHEN j=7 THEN p END) AS s
+  FROM lut GROUP BY 1, 2),
+scored AS (
+  SELECT adc.query_id, adc.neighbor_id, adc.s / (qn.nrm * nn.nrm) AS ac
+  FROM adc JOIN norms qn ON qn.vec_id = adc.query_id
+           JOIN norms nn ON nn.vec_id = adc.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, ac,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ac DESC, neighbor_id) rk FROM scored)
+SELECT query_id, neighbor_id, ROUND(ac, 6) AS approx_cosine, CAST(rk AS INT) AS rank
+FROM ranked WHERE rk <= 10
+"""

@@ -794,3 +794,110 @@ def cosine_topk_pq(
             F.col("_rk").alias("rank"),
         )
     )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    centroids: list | None = None,
+    codebooks: list | None = None,
+    train_fraction: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the two ANN tiers composed the way a production index pairs
+    them — IVF cells shrink the CANDIDATE count (each query scans only its
+    ``n_probe`` nearest cells), PQ codes shrink the BYTES per candidate
+    (ADC over m codes instead of dim floats).  This is the shape that
+    serves 10^9-vector search: the per-cell posting lists hold 8-byte
+    codes, and a query touches n_probe/n_cells of them.
+
+    Index build = one pass over the corpus producing (cell, codes, norm)
+    — narrow, no shuffle; both cell centers and codebooks are either
+    provided (offline-trained, the oracle-checkable configuration) or
+    k-means-fit on a sample.  The candidate restriction is an equi-join
+    on cell id against the broadcast probe set; scoring and ranking
+    mirror `cosine_topk_pq` exactly (same ADC fold, same tie rules), so
+    at n_probe = n_cells this degrades to precisely `cosine_topk_pq`'s
+    answer — pinned by a pytest property."""
+    centers = _ivf_centers(corpus, vec_col, n_cells, train_fraction, centroids)
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, m=m, n_codes=n_codes, vec_col=vec_col,
+            train_fraction=train_fraction,
+        )
+    spark = corpus.sparkSession
+    sub = len(codebooks[0][0])
+    cells_packed = _pack_cells(spark, centers)
+    cbs_packed = _pack_codebooks(spark, codebooks)
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def code_for(s):
+        subv = F.slice(vd, s["j"] * sub + 1, sub)
+        return F.array_min(
+            F.transform(
+                s["cents"],
+                lambda c: F.struct(
+                    _sq_dist(subv, c["c"]).alias("d"), c["code"].alias("code")
+                ),
+            )
+        )["code"]
+
+    enc = (
+        corpus.crossJoin(F.broadcast(cells_packed))
+        .crossJoin(F.broadcast(cbs_packed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.element_at(_cell_dists(F.col(vec_col)), 1)["cell"].alias("_cell"),
+            F.transform(F.col("_cbs"), code_for).alias("codes"),
+            norm(vd).alias("vnorm"),
+        )
+    )
+    q = (
+        queries.crossJoin(F.broadcast(cells_packed))
+        .crossJoin(F.broadcast(cbs_packed))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                F.transform(
+                    F.slice(_cell_dists(F.col(vec_col)), 1, n_probe),
+                    lambda s: s["cell"],
+                )
+            ).alias("_cell"),
+            F.transform(
+                F.col("_cbs"),
+                lambda s: F.transform(
+                    s["cents"],
+                    lambda c: dot(F.slice(vd, s["j"] * sub + 1, sub), c["c"]),
+                ),
+            ).alias("_lut"),
+            norm(vd).alias("qnorm"),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("_lut"),
+            lambda code, dots: F.element_at(dots, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        enc.join(F.broadcast(q), on="_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx_cosine", adc / (F.col("qnorm") * F.col("vnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "approx_cosine", F.col("_rk").alias("rank"))
+    )

@@ -2247,3 +2247,24 @@ def test_bigram_backoff_known_values(spark):
     want = (math.log2(1.0) + math.log2(0.4 / 6) + math.log2(0.4 * 1 / 6)) / 3
     assert abs(r.avg_logprob - round(want, 4)) < 1e-9
     assert r.backoff_frac == round(2 / 3, 4)
+
+
+def test_ivfpq_full_probe_matches_pq(emb):
+    """At n_probe == n_cells the IVF restriction admits every candidate,
+    so IVF-PQ must reproduce cosine_topk_pq's answer bit-for-bit — the
+    composition analogue of the IVF full-probe==exact property."""
+    from prql_query_spark.operators.similarity import (
+        cosine_topk_ivfpq, cosine_topk_pq, pq_codebooks_from_anchors,
+    )
+
+    anchors = [r.embedding for r in
+               emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    cbs = pq_codebooks_from_anchors(anchors, m=8)
+    q = emb.filter(F.col("vec_id") < 3)
+    full = {(r.query_id, r.neighbor_id, r.rank, round(r.approx_cosine, 9))
+            for r in cosine_topk_ivfpq(
+                emb, q, k=5, n_cells=8, n_probe=8,
+                centroids=anchors, codebooks=cbs).collect()}
+    pq = {(r.query_id, r.neighbor_id, r.rank, round(r.approx_cosine, 9))
+          for r in cosine_topk_pq(emb, q, k=5, codebooks=cbs).collect()}
+    assert full == pq
