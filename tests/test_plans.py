@@ -498,3 +498,27 @@ def test_image_neardup_blocked_equijoin(spark, sf_dir):
     media = synthesize_png_images(docs, "doc_id", pattern="mixed")
     plan = _plan(spark, image_neardup_pairs(media), "simple")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ivfpq_candidate_join_keyed_and_broadcast(spark, sf_dir):
+    """IVF-PQ: the candidate restriction must be an equi-join on the cell
+    id with the probe set broadcast (never a CartesianProduct over the
+    corpus), and the codebook/centroid tables must ride as broadcast
+    1-row data, not literal expression trees."""
+    from prql_query_spark.operators.similarity import (
+        cosine_topk_ivfpq, pq_codebooks_from_anchors,
+    )
+
+    emb = load_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    anchors = [r.embedding for r in
+               emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    out = cosine_topk_ivfpq(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, n_cells=8, n_probe=2,
+        centroids=anchors, codebooks=pq_codebooks_from_anchors(anchors, m=8),
+    )
+    plan = _plan(spark, out, "simple")
+    assert "CartesianProduct" not in plan
+    # the only join over corpus-sized input is the keyed cell join
+    assert re.search(r"BroadcastHashJoin \[_cell", plan)
+    # ADC + encode are expressions, not Python
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
