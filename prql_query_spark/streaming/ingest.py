@@ -133,3 +133,72 @@ def stream_image_dedup_against_corpus(
         .queryName(queryName)
         .start()
     )
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+    checkpoint: str,
+    metrics_dir: str | None = None,
+    gate: str = "gopher",
+    queryName: str = "pq_stream_quality_gate",
+    max_files_per_trigger: int | None = 64,
+    **thresholds,
+):
+    """Continuous quality gating of arriving documents: each microbatch
+    runs the chosen rule pack (``gate='gopher'`` -> `text.gopher_audit`,
+    ``'c4'`` -> `text.c4_clean`), appends the SURVIVORS to the warehouse
+    idempotently (`_batch_id` dynamic-overwrite — replays rewrite their
+    own partitions, never duplicate), and, when ``metrics_dir`` is given,
+    writes the per-batch reject accounting (reason, n_docs) the same way
+    — the live dashboard feed that catches a mis-tuned threshold while
+    the crawl is still running.
+
+    Per-document decisions depend only on the document itself, so the
+    stream is EXACTLY equivalent to the batch operator over the same
+    files regardless of batching — pinned by
+    tests::test_stream_quality_gate_matches_batch.  Extra ``thresholds``
+    kwargs pass through to the gate (same dict as the batch op)."""
+    from prql_query_spark.operators.text import c4_clean, gopher_audit
+
+    if gate not in ("gopher", "c4"):
+        raise ValueError(f"unknown gate {gate!r}: expected 'gopher' or 'c4'")
+    gate_fn = gopher_audit if gate == "gopher" else c4_clean
+
+    schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_path)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        audited = gate_fn(batch_df, **thresholds)
+        (
+            audited.filter(F.col("keep")).drop("keep", "reject_reason")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+        if metrics_dir:
+            (
+                audited.groupBy(
+                    F.coalesce("reject_reason", F.lit("kept")).alias("reason")
+                )
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(metrics_dir)
+            )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(queryName)
+        .start()
+    )

@@ -2268,3 +2268,38 @@ def test_ivfpq_full_probe_matches_pq(emb):
     pq = {(r.query_id, r.neighbor_id, r.rank, round(r.approx_cosine, 9))
           for r in cosine_topk_pq(emb, q, k=5, codebooks=cbs).collect()}
     assert full == pq
+
+
+def test_stream_quality_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming rule-pack gating == the batch gate over the same files
+    (per-doc decisions are batch-size independent), across multiple
+    microbatches, with replay-safe survivors and per-batch metrics that
+    account for every input document."""
+    from prql_query_spark.operators.text import gopher_audit
+    from prql_query_spark.streaming.ingest import stream_quality_gate
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    in_dir = str(tmp_path / "incoming")
+    docs.repartition(3).write.parquet(in_dir)
+
+    out = str(tmp_path / "kept")
+    metrics = str(tmp_path / "metrics")
+    q = stream_quality_gate(
+        spark, in_dir, out, checkpoint=str(tmp_path / "ck"),
+        metrics_dir=metrics, gate="gopher", queryName="t_qgate",
+        max_files_per_trigger=1, min_words=40, max_dup_frac=1.0,
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    batch = gopher_audit(docs, min_words=40, max_dup_frac=1.0)
+    want = sorted(r.doc_id for r in batch.filter(F.col("keep")).collect())
+    assert got == want and 0 < len(got) < docs.count()
+
+    m = spark.read.parquet(metrics)
+    assert m.agg(F.sum("n_docs")).first()[0] == docs.count()
+    assert m.select("_batch_id").distinct().count() > 1
