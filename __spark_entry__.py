@@ -1556,22 +1556,27 @@ DRIVER_ORDER = [
     "q_idle_customers_q22", "q_min_cost_supplier_q2",
     "q_cust_distribution_q13",
     # — never-audited extension tier —
-    "x_anomaly_zscore", "x_bigram_top", "x_blocklist_filter",
+    "x_anomaly_zscore", "x_blocklist_filter",
     "x_bpe_count", "x_chunk_docs", "x_constraint_audit",
     "x_contamination", "x_cosine_ivf", "x_pq_topk", "x_cube_agg",
     "x_dedup_report",
-    "x_dup_ngrams", "x_dup_tokens", "x_embed_centroid",
+    "x_dup_ngrams", "x_dup_tokens",
     "x_embed_neardup", "x_equidepth",
     "x_events_tumbling", "x_fingerprint_groups", "x_funnel",
-    "x_fuzzy_match", "x_group_trend", "x_histogram", "x_impute_mean",
+    "x_fuzzy_match", "x_group_trend", "x_impute_mean",
     "x_incremental_dedup", "x_json_props", "x_kmeans",
-    "x_levenshtein", "x_multimodal_features",
+    "x_multimodal_features",
     "x_multimodal_pixels", "x_normalize_text",
     "x_pack_sequences", "x_pivot_events", "x_pmi_top", "x_profile_orders",
     "x_psi_drift", "x_resample_ffill",
-    # x_retention_cohort rotated back out to make room for the new
-    # x_pq_topk family (new-operator-family audit priority); it re-enters
-    # in round 4 with the remaining never-audited tail.
+    # — round-3 NEW operator families built this round (web curation,
+    # C4 rule pack, backoff LM, per-domain caps) take audit priority —
+    "x_url_canon", "x_domain_cap", "x_c4_audit", "x_bigram_backoff",
+    # Displaced to rounds 4+ (each family still has an in-window row):
+    # x_retention_cohort, x_bigram_top (x_dup_ngrams/x_pmi_top cover
+    # n-grams), x_embed_centroid (x_cosine_ivf/x_pq_topk/x_embed_neardup
+    # cover embeddings), x_histogram (x_equidepth/x_psi_drift cover
+    # distributions), x_levenshtein (x_fuzzy_match covers edit distance).
 ]
 
 
