@@ -733,6 +733,7 @@ def cosine_topk_pq(
     train_fraction: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over PQ
     codes: `approx_cos(q, x) = (sum_j LUT_q[j][codes_x[j]]) / (|q||x|)`
@@ -755,7 +756,15 @@ def cosine_topk_pq(
     spark = corpus.sparkSession
     sub = len(codebooks[0][0])
     packed = _pack_codebooks(spark, codebooks)
-    enc = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    # ``encoded``: a persisted output of `pq_encode` (id, codes, vnorm).
+    # Production encodes the corpus ONCE and serves many queries from the
+    # stored codes — passing it skips the per-query encode pass, which
+    # otherwise dominates wall time (the codes table is the index).
+    enc = (
+        encoded
+        if encoded is not None
+        else pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    )
 
     qd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.crossJoin(F.broadcast(packed)).select(
@@ -796,6 +805,47 @@ def cosine_topk_pq(
     )
 
 
+def ivfpq_index(
+    corpus: DataFrame,
+    centroids: list,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF-PQ index rows: (neighbor_id, _cell, codes, vnorm) —
+    one narrow pass over the corpus against the broadcast centers and
+    codebooks.  Persist/bucket this table (by _cell) and hand it to
+    `cosine_topk_ivfpq(index=...)`: the corpus is touched once, queries
+    read m-byte codes forever after."""
+    spark = corpus.sparkSession
+    sub = len(codebooks[0][0])
+    cells_packed = _pack_cells(spark, centroids)
+    cbs_packed = _pack_codebooks(spark, codebooks)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def code_for(s):
+        subv = F.slice(vd, s["j"] * sub + 1, sub)
+        return F.array_min(
+            F.transform(
+                s["cents"],
+                lambda c: F.struct(
+                    _sq_dist(subv, c["c"]).alias("d"), c["code"].alias("code")
+                ),
+            )
+        )["code"]
+
+    return (
+        corpus.crossJoin(F.broadcast(cells_packed))
+        .crossJoin(F.broadcast(cbs_packed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.element_at(_cell_dists(F.col(vec_col)), 1)["cell"].alias("_cell"),
+            F.transform(F.col("_cbs"), code_for).alias("codes"),
+            norm(vd).alias("vnorm"),
+        )
+    )
+
+
 def cosine_topk_ivfpq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -809,6 +859,7 @@ def cosine_topk_ivfpq(
     train_fraction: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the two ANN tiers composed the way a production index pairs
     them — IVF cells shrink the CANDIDATE count (each query scans only its
@@ -838,26 +889,13 @@ def cosine_topk_ivfpq(
 
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
-    def code_for(s):
-        subv = F.slice(vd, s["j"] * sub + 1, sub)
-        return F.array_min(
-            F.transform(
-                s["cents"],
-                lambda c: F.struct(
-                    _sq_dist(subv, c["c"]).alias("d"), c["code"].alias("code")
-                ),
-            )
-        )["code"]
-
+    # ``index``: a persisted output of `ivfpq_index` — encode once, query
+    # many times (the production serving shape; per-query encode
+    # otherwise dominates wall time).
     enc = (
-        corpus.crossJoin(F.broadcast(cells_packed))
-        .crossJoin(F.broadcast(cbs_packed))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.element_at(_cell_dists(F.col(vec_col)), 1)["cell"].alias("_cell"),
-            F.transform(F.col("_cbs"), code_for).alias("codes"),
-            norm(vd).alias("vnorm"),
-        )
+        index
+        if index is not None
+        else ivfpq_index(corpus, centers, codebooks, id_col=id_col, vec_col=vec_col)
     )
     q = (
         queries.crossJoin(F.broadcast(cells_packed))

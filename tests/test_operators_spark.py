@@ -2303,3 +2303,32 @@ def test_stream_quality_gate_matches_batch(spark, sf_dir, tmp_path):
     m = spark.read.parquet(metrics)
     assert m.agg(F.sum("n_docs")).first()[0] == docs.count()
     assert m.select("_batch_id").distinct().count() > 1
+
+
+def test_ivfpq_prebuilt_index_matches_inline(emb):
+    """Serving path: a persisted ivfpq_index / pq_encode table must give
+    the same answer as the inline-encode path bit-for-bit."""
+    from prql_query_spark.operators.similarity import (
+        cosine_topk_ivfpq, cosine_topk_pq, ivfpq_index, pq_codebooks_from_anchors,
+        pq_encode,
+    )
+
+    anchors = [r.embedding for r in
+               emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    cbs = pq_codebooks_from_anchors(anchors, m=8)
+    q = emb.filter(F.col("vec_id") < 3)
+
+    idx = ivfpq_index(emb, anchors, cbs).cache()
+    a = sorted(map(tuple, cosine_topk_ivfpq(
+        emb, q, k=5, n_cells=8, n_probe=3,
+        centroids=anchors, codebooks=cbs).collect()))
+    b = sorted(map(tuple, cosine_topk_ivfpq(
+        emb, q, k=5, n_cells=8, n_probe=3,
+        centroids=anchors, codebooks=cbs, index=idx).collect()))
+    assert a == b
+
+    enc = pq_encode(emb, cbs).cache()
+    c = sorted(map(tuple, cosine_topk_pq(emb, q, k=5, codebooks=cbs).collect()))
+    d = sorted(map(tuple, cosine_topk_pq(
+        emb, q, k=5, codebooks=cbs, encoded=enc).collect()))
+    assert c == d
