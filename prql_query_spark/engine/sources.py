@@ -78,20 +78,28 @@ def read_source(spark: SparkSession, path: str, fmt: str | None = None) -> DataF
         return spark.read.orc(path)
     if fmt == "xml":  # beyond reference parity: built-in XML source (Spark 4)
         return spark.read.option("rowTag", "row").format("xml").load(path)
-    if fmt in ("delta", "iceberg"):
-        # transactional table formats: supported when the connector jars
-        # are deployed (they are not in this container) — clear error
-        # naming the package instead of Spark's "failed to find data source"
-        pkg = {
-            "delta": "io.delta:delta-spark_2.13:<version> "
-                     "(+ spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension)",
-            "iceberg": "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version>",
-        }[fmt]
+    if fmt == "delta":
+        # prefer the connector when its jar is deployed (full protocol
+        # support); otherwise fall back to the pure-Python transaction-log
+        # reader (engine/deltalog.py) — the pgwire pattern: stay live in
+        # every environment, and fail loudly only on protocol features
+        # the fallback cannot honor (deletion vectors / column mapping)
         try:
-            return spark.read.format(fmt).load(path)
+            return spark.read.format("delta").load(path)
+        except Exception:
+            from prql_query_spark.engine.deltalog import read_delta_snapshot
+
+            return read_delta_snapshot(spark, path)
+    if fmt == "iceberg":
+        # transactional format: supported when the connector jar is
+        # deployed (it is not in this container) — clear error naming
+        # the package instead of Spark's "failed to find data source"
+        try:
+            return spark.read.format("iceberg").load(path)
         except Exception as e:
             raise SourceError(
-                f"{fmt} needs its connector on the classpath (--packages {pkg})"
+                "iceberg needs its connector on the classpath (--packages "
+                "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version>)"
             ) from e
     raise SourceError(f"unsupported format {fmt!r}")
 

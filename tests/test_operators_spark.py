@@ -1019,17 +1019,149 @@ def test_grouped_trend_skew_guard(spark, sf_dir):
         grouped_trend(df, max_rows_per_group=5).collect()
 
 
-def test_delta_iceberg_clear_error(spark, tmp_path):
-    """Connector jars absent: delta (incl. _delta_log dir autodetect) and
-    iceberg raise a SourceError naming the package, not a classpath trace."""
+def test_delta_pure_reader_and_iceberg_error(spark, tmp_path):
+    """Delta works WITHOUT the connector jar via the pure-Python log
+    reader (autodetected from _delta_log); an empty log and iceberg
+    still raise clear errors."""
+    from prql_query_spark.engine.deltalog import DeltaProtocolError
     from prql_query_spark.engine.sources import SourceError, read_source
 
     d = tmp_path / "t"
     (d / "_delta_log").mkdir(parents=True)
-    with pytest.raises(SourceError, match="io.delta:delta-spark"):
+    with pytest.raises(DeltaProtocolError, match="no delta commits"):
         read_source(spark, str(d))  # autodetected from _delta_log
     with pytest.raises(SourceError, match="iceberg-spark-runtime"):
         read_source(spark, str(tmp_path / "x"), fmt="iceberg")
+
+
+def _write_delta_commit(log_dir, version, actions):
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+
+
+def test_delta_log_snapshot_roundtrip(spark, tmp_path):
+    """Hand-built Delta log (public PROTOCOL.md format): adds across two
+    commits, a remove in the third, time travel to every version — the
+    snapshot must equal exactly the active file set at each version."""
+    import json as _json
+
+    from prql_query_spark.engine.deltalog import read_delta_snapshot
+    from prql_query_spark.engine.sources import read_source
+
+    d = tmp_path / "t"
+    log = d / "_delta_log"
+    log.mkdir(parents=True)
+    schema_str = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    })
+
+    def part(name, rows):
+        spark.createDataFrame(rows, "id long, v string").coalesce(1) \
+            .write.mode("overwrite").parquet(str(tmp_path / "stage" / name))
+        import glob as _glob
+        import shutil as _shutil
+        src = _glob.glob(str(tmp_path / "stage" / name / "part-*.parquet"))[0]
+        _shutil.copy(src, str(d / name))
+
+    part("f1.parquet", [(1, "a"), (2, "b")])
+    part("f2.parquet", [(3, "c")])
+    part("f3.parquet", [(4, "d")])
+
+    meta = {"metaData": {
+        "id": "t", "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_str, "partitionColumns": [],
+        "configuration": {}}}
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    _write_delta_commit(str(log), 0, [proto, meta,
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}])
+    _write_delta_commit(str(log), 1, [
+        {"add": {"path": "f2.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}])
+    _write_delta_commit(str(log), 2, [
+        {"remove": {"path": "f1.parquet", "dataChange": True}},
+        {"add": {"path": "f3.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}])
+
+    got = sorted((r.id, r.v) for r in read_source(spark, str(d)).collect())
+    assert got == [(3, "c"), (4, "d")]
+    v0 = sorted((r.id, r.v) for r in read_delta_snapshot(spark, str(d), version=0).collect())
+    assert v0 == [(1, "a"), (2, "b")]
+    v1 = sorted((r.id, r.v) for r in read_delta_snapshot(spark, str(d), version=1).collect())
+    assert v1 == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_delta_log_partitioned_and_protocol_guard(spark, tmp_path):
+    """Partition values come from the log (typed via schemaString), and
+    reader-protocol v2+ (deletion vectors / column mapping) fails loudly
+    instead of returning wrong rows."""
+    import json as _json
+
+    from prql_query_spark.engine.deltalog import (
+        DeltaProtocolError, read_delta_snapshot,
+    )
+
+    d = tmp_path / "p"
+    log = d / "_delta_log"
+    log.mkdir(parents=True)
+    (d / "part=1").mkdir()
+    (d / "part=2").mkdir()
+    schema_str = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "part", "type": "integer", "nullable": True, "metadata": {}},
+        ],
+    })
+
+    import glob as _glob
+    import shutil as _shutil
+
+    def part_file(sub, rows):
+        spark.createDataFrame(rows, "id long").coalesce(1) \
+            .write.mode("overwrite").parquet(str(tmp_path / "stage2" / sub))
+        src = _glob.glob(str(tmp_path / "stage2" / sub / "part-*.parquet"))[0]
+        _shutil.copy(src, str(d / sub / "f.parquet"))
+
+    part_file("part=1", [(1,), (2,)])
+    part_file("part=2", [(3,)])
+
+    meta = {"metaData": {
+        "id": "p", "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_str, "partitionColumns": ["part"],
+        "configuration": {}}}
+    _write_delta_commit(str(log), 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}, meta,
+        {"add": {"path": "part=1/f.parquet", "partitionValues": {"part": "1"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "part=2/f.parquet", "partitionValues": {"part": "2"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}}])
+
+    out = read_delta_snapshot(spark, str(d))
+    assert dict(out.dtypes)["part"] == "int"
+    got = sorted((r.id, r.part) for r in out.collect())
+    assert got == [(1, 1), (2, 1), (3, 2)]
+
+    d2 = tmp_path / "dv"
+    log2 = d2 / "_delta_log"
+    log2.mkdir(parents=True)
+    _write_delta_commit(str(log2), 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "dv", "format": {"provider": "parquet",
+                                             "options": {}},
+                      "schemaString": schema_str, "partitionColumns": [],
+                      "configuration": {}}}])
+    with pytest.raises(DeltaProtocolError, match="deletion vectors"):
+        read_delta_snapshot(spark, str(d2))
 
 
 def test_stream_to_warehouse_idempotent(spark, sf_dir, tmp_path):
@@ -2332,3 +2464,64 @@ def test_ivfpq_prebuilt_index_matches_inline(emb):
     d = sorted(map(tuple, cosine_topk_pq(
         emb, q, k=5, codebooks=cbs, encoded=enc).collect()))
     assert c == d
+
+
+def test_delta_log_checkpoint_replay(spark, tmp_path):
+    """Snapshot resolution must start from the _last_checkpoint parquet
+    and replay only later JSON commits — proven by deleting the
+    pre-checkpoint commit files entirely."""
+    import glob as _glob
+    import json as _json
+    import shutil as _shutil
+
+    from prql_query_spark.engine.deltalog import read_delta_snapshot
+
+    d = tmp_path / "c"
+    log = d / "_delta_log"
+    log.mkdir(parents=True)
+    schema_str = _json.dumps({
+        "type": "struct",
+        "fields": [{"name": "id", "type": "long", "nullable": True,
+                    "metadata": {}}],
+    })
+
+    def part(name, rows):
+        spark.createDataFrame(rows, "id long").coalesce(1) \
+            .write.mode("overwrite").parquet(str(tmp_path / "stage3" / name))
+        src = _glob.glob(str(tmp_path / "stage3" / name / "part-*.parquet"))[0]
+        _shutil.copy(src, str(d / name))
+
+    part("f1.parquet", [(1,)])
+    part("f2.parquet", [(2,)])
+    part("f3.parquet", [(3,)])
+
+    # checkpoint parquet at version 1: meta + protocol + adds f1, f2
+    ck_actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "c", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": schema_str, "partitionColumns": [],
+                      "configuration": {}}},
+        {"add": {"path": "f1.parquet", "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "f2.parquet", "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    ckdf = spark.read.json(
+        spark.sparkContext.parallelize([_json.dumps(a) for a in ck_actions])
+    )
+    ckdf.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage3" / "ck"))
+    src = _glob.glob(str(tmp_path / "stage3" / "ck" / "part-*.parquet"))[0]
+    _shutil.copy(src, str(log / f"{1:020d}.checkpoint.parquet"))
+    with open(log / "_last_checkpoint", "w") as fh:
+        fh.write(_json.dumps({"version": 1, "size": len(ck_actions)}))
+
+    # only a POST-checkpoint commit exists as JSON
+    _write_delta_commit(str(log), 2, [
+        {"remove": {"path": "f1.parquet", "dataChange": True}},
+        {"add": {"path": "f3.parquet", "size": 1,
+                 "modificationTime": 0, "dataChange": True}}])
+
+    got = sorted(r.id for r in read_delta_snapshot(spark, str(d)).collect())
+    assert got == [2, 3]
