@@ -180,3 +180,131 @@ def read_delta_snapshot(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit a DataFrame to a Delta table without the connector jar —
+    the write side of the pure-Python fallback.  Returns the committed
+    version.
+
+    Executors write ordinary parquet (in parallel, partitioned hive-style
+    when ``partition_by`` is set) into a staging dir; the files are then
+    moved into the table and one atomic `%020d.json` commit records them
+    — `add` actions, plus `remove` of every previously-active file when
+    ``mode='overwrite'``.  First write creates the table (protocol 1/2 +
+    metaData).  Appends must match the table's declared schema and
+    partitioning exactly (loud error, never silent coercion).
+
+    Single-writer protocol: the commit file is created with O_EXCL, so a
+    concurrent writer racing to the same version fails cleanly instead
+    of corrupting the log (optimistic concurrency without the retry
+    loop — retry is the caller's policy)."""
+    import shutil
+    import uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"write_delta mode must be append|overwrite, got {mode!r}")
+    spark = df.sparkSession
+    log_dir = os.path.join(path, "_delta_log")
+    exists = os.path.isdir(log_dir) and any(
+        _COMMIT_RE.match(f) or _CHECKPOINT_RE.match(f)
+        for f in os.listdir(log_dir)
+    )
+    part_cols = list(partition_by or [])
+
+    prev_adds: dict[str, dict] = {}
+    if exists:
+        meta, protocol, prev_adds = _snapshot_actions(spark, log_dir, None)
+        if protocol and ((protocol.get("minWriterVersion", 2) or 2) > 2):
+            raise DeltaProtocolError(
+                f"delta table {path} needs writer protocol "
+                f"v{protocol['minWriterVersion']} — not supported by the "
+                "pure-Python fallback"
+            )
+        declared = StructType.fromJson(json.loads(meta["schemaString"]))
+        if declared != df.schema:
+            raise DeltaProtocolError(
+                f"schema mismatch appending to {path}: table declares "
+                f"{declared.simpleString()}, DataFrame has "
+                f"{df.schema.simpleString()}"
+            )
+        declared_parts = meta.get("partitionColumns") or []
+        if declared_parts != part_cols:
+            raise DeltaProtocolError(
+                f"partitioning mismatch: table uses {declared_parts}, "
+                f"write requested {part_cols}"
+            )
+        versions = [
+            int(m.group(1))
+            for f in os.listdir(log_dir)
+            if (m := _COMMIT_RE.match(f))
+        ]
+        next_version = max(versions) + 1 if versions else 0
+    else:
+        os.makedirs(log_dir, exist_ok=True)
+        next_version = 0
+
+    # stage the data files with Spark's parallel writers, then adopt them
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    w = df.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(staging)
+
+    adds = []
+    for root, _dirs, files in os.walk(staging):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(root, f)
+            rel = os.path.relpath(src, staging)
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(src, dst)
+            pv = {}
+            for piece in os.path.dirname(rel).split(os.sep):
+                if "=" in piece:
+                    k, _, v = piece.partition("=")
+                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
+                        else urllib.parse.unquote(v)
+            adds.append({
+                "path": urllib.parse.quote(rel.replace(os.sep, "/")),
+                "partitionValues": pv,
+                "size": os.path.getsize(dst),
+                "modificationTime": int(os.path.getmtime(dst) * 1000),
+                "dataChange": True,
+            })
+    shutil.rmtree(staging, ignore_errors=True)
+
+    actions: list[dict] = []
+    if next_version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append({"metaData": {
+            "id": uuid.uuid4().hex,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": part_cols,
+            "configuration": {},
+        }})
+    if mode == "overwrite":
+        for p in sorted(prev_adds):
+            actions.append({"remove": {"path": p, "dataChange": True,
+                                       "deletionTimestamp": 0}})
+    actions.extend({"add": a} for a in adds)
+
+    commit = os.path.join(log_dir, f"{next_version:020d}.json")
+    fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+    except BaseException:
+        os.unlink(commit)
+        raise
+    return next_version

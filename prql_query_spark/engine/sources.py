@@ -19,7 +19,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-KNOWN_EXTENSIONS = ("csv", "json", "ndjson", "parquet", "avro", "orc", "xml")
+KNOWN_EXTENSIONS = ("csv", "json", "ndjson", "parquet", "avro", "orc", "xml", "delta")
 
 
 class SourceError(ValueError):

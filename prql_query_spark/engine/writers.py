@@ -77,6 +77,14 @@ def write_distributed(df: DataFrame, path: str, fmt: str, mode: str = "overwrite
         w.orc(path)
     elif fmt == "xml":
         w.option("rowTag", "row").format("xml").save(path)
+    elif fmt == "delta":
+        # transactional sink; works with or without the connector jar
+        try:
+            w.format("delta").save(path)
+        except Exception:
+            from prql_query_spark.engine.deltalog import write_delta
+
+            write_delta(df, path, mode=mode)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

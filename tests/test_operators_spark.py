@@ -2525,3 +2525,71 @@ def test_delta_log_checkpoint_replay(spark, tmp_path):
 
     got = sorted(r.id for r in read_delta_snapshot(spark, str(d)).collect())
     assert got == [2, 3]
+
+
+def test_write_delta_append_overwrite_roundtrip(spark, tmp_path):
+    """Pure-Python Delta writes: create + append accumulate rows across
+    versions (time-travel-visible), overwrite removes prior files in the
+    same commit, and schema/partitioning mismatches fail loudly."""
+    from prql_query_spark.engine.deltalog import (
+        DeltaProtocolError, read_delta_snapshot, write_delta,
+    )
+    from prql_query_spark.engine.sources import read_source
+
+    d = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+
+    assert write_delta(df1, d) == 0
+    assert write_delta(df2, d) == 1
+    got = sorted((r.id, r.v) for r in read_source(spark, d).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    v0 = sorted((r.id, r.v) for r in
+                read_delta_snapshot(spark, d, version=0).collect())
+    assert v0 == [(1, "a"), (2, "b")]
+
+    assert write_delta(df2, d, mode="overwrite") == 2
+    got2 = [(r.id, r.v) for r in read_source(spark, d).collect()]
+    assert got2 == [(3, "c")]
+
+    bad = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(DeltaProtocolError, match="schema mismatch"):
+        write_delta(bad, d)
+    with pytest.raises(DeltaProtocolError, match="partitioning mismatch"):
+        write_delta(df1, d, partition_by=["v"])
+
+
+def test_write_delta_partitioned_roundtrip(spark, tmp_path):
+    """Partitioned pure-Python Delta write: hive layout + log partition
+    values round-trip with the log-declared types, and partition pruning
+    still reaches the scan when read back."""
+    from prql_query_spark.engine.deltalog import read_delta_snapshot, write_delta
+
+    d = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 10, "y"), (3, 20, "z")],
+        "id long, bucket int, v string")
+    write_delta(df, d, partition_by=["bucket"])
+    write_delta(
+        spark.createDataFrame([(4, 20, "w")], "id long, bucket int, v string"),
+        d, partition_by=["bucket"])
+
+    out = read_delta_snapshot(spark, d)
+    assert dict(out.dtypes)["bucket"] == "int"
+    got = sorted((r.id, r.bucket, r.v) for r in out.collect())
+    assert got == [(1, 10, "x"), (2, 10, "y"), (3, 20, "z"), (4, 20, "w")]
+    assert out.filter(F.col("bucket") == 20).count() == 2
+
+
+def test_write_distributed_delta_sink(spark, tmp_path):
+    """`--to table.delta` works jar-less end to end: the distributed
+    writer commits through the pure-Python log and read_source gets the
+    same rows back (connector-roundtrip parity for the sink dispatch)."""
+    from prql_query_spark.engine.sources import read_source
+    from prql_query_spark.engine.writers import write_distributed
+
+    d = str(tmp_path / "out.delta")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_distributed(df, d, "delta")
+    got = sorted((r.id, r.v) for r in read_source(spark, d).collect())
+    assert got == [(1, "a"), (2, "b")]
