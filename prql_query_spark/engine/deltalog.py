@@ -46,7 +46,8 @@ _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
 
 
 def _snapshot_actions(spark: SparkSession, log_dir: str, version: int | None):
-    """Yield (metaData, protocol, {path: add}) replayed to ``version``."""
+    """Yield (metaData, protocol, {path: add}, {appId: txn version})
+    replayed to ``version``."""
     entries = os.listdir(log_dir)
     commits = sorted(
         (int(m.group(1)), f) for f in entries if (m := _COMMIT_RE.match(f))
@@ -71,13 +72,15 @@ def _snapshot_actions(spark: SparkSession, log_dir: str, version: int | None):
     meta = None
     protocol = None
     adds: dict[str, dict] = {}
+    txns: dict[str, int] = {}
 
     if ckpt_files:
         # a checkpoint is ordinary parquet of action structs
         cp = spark.read.parquet(*ckpt_files)
         cols = set(cp.columns)
         rows = cp.select(
-            *[c for c in ("metaData", "protocol", "add", "remove") if c in cols]
+            *[c for c in ("metaData", "protocol", "add", "remove", "txn")
+              if c in cols]
         ).collect()
         for r in rows:
             d = r.asDict(recursive=True)
@@ -89,6 +92,8 @@ def _snapshot_actions(spark: SparkSession, log_dir: str, version: int | None):
                 adds[d["add"]["path"]] = d["add"]
             if d.get("remove"):
                 adds.pop(d["remove"]["path"], None)
+            if d.get("txn"):
+                txns[d["txn"]["appId"]] = d["txn"]["version"]
 
     for v, fname in commits:
         if v <= ckpt_version:
@@ -108,9 +113,11 @@ def _snapshot_actions(spark: SparkSession, log_dir: str, version: int | None):
                     adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     adds.pop(action["remove"]["path"], None)
+                elif "txn" in action:
+                    txns[action["txn"]["appId"]] = action["txn"]["version"]
     if meta is None:
         raise DeltaProtocolError(f"delta log {log_dir} has no metaData action")
-    return meta, protocol, adds
+    return meta, protocol, adds, txns
 
 
 def read_delta_snapshot(
@@ -119,7 +126,7 @@ def read_delta_snapshot(
     """Read a Delta table directory as a DataFrame at the latest (or a
     time-travel ``version``) snapshot — no connector jar required."""
     log_dir = os.path.join(path, "_delta_log")
-    meta, protocol, adds = _snapshot_actions(spark, log_dir, version)
+    meta, protocol, adds, _txns = _snapshot_actions(spark, log_dir, version)
 
     if protocol:
         reader_v = protocol.get("minReaderVersion", 1) or 1
@@ -187,6 +194,7 @@ def write_delta(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit a DataFrame to a Delta table without the connector jar —
     the write side of the pure-Python fallback.  Returns the committed
@@ -219,7 +227,7 @@ def write_delta(
 
     prev_adds: dict[str, dict] = {}
     if exists:
-        meta, protocol, prev_adds = _snapshot_actions(spark, log_dir, None)
+        meta, protocol, prev_adds, _txns = _snapshot_actions(spark, log_dir, None)
         if protocol and ((protocol.get("minWriterVersion", 2) or 2) > 2):
             raise DeltaProtocolError(
                 f"delta table {path} needs writer protocol "
@@ -296,6 +304,10 @@ def write_delta(
         for p in sorted(prev_adds):
             actions.append({"remove": {"path": p, "dataChange": True,
                                        "deletionTimestamp": 0}})
+    if txn is not None:
+        # streaming idempotence marker (PROTOCOL.md txn action): readers
+        # recover the last committed (appId, version) to skip replays
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
     actions.extend({"add": a} for a in adds)
 
     commit = os.path.join(log_dir, f"{next_version:020d}.json")
@@ -308,3 +320,16 @@ def write_delta(
         os.unlink(commit)
         raise
     return next_version
+
+
+def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int | None:
+    """Highest committed `txn` version for ``app_id`` (None if never
+    committed) — the exactly-once handshake of a streaming writer."""
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        return None
+    try:
+        _m, _p, _a, txns = _snapshot_actions(spark, log_dir, None)
+    except DeltaProtocolError:
+        return None
+    return txns.get(app_id)

@@ -202,3 +202,47 @@ def stream_quality_gate(
         .queryName(queryName)
         .start()
     )
+
+
+def stream_to_delta(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    checkpoint: str,
+    app_id: str = "pq_stream_to_delta",
+    transform=None,
+    queryName: str = "pq_stream_to_delta",
+    max_files_per_trigger: int | None = 64,
+):
+    """Exactly-once streaming sink into a Delta table — jar-less, via the
+    pure-Python committer and the protocol's `txn` action.
+
+    Each microbatch appends through `write_delta(txn=(app_id, batch_id))`;
+    on restart/replay, batches at or below the table's last committed txn
+    version for this ``app_id`` are SKIPPED, so a batch lands in the log
+    exactly once even when Spark's checkpoint replays it (the same
+    contract the Delta connector's streaming sink implements, from the
+    same log primitive).  ``transform`` optionally maps each microbatch
+    DataFrame before the append."""
+    from prql_query_spark.engine.deltalog import last_txn_version, write_delta
+
+    schema = spark.read.parquet(source_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        done = last_txn_version(spark, table_path, app_id)
+        if done is not None and batch_id <= done:
+            return  # replayed batch: already in the log
+        out = transform(batch_df) if transform is not None else batch_df
+        write_delta(out, table_path, mode="append", txn=(app_id, batch_id))
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(queryName)
+        .start()
+    )

@@ -2593,3 +2593,55 @@ def test_write_distributed_delta_sink(spark, tmp_path):
     write_distributed(df, d, "delta")
     got = sorted((r.id, r.v) for r in read_source(spark, d).collect())
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_stream_to_delta_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming into a Delta table through the pure-Python committer:
+    stream == batch rows, and re-running the batch function with an
+    already-committed batch id is a no-op (txn-action idempotence), so
+    checkpoint replays cannot duplicate data."""
+    from prql_query_spark.engine.deltalog import (
+        last_txn_version, read_delta_snapshot, write_delta,
+    )
+    from prql_query_spark.streaming.ingest import stream_to_delta
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    in_dir = str(tmp_path / "in")
+    docs.repartition(3).write.parquet(in_dir)
+    table = str(tmp_path / "t.delta")
+
+    q = stream_to_delta(
+        spark, in_dir, table, checkpoint=str(tmp_path / "ck"),
+        queryName="t_delta_sink", max_files_per_trigger=1,
+        transform=lambda df: df.select("doc_id", "source"),
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    got = sorted(r.doc_id for r in read_delta_snapshot(spark, table).collect())
+    want = sorted(r.doc_id for r in docs.collect())
+    assert got == want
+
+    # replay semantics, exercised exactly as _batch does: guard on the
+    # last committed txn version, write only when the batch id is new
+    done = last_txn_version(spark, table, "pq_stream_to_delta")
+    assert done is not None and done >= 1
+    before = read_delta_snapshot(spark, table).count()
+    replay = docs.select("doc_id", "source").limit(5)
+
+    def deliver(batch_df, batch_id):
+        committed = last_txn_version(spark, table, "pq_stream_to_delta")
+        if committed is not None and batch_id <= committed:
+            return False
+        write_delta(batch_df, table, mode="append",
+                    txn=("pq_stream_to_delta", batch_id))
+        return True
+
+    assert deliver(replay, done) is False          # replayed id: skipped
+    assert read_delta_snapshot(spark, table).count() == before
+    assert deliver(replay, done + 1) is True       # new id: lands once
+    assert read_delta_snapshot(spark, table).count() == before + 5
+    assert last_txn_version(spark, table, "pq_stream_to_delta") == done + 1
