@@ -252,6 +252,13 @@ def write_delta(
             for f in os.listdir(log_dir)
             if (m := _COMMIT_RE.match(f))
         ]
+        # a checkpoint may be the only surviving log artifact (old JSON
+        # commits cleaned up) — version numbering continues PAST it, or
+        # the new commit would be invisible to checkpoint-aware readers
+        lc = os.path.join(log_dir, "_last_checkpoint")
+        if os.path.exists(lc):
+            with open(lc) as fh:
+                versions.append(json.load(fh)["version"])
         next_version = max(versions) + 1 if versions else 0
     else:
         os.makedirs(log_dir, exist_ok=True)
@@ -270,6 +277,13 @@ def write_delta(
             if not f.endswith(".parquet"):
                 continue
             src = os.path.join(root, f)
+            try:  # skip zero-row part files (empty input partitions)
+                import pyarrow.parquet as _pq
+
+                if _pq.ParquetFile(src).metadata.num_rows == 0:
+                    continue
+            except Exception:
+                pass
             rel = os.path.relpath(src, staging)
             dst = os.path.join(path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -333,3 +347,64 @@ def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int | None:
     except DeltaProtocolError:
         return None
     return txns.get(app_id)
+
+
+def checkpoint_delta(spark: SparkSession, path: str) -> int:
+    """Compact the log: write a `%020d.checkpoint.parquet` of the current
+    snapshot state (metaData + protocol + active adds + txns) and point
+    `_last_checkpoint` at it.  Readers then skip every JSON commit at or
+    below the checkpoint — O(1) snapshot resolution however long the
+    table's history grows.  Returns the checkpointed version."""
+    log_dir = os.path.join(path, "_delta_log")
+    meta, protocol, adds, txns = _snapshot_actions(spark, log_dir, None)
+    versions = [
+        int(m.group(1)) for f in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(f))
+    ]
+    if not versions:
+        raise DeltaProtocolError(f"nothing to checkpoint in {log_dir}")
+    v = max(versions)
+    actions = [{"protocol": protocol or
+                {"minReaderVersion": 1, "minWriterVersion": 2}},
+               {"metaData": meta}]
+    actions += [{"add": a} for _p, a in sorted(adds.items())]
+    actions += [{"txn": {"appId": k, "version": ver}}
+                for k, ver in sorted(txns.items())]
+    cp = spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(a) for a in actions])
+    )
+    import glob
+    import shutil
+    import uuid
+
+    staging = os.path.join(log_dir, f".ckpt-{uuid.uuid4().hex}")
+    cp.coalesce(1).write.mode("overwrite").parquet(staging)
+    src = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    shutil.move(src, os.path.join(log_dir, f"{v:020d}.checkpoint.parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
+    tmp = os.path.join(log_dir, "_last_checkpoint.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps({"version": v, "size": len(actions)}))
+    os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
+    return v
+
+
+def compact_delta(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> int:
+    """OPTIMIZE-style small-file compaction: rewrite the current snapshot
+    into few large files and swap them in atomically (removes + adds in
+    ONE commit — readers see either the old file set or the new, never a
+    mix).  Partitioned tables keep their partitioning.  The data-layout
+    lever the SCALING.md sweep measured (row-group parallelism) applied
+    to the transactional table format.  Returns the committed version."""
+    log_dir = os.path.join(path, "_delta_log")
+    meta, _protocol, adds, _txns = _snapshot_actions(spark, log_dir, None)
+    part_cols = meta.get("partitionColumns") or []
+    snap = read_delta_snapshot(spark, path)
+    if target_files:
+        snap = snap.repartition(target_files)
+    # overwrite-mode write_delta = removes of every prior active file plus
+    # adds of the rewritten ones, in one atomic commit
+    return write_delta(snap, path, mode="overwrite",
+                       partition_by=part_cols or None)

@@ -2645,3 +2645,45 @@ def test_stream_to_delta_exactly_once(spark, sf_dir, tmp_path):
     assert deliver(replay, done + 1) is True       # new id: lands once
     assert read_delta_snapshot(spark, table).count() == before + 5
     assert last_txn_version(spark, table, "pq_stream_to_delta") == done + 1
+
+
+def test_checkpoint_and_compact_delta(spark, tmp_path):
+    """Lifecycle: many small appends -> checkpoint_delta compacts the LOG
+    (readers resolve from the checkpoint even with all JSON commits
+    deleted) -> compact_delta compacts the DATA (same rows, fewer files,
+    one atomic swap commit) -> txn markers survive both."""
+    import glob as _glob
+    import os as _os
+
+    from prql_query_spark.engine.deltalog import (
+        checkpoint_delta, compact_delta, last_txn_version,
+        read_delta_snapshot, write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    for i in range(4):
+        write_delta(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+            d, txn=("app", i))
+    assert len(_glob.glob(f"{d}/_delta_log/*.json")) == 4
+
+    v = checkpoint_delta(spark, d)
+    assert v == 3
+    for f in _glob.glob(f"{d}/_delta_log/*.json"):
+        _os.unlink(f)  # checkpoint alone must carry the snapshot
+    got = sorted((r.id, r.v) for r in read_delta_snapshot(spark, d).collect())
+    assert got == [(0, "v0"), (1, "v1"), (2, "v2"), (3, "v3")]
+    assert last_txn_version(spark, d, "app") == 3
+
+    n_files_before = len(_glob.glob(f"{d}/*.parquet"))
+    assert n_files_before >= 4
+    compact_delta(spark, d, target_files=1)
+    got2 = sorted((r.id, r.v) for r in read_delta_snapshot(spark, d).collect())
+    assert got2 == got
+    # old files are removed from the SNAPSHOT (physical cleanup = vacuum,
+    # deliberately out of scope), and the new snapshot is few files
+    from prql_query_spark.engine.deltalog import _snapshot_actions
+    _m, _p, adds, txns = _snapshot_actions(
+        spark, f"{d}/_delta_log", None)
+    assert len(adds) == 1
+    assert txns.get("app") == 3
