@@ -119,7 +119,8 @@ def main(argv: list[str] | None = None) -> int:
             ext = to.rsplit(".", 1)[-1]
             fmt = {"csv": "csv", "json": "json", "parquet": "parquet",
                    "table": "table", "tbl": "table",
-                   "orc": "orc", "xml": "xml"}.get(ext)  # beyond reference
+                   "orc": "orc", "xml": "xml",
+                   "delta": "delta"}.get(ext)  # beyond reference
             if fmt is None:
                 print(f"Error: .{ext} files are currently not supported.",
                       file=sys.stderr)
@@ -187,9 +188,9 @@ def main(argv: list[str] | None = None) -> int:
             print("Error: Cannot print parquet to stdout.", file=sys.stderr)
             return 1
     else:
-        if writer == "arrow" and fmt not in ("orc", "xml"):
+        if writer == "arrow" and fmt not in ("orc", "xml", "delta"):
             write_single_file(df, to, fmt)
-        else:  # orc/xml have no arrow single-file writer — executors write
+        else:  # orc/xml/delta have no arrow single-file writer — executors write
             write_distributed(df, to, fmt)
     return 0
 

@@ -408,3 +408,37 @@ def compact_delta(
     # adds of the rewritten ones, in one atomic commit
     return write_delta(snap, path, mode="overwrite",
                        partition_by=part_cols or None)
+
+
+def vacuum_delta(spark: SparkSession, path: str, dry_run: bool = False) -> list[str]:
+    """Physically delete data files no longer referenced by the CURRENT
+    snapshot (files removed by overwrites/compactions).  Returns the
+    deleted (or, with ``dry_run``, would-delete) relative paths.
+
+    Deliberately simpler than the connector's VACUUM: no retention
+    window, because the pure-Python reader resolves only the latest
+    snapshot + explicit time travel — callers who need time travel must
+    vacuum only after they no longer need old versions.  The log itself
+    is never touched."""
+    _m, _p, adds, _t = _snapshot_actions(
+        spark, os.path.join(path, "_delta_log"), None)
+    active = {urllib.parse.unquote(p) for p in adds}
+    doomed = []
+    for root, _dirs, files in os.walk(path):
+        if "_delta_log" in root:
+            continue
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), path)
+            if rel not in active:
+                doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            os.unlink(os.path.join(path, rel))
+        # prune now-empty hive partition dirs
+        for root, dirs, files in os.walk(path, topdown=False):
+            if "_delta_log" not in root and root != path \
+                    and not dirs and not files:
+                os.rmdir(root)
+    return sorted(doomed)

@@ -307,3 +307,25 @@ select [a = nation.n_name, b = n2.n_name]
     )
     assert "`n2`.`n_regionkey`" in sql and "`n2`.`n_name` AS `b`" in sql
     assert sql.count("SELECT") == 1  # filter|select fused into one layer
+
+
+def test_cli_delta_sink_roundtrip(spark, tmp_path, sf_dir):
+    """`--to out.delta` end to end without the connector jar: the CLI
+    executes the PRQL, commits through the pure-Python Delta writer, and
+    the table reads back (auto-detected from _delta_log) with the same
+    rows."""
+    import pq
+    from prql_query_spark.engine.sources import read_source
+
+    out = str(tmp_path / "out.delta")
+    rc = pq.main([
+        "-f", f"r={sf_dir}/region.parquet", "-t", out,
+        "from r | select [r_regionkey, r_name] | sort [r_regionkey]",
+    ])
+    assert rc == 0
+    got = sorted((r.r_regionkey, r.r_name)
+                 for r in read_source(spark, out).collect())
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    want = sorted((r.r_regionkey, r.r_name)
+                  for r in src.select("r_regionkey", "r_name").collect())
+    assert got == want

@@ -2687,3 +2687,23 @@ def test_checkpoint_and_compact_delta(spark, tmp_path):
         spark, f"{d}/_delta_log", None)
     assert len(adds) == 1
     assert txns.get("app") == 3
+
+
+def test_vacuum_delta_removes_only_unreferenced(spark, tmp_path):
+    from prql_query_spark.engine.deltalog import (
+        compact_delta, read_delta_snapshot, vacuum_delta, write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    for i in range(3):
+        write_delta(spark.createDataFrame([(i,)], "id long"), d)
+    before = read_delta_snapshot(spark, d)
+    rows = sorted(r.id for r in before.collect())
+    compact_delta(spark, d, target_files=1)
+
+    plan = vacuum_delta(spark, d, dry_run=True)
+    assert len(plan) == 3  # the three pre-compaction files
+    assert vacuum_delta(spark, d) == plan
+    # snapshot unchanged, and nothing left to vacuum
+    assert sorted(r.id for r in read_delta_snapshot(spark, d).collect()) == rows
+    assert vacuum_delta(spark, d, dry_run=True) == []
