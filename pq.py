@@ -120,7 +120,7 @@ def main(argv: list[str] | None = None) -> int:
             fmt = {"csv": "csv", "json": "json", "parquet": "parquet",
                    "table": "table", "tbl": "table",
                    "orc": "orc", "xml": "xml",
-                   "delta": "delta"}.get(ext)  # beyond reference
+                   "delta": "delta", "avro": "avro"}.get(ext)  # beyond reference
             if fmt is None:
                 print(f"Error: .{ext} files are currently not supported.",
                       file=sys.stderr)
@@ -188,7 +188,11 @@ def main(argv: list[str] | None = None) -> int:
             print("Error: Cannot print parquet to stdout.", file=sys.stderr)
             return 1
     else:
-        if writer == "arrow" and fmt not in ("orc", "xml", "delta"):
+        if fmt == "avro":
+            from prql_query_spark.engine.avro import write_avro
+
+            write_avro(df, to)  # pure-Python single-file sink
+        elif writer == "arrow" and fmt not in ("orc", "xml", "delta"):
             write_single_file(df, to, fmt)
         else:  # orc/xml/delta have no arrow single-file writer — executors write
             write_distributed(df, to, fmt)

@@ -64,16 +64,17 @@ def read_source(spark: SparkSession, path: str, fmt: str | None = None) -> DataF
     if fmt == "parquet":
         return spark.read.parquet(path)
     if fmt == "avro":
-        # the reference declares avro but leaves it unimplemented
-        # (src/main.rs:25, datafusion.rs:47-49); Spark supports it when the
-        # spark-avro module is deployed — surface a clear error otherwise
+        # the reference declares avro but panics unimplemented on use
+        # (src/main.rs:25, datafusion.rs:47-49).  Here the scan is LIVE in
+        # every environment: spark-avro when the jar is deployed, else the
+        # pure-Python object-container decoder (engine/avro.py) running
+        # distributed inside mapInPandas — the deltalog/pgwire pattern
         try:
             return spark.read.format("avro").load(path)
-        except Exception as e:  # AnalysisException: failed to find data source
-            raise SourceError(
-                "avro needs the spark-avro module on the classpath "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
-            ) from e
+        except Exception:
+            from prql_query_spark.engine.avro import read_avro
+
+            return read_avro(spark, path)
     if fmt == "orc":  # beyond reference parity: columnar ORC scan
         return spark.read.orc(path)
     if fmt == "xml":  # beyond reference parity: built-in XML source (Spark 4)
