@@ -1,0 +1,182 @@
+"""Pure-Python Apache Iceberg snapshot reader: the last gated source,
+made live.
+
+An Iceberg table is self-describing on disk (public spec, iceberg
+table-spec): `metadata/v*.metadata.json` (or any `*.metadata.json`,
+newest wins / `version-hint.text`) names the current snapshot, whose
+`manifest-list` is an Avro file of manifest entries, each pointing at a
+manifest Avro file of data-file entries, which finally point at parquet
+files.  With `engine/avro.py` decoding the Avro layers and the schema
+taken from the metadata JSON, the whole chain needs no connector jar —
+the same stay-live-everywhere pattern as deltalog/pgwire/avro.
+
+Supported subset, loudly enforced: format v1 and v2 append/overwrite
+tables with parquet data files; positional/equality DELETE files and
+non-identity partition transforms whose source columns are absent from
+the data files raise a clear error instead of wrong rows (identity
+partitioning stores the columns in the files, which Spark reads
+directly).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType, BinaryType, BooleanType, DataType, DateType, DoubleType,
+    FloatType, IntegerType, LongType, StringType, StructField, StructType,
+    TimestampType,
+)
+
+from prql_query_spark.engine.avro import decode_container
+
+
+class IcebergError(ValueError):
+    pass
+
+
+def _latest_metadata(path: str) -> str:
+    mdir = os.path.join(path, "metadata")
+    if not os.path.isdir(mdir):
+        raise IcebergError(f"{path} has no metadata/ dir — not an iceberg table")
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            v = fh.read().strip()
+        for cand in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+            p = os.path.join(mdir, cand)
+            if os.path.exists(p):
+                return p
+    metas = [f for f in os.listdir(mdir) if f.endswith(".metadata.json")]
+    if not metas:
+        raise IcebergError(f"no *.metadata.json under {mdir}")
+
+    def key(f):
+        m = re.search(r"(\d+)", f)
+        return int(m.group(1)) if m else -1
+
+    return os.path.join(mdir, max(metas, key=key))
+
+
+def _resolve(path_str: str, table_path: str) -> str:
+    """Iceberg stores absolute file: URIs; re-anchor onto the local table
+    dir so relocated/copied tables still read."""
+    p = path_str
+    if p.startswith("file:"):
+        p = re.sub(r"^file:(//)?", "", p)
+    if os.path.exists(p):
+        return p
+    # re-anchor: take everything after the table dir's basename
+    base = os.path.basename(table_path.rstrip("/"))
+    idx = p.find(f"/{base}/")
+    if idx >= 0:
+        cand = os.path.join(table_path, p[idx + len(base) + 2:])
+        if os.path.exists(cand):
+            return cand
+    raise IcebergError(f"referenced file not found: {path_str}")
+
+
+def _spark_type(t) -> DataType:
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            return StructType([
+                StructField(f["name"], _spark_type(f["type"]),
+                            not f.get("required", False))
+                for f in t["fields"]
+            ])
+        if t.get("type") == "list":
+            return ArrayType(_spark_type(t["element"]),
+                             containsNull=not t.get("element-required", False))
+        raise IcebergError(f"unsupported iceberg type {t!r}")
+    if isinstance(t, str):
+        if t.startswith("decimal"):
+            from pyspark.sql.types import DecimalType
+
+            m = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+            return DecimalType(int(m.group(1)), int(m.group(2)))
+        base = {
+            "boolean": BooleanType(), "int": IntegerType(),
+            "long": LongType(), "float": FloatType(),
+            "double": DoubleType(), "date": DateType(),
+            "timestamp": TimestampType(), "timestamptz": TimestampType(),
+            "string": StringType(), "binary": BinaryType(),
+            "uuid": StringType(),
+        }.get(t)
+        if base is None:
+            raise IcebergError(f"unsupported iceberg type {t!r}")
+        return base
+    raise IcebergError(f"unsupported iceberg type {t!r}")
+
+
+def read_iceberg(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read an Iceberg table directory at its current (or a given)
+    snapshot without the connector jar."""
+    meta_path = _latest_metadata(path)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+
+    # schema: v2 keeps a list + current-schema-id; v1 a single "schema"
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        ice_schema = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == sid)
+    else:
+        ice_schema = meta["schema"]
+    spark_schema = StructType([
+        StructField(f["name"], _spark_type(f["type"]),
+                    not f.get("required", False))
+        for f in ice_schema["fields"]
+    ])
+
+    snaps = meta.get("snapshots") or []
+    if not snaps:
+        return spark.createDataFrame([], spark_schema)
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in snaps if s["snapshot-id"] == snapshot_id), None)
+    if snap is None:
+        raise IcebergError(f"snapshot {snapshot_id} not in {meta_path}")
+
+    # non-identity partition transforms hide source columns from files
+    for spec in meta.get("partition-specs", []) or []:
+        for f in spec.get("fields", []):
+            if f.get("transform", "identity") not in ("identity", "void"):
+                raise IcebergError(
+                    f"partition transform {f['transform']!r} is not supported "
+                    "by the pure-Python reader (identity only) — deploy the "
+                    "Iceberg connector for hidden partitioning"
+                )
+
+    with open(_resolve(snap["manifest-list"], path), "rb") as fh:
+        _s, manifests = decode_container(fh.read())
+
+    data_files: list[str] = []
+    for m in manifests:
+        if m.get("content", 0) not in (0, None):
+            raise IcebergError(
+                "delete manifests (v2 row-level deletes) are not supported "
+                "by the pure-Python reader — deploy the Iceberg connector"
+            )
+        with open(_resolve(m["manifest_path"], path), "rb") as fh:
+            _s2, entries = decode_container(fh.read())
+        for e in entries:
+            if e.get("status") == 2:  # DELETED entry
+                continue
+            df_info = e["data_file"]
+            if df_info.get("content", 0) not in (0, None):
+                raise IcebergError("delete files are not supported")
+            fmt = (df_info.get("file_format") or "PARQUET").upper()
+            if fmt != "PARQUET":
+                raise IcebergError(
+                    f"data file format {fmt} not supported (parquet only)")
+            data_files.append(_resolve(df_info["file_path"], path))
+
+    if not data_files:
+        return spark.createDataFrame([], spark_schema)
+    return spark.read.schema(spark_schema).parquet(*sorted(set(data_files)))

@@ -51,6 +51,11 @@ def table_name_for(path: str, alias: str | None) -> str:
 def read_source(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     if fmt is None and os.path.isdir(os.path.join(path, "_delta_log")):
         fmt = "delta"  # delta tables are directories marked by their log
+    if fmt is None and os.path.isdir(os.path.join(path, "metadata")) and any(
+        f.endswith(".metadata.json")
+        for f in os.listdir(os.path.join(path, "metadata"))
+    ):
+        fmt = "iceberg"  # iceberg tables carry their metadata dir
     fmt = fmt or infer_format(path)
     if fmt is None:
         raise SourceError(f"cannot infer format of {path!r}")
@@ -92,16 +97,16 @@ def read_source(spark: SparkSession, path: str, fmt: str | None = None) -> DataF
 
             return read_delta_snapshot(spark, path)
     if fmt == "iceberg":
-        # transactional format: supported when the connector jar is
-        # deployed (it is not in this container) — clear error naming
-        # the package instead of Spark's "failed to find data source"
+        # connector jar when deployed (full feature surface); otherwise
+        # the pure-Python snapshot reader (engine/iceberg.py — metadata
+        # JSON + Avro manifests + parquet scans; identity partitioning,
+        # no row-level deletes — unsupported features error loudly)
         try:
             return spark.read.format("iceberg").load(path)
-        except Exception as e:
-            raise SourceError(
-                "iceberg needs its connector on the classpath (--packages "
-                "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version>)"
-            ) from e
+        except Exception:
+            from prql_query_spark.engine.iceberg import read_iceberg
+
+            return read_iceberg(spark, path)
     raise SourceError(f"unsupported format {fmt!r}")
 
 

@@ -1027,13 +1027,14 @@ def test_delta_pure_reader_and_iceberg_error(spark, tmp_path):
     reader (autodetected from _delta_log); an empty log and iceberg
     still raise clear errors."""
     from prql_query_spark.engine.deltalog import DeltaProtocolError
-    from prql_query_spark.engine.sources import SourceError, read_source
+    from prql_query_spark.engine.iceberg import IcebergError
+    from prql_query_spark.engine.sources import read_source
 
     d = tmp_path / "t"
     (d / "_delta_log").mkdir(parents=True)
     with pytest.raises(DeltaProtocolError, match="no delta commits"):
         read_source(spark, str(d))  # autodetected from _delta_log
-    with pytest.raises(SourceError, match="iceberg-spark-runtime"):
+    with pytest.raises(IcebergError, match="not an iceberg table"):
         read_source(spark, str(tmp_path / "x"), fmt="iceberg")
 
 
@@ -2755,3 +2756,117 @@ def test_avro_directory_scan_parallel_files(spark, tmp_path):
     out = read_avro(spark, str(d))
     assert sorted((r.id, r.v) for r in out.collect()) == [
         (0, "v0"), (1, "v1"), (2, "v2")]
+
+
+def _fabricate_iceberg(spark, root, tmp, rows_by_file, extra_meta=None):
+    """Minimal spec-conformant Iceberg table: parquet data files + Avro
+    manifest/manifest-list (written with the same public container
+    format engine/avro.py implements) + metadata JSON."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from prql_query_spark.engine.avro import encode_container
+
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    file_paths = []
+    for name, rows in rows_by_file.items():
+        spark.createDataFrame(rows, "id long, v string").coalesce(1) \
+            .write.mode("overwrite").parquet(str(tmp / "ice_stage" / name))
+        src = _glob.glob(str(tmp / "ice_stage" / name / "part-*.parquet"))[0]
+        dst = root / "data" / f"{name}.parquet"
+        _shutil.copy(src, str(dst))
+        file_paths.append(f"file://{dst}")
+
+    df_schema = {"type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "data_file", "type": {"type": "record", "name": "r2",
+                                       "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "record_count", "type": "long"},
+        ]}},
+    ]}
+    entries = [{"status": 1, "data_file": {
+        "content": 0, "file_path": p, "file_format": "PARQUET",
+        "record_count": 1}} for p in file_paths]
+    man = root / "metadata" / "man-1.avro"
+    man.write_bytes(encode_container(df_schema, entries))
+
+    ml_schema = {"type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ]}
+    ml = root / "metadata" / "snap-1.avro"
+    ml.write_bytes(encode_container(
+        ml_schema,
+        [{"manifest_path": f"file://{man}", "content": 0,
+          "added_snapshot_id": 1}]))
+
+    meta = {
+        "format-version": 2, "table-uuid": "t", "location": f"file://{root}",
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+        ]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+                       "manifest-list": f"file://{ml}"}],
+        "current-snapshot-id": 1,
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    (root / "metadata" / "v1.metadata.json").write_text(_json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+    return meta
+
+
+def test_iceberg_pure_reader_snapshot(spark, tmp_path):
+    """A spec-conformant Iceberg table (metadata JSON -> Avro manifest
+    list -> Avro manifest -> parquet) reads jar-less with the declared
+    schema, via read_source autodetection of the metadata dir."""
+    from prql_query_spark.engine.sources import read_source
+
+    root = tmp_path / "ice"
+    _fabricate_iceberg(spark, root, tmp_path, {
+        "f1": [(1, "a"), (2, "b")], "f2": [(3, "c")]})
+    out = read_source(spark, str(root))
+    assert dict(out.dtypes) == {"id": "bigint", "v": "string"}
+    assert sorted((r.id, r.v) for r in out.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")]
+
+
+def test_iceberg_unsupported_features_fail_loudly(spark, tmp_path):
+    """Row-level-delete manifests and non-identity partition transforms
+    must error clearly, never return wrong rows."""
+    import json as _json
+
+    from prql_query_spark.engine.iceberg import IcebergError, read_iceberg
+
+    root = tmp_path / "ice2"
+    _fabricate_iceberg(
+        spark, root, tmp_path, {"f1": [(1, "a")]},
+        extra_meta={"partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "id_bucket", "transform": "bucket[4]",
+             "source-id": 1, "field-id": 1000}]}]})
+    with pytest.raises(IcebergError, match="partition transform"):
+        read_iceberg(spark, str(root))
+
+    root3 = tmp_path / "ice3"
+    _fabricate_iceberg(spark, root3, tmp_path, {"f1": [(1, "a")]})
+    mp = root3 / "metadata" / "v1.metadata.json"
+    meta = _json.loads(mp.read_text())
+    # rewrite the manifest list to claim a DELETE manifest
+    from prql_query_spark.engine.avro import decode_container, encode_container
+    ml_path = meta["snapshots"][0]["manifest-list"].replace("file://", "")
+    s, recs = decode_container(open(ml_path, "rb").read())
+    recs[0]["content"] = 1
+    open(ml_path, "wb").write(encode_container(s, recs))
+    with pytest.raises(IcebergError, match="delete manifests"):
+        read_iceberg(spark, str(root3))
