@@ -8,6 +8,7 @@ the function surface allows.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -155,6 +156,35 @@ def pii_counts(text_col: Column) -> dict[str, Column]:
         tag.lower() + "_n": F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0)))
         for tag, pat in PII_PATTERNS
     }
+
+
+def compression_ratio(text_col: Column, level: int = 6) -> Column:
+    """zlib-compressed size over raw size — the CCNet/Gopher-family
+    "compressibility" gibberish-and-boilerplate signal: highly repetitive
+    text compresses far below ~0.4, high-entropy noise stays near 1.
+
+    The one quality signal here that cannot be a JVM expression (no
+    codec functions in SQL), so it runs as an Arrow-vectorized pandas
+    UDF — a narrow zero-shuffle stage, batched through Arrow, never
+    row-at-a-time Python.  No DuckDB oracle by design (no zlib in SQL);
+    the crafted-text pytest pins the semantics instead."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(v):
+            if v is None:
+                return None
+            b = v.encode("utf-8")
+            if not b:
+                return 0.0
+            return round(len(zlib.compress(b, level)) / len(b), 4)
+
+        return s.map(one)
+
+    return _ratio(text_col)
 
 
 def dup_token_fraction(text_col: Column, sep: str = r"\s+") -> Column:

@@ -2870,3 +2870,22 @@ def test_iceberg_unsupported_features_fail_loudly(spark, tmp_path):
     open(ml_path, "wb").write(encode_container(s, recs))
     with pytest.raises(IcebergError, match="delete manifests"):
         read_iceberg(spark, str(root3))
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses hard; random-ish text does not; empty
+    and NULL behave; values stay in a sane band."""
+    import random
+    import string
+
+    from prql_query_spark.operators.text import compression_ratio
+
+    rng = random.Random(3)
+    noise = "".join(rng.choice(string.ascii_letters + " ") for _ in range(2000))
+    rows = [(0, "spam " * 400), (1, noise), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.cr for r in df.select(
+        "id", compression_ratio(F.col("text")).alias("cr")).collect()}
+    assert out[0] < 0.05          # pure repetition
+    assert out[1] > 0.5           # high-entropy
+    assert out[2] == 0.0 and out[3] is None
