@@ -350,3 +350,22 @@ def test_cli_avro_roundtrip(spark, tmp_path, sf_dir):
     want = sorted((r.r_regionkey, r.r_name)
                   for r in src.select("r_regionkey", "r_name").collect())
     assert got == want
+
+
+def test_cli_reads_delta_source(spark, tmp_path, sf_dir):
+    """`-f t=/path/table.delta` registers a jar-less Delta table as a
+    PRQL source — the full CLI read path over the pure-Python log."""
+    import pq
+    from prql_query_spark.engine.deltalog import write_delta
+
+    table = str(tmp_path / "r.delta")
+    write_delta(spark.read.parquet(f"{sf_dir}/region.parquet"), table)
+    out = str(tmp_path / "back.csv")
+    rc = pq.main([
+        "-f", f"t={table}", "-t", out,
+        "from t | select [r_regionkey, r_name] | sort [r_regionkey] | take 3",
+    ])
+    assert rc == 0
+    lines = open(out).read().strip().splitlines()
+    assert lines[0].replace('"', "") == "r_regionkey,r_name"
+    assert len(lines) == 4
