@@ -135,3 +135,58 @@ def test_random_round_float_expressions_match_exactly(engines, expr, digits):
         for k, e in con.execute(compile_prql(prql, "duckdb")).fetchall()
     ]
     assert spark_rows == duck_rows, f"expr: round {digits} ({expr})"
+
+
+# ---------------------------------------------------------------------------
+# Avro codec property: encode->decode is the identity for arbitrary
+# records under a schema covering every branch the codec implements
+# (nullable unions, nested records, arrays, maps, enums, all scalars,
+# both codecs).  Pure-Python — no Spark session involved.
+
+_AVRO_SCHEMA = {
+    "type": "record", "name": "doc", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "raw", "type": "bytes"},
+        {"name": "kind", "type": {"type": "enum", "name": "k",
+                                  "symbols": ["A", "B", "C"]}},
+        {"name": "tags", "type": {"type": "array",
+                                  "items": ["null", "string"]}},
+        {"name": "props", "type": {"type": "map", "values": "int"}},
+        {"name": "sub", "type": {"type": "record", "name": "s", "fields": [
+            {"name": "x", "type": "int"},
+            {"name": "y", "type": ["null", "double"]},
+        ]}},
+    ],
+}
+
+_text = st.text(max_size=30)
+_record = st.fixed_dictionaries({
+    "id": st.integers(min_value=-(2**62), max_value=2**62),
+    "name": st.none() | _text,
+    "score": st.floats(allow_nan=False, allow_infinity=False, width=64),
+    "flag": st.booleans(),
+    "raw": st.binary(max_size=20),
+    "kind": st.sampled_from(["A", "B", "C"]),
+    "tags": st.lists(st.none() | _text, max_size=5),
+    "props": st.dictionaries(_text, st.integers(-2**30, 2**30), max_size=4),
+    "sub": st.fixed_dictionaries({
+        "x": st.integers(-2**31, 2**31 - 1),
+        "y": st.none() | st.floats(allow_nan=False, allow_infinity=False,
+                                   width=64),
+    }),
+})
+
+
+@settings(max_examples=200, deadline=None)
+@given(records=st.lists(_record, max_size=8),
+       codec=st.sampled_from(["null", "deflate"]))
+def test_avro_codec_roundtrip_property(records, codec):
+    from prql_query_spark.engine.avro import decode_container, encode_container
+
+    blob = encode_container(_AVRO_SCHEMA, records, codec=codec)
+    schema, back = decode_container(blob)
+    assert schema == _AVRO_SCHEMA
+    assert back == records
