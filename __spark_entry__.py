@@ -4465,3 +4465,45 @@ ranked AS (SELECT query_id, neighbor_id, ac,
 SELECT query_id, neighbor_id, ROUND(ac, 6) AS approx_cosine, CAST(rk AS INT) AS rank
 FROM ranked WHERE rk <= 10
 """
+
+
+def _x_oov_rate(spark, sf_dir):
+    """Per-doc OOV rate for src0/src1 docs against the vocabulary of the
+    REST of the corpus (top words by frequency) — the tokenizer-fit /
+    distribution-drift audit."""
+    from prql_query_spark.operators.text import tokens, vocab_coverage
+
+    docs = _tbl(spark, sf_dir, "documents")
+    score = docs.filter(F.col("source").isin("src0", "src1"))
+    rest = docs.filter(~F.col("source").isin("src0", "src1"))
+    vocab = (
+        rest.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word").count()
+        .orderBy(F.desc("count"), F.asc("word")).limit(30)
+        .select("word")
+    )
+    return vocab_coverage(score, vocab)
+
+
+EXTENSIONS["x_oov_rate"] = _x_oov_rate
+EXTENSION_ORACLES["x_oov_rate"] = """
+WITH rest AS (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM documents WHERE source NOT IN ('src0', 'src1')
+), vocab AS (
+    SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM rest GROUP BY w
+        ORDER BY c DESC, w ASC LIMIT 30
+    ) t
+), tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM documents WHERE source IN ('src0', 'src1')
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS oov_rate
+FROM tok LEFT JOIN vocab ON vocab.w = tok.w
+GROUP BY doc_id
+"""

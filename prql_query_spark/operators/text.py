@@ -731,6 +731,40 @@ FROM j GROUP BY doc_id
 """
 
 
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_col: str = "word",
+) -> DataFrame:
+    """Tokenizer-fit signal: per-document out-of-vocabulary rate against
+    a vocabulary table — the standard check before committing a tokenizer
+    to a corpus (high OOV = the vocab was trained on the wrong
+    distribution; rising OOV over ingest time = drift).
+
+    Returns (id, n_tokens, n_oov, oov_rate).  Scale shape mirrors
+    `unigram_logprob`: the vocab may itself be corpus-derived (100k-1M
+    rows), so the membership probe is a shuffle join on the token (AQE
+    splits head-token skew), followed by one map-side-combined doc-id
+    aggregation.  Zero UDFs."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    v = vocab.select(F.col(vocab_col).alias("_t")).distinct()         .withColumn("_in", F.lit(1))
+    return (
+        tok.join(v, "_t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4),
+        )
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",

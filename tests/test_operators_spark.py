@@ -2889,3 +2889,17 @@ def test_compression_ratio_signal(spark):
     assert out[0] < 0.05          # pure repetition
     assert out[1] > 0.5           # high-entropy
     assert out[2] == 0.0 and out[3] is None
+
+
+def test_vocab_coverage_known_values(spark):
+    from prql_query_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a"), (3, "z z")],
+        "doc_id long, text string")
+    vocab = spark.createDataFrame([("a",), ("b",)], "word string")
+    out = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+           for r in vocab_coverage(docs, vocab).collect()}
+    assert out[1] == (4, 2, 0.5)
+    assert out[2] == (3, 0, 0.0)
+    assert out[3] == (2, 2, 1.0)
