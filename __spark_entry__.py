@@ -4507,3 +4507,38 @@ SELECT doc_id,
 FROM tok LEFT JOIN vocab ON vocab.w = tok.w
 GROUP BY doc_id
 """
+
+
+def _x_embed_covariance(spark, sf_dir):
+    """Embedding mean + covariance entries (dims < 8, long format) — the
+    PCA fit statistic, computed by the PRODUCTION path (mapInPandas
+    per-partition moment partials, driver reduces dim x dim) and
+    value-checked against DuckDB's relational formulation."""
+    from prql_query_spark.operators.similarity import embedding_mean_cov
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    mean, cov = embedding_mean_cov(emb)
+    rows = [
+        (i, j, round(float(mean[i]), 6), round(float(cov[i][j]), 6))
+        for i in range(8) for j in range(8)
+    ]
+    return spark.createDataFrame(
+        rows, "i int, j int, mean_i double, cov_ij double")
+
+
+EXTENSIONS["x_embed_covariance"] = _x_embed_covariance
+EXTENSION_ORACLES["x_embed_covariance"] = """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           v[i + 1] AS xi, v[j + 1] AS xj
+    FROM e, range(8) r1(i), range(8) r2(j)
+), m AS (
+    SELECT i, j,
+           AVG(xi) AS mean_i,
+           AVG(xi * xj) - AVG(xi) * AVG(xj) AS cov_ij
+    FROM x GROUP BY i, j
+)
+SELECT i, j, ROUND(mean_i, 6) AS mean_i, ROUND(cov_ij, 6) AS cov_ij
+FROM m
+"""

@@ -939,3 +939,100 @@ def cosine_topk_ivfpq(
         .filter(F.col("_rk") <= k)
         .select("query_id", "neighbor_id", "approx_cosine", F.col("_rk").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA over embedding columns: the whitening/compression step of embedding
+# pipelines (reduce dim before ANN, drop anisotropy before cosine).  The
+# fit is one pass of per-partition numpy partial sums -> a dim x dim
+# covariance on the driver (4 KB at dim=64) -> numpy eigh; the transform
+# is a broadcast matrix of HOF dot products.  Nothing corpus-sized ever
+# reaches the driver.
+
+
+def embedding_mean_cov(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mean vector, covariance matrix) in ONE corpus pass: mapInPandas
+    emits per-batch partials (n, sum x, sum x^T x — dim + dim^2 doubles
+    per PARTITION, not per row), the driver reduces a handful of rows.
+    The 100 TB-safe moment computation (treeAggregate shape)."""
+    import pandas as pd
+
+    dim = len(df.select(vec_col).first()[0])
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if len(X) == 0:
+                continue
+            yield pd.DataFrame({
+                "n": [len(X)],
+                "s": [X.sum(axis=0).tolist()],
+                "ss": [(X.T @ X).reshape(-1).tolist()],
+            })
+
+    rows = df.select(vec_col).mapInPandas(
+        partials, "n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r.n for r in rows)
+    s = np.sum([np.array(r.s) for r in rows], axis=0)
+    ss = np.sum([np.array(r.ss).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    return mean, cov
+
+
+def pca_fit(
+    df: DataFrame, k: int = 16, vec_col: str = "embedding"
+) -> dict:
+    """Top-k principal components of the embedding corpus.  Returns
+    {mean, components (k x dim, orthonormal rows, variance-descending),
+    explained_variance, explained_ratio}.  Sign convention: each
+    component's largest-|coefficient| entry is positive, so fits are
+    deterministic across runs/partitionings up to float reduction."""
+    mean, cov = embedding_mean_cov(df, vec_col)
+    vals, vecs = np.linalg.eigh(cov)           # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T                   # k x dim
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    ev = vals[order]
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": ev.tolist(),
+        "explained_ratio": (ev / vals.sum()).tolist(),
+    }
+
+
+def pca_transform(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project embeddings onto the fitted components: centered dot
+    product per component, via the packed-broadcast pattern (components
+    ride as 1-row DATA, the projection is a narrow HOF projection — no
+    shuffle, no Python)."""
+    spark = df.sparkSession
+    rows = [(i, [float(x) for x in c])
+            for i, c in enumerate(model["components"])]
+    packed = spark.createDataFrame(rows, "i int, c array<double>").agg(
+        F.array_sort(F.collect_list(F.struct("i", "c"))).alias("_comps")
+    )
+    mean = F.array(*[F.lit(float(m)) for m in model["mean"]])
+    centered = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), mean,
+        lambda x, m: x - m,
+    )
+    return df.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col),
+        F.transform(
+            F.col("_comps"), lambda s: dot(centered, s["c"])
+        ).alias(out_col),
+    )

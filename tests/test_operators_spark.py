@@ -2903,3 +2903,40 @@ def test_vocab_coverage_known_values(spark):
     assert out[1] == (4, 2, 0.5)
     assert out[2] == (3, 0, 0.0)
     assert out[3] == (2, 2, 1.0)
+
+
+def test_pca_fit_transform_properties(spark, emb):
+    """PCA invariants vs a straight numpy eigendecomposition: identical
+    mean/covariance (to float-reduction tolerance), orthonormal
+    variance-descending components, projection == centered @ components,
+    and reconstruction error shrinking as k grows."""
+    import numpy as np
+
+    from prql_query_spark.operators.similarity import (
+        embedding_mean_cov, pca_fit, pca_transform,
+    )
+
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    mean, cov = embedding_mean_cov(emb)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(X.T, bias=True), atol=1e-9)
+
+    model = pca_fit(emb, k=8)
+    C = np.array(model["components"])
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-9)
+    ev = model["explained_variance"]
+    assert all(a >= b for a, b in zip(ev, ev[1:])) and ev[-1] > 0
+
+    proj = pca_transform(emb, model).orderBy("vec_id").collect()
+    P = np.array([list(r.projected) for r in proj])
+    want = (X - X.mean(axis=0)) @ C.T
+    assert np.allclose(P, want, atol=1e-9)
+
+    def recon_err(k):
+        m = pca_fit(emb, k=k)
+        Ck = np.array(m["components"])
+        Xc = X - np.array(m["mean"])
+        return float(((Xc - (Xc @ Ck.T) @ Ck) ** 2).sum())
+
+    assert recon_err(32) < recon_err(8) < recon_err(2)
