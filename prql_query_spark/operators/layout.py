@@ -110,3 +110,76 @@ def compact_for_parallelism(
     df = load_parquet(spark, src)
     df.repartition(n).write.mode("overwrite").parquet(dst)
     return dst
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    content_cols: dict[str, str],
+    docs_per_shard: int = 1000,
+) -> DataFrame:
+    """WebDataset-style tar shards: the delivery format sequential
+    training loaders actually stream (one `shard-%06d.tar` per task, each
+    sample a group of `{key}.{ext}` members in insertion order).
+
+    ``content_cols`` maps column -> member extension (`{"text": "txt",
+    "image_bytes": "png"}`); string columns are UTF-8 encoded, binary
+    columns written as-is, NULLs skipped.  Sharding is deterministic:
+    samples are range-partitioned by the key, sorted within shards, and
+    shard ids derive from the partition id — same input, same shards,
+    any cluster size.  Each EXECUTOR writes its own tar via mapInPandas
+    (the driver never sees sample bytes); the returned manifest
+    DataFrame (shard, n_samples, n_bytes) is tiny.
+    """
+    import math
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    n = df.count()
+    n_shards = max(1, math.ceil(n / docs_per_shard))
+    cols = [key_col, *content_cols]
+    prepped = (
+        df.select(*cols)
+        .repartitionByRange(n_shards, F.col(key_col))
+        .sortWithinPartitions(key_col)
+    )
+
+    exts = dict(content_cols)
+
+    def write_shards(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        shard_path = os.path.join(path, f"shard-{pid:06d}.tar")
+        buf = io.BytesIO()
+        n_samples = 0
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    key = str(row[key_col])
+                    for col, ext in exts.items():
+                        v = row[col]
+                        if v is None:
+                            continue
+                        data = v.encode("utf-8") if isinstance(v, str) \
+                            else bytes(v)
+                        info = tarfile.TarInfo(name=f"{key}.{ext}")
+                        info.size = len(data)
+                        info.mtime = 0  # deterministic archives
+                        tar.addfile(info, io.BytesIO(data))
+                    n_samples += 1
+        payload = buf.getvalue()
+        if n_samples:
+            with open(shard_path, "wb") as fh:
+                fh.write(payload)
+            yield pd.DataFrame({"shard": [os.path.basename(shard_path)],
+                                "n_samples": [n_samples],
+                                "n_bytes": [len(payload)]})
+
+    return prepped.mapInPandas(
+        write_shards, "shard string, n_samples long, n_bytes long")

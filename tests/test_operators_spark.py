@@ -2940,3 +2940,40 @@ def test_pca_fit_transform_properties(spark, emb):
         return float(((Xc - (Xc @ Ck.T) @ Ck) ** 2).sum())
 
     assert recon_err(32) < recon_err(8) < recon_err(2)
+
+
+def test_write_webdataset_shards_roundtrip(spark, sf_dir, tmp_path):
+    """Tar shards: every doc appears exactly once across shards as
+    {key}.txt (+ sidecar .json), shards respect the size target, the
+    manifest matches what's on disk, and archives are deterministic
+    (mtime 0, sorted within shard)."""
+    import json as _json
+    import tarfile
+
+    from prql_query_spark.operators.layout import write_webdataset
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .withColumn("meta", F.to_json(F.struct("lang", "source")))
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(
+        docs, out, key_col="doc_id",
+        content_cols={"text": "txt", "meta": "json"},
+        docs_per_shard=20,
+    ).collect()
+
+    n_docs = docs.count()
+    assert sum(r.n_samples for r in manifest) == n_docs
+    assert all(r.n_samples <= 25 for r in manifest)  # range split is approximate
+    seen = {}
+    for r in manifest:
+        with tarfile.open(f"{out}/{r.shard}") as tar:
+            members = tar.getmembers()
+            assert all(m.mtime == 0 for m in members)
+            for m in members:
+                key, ext = m.name.rsplit(".", 1)
+                if ext == "txt":
+                    seen[int(key)] = tar.extractfile(m).read().decode()
+                elif ext == "json":
+                    assert "lang" in _json.loads(tar.extractfile(m).read())
+    want = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert seen == want
