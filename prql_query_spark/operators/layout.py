@@ -183,3 +183,53 @@ def write_webdataset(
 
     return prepped.mapInPandas(
         write_shards, "shard string, n_samples long, n_bytes long")
+
+
+def read_webdataset(
+    spark, path: str, exts: dict[str, str], key_name: str = "key"
+) -> DataFrame:
+    """Ingest WebDataset tar shards back into a DataFrame: one task per
+    shard (binaryFile source), members grouped by sample key, each
+    requested extension a column (`exts` maps extension -> column name;
+    missing members yield NULL).  Text-ish extensions (txt/json) decode
+    to string, everything else stays binary.  The inverse of
+    `write_webdataset`, and the ingest path for shards produced by any
+    other WebDataset writer."""
+    import io
+    import tarfile
+
+    text_exts = {"txt", "json", "html", "md", "csv"}
+    fields = ", ".join(
+        f"{col} {'string' if ext in text_exts else 'binary'}"
+        for ext, col in exts.items()
+    )
+    schema = f"{key_name} string, {fields}"
+
+    files = spark.read.format("binaryFile").load(
+        path.rstrip("/") + "/*.tar")
+
+    def untar(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            samples: dict[str, dict] = {}
+            for content in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    for m in tar.getmembers():
+                        if "." not in m.name:
+                            continue
+                        key, ext = m.name.rsplit(".", 1)
+                        if ext not in exts:
+                            continue
+                        data = tar.extractfile(m).read()
+                        col = exts[ext]
+                        samples.setdefault(key, {})[col] = (
+                            data.decode("utf-8") if ext in text_exts else data
+                        )
+            keys = sorted(samples)
+            out = {key_name: keys}
+            for ext, col in exts.items():
+                out[col] = [samples[k].get(col) for k in keys]
+            yield pd.DataFrame(out)
+
+    return files.select("content").mapInPandas(untar, schema)

@@ -2977,3 +2977,23 @@ def test_write_webdataset_shards_roundtrip(spark, sf_dir, tmp_path):
                     assert "lang" in _json.loads(tar.extractfile(m).read())
     want = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
     assert seen == want
+
+
+def test_read_webdataset_inverse(spark, sf_dir, tmp_path):
+    """write_webdataset -> read_webdataset is the identity on
+    (key, text, meta) across multiple shards."""
+    from prql_query_spark.operators.layout import (
+        read_webdataset, write_webdataset,
+    )
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .withColumn("meta", F.to_json(F.struct("lang", "source")))
+    out = str(tmp_path / "wds")
+    write_webdataset(docs, out, key_col="doc_id",
+                     content_cols={"text": "txt", "meta": "json"},
+                     docs_per_shard=20).collect()
+    back = read_webdataset(spark, out, {"txt": "text", "json": "meta"})
+    got = {int(r.key): (r.text, r.meta) for r in back.collect()}
+    want = {r.doc_id: (r.text, r.meta)
+            for r in docs.select("doc_id", "text", "meta").collect()}
+    assert got == want
