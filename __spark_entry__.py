@@ -4542,3 +4542,41 @@ x AS (
 SELECT i, j, ROUND(mean_i, 6) AS mean_i, ROUND(cov_ij, 6) AS cov_ij
 FROM m
 """
+
+
+def _x_random_projection(spark, sf_dir):
+    """Seeded JL projection to 8 dims (long format, rounded) — the
+    fit-free embedding compression; the oracle regenerates the identical
+    seeded matrix as SQL literals (the LSH-hyperplane convention)."""
+    from prql_query_spark.operators.similarity import random_projection
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = random_projection(emb, out_dim=8, seed=7)
+    return out.select(
+        "vec_id",
+        F.posexplode("projected").alias("i", "p"),
+    ).select("vec_id", F.col("i").cast("int").alias("i"),
+             F.round("p", 6).alias("p"))
+
+
+def _random_projection_oracle(out_dim: int = 8, dim: int = 64,
+                              seed: int = 7) -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in mat
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT CAST(i AS INT) AS i, r FROM (
+        SELECT unnest(range(len(rs))) AS i, rs[CAST(i AS INT) + 1] AS r
+        FROM (SELECT [{rows}] AS rs)))
+SELECT e.vec_id, m.i, ROUND(list_dot_product(e.v, m.r), 6) AS p
+FROM emb e CROSS JOIN m
+"""
+
+
+EXTENSIONS["x_random_projection"] = _x_random_projection
+EXTENSION_ORACLES["x_random_projection"] = _random_projection_oracle()

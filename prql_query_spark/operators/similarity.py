@@ -1036,3 +1036,33 @@ def pca_transform(
             F.col("_comps"), lambda s: dot(centered, s["c"])
         ).alias(out_col),
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project onto a
+    seeded gaussian matrix scaled by 1/sqrt(out_dim), which preserves
+    pairwise distances within (1 +- eps) w.h.p. — the data-independent
+    alternative to `pca_fit` when no fit pass is affordable (or the
+    distribution drifts).  Deterministic: same seed, same matrix, any
+    cluster; rows ride as packed broadcast data into a narrow HOF
+    projection, like every other matrix op here."""
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+    spark = df.sparkSession
+    packed = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "i int, r array<double>",
+    ).agg(F.array_sort(F.collect_list(F.struct("i", "r"))).alias("_rows"))
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col),
+        F.transform(F.col("_rows"), lambda s: dot(vd, s["r"])).alias(out_col),
+    )

@@ -2997,3 +2997,32 @@ def test_read_webdataset_inverse(spark, sf_dir, tmp_path):
     want = {r.doc_id: (r.text, r.meta)
             for r in docs.select("doc_id", "text", "meta").collect()}
     assert got == want
+
+
+def test_random_projection_distortion_bounded(emb):
+    """The actual JL guarantee — bounded RELATIVE distortion of pairwise
+    squared distances (their rank ORDER is unrecoverable on iid-gaussian
+    fixtures, where distances concentrate to near-ties): at 64 -> 32
+    dims the distance ratios must be unbiased (mean ~ 1) with spread
+    near the theoretical sqrt(2/k), and the op must be deterministic
+    across calls."""
+    import numpy as np
+
+    from prql_query_spark.operators.similarity import random_projection
+
+    rows = emb.orderBy("vec_id").limit(60).collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    sub = emb.filter(F.col("vec_id") < 60)
+    p1 = random_projection(sub, out_dim=32).orderBy("vec_id").collect()
+    p2 = random_projection(sub, out_dim=32).orderBy("vec_id").collect()
+    assert [list(r.projected) for r in p1] == [list(r.projected) for r in p2]
+    P = np.array([list(r.projected) for r in p1])
+
+    def pdists(M):
+        d = ((M[:, None, :] - M[None, :, :]) ** 2).sum(-1)
+        return d[np.triu_indices(len(M), 1)]
+
+    ratio = pdists(P) / pdists(X)
+    assert abs(ratio.mean() - 1.0) < 0.15          # unbiased
+    assert np.mean(np.abs(ratio - 1.0)) < 0.45     # ~sqrt(2/32)=0.25 + slack
+    assert (ratio > 0.2).all() and (ratio < 3.0).all()
