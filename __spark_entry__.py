@@ -1560,9 +1560,9 @@ DRIVER_ORDER = [
     "x_bpe_count", "x_chunk_docs", "x_constraint_audit",
     "x_contamination", "x_cosine_ivf", "x_pq_topk", "x_cube_agg",
     "x_dedup_report",
-    "x_dup_ngrams", "x_dup_tokens",
+    "x_dup_ngrams",
     "x_embed_neardup", "x_equidepth",
-    "x_events_tumbling", "x_fingerprint_groups", "x_funnel",
+    "x_fingerprint_groups", "x_funnel",
     "x_fuzzy_match", "x_group_trend", "x_impute_mean",
     "x_incremental_dedup", "x_json_props", "x_kmeans",
     "x_multimodal_features",
@@ -1572,7 +1572,10 @@ DRIVER_ORDER = [
     # — round-3 NEW operator families built this round (web curation,
     # C4 rule pack, backoff LM, per-domain caps) take audit priority —
     "x_url_canon", "x_domain_cap", "x_c4_audit", "x_bigram_backoff",
+    "x_oov_rate", "x_embed_covariance",
     # Displaced to rounds 4+ (each family still has an in-window row):
+    # x_dup_tokens (x_dup_ngrams covers repetition), x_events_tumbling
+    # (x_events_sessions driver-audited in r2),
     # x_retention_cohort, x_bigram_top (x_dup_ngrams/x_pmi_top cover
     # n-grams), x_embed_centroid (x_cosine_ivf/x_pq_topk/x_embed_neardup
     # cover embeddings), x_histogram (x_equidepth/x_psi_drift cover

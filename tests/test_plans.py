@@ -522,3 +522,31 @@ def test_ivfpq_candidate_join_keyed_and_broadcast(spark, sf_dir):
     assert re.search(r"BroadcastHashJoin \[_cell", plan)
     # ADC + encode are expressions, not Python
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_projection_ops_zero_shuffle(spark, sf_dir):
+    """The compression/projection tier (pq_encode, pca_transform,
+    random_projection) must stay shuffle-free: broadcast matrix data into
+    a narrow expression projection, no Exchange, no Python stage."""
+    from prql_query_spark.operators.similarity import (
+        pca_transform, pq_codebooks_from_anchors, pq_encode,
+        random_projection,
+    )
+
+    emb = load_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    anchors = [r.embedding for r in
+               emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    model = {"mean": [0.0] * 64,
+             "components": [[float(i == j) for j in range(64)]
+                            for i in range(4)]}
+    plans = [
+        _plan(spark, pq_encode(emb, pq_codebooks_from_anchors(anchors, m=8)),
+              "simple"),
+        _plan(spark, pca_transform(emb, model), "simple"),
+        _plan(spark, random_projection(emb, out_dim=8), "simple"),
+    ]
+    for p in plans:
+        # the only exchange allowed is the 1-row broadcast of the matrix
+        assert "Exchange hashpartitioning" not in p
+        assert "Exchange rangepartitioning" not in p
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
