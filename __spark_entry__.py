@@ -4583,3 +4583,31 @@ FROM emb e CROSS JOIN m
 
 EXTENSIONS["x_random_projection"] = _x_random_projection
 EXTENSION_ORACLES["x_random_projection"] = _random_projection_oracle()
+
+
+def _x_skew_report(spark, sf_dir):
+    """Top-10 heaviest event_type keys with shares — the pre-flight
+    shuffle-skew diagnostic."""
+    from prql_query_spark.operators.skew import skew_report
+
+    return skew_report(_tbl(spark, sf_dir, "events"), "event_type")
+
+
+EXTENSIONS["x_skew_report"] = _x_skew_report
+EXTENSION_ORACLES["x_skew_report"] = """
+WITH counts AS (
+    SELECT event_type AS key, COUNT(*) AS n_rows
+    FROM events GROUP BY 1
+), tot AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM counts),
+top AS (
+    SELECT key, n_rows FROM counts ORDER BY n_rows DESC, key ASC LIMIT 10
+)
+SELECT key, n_rows,
+       ROUND(CAST(n_rows AS DOUBLE) / tot.total, 6) AS share,
+       ROUND(CAST(SUM(n_rows) OVER (ORDER BY n_rows DESC, key ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / tot.total, 6) AS cum_share,
+       ROUND(CAST(n_rows AS DOUBLE) * tot.n_keys / tot.total, 4) AS x_uniform
+FROM top CROSS JOIN tot
+ORDER BY n_rows DESC, key ASC
+"""

@@ -18,7 +18,7 @@ the driver gate against a plain SQL GROUP BY oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # mergeable aggregates: (partial expr, merge expr)
@@ -76,3 +76,39 @@ def salted_broadcast_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return b.join(F.broadcast(s), on=[on, "_salt"], how=how).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-flight skew diagnostics for a prospective groupBy/join key:
+    the top-k heaviest keys with their row share, cumulative share, and
+    the ratio to a perfectly uniform key — the numbers that decide
+    between a plain shuffle, `salted_agg`, or AQE skew-join before the
+    expensive job runs (a 100 TB shuffle pinned on one reducer is
+    diagnosed here for the cost of one count aggregate).
+
+    Returns (key, n_rows, share, cum_share, x_uniform) ordered heaviest
+    first.  One map-side-combined count shuffle + a tiny top-k window;
+    totals ride back as broadcast scalar aggregates."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"))
+    top = (
+        counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
+        .crossJoin(F.broadcast(totals))
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return top.select(
+        "key", "n_rows",
+        F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        F.round(F.sum("n_rows").over(w) / F.col("_total"), 6)
+        .alias("cum_share"),
+        F.round(F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 4)
+        .alias("x_uniform"),
+    ).orderBy(F.desc("n_rows"), F.asc("key"))
