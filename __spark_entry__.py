@@ -4611,3 +4611,38 @@ SELECT key, n_rows,
 FROM top CROSS JOIN tot
 ORDER BY n_rows DESC, key ASC
 """
+
+
+def _x_seasonal_decompose(spark, sf_dir):
+    """Hour-of-week seasonal/trend/residual decomposition of event value
+    totals (centered 7-bucket trend)."""
+    from prql_query_spark.operators.analytics import seasonal_decompose
+
+    return seasonal_decompose(_tbl(spark, sf_dir, "events"))
+
+
+EXTENSIONS["x_seasonal_decompose"] = _x_seasonal_decompose
+EXTENSION_ORACLES["x_seasonal_decompose"] = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS bucket,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY 1
+), seasonal AS (
+    SELECT dayofweek(bucket) * 24 + hour(bucket) AS how,
+           ROUND(CAST(SUM(cents) / COUNT(*) AS DOUBLE) / 100.0, 4) AS seasonal
+    FROM hourly GROUP BY 1
+), j AS (
+    SELECT h.bucket, h.cents / 100.0 AS total, s.seasonal,
+           h.cents / 100.0 - s.seasonal AS deseason
+    FROM hourly h JOIN seasonal s
+      ON s.how = dayofweek(h.bucket) * 24 + hour(h.bucket)
+), t AS (
+    SELECT bucket, total, seasonal,
+           ROUND(AVG(deseason) OVER (ORDER BY bucket
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS trend
+    FROM j
+)
+SELECT bucket, ROUND(total, 2) AS total, seasonal, trend,
+       ROUND(total - seasonal - trend, 4) AS residual
+FROM t
+"""

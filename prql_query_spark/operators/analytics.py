@@ -411,3 +411,59 @@ def distinct_sketch_merge(
     if keys:
         return sketches.groupBy(*keys).agg(agg.alias("approx_distinct"))
     return sketches.agg(agg.alias("approx_distinct"))
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trend_window: int = 7,
+) -> DataFrame:
+    """Classical additive decomposition of an event stream on the
+    hour-of-week cycle: hourly totals split into seasonal (mean of the
+    series at that hour-of-week), trend (centered ``trend_window``-bucket
+    rolling mean of the deseasonalized series), and residual — the
+    decomposition that turns "traffic dropped" into "dropped vs the
+    usual Tuesday 3pm", which is what capacity alerts key on.
+
+    Returns (bucket, total, seasonal, trend, residual), residual =
+    total - seasonal - trend.  Two shuffles total: the hourly pre-
+    aggregation, then ONE window partition-less pass reused by both the
+    seasonal join-back (broadcast — 168 rows) and the rolling trend.
+    Money-exact: totals aggregate in DECIMAL before any double math."""
+    hourly = (
+        df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
+        .agg(
+            (F.sum(F.col(value_col).cast("decimal(18,2)")) * 100)
+            .cast("long").alias("_cents")
+        )
+        .withColumn("total", (F.col("_cents") / 100.0))
+    )
+    how = (F.dayofweek("bucket") - 1) * 24 + F.hour("bucket")
+    seasonal = (
+        hourly.groupBy(how.alias("_how"))
+        .agg(
+            F.round(
+                (F.sum("_cents") / F.count(F.lit(1))).cast("double") / 100.0, 4
+            ).alias("seasonal")
+        )
+    )
+    joined = hourly.withColumn("_how", how).join(
+        F.broadcast(seasonal), "_how"
+    ).withColumn("_deseason", F.col("total") - F.col("seasonal"))
+    half = trend_window // 2
+    w = Window.orderBy("bucket").rowsBetween(-half, half)
+    return (
+        joined
+        .withColumn("trend", F.round(F.avg("_deseason").over(w), 4))
+        .select(
+            "bucket",
+            F.round("total", 2).alias("total"),
+            "seasonal",
+            "trend",
+            F.round(
+                F.col("total") - F.col("seasonal") - F.col("trend"), 4
+            ).alias("residual"),
+        )
+        .orderBy("bucket")
+    )

@@ -3026,3 +3026,33 @@ def test_random_projection_distortion_bounded(emb):
     assert abs(ratio.mean() - 1.0) < 0.15          # unbiased
     assert np.mean(np.abs(ratio - 1.0)) < 0.45     # ~sqrt(2/32)=0.25 + slack
     assert (ratio > 0.2).all() and (ratio < 3.0).all()
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """A planted hour-of-week cycle (+100 on Mondays 9am) must land in
+    the SEASONAL component, not the residual: at every planted bucket
+    the seasonal estimate sits near the planted mean and residuals stay
+    an order of magnitude smaller than the planted amplitude."""
+    import datetime
+
+    from prql_query_spark.operators.analytics import seasonal_decompose
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1, 0, 0)  # a Monday
+    for day in range(28):
+        for hour in range(24):
+            ts = base + datetime.timedelta(days=day, hours=hour)
+            v = 10.0
+            if ts.weekday() == 0 and ts.hour == 9:
+                v += 100.0
+            rows.append((ts, v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = seasonal_decompose(df).collect()
+    planted = [r for r in out
+               if r.bucket.weekday() == 0 and r.bucket.hour == 9]
+    others = [r for r in out
+              if not (r.bucket.weekday() == 0 and r.bucket.hour == 9)]
+    assert len(planted) == 4
+    assert all(abs(r.seasonal - 110.0) < 1e-6 for r in planted)
+    assert all(abs(r.seasonal - 10.0) < 1e-6 for r in others)
+    assert all(abs(r.residual) < 25 for r in out if r.trend is not None)
