@@ -4646,3 +4646,45 @@ SELECT bucket, ROUND(total, 2) AS total, seasonal, trend,
        ROUND(total - seasonal - trend, 4) AS residual
 FROM t
 """
+
+
+def _x_mad_outliers(spark, sf_dir):
+    """Robust per-priority order-price outlier counts (MAD gate)."""
+    from prql_query_spark.operators.quality import mad_outliers
+
+    out = mad_outliers(
+        _tbl(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority")
+    return (
+        out.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_outlier").cast("int")).cast("long")
+            .alias("n_outliers"),
+            F.round(F.min("group_median"), 4).alias("med"),
+            F.round(F.min("group_mad"), 4).alias("mad"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+EXTENSIONS["x_mad_outliers"] = _x_mad_outliers
+EXTENSION_ORACLES["x_mad_outliers"] = """
+WITH med AS (
+    SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS m
+    FROM orders GROUP BY 1
+), mad AS (
+    SELECT o.o_orderpriority,
+           quantile_cont(abs(o.o_totalprice - med.m), 0.5) AS d
+    FROM orders o JOIN med ON med.o_orderpriority = o.o_orderpriority
+    GROUP BY 1
+)
+SELECT o.o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN abs(o.o_totalprice - med.m) > 3.0 * 1.4826 * mad.d
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MIN(med.m), 4) AS med,
+       ROUND(MIN(mad.d), 4) AS mad
+FROM orders o
+JOIN med ON med.o_orderpriority = o.o_orderpriority
+JOIN mad ON mad.o_orderpriority = o.o_orderpriority
+GROUP BY 1 ORDER BY 1
+"""

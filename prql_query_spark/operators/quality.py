@@ -187,3 +187,34 @@ def scale_minmax(
         (F.col(value_col) - lo) / (hi - lo)
     )
     return df.withColumn(out_col, F.round(scaled, 6))
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flagging by median absolute deviation:
+    a row is an outlier when |x - median| > k * 1.4826 * MAD (the
+    gaussian-consistent MAD scale).  Unlike z-scores, one wild value
+    cannot drag the threshold — the robustness property the planted
+    test pins.
+
+    Adds `group_median`, `group_mad`, `is_outlier`.  Three aggregates'
+    worth of work in two shuffle rounds (median, then MAD needs the
+    median first), each joined back by broadcast — the fact side never
+    shuffles.  Exact percentile(0.5), continuous interpolation, so the
+    DuckDB `median`/`quantile_cont` twin matches bit-for-bit."""
+    med = df.groupBy(F.col(by)).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("group_median"))
+    with_med = df.join(F.broadcast(med), by)
+    mad = with_med.groupBy(F.col(by)).agg(
+        F.expr(f"percentile(abs({value_col} - group_median), 0.5)")
+        .alias("group_mad"))
+    out = with_med.join(F.broadcast(mad), by)
+    thresh = F.lit(k) * F.lit(1.4826) * F.col("group_mad")
+    return out.withColumn(
+        "is_outlier",
+        F.abs(F.col(value_col) - F.col("group_median")) > thresh,
+    )

@@ -3056,3 +3056,25 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
     assert all(abs(r.seasonal - 110.0) < 1e-6 for r in planted)
     assert all(abs(r.seasonal - 10.0) < 1e-6 for r in others)
     assert all(abs(r.residual) < 25 for r in out if r.trend is not None)
+
+
+def test_mad_outliers_robust_to_wild_value(spark):
+    """The robustness property that distinguishes MAD from z-scores: one
+    wild value must be flagged WITHOUT dragging the threshold enough to
+    unflag it (a z-score gate at the same k misses it because the wild
+    point inflates sigma)."""
+    from prql_query_spark.operators.quality import mad_outliers
+
+    # n=9: a single outlier's z-score is bounded by sqrt(n-1)=2.83 < 3,
+    # so a z-gate at k=3 PROVABLY cannot flag it; MAD must.
+    vals = [10.0 + 0.1 * i for i in range(8)] + [10_000.0]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id long, g string, v double")
+    out = {r.id: r.is_outlier for r in mad_outliers(df, "v", "g").collect()}
+    assert out[8] is True
+    assert sum(out.values()) == 1
+    # z-score at the same k would NOT flag it on this data
+    import statistics
+
+    mu, sigma = statistics.mean(vals), statistics.pstdev(vals)
+    assert abs(10_000.0 - mu) / sigma < 3.0
