@@ -467,3 +467,39 @@ def seasonal_decompose(
         )
         .orderBy("bucket")
     )
+
+
+def topk_sketch_build(
+    df: DataFrame,
+    item_col: str,
+    keys: list[str] | None = None,
+    max_items: int = 1024,
+) -> DataFrame:
+    """Mergeable frequent-items sketches (Datasketches ItemsSketch via
+    `approx_top_k_accumulate`): persist one tiny binary row per key
+    group, and any later slice answers "top items + counts" WITHOUT
+    rescanning raw data — the frequent-items companion to
+    `distinct_sketch_build`.  ``max_items`` bounds sketch size (and sets
+    the accuracy envelope); build is one map-side-combined aggregate."""
+    agg = F.expr(f"approx_top_k_accumulate({item_col}, {max_items})") \
+        .alias("sketch")
+    if keys:
+        return df.groupBy(*keys).agg(agg)
+    return df.agg(agg)
+
+
+def topk_sketch_merge(
+    sketches: DataFrame,
+    k: int = 10,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Combine persisted frequent-items sketches (optionally re-grouped
+    on a coarser key) and estimate the top-k: `(item, count)` structs,
+    heaviest first.  Merging is associative, so daily sketches roll up
+    to months/years at sketch cost, never raw-scan cost."""
+    est = F.expr(
+        f"approx_top_k_estimate(approx_top_k_combine(sketch), {k})"
+    ).alias("top_items")
+    if keys:
+        return sketches.groupBy(*keys).agg(est)
+    return sketches.agg(est)

@@ -3078,3 +3078,27 @@ def test_mad_outliers_robust_to_wild_value(spark):
 
     mu, sigma = statistics.mean(vals), statistics.pstdev(vals)
     assert abs(10_000.0 - mu) / sigma < 3.0
+
+
+def test_topk_sketch_mergeable_and_accurate(spark, sf_dir):
+    """Frequent-items sketches: building per-day sketches and merging
+    them must give the same top-k as one whole-corpus sketch, and both
+    must match the exact heavy hitters (fixture cardinality is far
+    below the sketch bound, so counts are exact here)."""
+    from prql_query_spark.operators.analytics import (
+        topk_sketch_build, topk_sketch_merge,
+    )
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet") \
+        .withColumn("day", F.to_date("ts"))
+    whole = topk_sketch_merge(topk_sketch_build(ev, "event_type"), k=3) \
+        .first().top_items
+    daily = topk_sketch_build(ev, "event_type", keys=["day"])
+    merged = topk_sketch_merge(daily, k=3).first().top_items
+    assert [(r.item, r["count"]) for r in merged] == \
+        [(r.item, r["count"]) for r in whole]
+
+    exact = ev.groupBy("event_type").count() \
+        .orderBy(F.desc("count"), F.asc("event_type")).limit(3).collect()
+    got = {r.item: r["count"] for r in merged}
+    assert {r.event_type: r["count"] for r in exact} == got
