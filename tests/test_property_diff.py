@@ -190,3 +190,53 @@ def test_avro_codec_roundtrip_property(records, codec):
     schema, back = decode_container(blob)
     assert schema == _AVRO_SCHEMA
     assert back == records
+
+
+# ---------------------------------------------------------------------------
+# Canonicalizer idempotence: canonicalize(canonicalize(x)) == canonicalize(x).
+# A canonical form that moves on re-application isn't canonical — dedup keys
+# built from it would split. One Spark pass evaluates both applications.
+
+_url_chars = st.text(
+    alphabet="abcXYZ019-._~", min_size=0, max_size=8)
+
+
+@st.composite
+def _messy_urls(draw):
+    scheme = draw(st.sampled_from(["http", "HTTPS", "ftp"]))
+    host_bits = draw(st.lists(_url_chars.filter(bool), min_size=1, max_size=3))
+    host = ".".join(host_bits)
+    www = draw(st.sampled_from(["", "www.", "WWW."]))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = draw(st.sampled_from(["", "/", "/a", "//a//b/", "/a/b.html"]))
+    params = draw(st.lists(st.sampled_from(
+        ["utm_source=x", "id=1", "fbclid=z", "q=a", "utm_medium=m", "ref=r"]),
+        max_size=4))
+    qs = ("?" + "&".join(params)) if params else ""
+    frag = draw(st.sampled_from(["", "#f", "#sec1"]))
+    return f"{scheme}://{www}{host}{port}{path}{qs}{frag}"
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(urls=st.lists(_messy_urls(), min_size=1, max_size=20))
+def test_canonicalizers_idempotent(spark, urls):
+    from pyspark.sql import functions as F
+
+    from prql_query_spark.operators.text import normalize_text, scrub_pii
+    from prql_query_spark.operators.web import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = canonicalize_url(F.col("u"))
+    bad = df.select(once.alias("c1"), canonicalize_url(once).alias("c2")) \
+        .filter("c1 <> c2")
+    assert bad.count() == 0, bad.limit(3).collect()
+
+    texts = [u.replace("://", " at ") + " bob@x.com +1 (555) 123-4567"
+             for u in urls]
+    tdf = spark.createDataFrame([(t,) for t in texts], "t string")
+    for fn in (normalize_text, scrub_pii):
+        one = fn(F.col("t"))
+        bad = tdf.select(one.alias("c1"), fn(one).alias("c2")) \
+            .filter("c1 <> c2")
+        assert bad.count() == 0, (fn.__name__, bad.limit(3).collect())
