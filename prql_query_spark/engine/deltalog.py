@@ -34,7 +34,7 @@ import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 
 class DeltaProtocolError(RuntimeError):
@@ -128,15 +128,26 @@ def read_delta_snapshot(
     log_dir = os.path.join(path, "_delta_log")
     meta, protocol, adds, _txns = _snapshot_actions(spark, log_dir, version)
 
+    mapping_mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
     if protocol:
         reader_v = protocol.get("minReaderVersion", 1) or 1
         features = protocol.get("readerFeatures") or []
-        if reader_v > 1 or features:
+        unsupported = [f for f in features if f != "columnMapping"]
+        if mapping_mode == "id":
+            raise DeltaProtocolError(
+                f"delta table {path} uses columnMapping.mode=id — only "
+                "name mapping is supported by the pure-Python fallback"
+            )
+        if unsupported or (reader_v > 2) or (
+            reader_v == 2 and mapping_mode == "none" and not features
+        ):
             raise DeltaProtocolError(
                 f"delta table {path} needs reader protocol v{reader_v} "
-                f"(features: {features}) — deletion vectors / column mapping "
-                "are not supported by the pure-Python fallback; deploy the "
-                "Delta connector (--packages io.delta:delta-spark_2.13:<ver>)"
+                f"(features: {features}) — deletion vectors and other "
+                "v2+ features (beyond name-mode column mapping) are not "
+                "supported by the pure-Python fallback; deploy the Delta "
+                "connector (--packages io.delta:delta-spark_2.13:<ver>)"
             )
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -144,17 +155,45 @@ def read_delta_snapshot(
     if not adds:
         return spark.createDataFrame([], schema)
 
+    # name-mode column mapping: parquet files carry PHYSICAL names from
+    # each field's delta.columnMapping.physicalName metadata; scan with
+    # the physical schema, then rename back to logical.
+    phys_of = {}
+    if mapping_mode == "name":
+        for f in schema.fields:
+            phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+            if not phys:
+                raise DeltaProtocolError(
+                    f"columnMapping.mode=name but field {f.name!r} has no "
+                    "physicalName metadata — corrupt table"
+                )
+            phys_of[f.name] = phys
+
+    def scan(files_, sch):
+        if not phys_of:
+            return spark.read.schema(sch).parquet(*files_)
+        phys_schema = StructType([
+            StructField(phys_of[f.name], f.dataType, f.nullable)
+            for f in sch.fields
+        ])
+        df = spark.read.schema(phys_schema).parquet(*files_)
+        return df.select(*[
+            F.col(phys_of[f.name]).alias(f.name) for f in sch.fields
+        ])
+
     files = [
         os.path.join(path, urllib.parse.unquote(p)) for p in sorted(adds)
     ]
     if not part_cols:
-        return spark.read.schema(schema).parquet(*files)
+        return scan(files, schema)
 
     # Partitioned: Delta stores partition values in the LOG, not the
     # files.  Delta's writers use hive-style `col=val/` layout, which
     # Spark's basePath option parses back into columns — with the full
     # log schema supplied, so types come from the log, not inference.
-    hive_style = all(
+    # (With name mapping the dirs carry physical names, so fall through
+    # to the log-literal branch, which is mapping-agnostic.)
+    hive_style = not phys_of and all(
         all(f"{c}=" in p for c in part_cols) for p in adds
     )
     if hive_style:
@@ -167,7 +206,11 @@ def read_delta_snapshot(
     # values and attach them as typed literals.
     by_vals: dict[tuple, list[str]] = {}
     for p, add in adds.items():
-        key = tuple((add.get("partitionValues") or {}).get(c) for c in part_cols)
+        # under name mapping the LOG's partitionValues keys are physical
+        key = tuple(
+            (add.get("partitionValues") or {}).get(phys_of.get(c, c))
+            for c in part_cols
+        )
         by_vals.setdefault(key, []).append(
             os.path.join(path, urllib.parse.unquote(p))
         )
@@ -176,7 +219,7 @@ def read_delta_snapshot(
     )
     parts = []
     for key, fs in sorted(by_vals.items()):
-        df = spark.read.schema(data_schema).parquet(*fs)
+        df = scan(fs, data_schema)
         for c, raw in zip(part_cols, key):
             typ = schema[c].dataType
             df = df.withColumn(

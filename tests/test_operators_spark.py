@@ -3102,3 +3102,73 @@ def test_topk_sketch_mergeable_and_accurate(spark, sf_dir):
         .orderBy(F.desc("count"), F.asc("event_type")).limit(3).collect()
     got = {r.item: r["count"] for r in merged}
     assert {r.event_type: r["count"] for r in exact} == got
+
+
+def test_delta_column_mapping_name_mode(spark, tmp_path):
+    """Name-mode column mapping: parquet files carry physical names
+    (col-xyz), the log schema maps them to logical names — the reader
+    must return logical columns with log types, unpartitioned AND
+    partitioned; id-mode still errors."""
+    import glob as _glob
+    import json as _json
+    import shutil as _shutil
+
+    from prql_query_spark.engine.deltalog import (
+        DeltaProtocolError, read_delta_snapshot,
+    )
+
+    def meta_for(schema_fields, part_cols, mode="name"):
+        return {"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": schema_fields}),
+            "partitionColumns": part_cols,
+            "configuration": {"delta.columnMapping.mode": mode}}}
+
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-bbb"}},
+    ]
+    proto = {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5,
+                          "readerFeatures": ["columnMapping"]}}
+
+    # unpartitioned
+    d = tmp_path / "cm"
+    (d / "_delta_log").mkdir(parents=True)
+    spark.createDataFrame([(1, "a"), (2, "b")],
+                          "`col-aaa` long, `col-bbb` string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "st" / "f"))
+    src = _glob.glob(str(tmp_path / "st" / "f" / "part-*.parquet"))[0]
+    _shutil.copy(src, str(d / "f.parquet"))
+    _write_delta_commit(str(d / "_delta_log"), 0, [
+        proto, meta_for(fields, []),
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}])
+    out = read_delta_snapshot(spark, str(d))
+    assert out.columns == ["id", "v"]
+    assert sorted((r.id, r.v) for r in out.collect()) == [(1, "a"), (2, "b")]
+
+    # partitioned on v (physical col-bbb): data files hold only col-aaa
+    d2 = tmp_path / "cmp"
+    (d2 / "_delta_log").mkdir(parents=True)
+    spark.createDataFrame([(5,)], "`col-aaa` long").coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp_path / "st" / "g"))
+    src = _glob.glob(str(tmp_path / "st" / "g" / "part-*.parquet"))[0]
+    _shutil.copy(src, str(d2 / "g.parquet"))
+    _write_delta_commit(str(d2 / "_delta_log"), 0, [
+        proto, meta_for(fields, ["v"]),
+        {"add": {"path": "g.parquet", "partitionValues": {"col-bbb": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}}])
+    out2 = read_delta_snapshot(spark, str(d2))
+    assert sorted((r.id, r.v) for r in out2.collect()) == [(5, "x")]
+
+    # id-mode refuses
+    d3 = tmp_path / "cmid"
+    (d3 / "_delta_log").mkdir(parents=True)
+    _write_delta_commit(str(d3 / "_delta_log"), 0, [
+        proto, meta_for(fields, [], mode="id")])
+    with pytest.raises(DeltaProtocolError, match="mode=id"):
+        read_delta_snapshot(spark, str(d3))
