@@ -411,60 +411,102 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     return files.select("content").mapInPandas(decode_files, spark_schema)
 
 
-def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
-    """Small-sink Avro writer (collects to the driver — CLI single-file
-    parity, not the 100 TB path; deploy spark-avro for that)."""
-    import datetime
+def _avro_type_of(t: DataType, nullable: bool):
+    base: object
+    if isinstance(t, BooleanType):
+        base = "boolean"
+    elif isinstance(t, IntegerType):
+        base = "int"
+    elif isinstance(t, LongType):
+        base = "long"
+    elif isinstance(t, FloatType):
+        base = "float"
+    elif isinstance(t, DoubleType):
+        base = "double"
+    elif isinstance(t, StringType):
+        base = "string"
+    elif isinstance(t, BinaryType):
+        base = "bytes"
+    elif isinstance(t, DateType):
+        base = {"type": "int", "logicalType": "date"}
+    elif isinstance(t, TimestampType):
+        base = {"type": "long", "logicalType": "timestamp-micros"}
+    elif isinstance(t, ArrayType):
+        base = {"type": "array",
+                "items": _avro_type_of(t.elementType, t.containsNull)}
+    else:
+        raise AvroError(f"avro writer cannot map spark type {t}")
+    return ["null", base] if nullable else base
 
-    def avro_type(t: DataType, nullable: bool):
-        base: object
-        if isinstance(t, BooleanType):
-            base = "boolean"
-        elif isinstance(t, IntegerType):
-            base = "int"
-        elif isinstance(t, LongType):
-            base = "long"
-        elif isinstance(t, FloatType):
-            base = "float"
-        elif isinstance(t, DoubleType):
-            base = "double"
-        elif isinstance(t, StringType):
-            base = "string"
-        elif isinstance(t, BinaryType):
-            base = "bytes"
-        elif isinstance(t, DateType):
-            base = {"type": "int", "logicalType": "date"}
-        elif isinstance(t, TimestampType):
-            base = {"type": "long", "logicalType": "timestamp-micros"}
-        elif isinstance(t, ArrayType):
-            base = {"type": "array",
-                    "items": avro_type(t.elementType, t.containsNull)}
-        else:
-            raise AvroError(f"write_avro cannot map spark type {t}")
-        return ["null", base] if nullable else base
 
-    schema = {
+def _df_avro_schema(df: DataFrame) -> dict:
+    return {
         "type": "record", "name": "row",
         "fields": [
-            {"name": f.name, "type": avro_type(f.dataType, f.nullable)}
+            {"name": f.name, "type": _avro_type_of(f.dataType, f.nullable)}
             for f in df.schema.fields
         ],
     }
-    epoch_d = datetime.date(1970, 1, 1)
-    epoch_ts = datetime.datetime(1970, 1, 1)
 
-    def plain(v):
-        if isinstance(v, datetime.datetime):
-            return int((v.replace(tzinfo=None) - epoch_ts).total_seconds()
-                       * 1_000_000)
-        if isinstance(v, datetime.date):
-            return (v - epoch_d).days
-        if isinstance(v, list):
-            return [plain(x) for x in v]
-        return v
 
+def _plain_value(v):
+    """Spark/pandas cell -> avro-encodable plain python (epoch logicals)."""
+    import datetime
+
+    import numpy as _np
+
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    if isinstance(v, _np.generic):
+        v = v.item()
+    if isinstance(v, datetime.datetime):
+        return int((v.replace(tzinfo=None)
+                    - datetime.datetime(1970, 1, 1)).total_seconds()
+                   * 1_000_000)
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if isinstance(v, (list, tuple, _np.ndarray)):
+        return [_plain_value(x) for x in v]
+    return v
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
+    """Small-sink Avro writer (collects to the driver — CLI single-file
+    parity; use `write_avro_distributed` for the parallel directory
+    layout)."""
+    schema = _df_avro_schema(df)
     records = [
-        {k: plain(v) for k, v in row.asDict().items()} for row in df.collect()
+        {k: _plain_value(v) for k, v in row.asDict().items()}
+        for row in df.collect()
     ]
     with open(path, "wb") as fh:
         fh.write(encode_container(schema, records, codec=codec))
+
+
+def write_avro_distributed(df: DataFrame, path: str,
+                           codec: str = "deflate") -> None:
+    """Directory-of-part-files Avro sink, executors writing in parallel
+    (one container file per partition via mapInPandas) — the scale twin
+    of the single-file `write_avro`, mirroring how the jar's writer lays
+    out output.  Readable back by `read_avro`'s directory scan."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    schema = _df_avro_schema(df)
+    fields = [f.name for f in df.schema.fields]
+
+    def write_parts(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        records = []
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                records.append({k: _plain_value(row[k]) for k in fields})
+        if records:
+            with open(os.path.join(path, f"part-{pid:05d}.avro"), "wb") as fh:
+                fh.write(encode_container(schema, records, codec=codec))
+        yield pd.DataFrame({"n": [len(records)]})
+
+    df.mapInPandas(write_parts, "n long").agg({"n": "sum"}).collect()

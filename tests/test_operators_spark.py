@@ -3172,3 +3172,20 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
         proto, meta_for(fields, [], mode="id")])
     with pytest.raises(DeltaProtocolError, match="mode=id"):
         read_delta_snapshot(spark, str(d3))
+
+
+def test_write_avro_distributed_roundtrip(spark, sf_dir, tmp_path):
+    """Executors write parallel Avro part-files; the directory scans
+    back to exactly the source rows."""
+    from prql_query_spark.engine.avro import read_avro, write_avro_distributed
+
+    src = spark.read.parquet(f"{sf_dir}/region.parquet") \
+        .select("r_regionkey", "r_name").repartition(3)
+    d = str(tmp_path / "avro_dir")
+    write_avro_distributed(src, d)
+    import glob
+
+    assert len(glob.glob(f"{d}/part-*.avro")) >= 2
+    back = read_avro(spark, d)
+    assert sorted((r.r_regionkey, r.r_name) for r in back.collect()) == \
+        sorted((r.r_regionkey, r.r_name) for r in src.collect())
