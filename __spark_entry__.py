@@ -4688,3 +4688,36 @@ JOIN med ON med.o_orderpriority = o.o_orderpriority
 JOIN mad ON mad.o_orderpriority = o.o_orderpriority
 GROUP BY 1 ORDER BY 1
 """
+
+
+def _x_chi2_indep(spark, sf_dir):
+    """Is document language independent of source? Chi-square + Cramér's
+    V over the lang x source contingency table."""
+    from prql_query_spark.operators.analytics import chi2_independence
+
+    return chi2_independence(_tbl(spark, sf_dir, "documents"), "lang", "source")
+
+
+EXTENSIONS["x_chi2_indep"] = _x_chi2_indep
+EXTENSION_ORACLES["x_chi2_indep"] = """
+WITH obs AS (
+    SELECT lang AS a, source AS b, COUNT(*) AS o FROM documents GROUP BY 1, 2
+), ra AS (SELECT a, SUM(o) AS ra FROM obs GROUP BY a),
+cb AS (SELECT b, SUM(o) AS cb FROM obs GROUP BY b),
+n AS (SELECT SUM(o) AS n FROM obs),
+grid AS (
+    SELECT ra.a, cb.b, COALESCE(obs.o, 0) AS o,
+           CAST(ra.ra AS DOUBLE) * cb.cb / n.n AS e
+    FROM ra CROSS JOIN cb CROSS JOIN n
+    LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+), cells AS (
+    SELECT a, b, (o - e) * (o - e) / e AS x FROM grid
+)
+SELECT ROUND(SUM(x), 4) AS chi2,
+       CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT) AS dof,
+       ROUND(SQRT(SUM(x) / ((SELECT n FROM n)
+             * LEAST(COUNT(DISTINCT a) - 1, COUNT(DISTINCT b) - 1))), 4)
+           AS cramers_v,
+       CAST((SELECT n FROM n) AS BIGINT) AS n_rows
+FROM cells
+"""

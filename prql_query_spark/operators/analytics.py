@@ -503,3 +503,51 @@ def topk_sketch_merge(
     if keys:
         return sketches.groupBy(*keys).agg(est)
     return sketches.agg(est)
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (plus Cramér's V effect size) — the corpus-audit answering "is
+    language independent of source?", i.e. whether a mix is balanced or
+    a source skews the distribution.
+
+    Expected counts come from the marginals (E = row_total x col_total /
+    N) over the FULL category cross product, zero-observed cells
+    included — dropping them understates the statistic.  One count
+    shuffle; marginals broadcast back; the cross product is
+    |A| x |B| categories, never rows.  Returns (chi2, dof, cramers_v,
+    n_rows)."""
+    obs = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    ra = obs.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cb = obs.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    n = obs.agg(F.sum("_o").alias("_n"))
+    grid = (
+        ra.crossJoin(cb).crossJoin(F.broadcast(n))
+        .join(obs, ["_a", "_b"], "left")
+        .withColumn("_o", F.coalesce("_o", F.lit(0)))
+        .withColumn("_e", F.col("_ra") * F.col("_cb") / F.col("_n"))
+    )
+    cells = grid.withColumn(
+        "_x", (F.col("_o") - F.col("_e")) ** 2 / F.col("_e"))
+    return (
+        cells.agg(
+            F.round(F.sum("_x"), 4).alias("chi2"),
+            ((F.countDistinct("_a") - 1) * (F.countDistinct("_b") - 1))
+            .cast("long").alias("dof"),
+            F.round(
+                F.sqrt(
+                    F.sum("_x")
+                    / (F.first("_n")
+                       * F.least(F.countDistinct("_a") - 1,
+                                 F.countDistinct("_b") - 1))
+                ), 4,
+            ).alias("cramers_v"),
+            F.first("_n").cast("long").alias("n_rows"),
+        )
+    )

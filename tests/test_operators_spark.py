@@ -3189,3 +3189,19 @@ def test_write_avro_distributed_roundtrip(spark, sf_dir, tmp_path):
     back = read_avro(spark, d)
     assert sorted((r.r_regionkey, r.r_name) for r in back.collect()) == \
         sorted((r.r_regionkey, r.r_name) for r in src.collect())
+
+
+def test_chi2_independence_extremes(spark):
+    """Independent columns give chi2 ~ 0; a perfectly dependent pair
+    gives Cramér's V = 1."""
+    from prql_query_spark.operators.analytics import chi2_independence
+
+    indep = [(a, b) for a in "xy" for b in "pq" for _ in range(25)]
+    r1 = chi2_independence(
+        spark.createDataFrame(indep, "a string, b string"), "a", "b").first()
+    assert r1.chi2 == 0.0 and r1.dof == 1 and r1.n_rows == 100
+
+    dep = [("x", "p")] * 50 + [("y", "q")] * 50
+    r2 = chi2_independence(
+        spark.createDataFrame(dep, "a string, b string"), "a", "b").first()
+    assert r2.cramers_v == 1.0 and r2.chi2 == 100.0
