@@ -4721,3 +4721,25 @@ SELECT ROUND(SUM(x), 4) AS chi2,
        CAST((SELECT n FROM n) AS BIGINT) AS n_rows
 FROM cells
 """
+
+
+def _x_dedup_best(spark, sf_dir):
+    """Content dedup keeping the LONGEST copy per duplicate group (the
+    quality-representative policy) rather than the lowest id."""
+    from prql_query_spark.operators.dedup import dedup_keep_best
+
+    docs = _tbl(spark, sf_dir, "documents").withColumn(
+        "_h", F.md5(F.col("text")))
+    out = dedup_keep_best(docs, ["_h"], "n_chars", "doc_id")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+EXTENSIONS["x_dedup_best"] = _x_dedup_best
+EXTENSION_ORACLES["x_dedup_best"] = """
+SELECT doc_id, lang, source, n_chars FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY md5(text)
+        ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM documents
+) t WHERE rn = 1
+"""

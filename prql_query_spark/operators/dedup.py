@@ -72,6 +72,27 @@ def dedup_exact(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    keys: list[str],
+    quality_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact dedup that keeps the BEST representative per duplicate
+    group (highest ``quality_col``, id as tiebreak) instead of the
+    first-by-id — what production pipelines actually want: when the same
+    content appears with and without truncation/boilerplate, keep the
+    higher-quality copy.  Same single-shuffle window shape as
+    `dedup_exact`."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_pq_rn", F.row_number().over(w))
+        .filter(F.col("_pq_rn") == 1)
+        .drop("_pq_rn")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
