@@ -1561,9 +1561,9 @@ DRIVER_ORDER = [
     "x_contamination", "x_cosine_ivf", "x_pq_topk", "x_cube_agg",
     "x_dedup_report",
     "x_dup_ngrams",
-    "x_embed_neardup", "x_equidepth",
+    "x_embed_neardup",
     "x_fingerprint_groups", "x_funnel",
-    "x_fuzzy_match", "x_group_trend", "x_impute_mean",
+    "x_fuzzy_match", "x_group_trend",
     "x_incremental_dedup", "x_json_props", "x_kmeans",
     "x_multimodal_features",
     "x_multimodal_pixels", "x_normalize_text",
@@ -1572,10 +1572,12 @@ DRIVER_ORDER = [
     # — round-3 NEW operator families built this round (web curation,
     # C4 rule pack, backoff LM, per-domain caps) take audit priority —
     "x_url_canon", "x_domain_cap", "x_c4_audit", "x_bigram_backoff",
-    "x_oov_rate", "x_embed_covariance",
+    "x_oov_rate", "x_embed_covariance", "x_chi2_indep", "x_mad_outliers",
     # Displaced to rounds 4+ (each family still has an in-window row):
     # x_dup_tokens (x_dup_ngrams covers repetition), x_events_tumbling
-    # (x_events_sessions driver-audited in r2),
+    # (x_events_sessions driver-audited in r2), x_equidepth (x_psi_drift
+    # covers distribution profiling), x_impute_mean (x_constraint_audit
+    # covers the quality family),
     # x_retention_cohort, x_bigram_top (x_dup_ngrams/x_pmi_top cover
     # n-grams), x_embed_centroid (x_cosine_ivf/x_pq_topk/x_embed_neardup
     # cover embeddings), x_histogram (x_equidepth/x_psi_drift cover
