@@ -4745,3 +4745,31 @@ SELECT doc_id, lang, source, n_chars FROM (
     FROM documents
 ) t WHERE rn = 1
 """
+
+
+def _x_benford(spark, sf_dir):
+    """First-digit Benford screen over order totals (organic multi-scale
+    money amounts are the canonical Benford-conformant column)."""
+    from prql_query_spark.operators.quality import benford_audit
+
+    return benford_audit(_tbl(spark, sf_dir, "orders"), "o_totalprice")
+
+
+EXTENSIONS["x_benford"] = _x_benford
+EXTENSION_ORACLES["x_benford"] = """
+WITH d AS (
+    SELECT CAST(regexp_extract(CAST(CAST(abs(o_totalprice) AS DOUBLE) AS VARCHAR),
+                '[1-9]') AS INT) AS digit
+    FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
+), base AS (
+    SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+), tot AS (SELECT SUM(n) AS t FROM base)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / tot.t, 4) AS share,
+       ROUND(log10(1.0 + 1.0 / digit), 4) AS benford,
+       ROUND((n - log10(1.0 + 1.0 / digit) * tot.t)
+             * (n - log10(1.0 + 1.0 / digit) * tot.t)
+             / (log10(1.0 + 1.0 / digit) * tot.t), 4) AS chi2_part
+FROM base CROSS JOIN tot
+ORDER BY digit
+"""

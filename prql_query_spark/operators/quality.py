@@ -218,3 +218,49 @@ def mad_outliers(
         "is_outlier",
         F.abs(F.col(value_col) - F.col("group_median")) > thresh,
     )
+
+
+BENFORD_P = [0.0] + [__import__("math").log10(1 + 1 / d) for d in range(1, 10)]
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-or-corrupted-numbers screen for financial/metric
+    columns (organic multi-scale magnitudes follow log10(1+1/d); flat or
+    spiky digit histograms flag generated data, unit bugs, or truncated
+    extracts).
+
+    Returns one row per digit 1-9: observed count, observed share,
+    Benford expectation, and the per-digit chi-square contribution
+    (sum it for the test statistic).  One narrow projection + one
+    9-group aggregate; zero-and-null values are excluded (they have no
+    leading significant digit)."""
+    # first nonzero digit of the decimal string form — rounding-free,
+    # and scientific notation ("1.23E-5") still leads with the mantissa
+    # digit, so the same expression covers every magnitude
+    digit = F.regexp_extract(
+        F.abs(F.col(value_col)).cast("double").cast("string"), "[1-9]", 0
+    ).cast("int")
+    base = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = base.agg(F.sum("n").alias("_t"))
+    exp = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_P[1:]]), F.col("digit"))
+    return (
+        base.crossJoin(F.broadcast(total))
+        .select(
+            "digit", "n",
+            F.round(F.col("n") / F.col("_t"), 4).alias("share"),
+            F.round(exp, 4).alias("benford"),
+            F.round(
+                (F.col("n") - exp * F.col("_t")) ** 2 / (exp * F.col("_t")), 4
+            ).alias("chi2_part"),
+        )
+        .orderBy("digit")
+    )

@@ -3205,3 +3205,25 @@ def test_chi2_independence_extremes(spark):
     r2 = chi2_independence(
         spark.createDataFrame(dep, "a string, b string"), "a", "b").first()
     assert r2.cramers_v == 1.0 and r2.chi2 == 100.0
+
+
+def test_benford_audit_known_digits(spark):
+    """Digit extraction survives every magnitude (ints, decimals,
+    sub-1 values that stringify scientifically) and a crafted
+    Benford-perfect sample yields near-zero chi-square parts."""
+    from prql_query_spark.operators.quality import BENFORD_P, benford_audit
+
+    vals = [123.0, 0.00456, 7e9, -0.91, 2.5, 10.0, 0.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r.digit: r.n for r in benford_audit(df, "v").collect()}
+    assert out == {1: 2, 2: 1, 4: 1, 7: 1, 9: 1}
+
+    rows = []
+    i = 0
+    for d in range(1, 10):
+        for _ in range(round(BENFORD_P[d] * 1000)):
+            rows.append((float(d) * 10 + (i % 10), ))
+            i += 1
+    bdf = spark.createDataFrame(rows, "v double")
+    parts = [r.chi2_part for r in benford_audit(bdf, "v").collect()]
+    assert sum(parts) < 1.0
