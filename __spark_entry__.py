@@ -4773,3 +4773,21 @@ SELECT digit, n,
 FROM base CROSS JOIN tot
 ORDER BY digit
 """
+
+
+def _x_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of lineitem numerics, one pass."""
+    from prql_query_spark.operators.profile import corr_matrix
+
+    return corr_matrix(
+        _tbl(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+EXTENSIONS["x_corr_matrix"] = _x_corr_matrix
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+EXTENSION_ORACLES["x_corr_matrix"] = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+    f"ROUND(corr({a}, {b}), 4) AS corr FROM lineitem"
+    for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i:]
+)

@@ -76,3 +76,27 @@ SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
        {mn} AS min_val, {mx} AS max_val, {av} AS avg_val
 FROM {table}""")
     return " UNION ALL ".join(blocks) + " ORDER BY col_name"
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations in long format (col_a, col_b, corr,
+    upper triangle incl. diagonal) — the multicollinearity/feature-audit
+    companion to `profile_table`.  ONE aggregate computes every pair
+    (n*(n+1)/2 corr expressions over a single scan), then a literal
+    explode to long — no per-pair jobs, no driver loop over data."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    agg = df.agg(*[
+        F.round(F.corr(F.col(a), F.col(b)), 4).alias(f"_c_{i}")
+        for i, (a, b) in enumerate(pairs)
+    ])
+    rows = F.array(*[
+        F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            F.col(f"_c_{i}").alias("corr"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ])
+    return (
+        agg.select(F.explode(rows).alias("_r"))
+        .select("_r.col_a", "_r.col_b", "_r.corr")
+    )
