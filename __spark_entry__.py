@@ -4791,3 +4791,50 @@ EXTENSION_ORACLES["x_corr_matrix"] = "\nUNION ALL\n".join(
     f"ROUND(corr({a}, {b}), 4) AS corr FROM lineitem"
     for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i:]
 )
+
+
+def _x_bootstrap_ci(spark, sf_dir):
+    """Per-event-type deterministic Poisson-bootstrap CI for mean value."""
+    from prql_query_spark.operators.analytics import bootstrap_ci
+
+    return bootstrap_ci(
+        _tbl(spark, sf_dir, "events"), "value", "event_type", "event_id")
+
+
+EXTENSIONS["x_bootstrap_ci"] = _x_bootstrap_ci
+
+
+def _bootstrap_oracle() -> str:
+    from prql_query_spark.operators.analytics import _POIS_CUM
+    from prql_query_spark.operators.sampling import hash_bucket_sql
+
+    u = hash_bucket_sql("concat(CAST(event_id AS VARCHAR), '|', "
+                        "CAST(r.b AS VARCHAR))")
+    return f"""
+WITH reps AS (
+    SELECT e.event_type, e.value,
+           CASE WHEN {u} < {_POIS_CUM[0]} THEN 0
+                WHEN {u} < {_POIS_CUM[1]} THEN 1
+                WHEN {u} < {_POIS_CUM[2]} THEN 2
+                WHEN {u} < {_POIS_CUM[3]} THEN 3
+                ELSE 4 END AS m,
+           r.b
+    FROM events e, range(32) r(b)
+), rep_means AS (
+    SELECT event_type, b, SUM(value * m) / SUM(m) AS mean_b
+    FROM reps GROUP BY 1, 2
+), ci AS (
+    SELECT event_type,
+           ROUND(quantile_cont(mean_b, 0.05), 4) AS ci_lo,
+           ROUND(quantile_cont(mean_b, 0.95), 4) AS ci_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_boot
+    FROM rep_means GROUP BY 1
+)
+SELECT e.event_type, ROUND(AVG(e.value), 4) AS mean, ci.ci_lo, ci.ci_hi,
+       MIN(ci.n_boot) AS n_boot
+FROM events e JOIN ci ON ci.event_type = e.event_type
+GROUP BY e.event_type, ci.ci_lo, ci.ci_hi
+"""
+
+
+EXTENSION_ORACLES["x_bootstrap_ci"] = _bootstrap_oracle()

@@ -551,3 +551,63 @@ def chi2_independence(
             F.first("_n").cast("long").alias("n_rows"),
         )
     )
+
+
+# Poisson(1) pmf cumulative thresholds scaled to the md5 bucket space —
+# multiplicities 0..4 cover 99.6% of the mass; the tail folds into 4.
+_POIS_CUM = [3679, 7358, 9197, 9810, 10_000]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    id_col: str,
+    n_boot: int = 32,
+    alpha: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean via the
+    DETERMINISTIC Poisson bootstrap — the bootstrap that distributes: no
+    resample pass ever materializes an n-row sample; each row instead
+    carries a Poisson(1) multiplicity per replicate, derived from
+    md5(id, replicate) so the same rows produce the same interval on any
+    cluster, any partitioning, any rerun.
+
+    Returns (group, mean, ci_lo, ci_hi, n_boot) with the interval from
+    the alpha/2 and 1-alpha/2 percentiles of the replicate means.  Plan:
+    one explode x n_boot (the entire bootstrap cost, amortized across
+    replicates in a single shuffle on (group, replicate)), a tiny
+    (groups x n_boot) percentile aggregate, and a broadcast join of the
+    point estimate."""
+    from prql_query_spark.operators.sampling import hash_bucket
+
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_b")
+    key = F.concat(F.col(id_col).cast("string"), F.lit("|"),
+                   F.col("_b").cast("string"))
+    u = hash_bucket(key, seed)
+    m = (
+        F.when(u < _POIS_CUM[0], 0)
+        .when(u < _POIS_CUM[1], 1)
+        .when(u < _POIS_CUM[2], 2)
+        .when(u < _POIS_CUM[3], 3)
+        .otherwise(4)
+    )
+    rep_means = (
+        df.select(F.col(by), F.col(id_col), F.col(value_col), b)
+        .withColumn("_m", m)
+        .groupBy(by, "_b")
+        .agg(
+            (F.sum(F.col(value_col) * F.col("_m")) / F.sum("_m"))
+            .alias("_mean_b")
+        )
+    )
+    ci = rep_means.groupBy(by).agg(
+        F.round(F.expr(f"percentile(_mean_b, {alpha / 2})"), 4).alias("ci_lo"),
+        F.round(F.expr(f"percentile(_mean_b, {1 - alpha / 2})"), 4)
+        .alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_boot"),
+    )
+    point = df.groupBy(by).agg(F.round(F.avg(value_col), 4).alias("mean"))
+    return point.join(F.broadcast(ci), by).select(
+        by, "mean", "ci_lo", "ci_hi", "n_boot")

@@ -3227,3 +3227,21 @@ def test_benford_audit_known_digits(spark):
     bdf = spark.createDataFrame(rows, "v double")
     parts = [r.chi2_part for r in benford_audit(bdf, "v").collect()]
     assert sum(parts) < 1.0
+
+
+def test_bootstrap_ci_covers_and_deterministic(spark):
+    """The interval brackets the true mean on a well-behaved sample, is
+    identical across reruns AND across repartitionings (the whole point
+    of hash-derived multiplicities), and narrows with sample size."""
+    from prql_query_spark.operators.analytics import bootstrap_ci
+
+    rows = [(i, "g", 50.0 + (i % 21) - 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    r1 = bootstrap_ci(df, "v", "g", "id").first()
+    r2 = bootstrap_ci(df.repartition(7), "v", "g", "id").first()
+    assert (r1.ci_lo, r1.ci_hi) == (r2.ci_lo, r2.ci_hi)
+    assert r1.ci_lo <= r1.mean <= r1.ci_hi
+    assert r1.ci_lo <= 50.0 <= r1.ci_hi
+
+    small = bootstrap_ci(df.filter(F.col("id") < 40), "v", "g", "id").first()
+    assert (small.ci_hi - small.ci_lo) > (r1.ci_hi - r1.ci_lo)
