@@ -76,7 +76,7 @@ take 10
     # when it is new coverage.  (DuckDB head-to-head for these:
     # BASELINE.md §4.3 — the all-pairs oracle twin times out at 10 min.)
     heavy_names = ["x_minhash_dedup_cc", "x_embed_neardup_lsh",
-                   "x_dup_substrings"]
+                   "x_dup_substrings", "x_curate_pipeline"]
 
     # x_minhash_pairs here measures the LSH CANDIDATE op (signatures ->
     # bands -> bucket pairs), the same computation BENCH_r01 recorded —
@@ -108,9 +108,27 @@ take 10
         emb = load_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
         return embedding_neardup(emb, threshold=0.4, exact=False)
 
+    # x_curate_pipeline: the composed end-to-end curation showcase
+    # (gate -> exact dedup -> minhash cc dedup -> decontaminate -> PII
+    # scrub) — wall time INCLUDES the per-stage manifest counts, which
+    # is how the pipeline is actually run.
+    def _curate_pipeline(spark, sf_dir):
+        from prql_query_spark.engine.sources import load_parquet
+        from prql_query_spark.pipelines import curate_corpus
+
+        docs = load_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+        bench_docs = docs.filter(F.col("doc_id") % 13 == 0) \
+            .select("doc_id", "text")
+        out, _manifest = curate_corpus(
+            docs, benchmark=bench_docs,
+            gopher_overrides={"max_dup_frac": 1.0, "min_words": 20},
+        )
+        return out.select("doc_id", "clean_text")
+
     bench_overrides = {
         "x_minhash_pairs": _minhash_candidates,
         "x_embed_neardup_lsh": _embed_neardup_lsh,
+        "x_curate_pipeline": _curate_pipeline,
     }
 
     results: dict[str, float] = {}

@@ -1,0 +1,88 @@
+"""End-to-end corpus curation: the whole training-data pipeline as one
+call, with the per-stage accounting a data team actually reviews.
+
+Every stage is one of the individually value-checked operators (each has
+its own DuckDB-oracled queries() entry); this module is the composition
+— gate -> exact dedup -> near dedup -> decontaminate -> scrub — plus a
+manifest of (stage, docs_in, docs_out, dropped) so a mix change is
+explainable row by row.  Intermediates are cached once and unpersisted:
+per-stage counts are actions, and at 100 TB you would checkpoint
+between stages regardless (the manifest IS the reason to).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+    minhash_threshold: float = 0.8,
+    gopher_overrides: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (curated DataFrame with `clean_text`, manifest DataFrame).
+
+    Stages: (1) Gopher rule gate with per-rule accounting;
+    (2) exact content dedup keeping the highest-``quality_col`` copy;
+    (3) MinHash near-dedup, connected-component representatives;
+    (4) n-gram decontamination against ``benchmark`` (skipped when None);
+    (5) PII scrub into `clean_text`.
+    """
+    from prql_query_spark.operators.dedup import (
+        dedup_keep_best, minhash_dedup_cc,
+    )
+    from prql_query_spark.operators.text import (
+        contamination, gopher_audit, scrub_pii,
+    )
+
+    spark = docs.sparkSession
+    stages: list[tuple[str, int, int]] = []
+
+    cur = docs.cache()
+    n0 = cur.count()
+
+    gated = gopher_audit(cur, text_col, **(gopher_overrides or {})) \
+        .filter(F.col("keep")) \
+        .select(*docs.columns).cache()
+    n1 = gated.count()
+    stages.append(("gopher_gate", n0, n1))
+
+    exact = dedup_keep_best(
+        gated.withColumn("_h", F.md5(F.col(text_col))),
+        ["_h"], quality_col, id_col,
+    ).drop("_h").cache()
+    n2 = exact.count()
+    stages.append(("exact_dedup_keep_best", n1, n2))
+
+    near = minhash_dedup_cc(
+        exact, id_col=id_col, text_col=text_col,
+        threshold=minhash_threshold,
+    ).cache()
+    n3 = near.count()
+    stages.append(("minhash_dedup_cc", n2, n3))
+
+    if benchmark is not None:
+        hits = contamination(near, benchmark, id_col=id_col,
+                             text_col=text_col)
+        clean = near.join(
+            hits.filter(F.col("n_hits") > 0).select(id_col),
+            id_col, "left_anti").cache()
+        n4 = clean.count()
+        stages.append(("decontaminate", n3, n4))
+    else:
+        clean = near
+
+    out = clean.withColumn("clean_text", scrub_pii(F.col(text_col)))
+
+    manifest = spark.createDataFrame(
+        [(i, s, i_n, o_n, i_n - o_n) for i, (s, i_n, o_n) in enumerate(stages)],
+        "stage_idx int, stage string, docs_in long, docs_out long, dropped long",
+    )
+    for df in (cur, gated, exact, near):
+        df.unpersist()
+    return out, manifest

@@ -3245,3 +3245,36 @@ def test_bootstrap_ci_covers_and_deterministic(spark):
 
     small = bootstrap_ci(df.filter(F.col("id") < 40), "v", "g", "id").first()
     assert (small.ci_hi - small.ci_lo) > (r1.ci_hi - r1.ci_lo)
+
+
+def test_curate_corpus_pipeline_manifest(spark, sf_dir):
+    """The composed curation pipeline: monotone non-increasing stage
+    counts that reconcile exactly (docs_out == next docs_in, dropped
+    sums to n_in - n_out), output ids are a subset of input ids, PII
+    scrub applied, and a synthetic benchmark doc is decontaminated
+    away."""
+    from prql_query_spark.pipelines import curate_corpus
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    benchmark = docs.filter(F.col("doc_id") % 13 == 0) \
+        .select("doc_id", "text")
+    out, manifest = curate_corpus(
+        docs, benchmark=benchmark,
+        gopher_overrides={"max_dup_frac": 1.0, "min_words": 20},
+    )
+    rows = sorted(manifest.collect(), key=lambda r: r.stage_idx)
+    assert [r.stage for r in rows] == [
+        "gopher_gate", "exact_dedup_keep_best", "minhash_dedup_cc",
+        "decontaminate"]
+    for a, b in zip(rows, rows[1:]):
+        assert a.docs_out == b.docs_in
+    assert all(r.dropped == r.docs_in - r.docs_out >= 0 for r in rows)
+
+    kept = out.select("doc_id", "clean_text").collect()
+    assert 0 < len(kept) == rows[-1].docs_out
+    in_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert {r.doc_id for r in kept} <= in_ids
+    # benchmark docs (present verbatim in the corpus) must be gone
+    bench_ids = {r.doc_id for r in
+                 docs.filter(F.col("doc_id") % 13 == 0).collect()}
+    assert not ({r.doc_id for r in kept} & bench_ids)
