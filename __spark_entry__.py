@@ -4838,3 +4838,31 @@ GROUP BY e.event_type, ci.ci_lo, ci.ci_hi
 
 
 EXTENSION_ORACLES["x_bootstrap_ci"] = _bootstrap_oracle()
+
+
+def _x_vocab_jaccard(spark, sf_dir):
+    """Source-pair vocabulary overlap matrix."""
+    from prql_query_spark.operators.text import vocab_jaccard_matrix
+
+    return vocab_jaccard_matrix(
+        _tbl(spark, sf_dir, "documents").filter(
+            F.col("source").isin("src0", "src1", "src2", "src3")))
+
+
+EXTENSIONS["x_vocab_jaccard"] = _x_vocab_jaccard
+EXTENSION_ORACLES["x_vocab_jaccard"] = """
+WITH vocab AS (
+    SELECT DISTINCT source AS g,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+    FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+), sizes AS (SELECT g, COUNT(*) AS n FROM vocab GROUP BY g),
+inter AS (
+    SELECT l.g AS a, r.g AS b, COUNT(*) AS n_common
+    FROM vocab l JOIN vocab r ON l.t = r.t AND l.g < r.g
+    GROUP BY 1, 2
+)
+SELECT a, b, n_common,
+       sa.n + sb.n - n_common AS n_union,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.g = a JOIN sizes sb ON sb.g = b
+"""

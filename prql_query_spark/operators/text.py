@@ -765,6 +765,51 @@ def vocab_coverage(
     )
 
 
+def vocab_jaccard_matrix(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus partitions (sources,
+    languages, snapshots): how much word-level overlap two slices share
+    — the quick corpus-comparison matrix behind "is this new crawl
+    actually new?".
+
+    Returns (a, b, n_common, n_union, jaccard) for a < b.  One distinct
+    (slice, token) aggregate; the intersection is a token-keyed
+    self-join of slice vocabularies (AQE splits head tokens), sizes ride
+    in from a tiny per-slice count join."""
+    vocab = (
+        df.select(F.col(by).alias("_g"),
+                  F.explode(tokens(F.col(text_col))).alias("_t"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        vocab.alias("l")
+        .join(vocab.alias("r"), "_t")
+        .filter(F.col("l._g") < F.col("r._g"))
+        .groupBy(F.col("l._g").alias("a"), F.col("r._g").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter
+        .join(F.broadcast(sizes.withColumnRenamed("_g", "a")
+                          .withColumnRenamed("_n", "_na")), "a")
+        .join(F.broadcast(sizes.withColumnRenamed("_g", "b")
+                          .withColumnRenamed("_n", "_nb")), "b")
+        .select(
+            "a", "b", "n_common",
+            (F.col("_na") + F.col("_nb") - F.col("n_common"))
+            .alias("n_union"),
+            F.round(
+                F.col("n_common")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")), 4,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",
