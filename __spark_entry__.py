@@ -4866,3 +4866,29 @@ SELECT a, b, n_common,
        ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
 FROM inter JOIN sizes sa ON sa.g = a JOIN sizes sb ON sb.g = b
 """
+
+
+def _x_gini_mix(spark, sf_dir):
+    """Gini concentration of document characters across sources — the
+    one-number mix-balance dashboard stat."""
+    from prql_query_spark.operators.analytics import gini_concentration
+
+    return gini_concentration(
+        _tbl(spark, sf_dir, "documents"), "n_chars", "source")
+
+
+EXTENSIONS["x_gini_mix"] = _x_gini_mix
+EXTENSION_ORACLES["x_gini_mix"] = """
+WITH totals AS (
+    SELECT source, SUM(CAST(n_chars AS DOUBLE)) AS w
+    FROM documents GROUP BY source
+), ranked AS (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY w ASC, source ASC) AS i
+    FROM totals
+)
+SELECT ROUND(2.0 * SUM(i * w) / (COUNT(*) * SUM(w))
+             - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       ROUND(SUM(w), 4) AS total_weight
+FROM ranked
+"""

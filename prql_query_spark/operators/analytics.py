@@ -611,3 +611,34 @@ def bootstrap_ci(
     point = df.groupBy(by).agg(F.round(F.avg(value_col), 4).alias("mean"))
     return point.join(F.broadcast(ci), by).select(
         by, "mean", "ci_lo", "ci_hi", "n_boot")
+
+
+def gini_concentration(
+    df: DataFrame,
+    weight_col: str,
+    by: str,
+) -> DataFrame:
+    """Gini coefficient of how ``weight_col`` mass concentrates across
+    ``by`` groups (0 = perfectly even mix, ->1 = one group dominates) —
+    the single-number companion to `skew_report` for corpus-mix
+    dashboards, computed with the exact rank formulation
+    G = (2*sum(i*w_i) / (n*sum(w)) - (n+1)/n) over groups sorted by
+    weight.
+
+    One group aggregate (tiny — one row per group), one ordered window
+    over groups, one scalar aggregate.  Returns (gini, n_groups,
+    total_weight)."""
+    totals = df.groupBy(F.col(by)).agg(
+        F.sum(F.col(weight_col).cast("double")).alias("_w"))
+    w = Window.orderBy(F.col("_w").asc(), F.col(by).asc())
+    ranked = totals.withColumn("_i", F.row_number().over(w))
+    return ranked.agg(
+        F.round(
+            2.0 * F.sum(F.col("_i") * F.col("_w"))
+            / (F.count(F.lit(1)) * F.sum("_w"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            4,
+        ).alias("gini"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.round(F.sum("_w"), 4).alias("total_weight"),
+    )

@@ -3278,3 +3278,18 @@ def test_curate_corpus_pipeline_manifest(spark, sf_dir):
     bench_ids = {r.doc_id for r in
                  docs.filter(F.col("doc_id") % 13 == 0).collect()}
     assert not ({r.doc_id for r in kept} & bench_ids)
+
+
+def test_gini_concentration_extremes(spark):
+    from prql_query_spark.operators.analytics import gini_concentration
+
+    even = spark.createDataFrame(
+        [(f"g{i}", 10.0) for i in range(10)], "g string, w double")
+    r1 = gini_concentration(even, "w", "g").first()
+    assert r1.gini == 0.0 and r1.n_groups == 10
+
+    skewed = spark.createDataFrame(
+        [("big", 1_000_000.0)] + [(f"g{i}", 1.0) for i in range(9)],
+        "g string, w double")
+    r2 = gini_concentration(skewed, "w", "g").first()
+    assert r2.gini > 0.85
