@@ -4892,3 +4892,46 @@ SELECT ROUND(2.0 * SUM(i * w) / (COUNT(*) * SUM(w))
        ROUND(SUM(w), 4) AS total_weight
 FROM ranked
 """
+
+
+def _x_ks_drift(spark, sf_dir):
+    """KS distance between src0's doc-length distribution and the rest
+    of the corpus — the shape-sensitive drift companion to x_psi_drift."""
+    from prql_query_spark.operators.analytics import ks_test
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return ks_test(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+        "n_chars",
+    )
+
+
+EXTENSIONS["x_ks_drift"] = _x_ks_drift
+EXTENSION_ORACLES["x_ks_drift"] = """
+WITH ca AS (
+    SELECT n_chars AS v, COUNT(*) AS ca FROM documents
+    WHERE source = 'src0' GROUP BY 1
+), cb AS (
+    SELECT n_chars AS v, COUNT(*) AS cb FROM documents
+    WHERE source <> 'src0' GROUP BY 1
+), merged AS (
+    SELECT COALESCE(ca.v, cb.v) AS v,
+           COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+    FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+), tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM merged),
+gaps AS (
+    SELECT v,
+           ABS(CAST(SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / tot.na
+             - CAST(SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / tot.nb) AS gap,
+           tot.na, tot.nb
+    FROM merged CROSS JOIN tot
+)
+SELECT ROUND(gap, 6) AS d_stat, v AS at_value,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+FROM gaps ORDER BY gap DESC, v ASC LIMIT 1
+"""

@@ -642,3 +642,48 @@ def gini_concentration(
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.round(F.sum("_w"), 4).alias("total_weight"),
     )
+
+
+def ks_test(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between numeric
+    distributions: D = max |ECDF_a - ECDF_b|, the nonparametric drift
+    test that catches shape changes PSI's fixed bins smear out.
+
+    Returns (d_stat, at_value, n_a, n_b).  Per-side value counts, one
+    full-outer merge on the value, one ordered window of running sums,
+    one max aggregate — the window runs over DISTINCT values, not rows,
+    so a 10^9-row column with bounded cardinality stays cheap; for
+    continuous uniques consider pre-rounding."""
+    ca = df_a.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_ca"))
+    cb = df_b.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_cb"))
+    merged = ca.join(cb, "_v", "full").select(
+        "_v",
+        F.coalesce("_ca", F.lit(0)).alias("_ca"),
+        F.coalesce("_cb", F.lit(0)).alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    tot = merged.agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
+    gaps = (
+        merged.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_gap",
+            F.abs(
+                F.sum("_ca").over(w) / F.col("_na")
+                - F.sum("_cb").over(w) / F.col("_nb")
+            ),
+        )
+    )
+    best = gaps.orderBy(F.desc("_gap"), F.asc("_v")).limit(1)
+    return best.select(
+        F.round("_gap", 6).alias("d_stat"),
+        F.col("_v").alias("at_value"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+    )

@@ -3293,3 +3293,19 @@ def test_gini_concentration_extremes(spark):
         "g string, w double")
     r2 = gini_concentration(skewed, "w", "g").first()
     assert r2.gini > 0.85
+
+
+def test_ks_test_known_values(spark):
+    """Identical samples give D = 0; disjoint supports give D = 1; a
+    hand-computable half-shift gives exactly 0.5."""
+    from prql_query_spark.operators.analytics import ks_test
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    assert ks_test(a, a, "v").first().d_stat == 0.0
+    b = spark.createDataFrame([(float(i + 100),) for i in range(10)], "v double")
+    assert ks_test(a, b, "v").first().d_stat == 1.0
+    # half the mass shifted past the other sample's support:
+    # A = {0..9}, C = {5..14} -> max gap at v=4.x is 5/10 - 0/10 = 0.5
+    c = spark.createDataFrame([(float(i + 5),) for i in range(10)], "v double")
+    r = ks_test(a, c, "v").first()
+    assert r.d_stat == 0.5 and r.n_a == 10 and r.n_b == 10
