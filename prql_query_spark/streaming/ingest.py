@@ -246,3 +246,88 @@ def stream_to_delta(
         .queryName(queryName)
         .start()
     )
+
+
+def stream_dedup_growing(
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+    checkpoint: str,
+    seed_corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    queryName: str = "pq_stream_dedup_growing",
+    max_files_per_trigger: int | None = 64,
+):
+    """Continuous dedup against a GROWING corpus: each microbatch is
+    (1) self-deduped (in-batch near-duplicate clusters keep one
+    representative), then (2) deduped against everything accepted so
+    far — the optional ``seed_corpus`` plus every earlier batch's
+    survivors — and survivors are appended idempotently.
+
+    This closes `stream_dedup_against_corpus`'s documented caveat: with
+    a static reference set, duplicates ACROSS microbatches are kept;
+    here batch N's accepted docs reject batch N+1's copies.  The result
+    is order-dependent by construction (first-accepted wins — the
+    contract every online dedup has); a replay of the same file order
+    reproduces it exactly, and the `_batch_id` dynamic-overwrite sink
+    keeps replays idempotent.
+
+    Scale note: the accepted-so-far side is re-indexed per batch here
+    (bounded by accepted volume, not ingest volume); at warehouse scale
+    persist `build_minhash_index` output incrementally instead — the
+    probe path is identical."""
+    from prql_query_spark.operators.dedup import (
+        dedup_against_corpus, minhash_dedup_cc)
+
+    schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_path)
+    seed = (
+        seed_corpus.select(id_col, text_col).localCheckpoint()
+        if seed_corpus is not None else None
+    )
+
+    def _accepted_so_far() -> DataFrame | None:
+        import os
+
+        if not os.path.isdir(out_dir) or not any(
+            f.startswith("_batch_id=") for f in os.listdir(out_dir)
+        ):
+            return seed
+        prev = spark.read.parquet(out_dir).select(id_col, text_col)
+        return prev if seed is None else seed.unionByName(prev)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_self = minhash_dedup_cc(
+            batch_df, id_col=id_col, text_col=text_col,
+            threshold=threshold, num_perm=num_perm, bands=bands, k=k,
+        )
+        corpus = _accepted_so_far()
+        survivors = (
+            batch_self if corpus is None else dedup_against_corpus(
+                batch_self, corpus, id_col, text_col, threshold,
+                num_perm, bands, k,
+            )
+        )
+        (
+            survivors.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(queryName)
+        .start()
+    )

