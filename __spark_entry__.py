@@ -4935,3 +4935,43 @@ SELECT ROUND(gap, 6) AS d_stat, v AS at_value,
        CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
 FROM gaps ORDER BY gap DESC, v ASC LIMIT 1
 """
+
+
+def _x_mannwhitney(spark, sf_dir):
+    """Rank-sum comparison: do purchase events carry larger values than
+    click events?"""
+    from prql_query_spark.operators.analytics import mannwhitney_u
+
+    ev = _tbl(spark, sf_dir, "events")
+    return mannwhitney_u(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        "value",
+    )
+
+
+EXTENSIONS["x_mannwhitney"] = _x_mannwhitney
+EXTENSION_ORACLES["x_mannwhitney"] = """
+WITH pooled AS (
+    SELECT value AS v, 1 AS s FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT value AS v, 0 AS s FROM events WHERE event_type = 'click'
+), ranked AS (
+    SELECT s,
+           RANK() OVER (ORDER BY v)
+           + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0 AS r
+    FROM pooled
+), agg AS (
+    SELECT SUM(CASE WHEN s = 1 THEN r END) AS ra,
+           SUM(CASE WHEN s = 0 THEN r END) AS rb,
+           SUM(s) AS na, SUM(1 - s) AS nb
+    FROM ranked
+)
+SELECT ROUND(ra - na * (na + 1) / 2.0, 4) AS u_stat,
+       ROUND(1.0 - 2.0 * (ra - na * (na + 1) / 2.0) / (na * nb), 4)
+           AS rank_biserial,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(ra / na, 4) AS mean_rank_a,
+       ROUND(rb / nb, 4) AS mean_rank_b
+FROM agg
+"""

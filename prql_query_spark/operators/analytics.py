@@ -687,3 +687,46 @@ def ks_test(
         F.col("_na").cast("long").alias("n_a"),
         F.col("_nb").cast("long").alias("n_b"),
     )
+
+
+def mannwhitney_u(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum comparison of two samples: does one
+    distribution stochastically dominate the other?  Median-robust where
+    the t-test is not, and the standard A/B gate for skewed metrics.
+
+    Returns (u_stat, rank_biserial, n_a, n_b, mean_rank_a, mean_rank_b)
+    with midrank tie handling; rank_biserial = 1 - 2U/(n_a n_b) in
+    [-1, 1] (0 = no dominance).  One union, one rank window over pooled
+    DISTINCT-ordered values, two scalar aggregates — ranks are exact
+    halves, so both engines agree bit-for-bit."""
+    pooled = (
+        df_a.select(F.col(value_col).alias("_v"), F.lit(1).alias("_s"))
+        .unionByName(
+            df_b.select(F.col(value_col).alias("_v"), F.lit(0).alias("_s")))
+    )
+    w = Window.orderBy("_v")
+    ranked = pooled.withColumn(
+        "_r",
+        F.rank().over(w)
+        + (F.count(F.lit(1)).over(Window.partitionBy("_v")) - 1) / 2.0,
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("_s") == 1, F.col("_r"))).alias("_ra"),
+        F.sum(F.when(F.col("_s") == 0, F.col("_r"))).alias("_rb"),
+        F.sum("_s").alias("_na"),
+        F.sum(1 - F.col("_s")).alias("_nb"),
+    )
+    u = F.col("_ra") - F.col("_na") * (F.col("_na") + 1) / 2.0
+    return agg.select(
+        F.round(u, 4).alias("u_stat"),
+        F.round(1.0 - 2.0 * u / (F.col("_na") * F.col("_nb")), 4)
+        .alias("rank_biserial"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(F.col("_ra") / F.col("_na"), 4).alias("mean_rank_a"),
+        F.round(F.col("_rb") / F.col("_nb"), 4).alias("mean_rank_b"),
+    )

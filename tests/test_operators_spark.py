@@ -3367,3 +3367,19 @@ def test_stream_dedup_growing_catches_cross_batch_dups(spark, sf_dir, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_mannwhitney_known_values(spark):
+    """Disjoint dominated samples give U = 0 and rank-biserial = 1;
+    identical samples give rank-biserial 0 with U = n^2/2; midrank ties
+    are averaged (scipy-consistent hand computation)."""
+    from prql_query_spark.operators.analytics import mannwhitney_u
+
+    lo = spark.createDataFrame([(float(i),) for i in range(5)], "v double")
+    hi = spark.createDataFrame([(float(i + 10),) for i in range(5)], "v double")
+    r = mannwhitney_u(hi, lo, "v").first()
+    assert r.u_stat == 25.0 and r.rank_biserial == -1.0
+    r2 = mannwhitney_u(lo, hi, "v").first()
+    assert r2.u_stat == 0.0 and r2.rank_biserial == 1.0
+    r3 = mannwhitney_u(lo, lo, "v").first()
+    assert r3.rank_biserial == 0.0 and r3.u_stat == 12.5
