@@ -4975,3 +4975,27 @@ SELECT ROUND(ra - na * (na + 1) / 2.0, 4) AS u_stat,
        ROUND(rb / nb, 4) AS mean_rank_b
 FROM agg
 """
+
+
+def _x_spearman(spark, sf_dir):
+    """Monotonic association between order price and line count proxy —
+    Spearman over lineitem quantity vs extendedprice."""
+    from prql_query_spark.operators.profile import spearman_corr
+
+    return spearman_corr(
+        _tbl(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice")
+
+
+EXTENSIONS["x_spearman"] = _x_spearman
+EXTENSION_ORACLES["x_spearman"] = """
+WITH ranked AS (
+    SELECT RANK() OVER (ORDER BY l_quantity)
+           + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
+           RANK() OVER (ORDER BY l_extendedprice)
+           + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
+    FROM lineitem
+)
+SELECT ROUND(corr(ra, rb), 4) AS spearman,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM ranked
+"""

@@ -10,7 +10,7 @@ plan loses the Expand entirely.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -99,4 +99,26 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return (
         agg.select(F.explode(rows).alias("_r"))
         .select("_r.col_a", "_r.col_b", "_r.corr")
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Spearman rank correlation: Pearson over midranks, the
+    monotonic-association measure that survives outliers and nonlinear
+    scales (where `corr_matrix`'s Pearson reads noise).
+
+    Midranks (rank window + per-value counts, exact halves) for each
+    column, then one corr aggregate.  Returns (spearman, n_rows)."""
+    ra = (F.rank().over(Window.orderBy(col_a))
+          + (F.count(F.lit(1)).over(Window.partitionBy(col_a)) - 1) / 2.0)
+    rb = (F.rank().over(Window.orderBy(col_b))
+          + (F.count(F.lit(1)).over(Window.partitionBy(col_b)) - 1) / 2.0)
+    ranked = df.select(ra.alias("_ra"), rb.alias("_rb"))
+    return ranked.agg(
+        F.round(F.corr("_ra", "_rb"), 4).alias("spearman"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
     )

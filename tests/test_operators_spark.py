@@ -3383,3 +3383,21 @@ def test_mannwhitney_known_values(spark):
     assert r2.u_stat == 0.0 and r2.rank_biserial == 1.0
     r3 = mannwhitney_u(lo, lo, "v").first()
     assert r3.rank_biserial == 0.0 and r3.u_stat == 12.5
+
+
+def test_spearman_monotone_invariance(spark):
+    """Spearman is exactly 1 under any monotone transform (where Pearson
+    degrades), -1 under reversal, and ~0 for designed independence."""
+    from prql_query_spark.operators.profile import spearman_corr
+
+    rows = [(float(i), float(i ** 3)) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    assert spearman_corr(df, "a", "b").first().spearman == 1.0
+    rev = spark.createDataFrame(
+        [(float(i), float((30 - i) ** 3)) for i in range(1, 30)],
+        "a double, b double")
+    assert spearman_corr(rev, "a", "b").first().spearman == -1.0
+    ind = spark.createDataFrame(
+        [(float(i), float((i * 7) % 29)) for i in range(29)],
+        "a double, b double")
+    assert abs(spearman_corr(ind, "a", "b").first().spearman) < 0.3
