@@ -4999,3 +4999,22 @@ SELECT ROUND(corr(ra, rb), 4) AS spearman,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM ranked
 """
+
+
+def _x_autocorrelation(spark, sf_dir):
+    """ACF of hourly event-value totals at lags 1..24."""
+    from prql_query_spark.operators.analytics import autocorrelation
+
+    return autocorrelation(_tbl(spark, sf_dir, "events"))
+
+
+EXTENSIONS["x_autocorrelation"] = _x_autocorrelation
+EXTENSION_ORACLES["x_autocorrelation"] = "\nUNION ALL\n".join(
+    f"""SELECT {i} AS lag, ROUND(corr(total, l), 4) AS acf FROM (
+    SELECT total, LAG(total, {i}) OVER (ORDER BY bucket) AS l FROM (
+        SELECT date_trunc('hour', ts) AS bucket,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                    AS DOUBLE) / 100.0 AS total
+        FROM events GROUP BY 1) h) t{i}"""
+    for i in range(1, 25)
+)

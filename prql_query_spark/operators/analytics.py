@@ -730,3 +730,46 @@ def mannwhitney_u(
         F.round(F.col("_ra") / F.col("_na"), 4).alias("mean_rank_a"),
         F.round(F.col("_rb") / F.col("_nb"), 4).alias("mean_rank_b"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = 24,
+) -> DataFrame:
+    """Autocorrelation function of the hourly total series at lags
+    1..``max_lag`` — the periodicity detector that says WHICH seasonal
+    cycle `seasonal_decompose` should model (a daily cycle spikes at lag
+    24, weekly at 168).
+
+    Hourly totals pre-aggregate in DECIMAL (cent-exact, engine-agreeing);
+    all lags come from ONE ordered window pass (max_lag lag() columns),
+    and all ACF values from ONE aggregate of corr expressions — explode
+    to (lag, acf) long form.  Series length = hours, so everything after
+    the pre-aggregation is tiny."""
+    hourly = (
+        df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
+        .agg(
+            ((F.sum(F.col(value_col).cast("decimal(18,2)")) * 100)
+             .cast("long") / 100.0).alias("total")
+        )
+    )
+    w = Window.orderBy("bucket")
+    lagged = hourly.select(
+        "total",
+        *[F.lag("total", i).over(w).alias(f"_l{i}")
+          for i in range(1, max_lag + 1)],
+    )
+    agg = lagged.agg(*[
+        F.round(F.corr("total", f"_l{i}"), 4).alias(f"_a{i}")
+        for i in range(1, max_lag + 1)
+    ])
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("lag"), F.col(f"_a{i}").alias("acf"))
+        for i in range(1, max_lag + 1)
+    ])
+    return (
+        agg.select(F.explode(rows).alias("_r"))
+        .select(F.col("_r.lag").cast("int").alias("lag"), "_r.acf")
+    )

@@ -3401,3 +3401,24 @@ def test_spearman_monotone_invariance(spark):
         [(float(i), float((i * 7) % 29)) for i in range(29)],
         "a double, b double")
     assert abs(spearman_corr(ind, "a", "b").first().spearman) < 0.3
+
+
+def test_autocorrelation_detects_planted_period(spark):
+    """A planted 12-hour cycle must produce the ACF maximum at lag 12
+    (and its harmonic at 24), with the off-phase lag 6 strongly
+    negative."""
+    import datetime
+    import math
+
+    from prql_query_spark.operators.analytics import autocorrelation
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for h in range(24 * 14):
+        v = 100.0 + 50.0 * math.cos(2 * math.pi * h / 12)
+        rows.append((base + datetime.timedelta(hours=h), round(v, 2)))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    acf = {r.lag: r.acf for r in autocorrelation(df).collect()}
+    assert acf[12] > 0.95 and acf[24] > 0.9
+    assert acf[6] < -0.9
+    assert max(acf, key=lambda k: acf[k]) in (12, 24)
