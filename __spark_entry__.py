@@ -5018,3 +5018,30 @@ EXTENSION_ORACLES["x_autocorrelation"] = "\nUNION ALL\n".join(
         FROM events GROUP BY 1) h) t{i}"""
     for i in range(1, 25)
 )
+
+
+def _x_period_change(spark, sf_dir):
+    """Day-over-day change of hourly event-value totals."""
+    from prql_query_spark.operators.analytics import period_change
+
+    return period_change(_tbl(spark, sf_dir, "events"))
+
+
+EXTENSIONS["x_period_change"] = _x_period_change
+EXTENSION_ORACLES["x_period_change"] = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS bucket,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY 1
+), lagged AS (
+    SELECT bucket, cents,
+           LAG(cents, 24) OVER (ORDER BY bucket) AS prev
+    FROM hourly
+)
+SELECT bucket, cents / 100.0 AS total, prev / 100.0 AS prev_total,
+       (cents - prev) / 100.0 AS abs_change,
+       ROUND(CASE WHEN prev IS NOT NULL AND prev <> 0
+             THEN (cents - prev) / ABS(CAST(prev AS DOUBLE)) END, 6)
+           AS pct_change
+FROM lagged
+"""

@@ -773,3 +773,44 @@ def autocorrelation(
         agg.select(F.explode(rows).alias("_r"))
         .select(F.col("_r.lag").cast("int").alias("lag"), "_r.acf")
     )
+
+
+def period_change(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period_hours: int = 24,
+) -> DataFrame:
+    """Period-over-period change of the hourly total series (lag
+    ``period_hours`` = day-over-day at 24, week-over-week at 168) — the
+    dashboard delta every metrics page leads with, computed cent-exact.
+
+    Returns (bucket, total, prev_total, abs_change, pct_change);
+    pct_change NULL when the prior period is missing or zero.  One
+    pre-aggregation shuffle + one ordered window."""
+    hourly = (
+        df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
+        .agg(
+            ((F.sum(F.col(value_col).cast("decimal(18,2)")) * 100)
+             .cast("long")).alias("_cents")
+        )
+    )
+    w = Window.orderBy("bucket")
+    prev = F.lag("_cents", period_hours).over(w)
+    return (
+        hourly.withColumn("_prev", prev)
+        .select(
+            "bucket",
+            (F.col("_cents") / 100.0).alias("total"),
+            (F.col("_prev") / 100.0).alias("prev_total"),
+            ((F.col("_cents") - F.col("_prev")) / 100.0).alias("abs_change"),
+            F.round(
+                F.when(
+                    F.col("_prev").isNotNull() & (F.col("_prev") != 0),
+                    (F.col("_cents") - F.col("_prev"))
+                    / F.abs(F.col("_prev").cast("double")),
+                ), 6,
+            ).alias("pct_change"),
+        )
+        .orderBy("bucket")
+    )
