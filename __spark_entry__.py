@@ -1374,7 +1374,7 @@ SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
     "x_json_props": """
 SELECT event_type,
        ROUND(AVG(CAST(props->>'$.k' AS INT)), 4) AS avg_k,
-       SUM(CAST(props->>'$.k' AS INT)) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """,
@@ -1439,7 +1439,7 @@ WITH d AS (
           FROM documents)
 )
 SELECT lang, ROUND(AVG(dup_frac), 4) AS avg_dup_frac,
-       SUM(CASE WHEN dup_frac > 0.5 THEN 1 ELSE 0 END) AS n_repetitive
+       CAST(SUM(CASE WHEN dup_frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
 FROM d GROUP BY lang ORDER BY lang
 """,
 }
@@ -1469,7 +1469,7 @@ FROM s GROUP BY split ORDER BY split
 """,
         "x_stratified_sample": f"""
 WITH b AS (SELECT *, {b} AS bucket FROM documents)
-SELECT lang, COUNT(*) AS n, SUM(doc_id) AS id_sum
+SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
 FROM b WHERE bucket < {strata_case}
 GROUP BY lang ORDER BY lang
 """,
@@ -1667,7 +1667,7 @@ WITH tok AS (
     FROM per_doc
 )
 SELECT lang, ROUND(AVG(s), 4) AS avg_sentiment,
-       SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS n_positive
+       CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
 FROM scored GROUP BY lang ORDER BY lang
 """,
     }
@@ -1985,8 +1985,8 @@ WITH d AS (
     FROM documents
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN stripped = norm THEN 1 ELSE 0 END) AS n_ok,
-       SUM(len_w - len(stripped)) AS chars_removed
+       CAST(SUM(CASE WHEN stripped = norm THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(SUM(len_w - len(stripped)) AS BIGINT) AS chars_removed
 FROM d GROUP BY source ORDER BY source
 """,
 })
@@ -2180,7 +2180,7 @@ def _x_constraint_audit(spark, sf_dir):
 
 def _constraint_audit_oracle() -> str:
     v_cols = ", ".join(
-        f"SUM(CASE WHEN ({expr}) IS NULL OR NOT ({expr}) THEN 1 ELSE 0 END) AS v{i}"
+        f"CAST(SUM(CASE WHEN ({expr}) IS NULL OR NOT ({expr}) THEN 1 ELSE 0 END) AS BIGINT) AS v{i}"
         for i, expr in enumerate(_AUDIT_RULES.values())
     )
     arms = "\nUNION ALL\n".join(
@@ -2442,8 +2442,8 @@ WITH e AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
     SELECT user_id, ts, value,
-           SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
     FROM e
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
@@ -2661,7 +2661,7 @@ WITH holey AS (
     FROM m
 )
 SELECT user_id, COUNT(*) AS n,
-       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_imputed,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
        CAST(ROUND(SUM(CAST(value_f AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_filled
 FROM f GROUP BY user_id
 """
@@ -2723,7 +2723,8 @@ WITH n AS (
     FROM n
 )
 SELECT CAST(ceil(cum / 512.0) AS BIGINT) AS bin,
-       COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens, MIN(doc_id) AS first_doc
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc
 FROM c GROUP BY 1
 """
 
@@ -2900,8 +2901,8 @@ WITH u AS (
            p_retailprice AS p_price
     FROM part
 )
-SELECT p_brand, COUNT(*) AS n, SUM(p_size) AS size_sum,
-       SUM(CASE WHEN p_price IS NULL THEN 1 ELSE 0 END) AS n_null_price,
+SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS size_sum,
+       CAST(SUM(CASE WHEN p_price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_price,
        ROUND(SUM(COALESCE(p_price, 0.0)), 2) AS price_sum
 FROM u GROUP BY p_brand
 """
@@ -2982,7 +2983,7 @@ WITH n AS (
     FROM documents
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN nt <> text THEN 1 ELSE 0 END) AS n_changed,
+       CAST(SUM(CASE WHEN nt <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
        COUNT(DISTINCT nt) AS n_distinct_norm
 FROM n GROUP BY source
 """
@@ -3073,7 +3074,7 @@ WITH n AS (
                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tn
     FROM documents
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(tn) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tn) AS BIGINT) AS total_tokens,
        CAST(ROUND(CAST(quantile_cont(tn, 0.10) AS DECIMAL(38,12)), 4) AS DOUBLE) AS p10,
        CAST(ROUND(CAST(quantile_cont(tn, 0.50) AS DECIMAL(38,12)), 4) AS DOUBLE) AS p50,
        CAST(ROUND(CAST(quantile_cont(tn, 0.90) AS DECIMAL(38,12)), 4) AS DOUBLE) AS p90,
@@ -3260,8 +3261,8 @@ WITH t AS (
                 END AS BIGINT) AS n_tokens
     FROM documents
 ), c AS (
-    SELECT *, SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+    SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
     FROM t
 )
 SELECT doc_id, quality, n_tokens, cum_tokens FROM c

@@ -90,6 +90,14 @@ def _rewrite_calls(sql: str, fname: str, fn) -> str:
 class Dialect:
     name = "ansi"
 
+    # Wrap applied to a complete SUM(...) [OVER (...)] expression whose
+    # argument is *statically integer*.  Spark's SUM(int) is BIGINT;
+    # DuckDB's is HUGEINT, which exports to Arrow as decimal128(38,0) and
+    # breaks typed value-hash comparison against the Spark result even when
+    # every value is equal (the entire round-3 red class).  The DuckDB
+    # dialect overrides this to pin BIGINT.
+    int_sum_wrap = "{0}"
+
     def quote(self, ident: str) -> str:
         raise NotImplementedError
 
@@ -135,6 +143,12 @@ class SparkDialect(Dialect):
 
 class DuckDBDialect(Dialect):
     name = "duckdb"
+
+    # DuckDB SUM(INTEGER/BIGINT) -> HUGEINT -> Arrow decimal128(38,0);
+    # cast back to BIGINT so the oracle's Arrow schema matches Spark's.
+    # Safe: a sum that overflows BIGINT would also overflow on the Spark
+    # side, so the pinned type never loses values the comparison could see.
+    int_sum_wrap = "CAST({0} AS BIGINT)"
 
     def quote(self, ident: str) -> str:
         if ident == "*":

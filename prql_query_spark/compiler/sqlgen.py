@@ -220,6 +220,13 @@ class Emitter:
         custom = self.d.fn_sql(name, args)
         if custom is not None:
             return custom
+        if name == "sum" and self._is_int_expr(e.args[0], env):
+            # integer-typed SUM: let the dialect pin the result type
+            # (DuckDB HUGEINT vs Spark BIGINT — see Dialect.int_sum_wrap).
+            # The wrap goes around the whole windowed expression, not the
+            # SUM core, so `sum ... OVER (...)` stays valid SQL.
+            windowed = self._maybe_window(f"SUM({args[0]})", False, ctx)
+            return self.d.int_sum_wrap.format(windowed)
         if name in AGG_FNS:
             core = AGG_FNS[name].format(*args)
             return self._maybe_window(core, False, ctx)
@@ -233,6 +240,40 @@ class Emitter:
         # unknown: pass through verbatim (the reference's effective scalar
         # surface is the backend's SQL library, SURVEY.md §2.A.4)
         return f"{name}({', '.join(args)})"
+
+    def _is_int_expr(self, e, env: dict) -> bool:
+        """Conservative static check: is this expression integer-typed?
+
+        Catches the CASE-count idiom (`sum (case [... -> 1, true -> 0])`)
+        and literal/`int`/`long`-cast arithmetic — the shapes where DuckDB's
+        SUM promotes to HUGEINT.  Column refs of unknown type return False
+        (no cast emitted; the oracle author must cast explicitly if a raw
+        integer column is summed)."""
+        if isinstance(e, A.Literal):
+            return e.kind == "int"
+        if isinstance(e, A.Ident):
+            if len(e.parts) == 1 and e.parts[0] in env:
+                return self._is_int_expr(env[e.parts[0]], env)
+            return False
+        if isinstance(e, A.Unary):
+            return e.op == "-" and self._is_int_expr(e.expr, env)
+        if isinstance(e, A.Binary):
+            return e.op in ("+", "-", "*", "%") and \
+                self._is_int_expr(e.left, env) and self._is_int_expr(e.right, env)
+        if isinstance(e, A.CaseExpr):
+            return all(self._is_int_expr(v, env) for _, v in e.arms)
+        if isinstance(e, A.FuncCall):
+            if e.name in ("int", "long"):
+                return True
+            if e.name == "coalesce":
+                return all(self._is_int_expr(a, env) for a in e.args)
+            if e.name in self.funcs:
+                fd = self.funcs[e.name]
+                if len(e.args) == len(fd.params):
+                    sub = dict(zip(fd.params, e.args))
+                    return self._is_int_expr(fd.body, {**env, **sub})
+            return False
+        return False
 
     def _maybe_window(self, core: str, ranking: bool, ctx: ExprCtx) -> str:
         if ctx.mode == "aggregate":

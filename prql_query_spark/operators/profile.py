@@ -71,7 +71,7 @@ def profile_oracle_sql(table: str, cols: list[tuple[str, bool]]) -> str:
         av = f"ROUND(AVG({c}), 4)" if num else "CAST(NULL AS DOUBLE)"
         blocks.append(f"""
 SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
        {mn} AS min_val, {mx} AS max_val, {av} AS avg_val
 FROM {table}""")

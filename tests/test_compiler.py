@@ -369,3 +369,47 @@ def test_cli_reads_delta_source(spark, tmp_path, sf_dir):
     lines = open(out).read().strip().splitlines()
     assert lines[0].replace('"', "") == "r_regionkey,r_name"
     assert len(lines) == 4
+
+
+def test_int_sum_cast_duckdb_dialect(con):
+    """DuckDB SUM(int) is HUGEINT -> Arrow decimal128(38,0), which fails the
+    driver's typed value-hash against Spark's BIGINT even when every value is
+    equal (the entire round-3 red class).  The duckdb dialect must pin
+    statically-integer SUMs to BIGINT; the spark dialect must not."""
+    prql = """
+from orders
+group [o_orderstatus] (
+    aggregate [hi = sum (case [o_totalprice > 100000 -> 1, true -> 0])]
+)
+sort [o_orderstatus]
+"""
+    dsql = compile_prql(prql, "duckdb")
+    assert "CAST(SUM(CASE" in dsql and "AS BIGINT)" in dsql
+    ssql = compile_prql(prql, "spark")
+    assert "CAST(SUM" not in ssql
+    # and the emitted SQL really comes back int64, not decimal128
+    tbl = con.execute(dsql).arrow()
+    import pyarrow as pa
+    assert tbl.schema.field("hi").type == pa.int64()
+
+
+def test_int_sum_cast_wraps_window_not_core(con):
+    """In window context the BIGINT cast must wrap `SUM(..) OVER (..)`,
+    not the SUM core (CAST(SUM(x) AS BIGINT) OVER () is invalid SQL)."""
+    prql = """
+from orders
+derive [n_hi = sum (case [o_totalprice > 100000 -> 1, true -> 0])]
+select [o_orderkey, n_hi]
+take 3
+"""
+    dsql = compile_prql(prql, "duckdb")
+    assert "AS BIGINT)" in dsql
+    assert "AS BIGINT) OVER" not in dsql  # cast outside the OVER clause
+    con.execute(dsql).fetchall()  # must be executable
+
+
+def test_int_sum_no_cast_for_unknown_column_type():
+    """Conservative inference: a raw column ref of unknown type must NOT be
+    cast (summing doubles through a BIGINT cast would corrupt values)."""
+    sql = compile_prql("from orders | aggregate [t = sum o_totalprice]", "duckdb")
+    assert "CAST(SUM" not in sql

@@ -97,9 +97,16 @@ def main():
             n_rows_only += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            # Fetch via Arrow, NOT fetchall: DuckDB's Python client returns
+            # HUGEINT (the SUM(int) result type) as plain `int` through
+            # fetchall, so the decimal type-class branch in norm_cell never
+            # fired and the whole round-3 red class (HUGEINT → decimal128 vs
+            # Spark BIGINT) passed locally while failing the driver's
+            # Arrow-typed hash.  .arrow() preserves decimal128 as
+            # decimal.Decimal — the driver's actual protocol.
+            tbl = con.execute(oracles[name]).arrow()
+            ocols = list(tbl.schema.names)
+            orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: ORACLE ERROR {e}")
             n_fail += 1
