@@ -2677,11 +2677,16 @@ def _x_chunk_docs(spark, sf_dir):
 
 
 def _x_pack_sequences(spark, sf_dir):
-    """First-fit-in-order packing into 512-token bins, summarized per bin."""
+    """First-fit-in-order packing into 512-token bins, summarized per bin.
+
+    shard_rows=200 so even the sf0.01 fixture spans multiple shards and the
+    correctness gate exercises the sharded path (the default 65536 would
+    collapse the whole fixture into shard 0 — the very single-task shape
+    the round-3 verdict flagged)."""
     from prql_query_spark.operators.text import pack_sequences
 
     docs = _tbl(spark, sf_dir, "documents")
-    packed = pack_sequences(docs, capacity=512)
+    packed = pack_sequences(docs, capacity=512, shard_rows=200)
     return (
         packed.groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -2712,20 +2717,28 @@ FROM n, unnest(range(0, nc)) AS u(i)
 
 EXTENSION_ORACLES["x_pack_sequences"] = """
 WITH n AS (
-    SELECT doc_id,
+    SELECT doc_id, CAST(floor(doc_id / 200) AS BIGINT) AS shard,
            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
     FROM documents
 ), c AS (
-    SELECT doc_id, n_tokens,
-           SUM(n_tokens) OVER (ORDER BY doc_id
+    SELECT doc_id, shard, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
     FROM n
+), per_shard AS (
+    SELECT shard, CAST(ceil(SUM(n_tokens) / 512.0) AS BIGINT) AS nbins
+    FROM n GROUP BY shard
+), offs AS (
+    SELECT shard,
+           CAST(COALESCE(SUM(nbins) OVER (ORDER BY shard
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+    FROM per_shard
 )
-SELECT CAST(ceil(cum / 512.0) AS BIGINT) AS bin,
-       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
-       MIN(doc_id) AS first_doc
-FROM c GROUP BY 1
+SELECT CAST(ceil(c.cum / 512.0) + offs.off AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(c.n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(c.doc_id) AS first_doc
+FROM c JOIN offs USING (shard) GROUP BY 1
 """
 
 

@@ -329,18 +329,26 @@ def ewma_last(
 
 
 def equidepth_histogram(
-    df: DataFrame, value_col: str, buckets: int = 10
+    df: DataFrame, value_col: str, buckets: int = 10,
+    max_exact_rows: int = 2_000_000,
 ) -> DataFrame:
     """Equi-depth (quantile) histogram: `buckets` groups of ~equal row
     count with their value ranges — the summary that stays informative on
     skewed distributions where equi-width collapses into one bar.
 
-    ntile over a global sort — exact, but single-task at the sort; for
-    100 TB use `equidepth_histogram_approx` (same output contract, approx
-    cuts, no global sort).
+    The exact path is ntile over a global sort — single-task at the sort,
+    which does not scale — so it is gated behind `max_exact_rows`: above
+    the cutoff this delegates to `equidepth_histogram_approx` (same output
+    contract, GK-sketch cuts, no global sort anywhere).  The cutoff count
+    is one cheap job (COUNT over the pruned scan); at 100 TB you pay a
+    metadata-ish count and get the scale plan, on fixtures you get exact
+    quantile edges the DuckDB oracle can mirror with ntile.
     """
+    nn = df.filter(F.col(value_col).isNotNull())
+    if nn.count() > max_exact_rows:
+        return equidepth_histogram_approx(df, value_col, buckets)
     w = Window.orderBy(F.col(value_col).asc())
-    t = df.filter(F.col(value_col).isNotNull()).select(
+    t = nn.select(
         F.col(value_col).alias("_v"), F.ntile(buckets).over(w).alias("bucket")
     )
     return (

@@ -908,36 +908,69 @@ def pack_sequences(
     text_col: str = "text",
     capacity: int = 512,
     shard_col: str | None = None,
+    shard_rows: int = 65536,
 ) -> DataFrame:
     """Assign documents to fixed-capacity training bins by running token
-    count (deterministic first-fit-in-order sequence packing): bin k holds
-    the docs whose cumulative token count lands in (k*capacity,
-    (k+1)*capacity].  A doc longer than capacity spills across bin
-    boundaries: it lands in the ceil-bucket of its own cumulative end, and
-    a following doc may share that bin (first-fit-by-cumulative-count does
-    NOT isolate oversized docs — chunk first if strict caps matter).
+    count (deterministic first-fit-in-order sequence packing): within a
+    shard, bin k holds the docs whose cumulative token count lands in
+    (k*capacity, (k+1)*capacity].  A doc longer than capacity spills across
+    bin boundaries: it lands in the ceil-bucket of its own cumulative end,
+    and a following doc may share that bin (first-fit-by-cumulative-count
+    does NOT isolate oversized docs — chunk first if strict caps matter).
 
-    Returns (id, n_tokens, bin).  One window shuffle (per shard — pass
-    shard_col to parallelize the ordering at 100 TB; packing is then
-    deterministic per shard, which is what a distributed pretraining
-    pipeline wants anyway).
+    Packing is SHARDED, never global: a single cumulative-sum window over
+    the whole corpus would serialize 100 TB through one task (the round-3
+    scale flag).  When `shard_col` is None, a deterministic shard is
+    derived as floor(id / shard_rows) — numeric ids pack in contiguous
+    blocks of `shard_rows` docs, each shard's window runs in parallel.
+    Bins stay globally unique and dense: shard s's bins are offset by the
+    total bin count of all prior shards, computed from a tiny per-shard
+    aggregate (one row per shard) that is broadcast back — no second
+    shuffle of the corpus.
+
+    Returns (id, n_tokens, bin).  Plan: one hash-partitioned window shuffle
+    of the corpus + one broadcast join; the only single-task step is the
+    prefix sum over #shards rows.
     """
     from pyspark.sql import Window
 
     n = token_count(F.col(text_col)).cast("long")
-    part = [shard_col] if shard_col else [F.lit(1)]
+    if shard_col is None:
+        shard = F.floor(F.col(id_col) / F.lit(shard_rows)).alias("_shard")
+    else:
+        shard = F.col(shard_col).alias("_shard")
+    base = df.select(F.col(id_col), n.alias("n_tokens"), shard)
     w = (
-        Window.partitionBy(*part)
+        Window.partitionBy("_shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_cum = df.select(
-        F.col(id_col), n.alias("n_tokens")
-    ).withColumn("_cum", F.sum("n_tokens").over(w))
-    return with_cum.select(
-        id_col,
-        "n_tokens",
-        F.ceil(F.col("_cum") / F.lit(capacity)).cast("long").alias("bin"),
+    with_cum = base.withColumn("_cum", F.sum("n_tokens").over(w))
+    local_bin = F.ceil(F.col("_cum") / F.lit(capacity)).cast("long")
+    # per-shard bin counts -> exclusive prefix offsets.  One row per shard;
+    # the ordering window here runs over #shards rows, not the corpus.
+    offsets = (
+        base.groupBy("_shard")
+        .agg(F.ceil(F.sum("n_tokens") / F.lit(capacity)).cast("long").alias("_nbins"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_nbins").over(
+                    Window.orderBy("_shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_shard", "_off")
+    )
+    out = with_cum.join(F.broadcast(offsets), "_shard")
+    keep = [F.col("_shard").alias(shard_col)] if shard_col else []
+    return out.select(
+        *keep,
+        F.col(id_col),
+        F.col("n_tokens"),
+        (local_bin + F.col("_off")).alias("bin"),
     )
 
 

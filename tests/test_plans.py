@@ -550,3 +550,36 @@ def test_projection_ops_zero_shuffle(spark, sf_dir):
         assert "Exchange hashpartitioning" not in p
         assert "Exchange rangepartitioning" not in p
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_pack_sequences_default_is_sharded_window(spark, sf_dir):
+    """The packing window must hash-partition on the derived shard, never
+    run over SinglePartition (a global cumulative sum serializes 100 TB
+    through one task — the round-3 scale flag on the old F.lit(1) default).
+    The per-shard offset table is tiny and must come back via broadcast."""
+    from prql_query_spark.operators.text import pack_sequences
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    plan = _plan(spark, pack_sequences(docs, capacity=512))
+    # the corpus window exchange is hashpartitioning(_shard...)
+    assert re.search(r"hashpartitioning\(_shard", plan)
+    # the only SinglePartition step allowed is the #shards-row prefix sum
+    single = plan.count("SinglePartition")
+    assert single <= 1, f"{single} SinglePartition exchanges"
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_equidepth_above_cutoff_has_no_global_sort(spark, sf_dir):
+    """Above max_exact_rows the histogram must take the approx path: GK
+    cuts broadcast as literals, narrow bucket assignment, no single-task
+    ntile sort (the round-3 scale flag on the exact default)."""
+    from prql_query_spark.operators.analytics import equidepth_histogram
+
+    orders = load_parquet(spark, f"{sf_dir}/orders.parquet")
+    plan = _plan(spark, equidepth_histogram(orders, "o_totalprice", 10,
+                                            max_exact_rows=10))
+    assert "ntile" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+    # exact path still used under the cutoff (oracle parity path)
+    plan2 = _plan(spark, equidepth_histogram(orders, "o_totalprice", 10))
+    assert "ntile" in plan2.lower()
