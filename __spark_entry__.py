@@ -5023,13 +5023,26 @@ def _x_autocorrelation(spark, sf_dir):
 
 
 EXTENSIONS["x_autocorrelation"] = _x_autocorrelation
-EXTENSION_ORACLES["x_autocorrelation"] = "\nUNION ALL\n".join(
+# dense hourly axis (gaps = 0.0) mirrors _densify_hours — row-offset lag
+# over a sparse series would compare the k-th prior NON-EMPTY hour
+_ACF_DENSE = """
+WITH h AS (
+    SELECT date_trunc('hour', ts) AS bucket,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                AS DOUBLE) / 100.0 AS total
+    FROM events GROUP BY 1
+), axis AS (
+    SELECT unnest(generate_series((SELECT MIN(bucket) FROM h),
+                                  (SELECT MAX(bucket) FROM h),
+                                  INTERVAL 1 HOUR)) AS bucket
+), dense AS (
+    SELECT axis.bucket, COALESCE(h.total, 0.0) AS total
+    FROM axis LEFT JOIN h USING (bucket)
+)
+"""
+EXTENSION_ORACLES["x_autocorrelation"] = _ACF_DENSE + "\nUNION ALL\n".join(
     f"""SELECT {i} AS lag, ROUND(corr(total, l), 4) AS acf FROM (
-    SELECT total, LAG(total, {i}) OVER (ORDER BY bucket) AS l FROM (
-        SELECT date_trunc('hour', ts) AS bucket,
-               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
-                    AS DOUBLE) / 100.0 AS total
-        FROM events GROUP BY 1) h) t{i}"""
+    SELECT total, LAG(total, {i}) OVER (ORDER BY bucket) AS l FROM dense) t{i}"""
     for i in range(1, 25)
 )
 
@@ -5043,10 +5056,17 @@ def _x_period_change(spark, sf_dir):
 
 EXTENSIONS["x_period_change"] = _x_period_change
 EXTENSION_ORACLES["x_period_change"] = """
-WITH hourly AS (
+WITH h AS (
     SELECT date_trunc('hour', ts) AS bucket,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
     FROM events GROUP BY 1
+), axis AS (
+    SELECT unnest(generate_series((SELECT MIN(bucket) FROM h),
+                                  (SELECT MAX(bucket) FROM h),
+                                  INTERVAL 1 HOUR)) AS bucket
+), hourly AS (
+    SELECT axis.bucket, COALESCE(h.cents, 0) AS cents
+    FROM axis LEFT JOIN h USING (bucket)
 ), lagged AS (
     SELECT bucket, cents,
            LAG(cents, 24) OVER (ORDER BY bucket) AS prev
@@ -5058,4 +5078,103 @@ SELECT bucket, cents / 100.0 AS total, prev / 100.0 AS prev_total,
              THEN (cents - prev) / ABS(CAST(prev AS DOUBLE)) END, 6)
            AS pct_change
 FROM lagged
+"""
+
+
+# ---------------------------------------------------------------------------
+# Format-tier round trips (VERDICT r3 item 7): the jar-less codecs
+# (engine/avro.py, engine/deltalog.py) were only pytest-vouched because the
+# driver gate runs queries() over parquet sf dirs.  These entries pull the
+# codecs INTO the gate: write an sf table through the codec, read it back
+# distributed, aggregate — the oracle is plain relational SQL over the
+# original table, so any value/type/row corruption in the codec path goes
+# driver-red.  Temp dirs are per-call (the driver collects lazily, so the
+# files must outlive the callable).
+
+
+def _x_roundtrip_avro(spark, sf_dir):
+    """nation -> jar-less Avro part files (executors encode in parallel)
+    -> distributed read_avro scan -> aggregate.  Proves schema mapping,
+    zigzag varints, deflate blocks, and null-union handling end to end."""
+    import tempfile
+
+    from prql_query_spark.engine.avro import read_avro, write_avro_distributed
+
+    d = tempfile.mkdtemp(prefix="pq_rt_avro_")
+    write_avro_distributed(_tbl(spark, sf_dir, "nation"), d)
+    back = read_avro(spark, d)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_nationkey").alias("key_sum"),
+             F.min("n_name").alias("first_name"))
+    )
+
+
+def _x_roundtrip_delta(spark, sf_dir):
+    """orders slice -> pure-Python Delta commit (partitioned, hive layout)
+    -> spec checkpoint -> snapshot read THROUGH the checkpoint -> cents-
+    exact aggregate.  Proves add/remove replay, partitionValues recovery,
+    and the PROTOCOL.md checkpoint schema in one row set."""
+    import tempfile
+
+    from prql_query_spark.engine.deltalog import (
+        checkpoint_delta, read_delta_snapshot, write_delta,
+    )
+
+    d = tempfile.mkdtemp(prefix="pq_rt_delta_") + "/t"
+    big = _tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    write_delta(big, d, partition_by=["o_orderstatus"])
+    checkpoint_delta(spark, d)  # snapshot must resolve via the checkpoint
+    back = read_delta_snapshot(spark, d)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("bigint").alias("cents"))
+    )
+
+
+def _x_roundtrip_csv(spark, sf_dir):
+    """supplier -> distributed header CSV -> schema-inferred read back ->
+    aggregate.  Proves the CSV writer/reader pair round-trips numerics
+    exactly (full-precision doubles, inferSchema)."""
+    import tempfile
+
+    from prql_query_spark.engine.sources import read_source
+    from prql_query_spark.engine.writers import write_distributed
+
+    d = tempfile.mkdtemp(prefix="pq_rt_csv_") + "/supplier"
+    write_distributed(_tbl(spark, sf_dir, "supplier"), d, "csv")
+    back = read_source(spark, d, "csv")
+    return (
+        back.groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("s_acctbal").cast("decimal(18,2)") * 100)
+              .cast("bigint").alias("acctbal_cents"))
+    )
+
+
+EXTENSIONS["x_roundtrip_avro"] = _x_roundtrip_avro
+EXTENSIONS["x_roundtrip_delta"] = _x_roundtrip_delta
+EXTENSIONS["x_roundtrip_csv"] = _x_roundtrip_csv
+
+EXTENSION_ORACLES["x_roundtrip_avro"] = """
+SELECT n_regionkey, COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS first_name
+FROM nation GROUP BY n_regionkey
+"""
+
+EXTENSION_ORACLES["x_roundtrip_delta"] = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+FROM orders WHERE o_totalprice > 150000
+GROUP BY o_orderstatus
+"""
+
+EXTENSION_ORACLES["x_roundtrip_csv"] = """
+SELECT s_nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS acctbal_cents
+FROM supplier GROUP BY s_nationkey
 """

@@ -229,9 +229,14 @@ def _decompress(codec: str, payload: bytes) -> bytes:
     raise AvroError(f"unsupported avro codec {codec!r}")
 
 
-def decode_container(data: bytes) -> tuple[dict, list]:
-    """(writer schema, records) from one Avro object-container file."""
-    buf = io.BytesIO(data)
+def _read_header(buf) -> tuple[dict, str, bytes]:
+    """(writer schema, codec, sync marker) from an Avro object-container
+    stream, parsing ONLY the header — stops before the first data block.
+
+    Works on any file-like (open file handle or BytesIO), so the driver
+    can learn the schema of a multi-GB part-file by reading a few KB
+    instead of decompressing every block (round-3 ADVICE: read_avro used
+    to decode_container() the whole first file driver-side)."""
     if buf.read(4) != MAGIC:
         raise AvroError("not an avro object container (bad magic)")
     meta = {}
@@ -248,6 +253,13 @@ def decode_container(data: bytes) -> tuple[dict, list]:
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     sync = buf.read(16)
+    return schema, codec, sync
+
+
+def decode_container(data: bytes) -> tuple[dict, list]:
+    """(writer schema, records) from one Avro object-container file."""
+    buf = io.BytesIO(data)
+    schema, codec, sync = _read_header(buf)
     records = []
     while True:
         head = buf.read(1)
@@ -385,9 +397,10 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         if not cands:
             raise AvroError(f"no avro files under {path}")
         first = cands[0]
+    # header-only read: schema lives in the container metadata, so the
+    # driver never decompresses a data block (a part-file can be GBs)
     with open(first, "rb") as fh:
-        head = fh.read()
-    schema, _ = decode_container(head)
+        schema, _codec, _sync = _read_header(fh)
     spark_schema, _n = _spark_type(schema)
     if not isinstance(spark_schema, StructType):
         raise AvroError("top-level avro schema must be a record")

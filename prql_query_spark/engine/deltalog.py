@@ -407,15 +407,93 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     if not versions:
         raise DeltaProtocolError(f"nothing to checkpoint in {log_dir}")
     v = max(versions)
-    actions = [{"protocol": protocol or
-                {"minReaderVersion": 1, "minWriterVersion": 2}},
-               {"metaData": meta}]
-    actions += [{"add": a} for _p, a in sorted(adds.items())]
-    actions += [{"txn": {"appId": k, "version": ver}}
-                for k, ver in sorted(txns.items())]
-    cp = spark.read.json(
-        spark.sparkContext.parallelize([json.dumps(a) for a in actions])
+    # Explicit PROTOCOL.md checkpoint schema — NOT spark.read.json
+    # inference, which turned add.partitionValues into a struct of the
+    # keys it happened to observe, dropped empty maps like
+    # metaData.configuration = {}, and guessed types/nullability.  A
+    # checkpoint written that way is unreadable (or misread) by the real
+    # Delta connector; this one is the spec shape (round-3 ADVICE).
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, IntegerType, LongType, MapType, StringType,
+        StructField, StructType as ST,
     )
+
+    s_map = MapType(StringType(), StringType())
+    cp_schema = ST([
+        StructField("protocol", ST([
+            StructField("minReaderVersion", IntegerType()),
+            StructField("minWriterVersion", IntegerType()),
+        ])),
+        StructField("metaData", ST([
+            StructField("id", StringType()),
+            StructField("name", StringType()),
+            StructField("description", StringType()),
+            StructField("format", ST([
+                StructField("provider", StringType()),
+                StructField("options", s_map),
+            ])),
+            StructField("schemaString", StringType()),
+            StructField("partitionColumns", ArrayType(StringType())),
+            StructField("configuration", s_map),
+            StructField("createdTime", LongType()),
+        ])),
+        StructField("txn", ST([
+            StructField("appId", StringType()),
+            StructField("version", LongType()),
+            StructField("lastUpdated", LongType()),
+        ])),
+        StructField("add", ST([
+            StructField("path", StringType()),
+            StructField("partitionValues", s_map),
+            StructField("size", LongType()),
+            StructField("modificationTime", LongType()),
+            StructField("dataChange", BooleanType()),
+            StructField("stats", StringType()),
+            StructField("tags", s_map),
+        ])),
+        StructField("remove", ST([
+            StructField("path", StringType()),
+            StructField("deletionTimestamp", LongType()),
+            StructField("dataChange", BooleanType()),
+        ])),
+    ])
+
+    def _row(**kw):
+        return tuple(kw.get(f.name) for f in cp_schema.fields)
+
+    proto = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    md = meta or {}
+    fmt = md.get("format") or {}
+    rows = [
+        _row(protocol=(int(proto.get("minReaderVersion", 1)),
+                       int(proto.get("minWriterVersion", 2)))),
+        _row(metaData=(
+            md.get("id"), md.get("name"), md.get("description"),
+            (fmt.get("provider", "parquet"),
+             {str(k): str(vv) for k, vv in (fmt.get("options") or {}).items()}),
+            md.get("schemaString"),
+            list(md.get("partitionColumns") or []),
+            {str(k): str(vv) for k, vv in (md.get("configuration") or {}).items()},
+            int(md["createdTime"]) if md.get("createdTime") is not None else None,
+        )),
+    ]
+    for _p, a in sorted(adds.items()):
+        rows.append(_row(add=(
+            a["path"],
+            {str(k): (None if vv is None else str(vv))
+             for k, vv in (a.get("partitionValues") or {}).items()},
+            int(a["size"]),
+            int(a.get("modificationTime", 0)),
+            bool(a.get("dataChange", True)),
+            a.get("stats"),
+            {str(k): str(vv) for k, vv in a["tags"].items()}
+            if a.get("tags") else None,
+        )))
+    for k, ver in sorted(txns.items()):
+        rows.append(_row(txn=(k, int(ver), None)))
+
+    n_actions = len(rows)
+    cp = spark.createDataFrame(rows, cp_schema)
     import glob
     import shutil
     import uuid
@@ -427,7 +505,7 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     shutil.rmtree(staging, ignore_errors=True)
     tmp = os.path.join(log_dir, "_last_checkpoint.tmp")
     with open(tmp, "w") as fh:
-        fh.write(json.dumps({"version": v, "size": len(actions)}))
+        fh.write(json.dumps({"version": v, "size": n_actions}))
     os.replace(tmp, os.path.join(log_dir, "_last_checkpoint"))
     return v
 

@@ -740,6 +740,24 @@ def mannwhitney_u(
     )
 
 
+def _densify_hours(hourly: DataFrame, fill: dict) -> DataFrame:
+    """Left-join an hourly aggregate onto the complete
+    sequence(min(bucket), max(bucket), 1 hour) axis, filling gap columns
+    per ``fill``.  The axis is generated from a one-row bounds aggregate
+    and has #hours rows — tiny at any data scale (a decade is ~88k
+    rows), so this never touches the raw-event volume."""
+    bounds = hourly.agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+    axis = bounds.select(
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    out = axis.join(hourly, "bucket", "left")
+    for c, v in fill.items():
+        out = out.withColumn(c, F.coalesce(F.col(c), v))
+    return out
+
+
 def autocorrelation(
     df: DataFrame,
     ts_col: str = "ts",
@@ -752,10 +770,14 @@ def autocorrelation(
     24, weekly at 168).
 
     Hourly totals pre-aggregate in DECIMAL (cent-exact, engine-agreeing);
-    all lags come from ONE ordered window pass (max_lag lag() columns),
-    and all ACF values from ONE aggregate of corr expressions — explode
-    to (lag, acf) long form.  Series length = hours, so everything after
-    the pre-aggregation is tiny."""
+    the bucket axis is DENSIFIED (sequence(min,max,1h) left-joined, gaps
+    as 0) before the lag window — a row-offset lag over a sparse series
+    would silently compare against the k-th prior NON-EMPTY hour, not the
+    same hour k hours ago (round-3 ADVICE).  All lags come from ONE
+    ordered window pass (max_lag lag() columns), and all ACF values from
+    ONE aggregate of corr expressions — explode to (lag, acf) long form.
+    Series length = hours, so everything after the pre-aggregation is
+    tiny."""
     hourly = (
         df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
         .agg(
@@ -763,6 +785,7 @@ def autocorrelation(
              .cast("long") / 100.0).alias("total")
         )
     )
+    hourly = _densify_hours(hourly, fill={"total": F.lit(0.0)})
     w = Window.orderBy("bucket")
     lagged = hourly.select(
         "total",
@@ -794,8 +817,12 @@ def period_change(
     dashboard delta every metrics page leads with, computed cent-exact.
 
     Returns (bucket, total, prev_total, abs_change, pct_change);
-    pct_change NULL when the prior period is missing or zero.  One
-    pre-aggregation shuffle + one ordered window."""
+    pct_change NULL when the prior period is missing or zero.  The
+    bucket axis is DENSIFIED (empty hours appear with total 0) so 'lag
+    24' really means the same hour yesterday, not the 24th prior
+    non-empty bucket (round-3 ADVICE).  One pre-aggregation shuffle +
+    one ordered window; the axis join is over post-aggregate hour
+    counts, not raw rows."""
     hourly = (
         df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
         .agg(
@@ -803,6 +830,7 @@ def period_change(
              .cast("long")).alias("_cents")
         )
     )
+    hourly = _densify_hours(hourly, fill={"_cents": F.lit(0).cast("long")})
     w = Window.orderBy("bucket")
     prev = F.lag("_cents", period_hours).over(w)
     return (

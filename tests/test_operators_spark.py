@@ -3422,3 +3422,41 @@ def test_autocorrelation_detects_planted_period(spark):
     assert acf[12] > 0.95 and acf[24] > 0.9
     assert acf[6] < -0.9
     assert max(acf, key=lambda k: acf[k]) in (12, 24)
+
+
+def test_checkpoint_schema_is_delta_spec(spark, tmp_path):
+    """The checkpoint parquet must be the PROTOCOL.md action schema —
+    add.partitionValues and metaData.configuration as map<string,string>
+    (never inference-derived structs), empty configuration PRESERVED as an
+    empty map, protocol ints, add.size/modificationTime longs — so a table
+    checkpointed here stays readable by the real Delta connector."""
+    import glob as _glob
+
+    from pyspark.sql.types import IntegerType, LongType, MapType, StringType
+
+    from prql_query_spark.engine.deltalog import checkpoint_delta, write_delta
+
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, part string")
+    write_delta(df, d, partition_by=["part"], txn=("app", 7))
+    checkpoint_delta(spark, d)
+
+    cp = spark.read.parquet(
+        *_glob.glob(f"{d}/_delta_log/*.checkpoint.parquet"))
+    sch = {f.name: f.dataType for f in cp.schema.fields}
+    add_t = {f.name: f.dataType for f in sch["add"].fields}
+    md_t = {f.name: f.dataType for f in sch["metaData"].fields}
+    assert add_t["partitionValues"] == MapType(StringType(), StringType())
+    assert md_t["configuration"] == MapType(StringType(), StringType())
+    assert add_t["size"] == LongType()
+    assert add_t["modificationTime"] == LongType()
+    proto_t = {f.name: f.dataType for f in sch["protocol"].fields}
+    assert proto_t["minReaderVersion"] == IntegerType()
+    assert "remove" in sch and "txn" in sch
+
+    md_row = cp.filter("metaData IS NOT NULL").collect()[0]["metaData"]
+    assert md_row["configuration"] == {}  # empty map survives (not NULL)
+    adds = [r["add"] for r in cp.filter("add IS NOT NULL").collect()]
+    assert all(set(a["partitionValues"].keys()) == {"part"} for a in adds)
+    txn_row = cp.filter("txn IS NOT NULL").collect()[0]["txn"]
+    assert (txn_row["appId"], txn_row["version"]) == ("app", 7)
