@@ -1535,53 +1535,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # splits/sampling).  Everything after index 50 still runs under the
 # in-repo parity harness (tools/check_parity.py) every round.
 DRIVER_ORDER = [
-    # Round-3 rotation (VERDICT r2 item 6): 66 queries were driver-hashed
-    # across r1+r2; this window keeps a 5-query stable core — the flagship
-    # trio plus the two r2 reds whose type fixes must be PROVEN driver-side
-    # this round (q_scalar_funcs: FLOOR/CEIL now CAST AS DOUBLE;
-    # x_scrub_pii: oracle SUMs now CAST AS BIGINT) — and fills the other
-    # 45 slots with queries never audited by the driver.  The remaining 25
-    # never-audited rotate in next round; the in-repo typed parity harness
-    # (tools/check_parity.py, now Arrow-type-class-aware) still
-    # value-checks all 156 every round.
+    # Round-5 rotation (VERDICT r4 item 1, two rounds overdue): 111 of 182
+    # queries were driver-hashed across r1-r4; this window keeps a 9-query
+    # stable core — the flagship trio plus the six r3 ex-reds whose fixes
+    # must keep proving out driver-side — and fills the other 41 slots
+    # with queries the driver has NEVER audited, leading with the five
+    # x_roundtrip_* format-codec rows (the only driver-side evidence the
+    # §2.B source/sink tier can get; the reference itself panics on Avro,
+    # datafusion.rs:47-49) and the round-4-fixed lag-axis/equidepth rows.
+    # After this round 32 never-audited remain (listed at the bottom) for
+    # the r6 window; the in-repo Arrow-typed parity harness
+    # (tools/check_parity.py) still value-checks all 184 every round.
+    # — stable regression core —
     "q_agg_q1", "q_join_agg_q5", "q_flagship_monthly",
-    "q_scalar_funcs", "x_scrub_pii",
-    # — never-audited PRQL/TPC-H silhouettes, incl. the round-3 semi/anti
-    # tier (a NEW operator family — leftsemi/leftanti/scalar-subquery —
-    # takes audit priority over same-family variants; the displaced
-    # never-audited variants rotate in over rounds 4+) —
-    "q_disjunctive_filter_q19", "q_large_orders_q18",
-    "q_priority_lines_q12", "q_promo_revenue_q14",
-    "q_order_priority_q4", "q_volume_shipping_q7",
-    "q_idle_customers_q22", "q_min_cost_supplier_q2",
-    "q_cust_distribution_q13",
-    # — never-audited extension tier —
-    "x_anomaly_zscore", "x_blocklist_filter",
-    "x_bpe_count", "x_chunk_docs", "x_constraint_audit",
-    "x_contamination", "x_cosine_ivf", "x_pq_topk", "x_cube_agg",
-    "x_dedup_report",
-    "x_dup_ngrams",
-    "x_embed_neardup",
-    "x_fingerprint_groups", "x_funnel",
-    "x_fuzzy_match", "x_group_trend",
-    "x_incremental_dedup", "x_json_props", "x_kmeans",
-    "x_multimodal_features",
-    "x_multimodal_pixels", "x_normalize_text",
-    "x_pack_sequences", "x_pivot_events", "x_pmi_top", "x_profile_orders",
-    "x_psi_drift", "x_resample_ffill",
-    # — round-3 NEW operator families built this round (web curation,
-    # C4 rule pack, backoff LM, per-domain caps) take audit priority —
-    "x_url_canon", "x_domain_cap", "x_c4_audit", "x_bigram_backoff",
-    "x_oov_rate", "x_embed_covariance", "x_chi2_indep", "x_mad_outliers",
-    # Displaced to rounds 4+ (each family still has an in-window row):
-    # x_dup_tokens (x_dup_ngrams covers repetition), x_events_tumbling
-    # (x_events_sessions driver-audited in r2), x_equidepth (x_psi_drift
-    # covers distribution profiling), x_impute_mean (x_constraint_audit
-    # covers the quality family),
-    # x_retention_cohort, x_bigram_top (x_dup_ngrams/x_pmi_top cover
-    # n-grams), x_embed_centroid (x_cosine_ivf/x_pq_topk/x_embed_neardup
-    # cover embeddings), x_histogram (x_equidepth/x_psi_drift cover
-    # distributions), x_levenshtein (x_fuzzy_match covers edit distance).
+    "q_priority_lines_q12", "x_constraint_audit", "x_json_props",
+    "x_normalize_text", "x_pack_sequences", "x_profile_orders",
+    # — format-codec round trips (jar-less Avro/Delta/CSV/Iceberg/
+    # WebDataset writers+readers pulled INTO the gate) —
+    "x_roundtrip_avro", "x_roundtrip_delta", "x_roundtrip_csv",
+    "x_roundtrip_iceberg", "x_roundtrip_webdataset",
+    # — round-4-fixed operators whose fixes have only local evidence —
+    "x_equidepth", "x_period_change", "x_autocorrelation",
+    # — the round-2/3-displaced set (__spark_entry__ r4 note) —
+    "x_dup_tokens", "x_events_tumbling", "x_impute_mean",
+    "x_retention_cohort", "x_bigram_top", "x_embed_centroid",
+    "x_histogram", "x_levenshtein",
+    # — never-audited TPC-H silhouettes —
+    "q_market_share_q8", "q_product_profit_q9", "q_small_qty_revenue_q17",
+    "q_top_supplier_q15", "q_parts_suppliers_q16", "q_waiting_suppliers_q21",
+    # — never-audited extension tier, one row per family where possible —
+    "x_token_count", "x_text_profile", "x_events_sliding", "x_time_rollup",
+    "x_salted_agg", "x_multimodal_frames", "x_unpivot_part",
+    "x_stratified_sample", "x_tfidf_top", "x_sentiment", "x_strip_html",
+    "x_scd2_history", "x_upsert_latest", "x_stats_family", "x_winsorize",
+    "x_unigram_logprob", "x_weighted_sample", "x_sessionize",
+    "x_rolling_distinct",
+    # Still never audited after this round (rotate into r6): x_json_struct,
+    # x_table_diff, x_transitions, x_twa, x_union_evolve, x_ewma,
+    # x_scale_minmax, x_token_length_summary, x_temperature_mix,
+    # x_token_budget, x_multimodal_av, x_top_ngrams, x_semantic_dedup,
+    # x_dup_substrings, x_image_neardup, x_resize_thumbs,
+    # x_audio_fingerprint, x_video_fingerprint, x_ivfpq_topk,
+    # x_random_projection, x_skew_report, x_seasonal_decompose,
+    # x_dedup_best, x_benford, x_corr_matrix, x_bootstrap_ci,
+    # x_vocab_jaccard, x_gini_mix, x_ks_drift, x_mannwhitney, x_spearman,
+    # x_punct_ratio.
 ]
 
 
@@ -2727,7 +2725,7 @@ WITH n AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
     FROM n
 ), per_shard AS (
-    SELECT shard, CAST(ceil(SUM(n_tokens) / 512.0) AS BIGINT) AS nbins
+    SELECT shard, CAST(greatest(ceil(SUM(n_tokens) / 512.0), 1) AS BIGINT) AS nbins
     FROM n GROUP BY shard
 ), offs AS (
     SELECT shard,
@@ -2735,7 +2733,7 @@ WITH n AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
     FROM per_shard
 )
-SELECT CAST(ceil(c.cum / 512.0) + offs.off AS BIGINT) AS bin,
+SELECT CAST(greatest(ceil(c.cum / 512.0), 1) + offs.off AS BIGINT) AS bin,
        COUNT(*) AS n_docs, CAST(SUM(c.n_tokens) AS BIGINT) AS bin_tokens,
        MIN(c.doc_id) AS first_doc
 FROM c JOIN offs USING (shard) GROUP BY 1
@@ -5092,15 +5090,28 @@ FROM lagged
 # files must outlive the callable).
 
 
+def _rt_dir(prefix: str) -> str:
+    """Sink root for the round-trip queries.  Defaults to a local temp dir,
+    which is correct on local[*] where driver and executors share one
+    filesystem; on a REAL cluster executors would write to worker-local
+    disks the driver can't list — set PQ_RT_DIR to a shared path (NFS /
+    fuse-mounted object store) so all parties see the same files."""
+    import tempfile
+
+    root = os.environ.get("PQ_RT_DIR")
+    if root:
+        os.makedirs(root, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=root)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def _x_roundtrip_avro(spark, sf_dir):
     """nation -> jar-less Avro part files (executors encode in parallel)
     -> distributed read_avro scan -> aggregate.  Proves schema mapping,
     zigzag varints, deflate blocks, and null-union handling end to end."""
-    import tempfile
-
     from prql_query_spark.engine.avro import read_avro, write_avro_distributed
 
-    d = tempfile.mkdtemp(prefix="pq_rt_avro_")
+    d = _rt_dir("pq_rt_avro_")
     write_avro_distributed(_tbl(spark, sf_dir, "nation"), d)
     back = read_avro(spark, d)
     return (
@@ -5116,13 +5127,11 @@ def _x_roundtrip_delta(spark, sf_dir):
     -> spec checkpoint -> snapshot read THROUGH the checkpoint -> cents-
     exact aggregate.  Proves add/remove replay, partitionValues recovery,
     and the PROTOCOL.md checkpoint schema in one row set."""
-    import tempfile
-
     from prql_query_spark.engine.deltalog import (
         checkpoint_delta, read_delta_snapshot, write_delta,
     )
 
-    d = tempfile.mkdtemp(prefix="pq_rt_delta_") + "/t"
+    d = _rt_dir("pq_rt_delta_") + "/t"
     big = _tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
     write_delta(big, d, partition_by=["o_orderstatus"])
     checkpoint_delta(spark, d)  # snapshot must resolve via the checkpoint
@@ -5139,12 +5148,10 @@ def _x_roundtrip_csv(spark, sf_dir):
     """supplier -> distributed header CSV -> schema-inferred read back ->
     aggregate.  Proves the CSV writer/reader pair round-trips numerics
     exactly (full-precision doubles, inferSchema)."""
-    import tempfile
-
     from prql_query_spark.engine.sources import read_source
     from prql_query_spark.engine.writers import write_distributed
 
-    d = tempfile.mkdtemp(prefix="pq_rt_csv_") + "/supplier"
+    d = _rt_dir("pq_rt_csv_") + "/supplier"
     write_distributed(_tbl(spark, sf_dir, "supplier"), d, "csv")
     back = read_source(spark, d, "csv")
     return (
@@ -5155,9 +5162,60 @@ def _x_roundtrip_csv(spark, sf_dir):
     )
 
 
+def _x_roundtrip_iceberg(spark, sf_dir):
+    """part -> jar-less Iceberg v2 table (distributed parquet data files +
+    spec metadata chain: manifest Avro -> manifest-list Avro -> metadata
+    JSON) -> read_iceberg snapshot scan -> aggregate.  Proves the writer/
+    reader pair agrees on the table-spec layout AND that the Avro codec
+    survives its own manifests (iceberg.py reuses engine/avro.py for both
+    directions)."""
+    from prql_query_spark.engine.iceberg import read_iceberg, write_iceberg
+
+    d = _rt_dir("pq_rt_ice_") + "/part"
+    src = _tbl(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice")
+    write_iceberg(src, d)
+    back = read_iceberg(spark, d)
+    return (
+        back.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("p_partkey").cast("bigint").alias("key_sum"),
+             F.sum(F.col("p_retailprice").cast("decimal(18,2)") * 100)
+              .cast("bigint").alias("price_cents"))
+    )
+
+
+def _x_roundtrip_webdataset(spark, sf_dir):
+    """documents -> WebDataset tar shards (each executor tars its own
+    range partition) -> one-task-per-shard untar read -> aggregate.
+    Proves the training-delivery format round-trips text exactly: keys,
+    member bytes, and shard determinism."""
+    from prql_query_spark.operators.layout import (
+        read_webdataset, write_webdataset,
+    )
+
+    d = _rt_dir("pq_rt_wds_")
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    write_webdataset(docs, d, key_col="doc_id",
+                     content_cols={"text": "txt"},
+                     docs_per_shard=200).collect()  # materialize the shards
+    back = read_webdataset(spark, d, exts={"txt": "text"}, key_name="key")
+    grp = (F.col("key").cast("bigint") % 10).alias("key_mod")
+    return (
+        back.select(grp, F.length("text").alias("_len"),
+                    F.col("key").cast("bigint").alias("_k"))
+        .groupBy("key_mod")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("_len").alias("chars"),
+             F.min("_k").alias("first_key"))
+    )
+
+
 EXTENSIONS["x_roundtrip_avro"] = _x_roundtrip_avro
 EXTENSIONS["x_roundtrip_delta"] = _x_roundtrip_delta
 EXTENSIONS["x_roundtrip_csv"] = _x_roundtrip_csv
+EXTENSIONS["x_roundtrip_iceberg"] = _x_roundtrip_iceberg
+EXTENSIONS["x_roundtrip_webdataset"] = _x_roundtrip_webdataset
 
 EXTENSION_ORACLES["x_roundtrip_avro"] = """
 SELECT n_regionkey, COUNT(*) AS n,
@@ -5177,4 +5235,18 @@ EXTENSION_ORACLES["x_roundtrip_csv"] = """
 SELECT s_nationkey, COUNT(*) AS n,
        CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS acctbal_cents
 FROM supplier GROUP BY s_nationkey
+"""
+
+EXTENSION_ORACLES["x_roundtrip_iceberg"] = """
+SELECT p_brand, COUNT(*) AS n,
+       CAST(SUM(p_partkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents
+FROM part GROUP BY p_brand
+"""
+
+EXTENSION_ORACLES["x_roundtrip_webdataset"] = """
+SELECT doc_id % 10 AS key_mod, COUNT(*) AS n,
+       CAST(SUM(length(text)) AS BIGINT) AS chars,
+       MIN(doc_id) AS first_key
+FROM documents GROUP BY 1
 """

@@ -230,6 +230,102 @@ take 10
     except Exception as exc:  # baseline section must never fail the bench
         note(f"duckdb baseline section skipped: {exc}")
 
+    # Same-run DuckDB denominators for the EXTENSION and HEAVY tiers
+    # (round 5, VERDICT r4 item 3): these previously compared against the
+    # 2026-08-13 BASELINE.md snapshot, which round 4 proved drifts ±40%
+    # machine to machine (DuckDB alone ran 1.68× faster on the r4 VM).
+    # Denominator = the query's own oracle_sql() twin, warm median, full
+    # fetch, on this machine in this run.  Ratios only sum names whose
+    # Spark-timed computation IS the oracle's computation; bench overrides
+    # that time a different (scale-path) plan are reported but excluded,
+    # with the reason in `samerun_excluded`.
+    duck_ext: dict[str, float] = {}
+    duck_heavy: dict[str, float] = {}
+    samerun_excluded: dict[str, str] = {}
+    try:
+        import threading
+
+        import duckdb
+
+        oracles = entrymod.oracle_sql()
+        con = duckdb.connect()
+        for t in entrymod.TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                            f"read_parquet('{p}')")
+
+        def duck_time(q: str, runs: int, timeout_s: float):
+            """Warm-median DuckDB timing with an interrupt watchdog: the
+            heavy tier's oracle twins include an all-pairs recursive CTE
+            that runs >10 min at sf0.1 — the watchdog turns that into a
+            recorded timeout instead of a hung bench."""
+            def one() -> float | None:
+                timer = threading.Timer(timeout_s, con.interrupt)
+                timer.start()
+                try:
+                    t = time.time()
+                    con.execute(q).fetchall()
+                    return time.time() - t
+                except duckdb.Error:
+                    return None
+                finally:
+                    timer.cancel()
+            if one() is None:  # warm pass doubles as the timeout probe
+                return None
+            samples = [one() for _ in range(runs)]
+            if any(s is None for s in samples):
+                return None
+            return round(statistics.median(samples), 4)
+
+        ext_overridden = {
+            "x_minhash_pairs": "bench times the LSH candidate plan; the "
+                               "oracle adds exact verification",
+        }
+        for name in extension_names:
+            if name in ext_overridden:
+                samerun_excluded[name] = ext_overridden[name]
+                continue
+            v = duck_time(oracles[name], runs=5, timeout_s=120)
+            if v is None:
+                duck_ext[name] = -1.0
+                samerun_excluded[name] = "oracle timeout >120s"
+            else:
+                duck_ext[name] = v
+            note(f"duckdb same-run {name}: {duck_ext.get(name)}s")
+
+        heavy_twin_notes = {
+            "x_minhash_dedup_cc": "oracle = all-pairs + recursive-CTE "
+                                  "connected components (only SQL form)",
+            "x_embed_neardup_lsh": "bench times the sublinear LSH plan; "
+                                   "the oracle twin is exact all-pairs",
+            "x_curate_pipeline": "no single-SQL twin: pipeline embeds a "
+                                 "minhash-cc stage (see x_minhash_dedup_cc)",
+        }
+        for name in heavy_names:
+            if name == "x_curate_pipeline":
+                samerun_excluded[name] = heavy_twin_notes[name]
+                continue
+            twin = {
+                "x_minhash_dedup_cc": "x_minhash_dedup_cc",
+                "x_embed_neardup_lsh": "x_embed_neardup",
+                "x_dup_substrings": "x_dup_substrings",
+            }[name]
+            v = duck_time(oracles[twin], runs=3, timeout_s=120)
+            if v is None:
+                duck_heavy[name] = -1.0
+                samerun_excluded[name] = (
+                    heavy_twin_notes.get(name, "") + " — timeout >120s")
+            else:
+                duck_heavy[name] = v
+                if name in heavy_twin_notes:
+                    samerun_excluded[name] = (
+                        heavy_twin_notes[name] + " — reported, not summed")
+            note(f"duckdb same-run {name} [heavy]: {duck_heavy.get(name)}s")
+        con.close()
+    except Exception as exc:  # baseline section must never fail the bench
+        note(f"duckdb tier baseline section skipped: {exc}")
+
     heavy: dict[str, float] = {}
     for name in heavy_names:
         fn = bench_overrides[name] if name in bench_overrides else all_queries[name]
@@ -304,6 +400,26 @@ take 10
             comp6 = round(sum(compacted[k] for k in duck if k in compacted), 4)
             out["headline6_ratio_compacted"] = round(
                 comp6 / sum(duck.values()), 2)
+    if duck_ext:
+        out["queries_duckdb_samerun_ext"] = duck_ext
+        matched = [k for k, v in duck_ext.items()
+                   if v > 0 and k not in samerun_excluded]
+        if matched:
+            out["ratio_samerun_ext"] = round(
+                sum(results[k] for k in matched)
+                / sum(duck_ext[k] for k in matched), 2)
+            out["ratio_samerun_ext_names"] = matched
+    if duck_heavy:
+        out["queries_duckdb_samerun_heavy"] = duck_heavy
+        matched = [k for k, v in duck_heavy.items()
+                   if v > 0 and k not in samerun_excluded]
+        if matched:
+            out["ratio_samerun_heavy"] = round(
+                sum(heavy[k] for k in matched)
+                / sum(duck_heavy[k] for k in matched), 2)
+            out["ratio_samerun_heavy_names"] = matched
+    if samerun_excluded:
+        out["samerun_excluded"] = samerun_excluded
     if heavy:
         out["queries_heavy"] = heavy
         out["value_heavy"] = round(sum(heavy.values()), 4)

@@ -253,7 +253,10 @@ class Emitter:
             return e.kind == "int"
         if isinstance(e, A.Ident):
             if len(e.parts) == 1 and e.parts[0] in env:
-                return self._is_int_expr(env[e.parts[0]], env)
+                # mirror emit()'s hygiene (line ~124): a bound expr is
+                # resolved in an EMPTY env, so a name shadowed inside the
+                # binding can't leak the caller's type classification.
+                return self._is_int_expr(env[e.parts[0]], {})
             return False
         if isinstance(e, A.Unary):
             return e.op == "-" and self._is_int_expr(e.expr, env)

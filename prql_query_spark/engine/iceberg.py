@@ -180,3 +180,121 @@ def read_iceberg(
     if not data_files:
         return spark.createDataFrame([], spark_schema)
     return spark.read.schema(spark_schema).parquet(*sorted(set(data_files)))
+
+
+def _iceberg_type(t: DataType) -> object:
+    """Invert _spark_type for the writer: Spark DataType -> iceberg type
+    (string for primitives, dict for list)."""
+    from pyspark.sql.types import DecimalType
+
+    if isinstance(t, StructType):
+        raise IcebergError("nested struct columns not supported by the "
+                           "minimal writer — flatten first")
+    if isinstance(t, ArrayType):
+        return {"type": "list", "element-id": 0,
+                "element": _iceberg_type(t.elementType),
+                "element-required": not t.containsNull}
+    if isinstance(t, DecimalType):
+        return f"decimal({t.precision},{t.scale})"
+    base = {
+        BooleanType(): "boolean", IntegerType(): "int", LongType(): "long",
+        FloatType(): "float", DoubleType(): "double", DateType(): "date",
+        TimestampType(): "timestamptz", StringType(): "string",
+        BinaryType(): "binary",
+    }.get(t)
+    if base is None:
+        raise IcebergError(f"unsupported spark type for iceberg: {t}")
+    return base
+
+
+def write_iceberg(df: DataFrame, path: str) -> None:
+    """Minimal jar-less Iceberg v2 APPEND writer — the inverse of
+    read_iceberg, same supported subset (parquet data files, unpartitioned,
+    no deletes).  Data files are written DISTRIBUTED by Spark's parquet
+    writer; only the metadata chain (manifest Avro -> manifest-list Avro ->
+    metadata JSON, all tiny) is assembled on the driver, mirroring how
+    deltalog.py splits data-plane vs control-plane work.  Layout follows
+    the public Iceberg table spec (iceberg table-spec: metadata/
+    v1.metadata.json + version-hint.text, snapshot -> manifest-list ->
+    manifest -> data files).  Single-snapshot create-only: appending to an
+    existing table raises (use the connector jar for full table service).
+    """
+    import glob
+    import json
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from prql_query_spark.engine.avro import encode_container
+
+    if os.path.isdir(os.path.join(path, "metadata")):
+        raise IcebergError(
+            f"{path} is already an iceberg table — the minimal writer is "
+            "create-only (no append/replace snapshots)")
+    data_dir = os.path.join(path, "data")
+    df.write.mode("errorifexists").parquet(data_dir)
+    parts = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
+
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(meta_dir)
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}},
+        ]}
+    entries = []
+    for p in parts:
+        md = pq.read_metadata(p)
+        if md.num_rows == 0:
+            continue  # empty-partition part files carry no data (r3 lesson)
+        entries.append({"status": 1, "data_file": {
+            "content": 0, "file_path": f"file://{p}",
+            "file_format": "PARQUET", "record_count": md.num_rows,
+            "file_size_in_bytes": os.path.getsize(p)}})
+    man_path = os.path.join(meta_dir, f"man-{uuid.uuid4().hex}.avro")
+    with open(man_path, "wb") as fh:
+        fh.write(encode_container(entry_schema, entries))
+
+    ml_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+            {"name": "added_snapshot_id", "type": "long"},
+        ]}
+    snap_id = 1
+    ml_path = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    with open(ml_path, "wb") as fh:
+        fh.write(encode_container(ml_schema, [{
+            "manifest_path": f"file://{man_path}",
+            "manifest_length": os.path.getsize(man_path),
+            "content": 0, "added_snapshot_id": snap_id}]))
+
+    fields = [
+        {"id": i + 1, "name": f.name, "required": not f.nullable,
+         "type": _iceberg_type(f.dataType)}
+        for i, f in enumerate(df.schema.fields)
+    ]
+    meta = {
+        "format-version": 2, "table-uuid": str(uuid.uuid4()),
+        "location": f"file://{path}",
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0, "last-partition-id": 999,
+        "snapshots": [{"snapshot-id": snap_id, "timestamp-ms": 0,
+                       "manifest-list": f"file://{ml_path}",
+                       "summary": {"operation": "append"}}],
+        "current-snapshot-id": snap_id,
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")

@@ -339,13 +339,16 @@ def equidepth_histogram(
     The exact path is ntile over a global sort — single-task at the sort,
     which does not scale — so it is gated behind `max_exact_rows`: above
     the cutoff this delegates to `equidepth_histogram_approx` (same output
-    contract, GK-sketch cuts, no global sort anywhere).  The cutoff count
-    is one cheap job (COUNT over the pruned scan); at 100 TB you pay a
-    metadata-ish count and get the scale plan, on fixtures you get exact
-    quantile edges the DuckDB oracle can mirror with ntile.
+    contract, GK-sketch cuts, no global sort anywhere).  Picking the path
+    needs a cardinality probe, which is necessarily an action — but it
+    short-circuits: LIMIT max_exact_rows+1 stops the scan as soon as the
+    cutoff is provably exceeded, so at 100 TB the gate reads ~2M rows of
+    one column, not the corpus.  On fixtures you get exact quantile edges
+    the DuckDB oracle can mirror with ntile.
     """
     nn = df.filter(F.col(value_col).isNotNull())
-    if nn.count() > max_exact_rows:
+    over_cutoff = nn.select(value_col).limit(max_exact_rows + 1).count()
+    if over_cutoff > max_exact_rows:
         return equidepth_histogram_approx(df, value_col, buckets)
     w = Window.orderBy(F.col(value_col).asc())
     t = nn.select(

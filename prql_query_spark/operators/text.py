@@ -923,20 +923,37 @@ def pack_sequences(
     scale flag).  When `shard_col` is None, a deterministic shard is
     derived as floor(id / shard_rows) — numeric ids pack in contiguous
     blocks of `shard_rows` docs, each shard's window runs in parallel.
+    NULL ids collapse to a sentinel shard (-1) instead of silently
+    vanishing in the offsets join; a non-numeric id_col raises at build
+    time (pass shard_col= to shard string ids).
     Bins stay globally unique and dense: shard s's bins are offset by the
     total bin count of all prior shards, computed from a tiny per-shard
     aggregate (one row per shard) that is broadcast back — no second
-    shuffle of the corpus.
+    shuffle of the corpus.  A zero-token doc at the head of a shard clamps
+    to local bin 1 (never bin 0, which would alias the last bin of the
+    previous shard); nbins is clamped identically so offsets stay dense.
 
     Returns (id, n_tokens, bin).  Plan: one hash-partitioned window shuffle
     of the corpus + one broadcast join; the only single-task step is the
     prefix sum over #shards rows.
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
 
     n = token_count(F.col(text_col)).cast("long")
     if shard_col is None:
-        shard = F.floor(F.col(id_col) / F.lit(shard_rows)).alias("_shard")
+        dtype = df.schema[id_col].dataType
+        if not isinstance(dtype, NumericType):
+            raise ValueError(
+                f"pack_sequences: id_col {id_col!r} has type "
+                f"{dtype.simpleString()}; the derived floor(id/shard_rows) "
+                "shard needs a numeric id — pass shard_col= explicitly"
+            )
+        shard = (
+            F.coalesce(F.floor(F.col(id_col) / F.lit(shard_rows)), F.lit(-1))
+            .cast("long")
+            .alias("_shard")
+        )
     else:
         shard = F.col(shard_col).alias("_shard")
     base = df.select(F.col(id_col), n.alias("n_tokens"), shard)
@@ -946,12 +963,18 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_cum = base.withColumn("_cum", F.sum("n_tokens").over(w))
-    local_bin = F.ceil(F.col("_cum") / F.lit(capacity)).cast("long")
+    local_bin = F.greatest(
+        F.ceil(F.col("_cum") / F.lit(capacity)), F.lit(1)
+    ).cast("long")
     # per-shard bin counts -> exclusive prefix offsets.  One row per shard;
     # the ordering window here runs over #shards rows, not the corpus.
+    # greatest(...,1) mirrors the local_bin clamp: an all-zero-token shard
+    # still occupies one bin, keeping the global numbering dense.
     offsets = (
         base.groupBy("_shard")
-        .agg(F.ceil(F.sum("n_tokens") / F.lit(capacity)).cast("long").alias("_nbins"))
+        .agg(F.greatest(
+            F.ceil(F.sum("n_tokens") / F.lit(capacity)), F.lit(1)
+        ).cast("long").alias("_nbins"))
         .withColumn(
             "_off",
             F.coalesce(

@@ -33,6 +33,8 @@ def curate_corpus(
     (4) n-gram decontamination against ``benchmark`` (skipped when None);
     (5) PII scrub into `clean_text`.
     """
+    import time
+
     from prql_query_spark.operators.dedup import (
         dedup_keep_best, minhash_dedup_cc,
     )
@@ -41,47 +43,61 @@ def curate_corpus(
     )
 
     spark = docs.sparkSession
-    stages: list[tuple[str, int, int]] = []
+    # (stage, docs_in, docs_out, wall seconds).  The wall time of a stage
+    # is the time to MATERIALIZE its cache (the count action) — each stage
+    # reads its parent's cache, never the source, so the seconds column is
+    # a true per-stage decomposition of the pipeline, not overlapping
+    # rescans.  The source is read exactly once (the ingest scan, folded
+    # into gopher_gate's time along with its own pass).
+    stages: list[tuple[str, int, int, float]] = []
 
+    t0 = time.time()
     cur = docs.cache()
     n0 = cur.count()
+    ingest_sec = time.time() - t0
 
+    t = time.time()
     gated = gopher_audit(cur, text_col, **(gopher_overrides or {})) \
         .filter(F.col("keep")) \
         .select(*docs.columns).cache()
     n1 = gated.count()
-    stages.append(("gopher_gate", n0, n1))
+    stages.append(("gopher_gate", n0, n1, ingest_sec + time.time() - t))
 
+    t = time.time()
     exact = dedup_keep_best(
         gated.withColumn("_h", F.md5(F.col(text_col))),
         ["_h"], quality_col, id_col,
     ).drop("_h").cache()
     n2 = exact.count()
-    stages.append(("exact_dedup_keep_best", n1, n2))
+    stages.append(("exact_dedup_keep_best", n1, n2, time.time() - t))
 
+    t = time.time()
     near = minhash_dedup_cc(
         exact, id_col=id_col, text_col=text_col,
         threshold=minhash_threshold,
     ).cache()
     n3 = near.count()
-    stages.append(("minhash_dedup_cc", n2, n3))
+    stages.append(("minhash_dedup_cc", n2, n3, time.time() - t))
 
     if benchmark is not None:
+        t = time.time()
         hits = contamination(near, benchmark, id_col=id_col,
                              text_col=text_col)
         clean = near.join(
             hits.filter(F.col("n_hits") > 0).select(id_col),
             id_col, "left_anti").cache()
         n4 = clean.count()
-        stages.append(("decontaminate", n3, n4))
+        stages.append(("decontaminate", n3, n4, time.time() - t))
     else:
         clean = near
 
     out = clean.withColumn("clean_text", scrub_pii(F.col(text_col)))
 
     manifest = spark.createDataFrame(
-        [(i, s, i_n, o_n, i_n - o_n) for i, (s, i_n, o_n) in enumerate(stages)],
-        "stage_idx int, stage string, docs_in long, docs_out long, dropped long",
+        [(i, s, i_n, o_n, i_n - o_n, round(sec, 3))
+         for i, (s, i_n, o_n, sec) in enumerate(stages)],
+        "stage_idx int, stage string, docs_in long, docs_out long, "
+        "dropped long, seconds double",
     )
     for df in (cur, gated, exact, near):
         df.unpersist()

@@ -1488,6 +1488,54 @@ def test_pack_sequences_capacity_property(spark):
     assert {(r["doc_id"], r["bin"]) for r in packed.collect()} == again
 
 
+def test_pack_sequences_null_id_not_dropped(spark):
+    """Round-4 ADVICE (medium): a NULL id must land in the sentinel shard,
+    not vanish in the offsets equi-join."""
+    from prql_query_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (None, "c d"), (70000, "e")], "doc_id long, text string"
+    )
+    out = pack_sequences(df, capacity=512).collect()
+    assert len(out) == 3, "NULL-id row was dropped"
+    null_rows = [r for r in out if r["doc_id"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["bin"] is not None
+
+
+def test_pack_sequences_string_id_raises(spark):
+    """Non-numeric id with the derived shard must fail loudly at build
+    time, not CAST_INVALID_INPUT inside the plan."""
+    import pytest
+    from prql_query_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame([("a", "x y")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="numeric"):
+        pack_sequences(df, capacity=512)
+    # escape hatch: an explicit shard_col works for string ids
+    df2 = df.withColumn("shard", __import__("pyspark.sql.functions",
+                                            fromlist=["lit"]).lit(0))
+    assert pack_sequences(df2, capacity=512, shard_col="shard").count() == 1
+
+
+def test_pack_sequences_zero_token_head_bin_unique(spark):
+    """Round-4 ADVICE (low): a zero-token doc at the head of shard s must
+    clamp to local bin 1 — never bin 0, which aliases the last bin of
+    shard s-1.  shard_rows=2 puts doc 2 ('' -> 0 tokens) at the head of
+    shard 1; its bin must differ from doc 1's (last bin of shard 0)."""
+    from prql_query_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e"), (2, "   "), (3, "f g")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bin"] for r in
+           pack_sequences(df, capacity=512, shard_rows=2).collect()}
+    assert out[2] != out[1], "zero-token head doc aliased previous shard's bin"
+    assert out[2] == out[3], "zero-token doc should share shard 1's first bin"
+    # bins stay dense: shard 1 starts exactly one past shard 0's last bin
+    assert out[2] == out[1] + 1
+
+
 def test_table_diff_statuses(spark):
     from prql_query_spark.operators.quality import table_diff
 
@@ -2842,6 +2890,28 @@ def test_iceberg_pure_reader_snapshot(spark, tmp_path):
         (1, "a"), (2, "b"), (3, "c")]
 
 
+def test_iceberg_writer_roundtrip(spark, tmp_path):
+    """write_iceberg produces a table read_iceberg (and therefore any
+    spec-following reader) resolves: schema, nulls, and values survive;
+    create-only contract raises on an existing table."""
+    from prql_query_spark.engine.iceberg import (
+        IcebergError, read_iceberg, write_iceberg,
+    )
+
+    d = str(tmp_path / "ice_w")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, -0.25), (3, "c", None)],
+        "id long, v string, x double",
+    ).repartition(3)
+    write_iceberg(df, d)
+    back = read_iceberg(spark, d)
+    assert dict(back.dtypes) == {"id": "bigint", "v": "string", "x": "double"}
+    assert sorted((r.id, r.v, r.x) for r in back.collect()) == [
+        (1, "a", 1.5), (2, None, -0.25), (3, "c", None)]
+    with pytest.raises(IcebergError, match="create-only"):
+        write_iceberg(df, d)
+
+
 def test_iceberg_unsupported_features_fail_loudly(spark, tmp_path):
     """Row-level-delete manifests and non-identity partition transforms
     must error clearly, never return wrong rows."""
@@ -3269,6 +3339,8 @@ def test_curate_corpus_pipeline_manifest(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert a.docs_out == b.docs_in
     assert all(r.dropped == r.docs_in - r.docs_out >= 0 for r in rows)
+    # per-stage wall time is part of the manifest contract (round 5)
+    assert all(r.seconds > 0 for r in rows)
 
     kept = out.select("doc_id", "clean_text").collect()
     assert 0 < len(kept) == rows[-1].docs_out

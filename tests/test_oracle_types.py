@@ -24,16 +24,24 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
 def con():
+    if not os.path.isdir(SF):
+        pytest.skip(f"fixture dir {SF} absent (set SPARK_GRAFT_ORACLE_SF)")
+    missing = [
+        t for t in entrymod.TABLES
+        if not os.path.exists(os.path.join(SF, f"{t}.parquet"))
+    ]
+    # a partially-populated dir would make oracles fail with misleading
+    # missing-table errors — fail loudly here instead
+    assert not missing, f"fixture dir {SF} is missing tables: {missing}"
     c = duckdb.connect()
     for t in entrymod.TABLES:
         p = os.path.join(SF, f"{t}.parquet")
-        if os.path.exists(p):
-            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return c
 
 
@@ -59,3 +67,44 @@ def test_gate_would_catch_uncast_int_sum(con):
         "FROM orders"
     ).arrow()
     assert pa.types.is_decimal(tbl.schema.field("n").type)
+
+
+def test_gate_would_catch_decimal_sum(con):
+    """Negative control for the SUM-of-DECIMAL promotion class: DuckDB's
+    SUM over a DECIMAL input widens to DECIMAL(38,s) (Spark widens within
+    decimal but the repo never emits decimal at all) — the next most
+    likely drift class after HUGEINT SUM.  (AVG(DECIMAL) returns DOUBLE in
+    DuckDB, so AVG is not a promotion risk — verified, not assumed.)"""
+    tbl = con.execute(
+        "SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s FROM orders"
+    ).arrow()
+    assert pa.types.is_decimal(tbl.schema.field("s").type)
+    avg = con.execute(
+        "SELECT AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS a FROM orders"
+    ).arrow()
+    assert pa.types.is_float64(avg.schema.field("a").type)
+
+
+def test_gate_would_catch_decimal_round(con):
+    """Negative control for the ROUND class: round(DECIMAL, n) stays
+    DECIMAL in DuckDB, while Spark's round(double) is DOUBLE."""
+    tbl = con.execute(
+        "SELECT ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 1) AS r "
+        "FROM orders LIMIT 1"
+    ).arrow()
+    assert pa.types.is_decimal(tbl.schema.field("r").type)
+
+
+def test_no_oracle_returns_float32(con):
+    """Spark-side aggregates (avg/round/stddev/sum-of-double) all emit
+    float64; a float32 column in an oracle's OUTPUT schema would hash-
+    mismatch against it.  Raw embedding payloads are list<float32> by
+    design — only flag top-level float32 scalars, which can only come from
+    an un-promoted cast."""
+    offenders = []
+    for name, sql in entrymod.oracle_sql().items():
+        tbl = con.execute(sql).arrow()
+        for f in tbl.schema:
+            if pa.types.is_float32(f.type):
+                offenders.append((name, f.name))
+    assert not offenders, f"float32 scalar oracle columns: {offenders}"
