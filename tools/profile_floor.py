@@ -44,6 +44,8 @@ def main() -> None:
     spark = get_spark("pq-floor", extra_conf={
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": evdir,
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.rolling.enabled": "false",
     })
     spark.sparkContext.setLogLevel("ERROR")
     load_parquet(spark, os.path.join(sf_dir, "lineitem.parquet")) \
@@ -86,7 +88,13 @@ def main() -> None:
     tasks = []
     logf = [os.path.join(evdir, f) for f in os.listdir(evdir)
             if not f.startswith(".")][0]
-    for line in open(logf):
+    if os.path.isdir(logf):  # Spark 4 rolling event-log dir (eventlog_v2_*)
+        parts = sorted(os.path.join(logf, f) for f in os.listdir(logf)
+                       if "events" in f)
+        lines = (ln for p in parts for ln in open(p))
+    else:
+        lines = open(logf)
+    for line in lines:
         ev = json.loads(line)
         k = ev.get("Event")
         if k == "SparkListenerJobStart":
