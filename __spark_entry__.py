@@ -1579,7 +1579,8 @@ DRIVER_ORDER = [
     # x_random_projection, x_skew_report, x_seasonal_decompose,
     # x_dedup_best, x_benford, x_corr_matrix, x_bootstrap_ci,
     # x_vocab_jaccard, x_gini_mix, x_ks_drift, x_mannwhitney, x_spearman,
-    # x_punct_ratio.
+    # x_punct_ratio, and the round-5-new x_roundtrip_orc / x_roundtrip_xml
+    # (value-oracled this round, parked for the r6 window).
 ]
 
 
@@ -5211,11 +5212,83 @@ def _x_roundtrip_webdataset(spark, sf_dir):
     )
 
 
+def _x_roundtrip_orc(spark, sf_dir):
+    """customer -> distributed ORC part files (Spark's built-in columnar
+    sink) -> schema-preserving read back -> cents-exact aggregate.
+    Rounds out the §2.B format tier: ORC is the one columnar format whose
+    round trip had only pytest evidence."""
+    from prql_query_spark.engine.sources import read_source
+    from prql_query_spark.engine.writers import write_distributed
+
+    d = _rt_dir("pq_rt_orc_") + "/customer"
+    write_distributed(_tbl(spark, sf_dir, "customer"), d, "orc")
+    back = read_source(spark, d, "orc")
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("c_custkey").cast("bigint").alias("key_sum"),
+             F.sum(F.col("c_acctbal").cast("decimal(18,2)") * 100)
+              .cast("bigint").alias("acctbal_cents"))
+    )
+
+
+def _x_roundtrip_xml(spark, sf_dir):
+    """nation -> XML rows (Spark 4 built-in source, rowTag=row) ->
+    schema-inferred read back -> per-region aggregate.  Proves
+    text-markup round-tripping and numeric re-inference."""
+    from prql_query_spark.engine.sources import read_source
+    from prql_query_spark.engine.writers import write_distributed
+
+    d = _rt_dir("pq_rt_xml_") + "/nation"
+    write_distributed(_tbl(spark, sf_dir, "nation"), d, "xml")
+    back = read_source(spark, d, "xml")
+    return (
+        back.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+             F.max("n_name").alias("last_name"))
+    )
+
+
 EXTENSIONS["x_roundtrip_avro"] = _x_roundtrip_avro
 EXTENSIONS["x_roundtrip_delta"] = _x_roundtrip_delta
 EXTENSIONS["x_roundtrip_csv"] = _x_roundtrip_csv
 EXTENSIONS["x_roundtrip_iceberg"] = _x_roundtrip_iceberg
 EXTENSIONS["x_roundtrip_webdataset"] = _x_roundtrip_webdataset
+def _x_stream_tumbling(spark, sf_dir):
+    """The STREAMING tier driven to completion inside the gate: a real
+    readStream file source -> watermarked tumbling-window count ->
+    COMPLETE-mode memory sink, processAllAvailable() then stop().
+    Complete mode emits every window (append mode would hold the tail back
+    behind the watermark), so the result equals the batch twin row for row
+    and the DuckDB oracle checks the actual STREAM output — the first
+    value-oracle evidence for streaming/* beyond batch-equivalence
+    pytests.  At scale the source/sink swap to Kafka/Delta; the middle of
+    the pipeline is exactly what ran here."""
+    import uuid
+
+    from prql_query_spark.streaming.events import _event_stream
+
+    name = "pq_gate_stream_" + uuid.uuid4().hex[:8]
+    stream = _event_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), "2 hours")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+EXTENSIONS["x_roundtrip_orc"] = _x_roundtrip_orc
+EXTENSIONS["x_roundtrip_xml"] = _x_roundtrip_xml
+EXTENSIONS["x_stream_tumbling"] = _x_stream_tumbling
 
 EXTENSION_ORACLES["x_roundtrip_avro"] = """
 SELECT n_regionkey, COUNT(*) AS n,
@@ -5249,4 +5322,23 @@ SELECT doc_id % 10 AS key_mod, COUNT(*) AS n,
        CAST(SUM(length(text)) AS BIGINT) AS chars,
        MIN(doc_id) AS first_key
 FROM documents GROUP BY 1
+"""
+
+EXTENSION_ORACLES["x_roundtrip_orc"] = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS acctbal_cents
+FROM customer GROUP BY c_mktsegment
+"""
+
+EXTENSION_ORACLES["x_roundtrip_xml"] = """
+SELECT n_regionkey, COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MAX(n_name) AS last_name
+FROM nation GROUP BY n_regionkey
+"""
+
+EXTENSION_ORACLES["x_stream_tumbling"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
 """

@@ -263,6 +263,57 @@ def main() -> None:
                      f"| {r['spark_32rg']} | {r['duckdb']} |")
     lines += [
         "",
+        "## Job floor decomposition (round 5, measured)",
+        "",
+        "`tools/profile_floor.py` instruments a warm `SELECT * FROM lineitem",
+        "LIMIT 5` (the q_take shape — zero data-proportional work) with driver",
+        "wall-clock phase splits plus the Spark event log (20 iterations, sf0.1,",
+        "medians; absolute numbers drift ~20% session to session, the shares",
+        "don't):",
+        "",
+        "| term | ms | evidence |",
+        "|---|---|---|",
+        "| parse + analyze (`spark.sql`) | 9.5 | driver wall clock |",
+        "| optimize (`qe.optimizedPlan`) | 5.1 | driver wall clock |",
+        "| physical planning | 2.3 | driver wall clock |",
+        "| rest of pre-job driver work (write-command re-planning, noop sink setup, py4j) | ~31 | pre_job 47.9 minus the phases above |",
+        "| JVM job wall | 67.5 | event log JobStart→JobEnd |",
+        "| …of which scheduler submit→launch | 5.0 | event log |",
+        "| …task deserialize | 7.0 | task metrics |",
+        "| …task run (dominated by parquet scan-task init, see below) | 66.0 | task metrics |",
+        "| post-job py4j return | 1.8 | wall clock |",
+        "| **total exec** | **117** | |",
+        "",
+        "**The dominant term is parquet scan-task initialization, ~70-90 ms,",
+        "and it is constant, not data-proportional.** Controls that isolate it:",
+        "a no-scan `SELECT 1` noop write completes in **28 ms** end to end",
+        "(so job scheduling + py4j + noop commit is NOT the story), and the",
+        "scan cost is flat across projected chunk size — LIMIT 5 on a 0.08 MB",
+        "column (l_linestatus) vs a 3.78 MB column (l_extendedprice) measures",
+        "123 vs 134 ms interleaved, and a 1-column vs 11-column projection 95",
+        "vs 119 ms.  That shape rules out page decode and IO volume; what's",
+        "left is per-(task×file) reader construction: Hadoop input stream +",
+        "footer parse + vectorized reader/filter/schema plumbing.  DuckDB",
+        "opens the same file and answers in 2.5 ms.",
+        "",
+        "Reducibility: AQE off merges the 2 jobs into 1 and converges to only",
+        "~5 ms faster (interleaved A/B), reusing a pre-analyzed DataFrame saves",
+        "~15 ms (both would be bench-protocol edits, not engine improvements);",
+        "no session config moved it (interleaved A/B on q_agg/q_filter_derive",
+        "over the compacted layout: AQE off / shuffle=8 / vectorized fast",
+        "hash-map / combinations — all within noise).  The term is inside",
+        "Spark's DataSource-v1 parquet task setup, i.e. **irreducible at Spark",
+        "4.1 without forking the reader**, and it is the right trade at scale:",
+        "the identical setup cost amortizes against 128 MB-splits on a real",
+        "table (70 ms init vs seconds of decode per task), and it is paid per",
+        "task in parallel, not per query.  Consequence for the bench bars:",
+        "q_take (8.4×), q_agg (2.1×), q_filter_derive (2.1×) carry this floor",
+        "as most of their gap — q_filter_derive's fitted SLOPE is already",
+        "cheaper than DuckDB's (2139 vs 3092 ms/sf) and q_agg's is within 1.25×",
+        "(697 vs 568), so the per-byte engine work is at or below the oracle's;",
+        "the remaining ratio is the fixed floor divided by an sf0.1-sized",
+        "numerator.",
+        "",
         "## Reading",
         "",
         "The floor column is what the BENCH_r* rounds pay per query at",
