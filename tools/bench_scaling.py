@@ -309,8 +309,9 @@ def main() -> None:
         "task in parallel, not per query.  Consequence for the bench bars:",
         "q_take (8.4×), q_agg (2.1×), q_filter_derive (2.1×) carry this floor",
         "as most of their gap — q_filter_derive's fitted SLOPE is already",
-        "cheaper than DuckDB's (2139 vs 3092 ms/sf) and q_agg's is within 1.25×",
-        "(697 vs 568), so the per-byte engine work is at or below the oracle's;",
+        "cheaper than DuckDB's (1737 vs 3788 ms/sf — Spark is outright faster",
+        "at sf0.1, 239 vs 386 ms) and q_agg's is within 1.25×",
+        "(980 vs 801), so the per-byte engine work is at or below the oracle's;",
         "the remaining ratio is the fixed floor divided by an sf0.1-sized",
         "numerator.",
         "",
