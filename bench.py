@@ -230,7 +230,64 @@ take 10
     except Exception as exc:  # baseline section must never fail the bench
         note(f"duckdb baseline section skipped: {exc}")
 
-    # Same-run DuckDB denominators for the EXTENSION and HEAVY tiers
+    heavy: dict[str, float] = {}
+    for name in heavy_names:
+        fn = bench_overrides[name] if name in bench_overrides else all_queries[name]
+        heavy[name] = time_df(lambda f=fn: f(spark, sf_dir), runs=3)
+        note(f"bench {name} [heavy]: {heavy[name]}s")
+
+    # Secondary section: the same headline queries on a compacted layout
+    # (operators/layout.compact_for_parallelism — the warehouse compaction
+    # job every real deployment runs).  The driver's testdata parquet is
+    # single-row-group, so every scan above is ONE task regardless of core
+    # count; this measures what the engine does the moment the layout has
+    # >1 independent scan unit, i.e. on any real table.  Compaction cost is
+    # reported as compact_sec and NOT folded into per-query numbers; the
+    # primary `queries`/`value` fields above stay protocol-identical to
+    # BENCH_r02 (original driver files).
+    compacted: dict[str, float] = {}
+    compact_sec = None
+    try:
+        import shutil
+        import tempfile
+
+        from prql_query_spark.engine.sources import load_parquet
+        from prql_query_spark.engine.session import tune_splits_for_layout
+        from prql_query_spark.operators.layout import compact_for_parallelism
+
+        cdir = tempfile.mkdtemp(prefix="pq_compact_")
+        t_c = time.time()
+        cores = spark.sparkContext.defaultParallelism
+        big = ["lineitem", "orders"]
+        for t in big:
+            # size-proportional file count: one ~512 KB unit per file, cap
+            # at core count — 32 tiny files for a 3 MB table measured WORSE
+            # than the single-file original (q_window 0.21 -> 0.35 s, task
+            # scheduling dominating), while ~512 KB files win everywhere
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            n = max(1, min(cores, os.path.getsize(src) // (1 << 19)))
+            compact_for_parallelism(
+                spark, src, os.path.join(cdir, f"{t}.parquet"), int(n))
+        compact_sec = round(time.time() - t_c, 2)
+        for t in big:
+            load_parquet(spark, os.path.join(cdir, f"{t}.parquet")) \
+                .createOrReplaceTempView(t)
+        tune_splits_for_layout(
+            spark, [os.path.join(cdir, f"{t}.parquet") for t in big])
+        for name, prql in bench_prql.items():
+            execute(spark.sql(compile_prql(prql, "spark")))  # re-warm plans
+        for name, prql in bench_prql.items():
+            sql = compile_prql(prql, "spark")
+            compacted[name] = time_df(lambda s=sql: spark.sql(s))
+            note(f"bench {name} [compacted]: {compacted[name]}s")
+        shutil.rmtree(cdir, ignore_errors=True)
+    except Exception as exc:  # secondary section must never fail the bench
+        note(f"compacted-layout section skipped: {exc}")
+
+    # Same-run DuckDB denominators for the EXTENSION and HEAVY tiers —
+    # run AFTER all Spark timing so the multi-minute all-core DuckDB
+    # twins (recursive CTE, all-pairs joins) cannot pollute the Spark
+    # medians via page-cache/GC pressure
     # (round 5, VERDICT r4 item 3): these previously compared against the
     # 2026-08-13 BASELINE.md snapshot, which round 4 proved drifts ±40%
     # machine to machine (DuckDB alone ran 1.68× faster on the r4 VM).
@@ -326,59 +383,6 @@ take 10
     except Exception as exc:  # baseline section must never fail the bench
         note(f"duckdb tier baseline section skipped: {exc}")
 
-    heavy: dict[str, float] = {}
-    for name in heavy_names:
-        fn = bench_overrides[name] if name in bench_overrides else all_queries[name]
-        heavy[name] = time_df(lambda f=fn: f(spark, sf_dir), runs=3)
-        note(f"bench {name} [heavy]: {heavy[name]}s")
-
-    # Secondary section: the same headline queries on a compacted layout
-    # (operators/layout.compact_for_parallelism — the warehouse compaction
-    # job every real deployment runs).  The driver's testdata parquet is
-    # single-row-group, so every scan above is ONE task regardless of core
-    # count; this measures what the engine does the moment the layout has
-    # >1 independent scan unit, i.e. on any real table.  Compaction cost is
-    # reported as compact_sec and NOT folded into per-query numbers; the
-    # primary `queries`/`value` fields above stay protocol-identical to
-    # BENCH_r02 (original driver files).
-    compacted: dict[str, float] = {}
-    compact_sec = None
-    try:
-        import shutil
-        import tempfile
-
-        from prql_query_spark.engine.sources import load_parquet
-        from prql_query_spark.engine.session import tune_splits_for_layout
-        from prql_query_spark.operators.layout import compact_for_parallelism
-
-        cdir = tempfile.mkdtemp(prefix="pq_compact_")
-        t_c = time.time()
-        cores = spark.sparkContext.defaultParallelism
-        big = ["lineitem", "orders"]
-        for t in big:
-            # size-proportional file count: one ~512 KB unit per file, cap
-            # at core count — 32 tiny files for a 3 MB table measured WORSE
-            # than the single-file original (q_window 0.21 -> 0.35 s, task
-            # scheduling dominating), while ~512 KB files win everywhere
-            src = os.path.join(sf_dir, f"{t}.parquet")
-            n = max(1, min(cores, os.path.getsize(src) // (1 << 19)))
-            compact_for_parallelism(
-                spark, src, os.path.join(cdir, f"{t}.parquet"), int(n))
-        compact_sec = round(time.time() - t_c, 2)
-        for t in big:
-            load_parquet(spark, os.path.join(cdir, f"{t}.parquet")) \
-                .createOrReplaceTempView(t)
-        tune_splits_for_layout(
-            spark, [os.path.join(cdir, f"{t}.parquet") for t in big])
-        for name, prql in bench_prql.items():
-            execute(spark.sql(compile_prql(prql, "spark")))  # re-warm plans
-        for name, prql in bench_prql.items():
-            sql = compile_prql(prql, "spark")
-            compacted[name] = time_df(lambda s=sql: spark.sql(s))
-            note(f"bench {name} [compacted]: {compacted[name]}s")
-        shutil.rmtree(cdir, ignore_errors=True)
-    except Exception as exc:  # secondary section must never fail the bench
-        note(f"compacted-layout section skipped: {exc}")
 
     total = round(sum(results.values()), 4)
     out = {

@@ -1,5 +1,5 @@
-"""Pure-Python Apache Iceberg snapshot reader: the last gated source,
-made live.
+"""Pure-Python Apache Iceberg snapshot reader + minimal writer: the last
+gated source, made live in both directions.
 
 An Iceberg table is self-describing on disk (public spec, iceberg
 table-spec): `metadata/v*.metadata.json` (or any `*.metadata.json`,
@@ -16,6 +16,11 @@ non-identity partition transforms whose source columns are absent from
 the data files raise a clear error instead of wrong rows (identity
 partitioning stores the columns in the files, which Spark reads
 directly).
+
+The writer (`write_iceberg`) is the inverse at the same subset: a v2
+create-only APPEND — Spark writes the parquet data files distributed,
+the driver assembles only the tiny metadata chain.  Appending to an
+existing table raises (deploy the connector jar for table service).
 """
 
 from __future__ import annotations
