@@ -33,11 +33,16 @@ def get_spark(app_name: str = "prql-query-spark",
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
-        # Dim tables (nation/customer/part at any SF) deserve broadcast: the
-        # 10 MB default forces a 3-stage shuffle join for a 15 MB build side.
-        # 64 MB is safe with torrent broadcast on a 1000-executor cluster and
-        # measured 10-15% off q_join_agg/q_topk locally (interleaved A/B).
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        # Broadcast threshold at Spark's 10 MB default.  The round-2 64 MB
+        # override was re-measured at sf1 (tools/make_sfbig.py fixtures,
+        # interleaved A/B): broadcasting the 25 MB orders build side LOSES
+        # ~30% vs shuffling it (1.38 s vs 0.99 s) — the serial hash-table
+        # build dominates — while at sf0.1 every join's build side is
+        # <3 MB, so 10 MB vs 64 MB is plan-identical there (verified
+        # within noise).  10 MB also bounds the network amplification of
+        # a 1000-executor broadcast; AQE still upgrades shuffle→broadcast
+        # when runtime stats come in under the threshold.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 << 20))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
