@@ -1579,8 +1579,9 @@ DRIVER_ORDER = [
     # x_random_projection, x_skew_report, x_seasonal_decompose,
     # x_dedup_best, x_benford, x_corr_matrix, x_bootstrap_ci,
     # x_vocab_jaccard, x_gini_mix, x_ks_drift, x_mannwhitney, x_spearman,
-    # x_punct_ratio, and the round-5-new x_roundtrip_orc / x_roundtrip_xml
-    # (value-oracled this round, parked for the r6 window).
+    # x_punct_ratio, and the round-5-new x_roundtrip_orc / x_roundtrip_xml /
+    # x_stream_tumbling / x_bloom_prefilter (value-oracled this round,
+    # parked for the r6 window).
 ]
 
 
@@ -5286,9 +5287,25 @@ def _x_stream_tumbling(spark, sf_dir):
     return spark.table(name)
 
 
+def _x_bloom_prefilter(spark, sf_dir):
+    """Bloom-prefiltered membership probe: find every document whose
+    CONTENT (md5 of text) matches an audit set — the shuffle-free
+    "remove/flag known content at 100 TB" pattern.  The bloom is an
+    approximate structure, but prefilter + exact verify equals the plain
+    semi-join by construction, so the oracle is the exact `IN` query."""
+    from prql_query_spark.operators.quality import bloom_semi_join
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", F.md5("text").alias("h"))
+    audit = docs.filter(F.col("doc_id") % 13 == 0) \
+        .select(F.md5("text").alias("h"))
+    return bloom_semi_join(corpus, audit, "h")
+
+
 EXTENSIONS["x_roundtrip_orc"] = _x_roundtrip_orc
 EXTENSIONS["x_roundtrip_xml"] = _x_roundtrip_xml
 EXTENSIONS["x_stream_tumbling"] = _x_stream_tumbling
+EXTENSIONS["x_bloom_prefilter"] = _x_bloom_prefilter
 
 EXTENSION_ORACLES["x_roundtrip_avro"] = """
 SELECT n_regionkey, COUNT(*) AS n,
@@ -5341,4 +5358,9 @@ FROM nation GROUP BY n_regionkey
 EXTENSION_ORACLES["x_stream_tumbling"] = """
 SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
 FROM events GROUP BY 1, 2
+"""
+
+EXTENSION_ORACLES["x_bloom_prefilter"] = """
+SELECT doc_id, md5(text) AS h FROM documents
+WHERE md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % 13 = 0)
 """

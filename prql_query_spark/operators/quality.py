@@ -63,6 +63,82 @@ def filter_blocklist(
     return df.join(F.broadcast(blocklist.select(key).distinct()), key, "left_anti")
 
 
+def bloom_semi_join(
+    corpus: DataFrame,
+    keys: DataFrame,
+    corpus_col: str,
+    key_col: str | None = None,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Corpus rows whose ``corpus_col`` appears in ``keys`` — the exact
+    semantics of a semi-join, executed as bloom-prefilter + exact verify.
+
+    The 100 TB membership-probe pattern (what Catalyst's runtime bloom
+    join does for equi-joins, here first-class and composable): build a
+    k-hash bloom of the key set with ONE tiny aggregation (positions =
+    pmod(xxhash64(key, i), m), grouped bit_or per 64-bit word), collect
+    the ≤ m/64-long bitmap (16 KB at the default m=2^16 — small BY
+    CONSTRUCTION, like the broadcast sides elsewhere), embed it as an
+    array literal, and probe the corpus with a NARROW filter — the
+    corpus does not shuffle and non-members never reach the join.  A
+    bloom has no false negatives, so the exact semi-join on the ~fpp
+    survivors returns precisely the semi-join answer; the oracle twin is
+    the plain `WHERE ... IN` — equality holds by construction, making an
+    approximate structure value-checkable.
+
+    Size m to the key cardinality (fpp ≈ (1-e^{-kn/m})^k; the default
+    2^16 bits / 5 hashes holds fpp < 1% up to ~5k keys); at warehouse
+    scale raise num_bits — the bitmap stays driver-tiny up to 2^26 bits
+    (8 MB) and the plan shape is unchanged.
+    """
+    key_col = key_col or corpus_col
+    m = num_bits
+    words = m // 64
+    # hash the STRING form on both sides: xxhash64 is type-sensitive, so
+    # an int key set probing a bigint corpus column would silently miss
+    uniq = keys.select(F.col(key_col).alias("_k")).distinct()
+    hashed = uniq.select(F.col("_k").cast("string").alias("_s"))
+
+    def _word(col_name: str, i: int):
+        return (f"CAST(floor(pmod(xxhash64(`{col_name}`, {i}), {m}) / 64) "
+                "AS INT)")
+
+    def _mask(col_name: str, i: int):
+        return (f"shiftleft(1L, CAST(pmod(xxhash64(`{col_name}`, {i}), {m})"
+                " % 64 AS INT))")
+
+    pos_structs = [
+        F.struct(F.expr(_word("_s", i)).alias("w"),
+                 F.expr(_mask("_s", i)).alias("b"))
+        for i in range(num_hashes)
+    ]
+    word_rows = (
+        hashed.select(F.explode(F.array(*pos_structs)).alias("s"))
+        .select(F.col("s.w").alias("w"), F.col("s.b").alias("b"))
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("mask"))
+        .collect()
+    )
+    bitmap = [0] * words
+    for r in word_rows:
+        bitmap[r["w"]] = r["mask"]
+    bf = F.array(*[F.lit(x) for x in bitmap])
+    probed = corpus.withColumn("_ps", F.col(corpus_col).cast("string"))
+    hit = None
+    for i in range(num_hashes):
+        test = (
+            F.element_at(bf, F.expr(_word("_ps", i)) + 1)
+            .bitwiseAND(F.expr(_mask("_ps", i))) != 0
+        )
+        hit = test if hit is None else (hit & test)
+    survivors = probed.filter(hit).drop("_ps")
+    return survivors.join(
+        F.broadcast(uniq.withColumnRenamed("_k", corpus_col)),
+        corpus_col, "leftsemi",
+    )
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

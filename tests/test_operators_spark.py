@@ -3352,6 +3352,29 @@ def test_curate_corpus_pipeline_manifest(spark, sf_dir):
     assert not ({r.doc_id for r in kept} & bench_ids)
 
 
+def test_bloom_semi_join_equals_exact(spark):
+    """bloom_semi_join must return EXACTLY the semi-join answer (bloom
+    has no false negatives; exact verify kills the false positives), and
+    must hash the string form so cross-width numeric keys still match."""
+    from prql_query_spark.operators.quality import bloom_semi_join
+
+    corpus = spark.range(0, 2000).select(F.col("id").cast("long").alias("k"))
+    keys = spark.createDataFrame(
+        [(i,) for i in range(0, 2000, 7)], "k int")  # int vs corpus long
+    got = sorted(r.k for r in bloom_semi_join(corpus, keys, "k").collect())
+    want = sorted(range(0, 2000, 7))
+    assert got == want
+    # tiny bitmap (forced false positives) still returns the exact answer
+    got_small = sorted(r.k for r in
+                       bloom_semi_join(corpus, keys, "k",
+                                       num_bits=256, num_hashes=2).collect())
+    assert got_small == want
+    # plan shape: probe side broadcast-semi-joins, never a shuffle join
+    plan = bloom_semi_join(corpus, keys, "k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_gini_concentration_extremes(spark):
     from prql_query_spark.operators.analytics import gini_concentration
 
