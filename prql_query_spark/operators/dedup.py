@@ -637,19 +637,65 @@ def minhash_dedup_cc(
     num_perm: int = 64,
     bands: int = 16,
     k: int = 5,
+    collapse_min_dup_frac: float = 0.05,
 ) -> DataFrame:
     """Transitive fuzzy dedup: verified near-dup pairs → connected
     components → keep the minimum-id representative of each cluster.
 
     Unlike the greedy single-pass `minhash_dedup`, A~B~C collapses to one
     survivor even when A and C never collide directly.
+
+    When the corpus carries a material exact-duplicate fraction
+    (> `collapse_min_dup_frac`), they are collapsed FIRST
+    (one md5 groupBy keeping the min-id copy) and only unique texts
+    enter the LSH/verify/CC machinery.  This is provably
+    result-identical: replicas of a text all pair with each other at
+    jaccard 1, so a component's min id equals the min over its per-text
+    min-id representatives — but it changes the cost class on real
+    corpora, where exact-dup mass is the bulk of near-dup mass
+    (measured on the 90%-duplicate sf1 probe: 34 s → ~10 s, identical
+    survivor set; tools/probe_sf1_extras.py).  Whether dups exist is
+    decided by one narrow (id, md5) probe aggregation — necessarily an
+    action, same gated pattern as equidepth_histogram — so a
+    low-dup corpus pays only the probe (~7% at sf0.1, interleaved A/B),
+    never the collapse joins (which measured +21% there).  The threshold
+    matters both ways: below it the collapse joins cost more than the
+    LSH work they save (exact dups are jaccard-1 pairs the original
+    path already handles correctly), above it the LSH stage would chew
+    through replica-bloated buckets (the 90%-dup probe: 34 s vs 8 s).
     """
+    hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    counts = hashed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("_h").alias("u"),
+    ).first()
+    n_docs, n_uniq = counts["n"], counts["u"]
+    dup_frac = 0.0 if not n_docs else (n_docs - n_uniq) / n_docs
+    if dup_frac <= collapse_min_dup_frac:  # low-dup: zero-join path
+        verified = minhash_verified_pairs(
+            df, id_col, text_col, threshold, num_perm, bands, k)
+        comps = connected_components(verified)
+        losers = comps.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+        return df.join(losers, on=id_col, how="left_anti")
+    rep = hashed.groupBy("_h").agg(F.min(id_col).alias("_rep"))
+    uniq = df.join(
+        rep.select(F.col("_rep").alias(id_col)), id_col, "leftsemi")
     verified = minhash_verified_pairs(
-        df, id_col, text_col, threshold, num_perm, bands, k)
+        uniq, id_col, text_col, threshold, num_perm, bands, k)
     comps = connected_components(verified)
-    losers = comps.filter(F.col("node") != F.col("component")).select(
+    # losers = exact replicas (id != its text's min id) ∪ representatives
+    # that lost their component; each replica's fate follows its rep's.
+    rep_losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
+    replica_losers = (
+        hashed.join(rep, "_h")
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(id_col)
+    )
+    losers = replica_losers.union(rep_losers)
     return df.join(losers, on=id_col, how="left_anti")
 
 

@@ -3352,6 +3352,31 @@ def test_curate_corpus_pipeline_manifest(spark, sf_dir):
     assert not ({r.doc_id for r in kept} & bench_ids)
 
 
+def test_minhash_cc_exact_collapse_result_identical(spark):
+    """The exact-dup pre-collapse path (round 5) must return the SAME
+    survivor set as the uncollapsed path on a corpus with replicas AND
+    near-dups chained across a replica (A ~ B, B == B', so A-B-B' is one
+    component whose min id wins)."""
+    from prql_query_spark.operators.dedup import minhash_dedup_cc
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base + "extra tail words here"
+    rows = [
+        (1, base), (2, base), (3, near),          # replica pair + near-dup
+        (4, "completely different text about spark and parquet " * 5),
+        (5, "completely different text about spark and parquet " * 5),
+        (6, "an unrelated singleton document with its own words " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    collapsed = {r.doc_id for r in
+                 minhash_dedup_cc(df, threshold=0.5,
+                                  collapse_min_dup_frac=0.0).collect()}
+    plain = {r.doc_id for r in
+             minhash_dedup_cc(df, threshold=0.5,
+                              collapse_min_dup_frac=1.1).collect()}
+    assert collapsed == plain == {1, 4, 6}
+
+
 def test_bloom_semi_join_equals_exact(spark):
     """bloom_semi_join must return EXACTLY the semi-join answer (bloom
     has no false negatives; exact verify kills the false positives), and
