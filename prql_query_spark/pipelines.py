@@ -72,9 +72,11 @@ def curate_corpus(
     stages.append(("exact_dedup_keep_best", n1, n2, time.time() - t))
 
     t = time.time()
+    # stage 2 already collapsed exact dups, so skip minhash_dedup_cc's
+    # own dup probe (collapse gate can never trigger on this input)
     near = minhash_dedup_cc(
         exact, id_col=id_col, text_col=text_col,
-        threshold=minhash_threshold,
+        threshold=minhash_threshold, collapse_min_dup_frac=1.1,
     ).cache()
     n3 = near.count()
     stages.append(("minhash_dedup_cc", n2, n3, time.time() - t))
