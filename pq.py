@@ -120,7 +120,8 @@ def main(argv: list[str] | None = None) -> int:
             fmt = {"csv": "csv", "json": "json", "parquet": "parquet",
                    "table": "table", "tbl": "table",
                    "orc": "orc", "xml": "xml",
-                   "delta": "delta", "avro": "avro"}.get(ext)  # beyond reference
+                   "delta": "delta", "avro": "avro",
+                   "iceberg": "iceberg"}.get(ext)  # beyond reference
             if fmt is None:
                 print(f"Error: .{ext} files are currently not supported.",
                       file=sys.stderr)
@@ -192,9 +193,9 @@ def main(argv: list[str] | None = None) -> int:
             from prql_query_spark.engine.avro import write_avro
 
             write_avro(df, to)  # pure-Python single-file sink
-        elif writer == "arrow" and fmt not in ("orc", "xml", "delta"):
+        elif writer == "arrow" and fmt not in ("orc", "xml", "delta", "iceberg"):
             write_single_file(df, to, fmt)
-        else:  # orc/xml/delta have no arrow single-file writer — executors write
+        else:  # orc/xml/delta/iceberg: no arrow single-file writer — executors write
             write_distributed(df, to, fmt)
     return 0
 

@@ -85,6 +85,13 @@ def write_distributed(df: DataFrame, path: str, fmt: str, mode: str = "overwrite
             from prql_query_spark.engine.deltalog import write_delta
 
             write_delta(df, path, mode=mode)
+    elif fmt == "iceberg":
+        # jar-less v2 create-only table (engine/iceberg.py); with the
+        # connector deployed, `--to catalog.table` via Spark SQL is the
+        # full-service path — this sink covers the path-based case
+        from prql_query_spark.engine.iceberg import write_iceberg
+
+        write_iceberg(df, path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

@@ -331,6 +331,28 @@ def test_cli_delta_sink_roundtrip(spark, tmp_path, sf_dir):
     assert got == want
 
 
+def test_cli_iceberg_sink_roundtrip(spark, tmp_path, sf_dir):
+    """`--to out.iceberg` end to end without the connector jar: the CLI
+    executes the PRQL, writes through the pure-Python v2 metadata-chain
+    writer, and the table reads back (auto-detected from metadata/) with
+    the same rows."""
+    import pq
+    from prql_query_spark.engine.sources import read_source
+
+    out = str(tmp_path / "out.iceberg")
+    rc = pq.main([
+        "-f", f"r={sf_dir}/region.parquet", "-t", out,
+        "from r | select [r_regionkey, r_name] | sort [r_regionkey]",
+    ])
+    assert rc == 0
+    got = sorted((r.r_regionkey, r.r_name)
+                 for r in read_source(spark, out).collect())
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    want = sorted((r.r_regionkey, r.r_name)
+                  for r in src.select("r_regionkey", "r_name").collect())
+    assert got == want
+
+
 def test_cli_avro_roundtrip(spark, tmp_path, sf_dir):
     """`--to out.avro` then `-f out.avro` both work jar-less: the CLI
     writes with the pure-Python container encoder and scans it back
