@@ -83,6 +83,26 @@ def main() -> None:
         out[f"dedup_{label}_sec"] = round(time.time() - t, 2)
         out[f"dedup_{label}_survivors"] = n
 
+    # --- winnowing substring dedup at sf1 ------------------------------
+    # claim under test: fp groupBy, never doc×doc — a 90%-duplicate
+    # corpus makes every fingerprint group ~10 deep, the adversarial
+    # shape for the grouping
+    from prql_query_spark.operators.dedup import winnowed_fingerprints
+
+    def run_winnow():
+        fps = winnowed_fingerprints(docs)
+        return (fps.groupBy("fp").count().filter(F.col("count") > 1)
+                .count())
+
+    try:
+        run_winnow()
+        t = time.time()
+        n = run_winnow()
+        out["winnow_sec"] = round(time.time() - t, 2)
+        out["winnow_shared_fps"] = n
+    except Exception as exc:
+        out["winnow_err"] = f"{type(exc).__name__}: {exc}"[:200]
+
     # --- ANN at 20k vectors --------------------------------------------
     emb = load_parquet(spark, emb_path)
     queries = emb.filter(F.col("vec_id") % 100 == 0) \
