@@ -93,6 +93,12 @@ def bloom_semi_join(
     (8 MB) and the plan shape is unchanged.
     """
     key_col = key_col or corpus_col
+    if num_bits % 64 or num_bits <= 0:
+        # a ragged last word would make element_at return NULL for the
+        # high positions — a silent FALSE NEGATIVE, the one failure mode
+        # a bloom must never have
+        raise ValueError(f"num_bits must be a positive multiple of 64, "
+                         f"got {num_bits}")
     m = num_bits
     words = m // 64
     # hash the STRING form on both sides: xxhash64 is type-sensitive, so

@@ -3398,6 +3398,9 @@ def test_bloom_semi_join_equals_exact(spark):
     plan = bloom_semi_join(corpus, keys, "k")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # ragged bitmaps would silently false-negative — must refuse
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_semi_join(corpus, keys, "k", num_bits=100)
 
 
 def test_gini_concentration_extremes(spark):
