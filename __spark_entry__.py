@@ -56,6 +56,26 @@ def _reg(spark: SparkSession, sf_dir: str) -> None:
     _REG_CURRENT[app] = sf_dir
 
 
+_SCHEMA_CACHE: dict = {}
+
+
+def _schemas(spark: SparkSession, sf_dir: str) -> dict[str, list]:
+    """Table -> column names for the registered sf_dir views, for the
+    compiler's schema-dependent rewrites (eager aggregation).  Cached per
+    (session, dir): the columns come from the already-parsed view plans,
+    but ten py4j schema fetches per compiled query would still add
+    measurable driver chatter."""
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.abspath(sf_dir))
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = {
+            t: spark.table(t).columns
+            for t in TABLES
+            if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+        }
+    return _SCHEMA_CACHE[key]
+
+
 _TBL_CACHE: dict = {}
 
 
@@ -450,7 +470,8 @@ aggregate [
 def _prql_runner(prql: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _reg(spark, sf_dir)
-        return spark.sql(compile_prql(prql, "spark"))
+        return spark.sql(
+            compile_prql(prql, "spark", schemas=_schemas(spark, sf_dir)))
 
     return run
 
@@ -1520,7 +1541,9 @@ EXTENSION_ORACLES.update(_pii_oracle())
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _reg(spark, "/root/testdata/sf0.001")
-    return spark.sql(compile_prql(PRQL_QUERIES["q_flagship_monthly"], "spark"))
+    return spark.sql(compile_prql(
+        PRQL_QUERIES["q_flagship_monthly"], "spark",
+        schemas=_schemas(spark, "/root/testdata/sf0.001")))
 
 
 # The driver audits the FIRST 50 queries() entries (observed in round 1:

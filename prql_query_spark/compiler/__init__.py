@@ -20,11 +20,20 @@ __all__ = ["compile_prql", "parse", "ParseError", "CompileError", "DIALECTS"]
 
 
 def compile_prql(src: str, dialect: str = "spark",
-                 extra_ctes: dict[str, str] | None = None) -> str:
+                 extra_ctes: dict[str, str] | None = None,
+                 schemas: dict[str, list[str]] | None = None) -> str:
     """Compile PRQL text to a single SQL statement in the given dialect.
 
     extra_ctes: name -> raw SQL body, prepended as CTEs (used by the engine
     to inject file sources as named relations, reference duckdb.rs:32-60).
+
+    schemas: table -> column names for the tables the query may reference.
+    Optional; when provided (engine callers know their catalog) it enables
+    schema-dependent plan rewrites — currently eager aggregation (group-by
+    pushdown below fact-dim joins, sqlgen._try_eager_agg).  Compiling
+    without schemas always yields the plain form, which is what the DuckDB
+    oracle runs, so every rewrite is value-checked against its un-rewritten
+    twin by the parity gates.
     """
     q = parse(src)
     ctes: list[tuple[str, str]] = list((extra_ctes or {}).items())
@@ -40,12 +49,12 @@ def compile_prql(src: str, dialect: str = "spark",
             raw = Emitter(d, q.funcs, set()).emit(let.sql, ExprCtx())
             ctes.append((let.name, raw))
         else:
-            sub = SqlGen(d, q.funcs, cte_names)
+            sub = SqlGen(d, q.funcs, cte_names, schemas=schemas)
             for t in let.pipeline:
                 sub.apply(t)
             ctes.append((let.name, sub.finish()))
 
-    gen = SqlGen(d, q.funcs, cte_names)
+    gen = SqlGen(d, q.funcs, cte_names, schemas=schemas)
     if not q.pipeline:
         raise CompileError("query has no main pipeline")
     for t in q.pipeline:

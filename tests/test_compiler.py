@@ -435,3 +435,84 @@ def test_int_sum_no_cast_for_unknown_column_type():
     cast (summing doubles through a BIGINT cast would corrupt values)."""
     sql = compile_prql("from orders | aggregate [t = sum o_totalprice]", "duckdb")
     assert "CAST(SUM" not in sql
+
+
+# ----------------------------------------------------- eager aggregation
+_EA_SCHEMAS = {
+    "orders": ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+               "o_orderstatus"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+}
+
+_EA_PRQL = """
+from orders
+join customer [o_custkey == c_custkey]
+group [c_name] (aggregate [spend = round 2 (sum o_totalprice)])
+sort [-spend, c_name]
+take 10
+"""
+
+
+def test_eager_agg_fires_with_schemas():
+    """Group-by pushdown below a fact-dim join (sqlgen._try_eager_agg):
+    with catalog schemas the spark dialect pre-aggregates the fact by its
+    join key, then finishes over the dim attributes."""
+    sql = compile_prql(_EA_PRQL, "spark", schemas=_EA_SCHEMAS)
+    # pre-aggregate subquery grouped by the fact join key...
+    assert "GROUP BY `o_custkey`" in sql
+    # ...joined to the dimension and re-aggregated by the dim attribute
+    assert "GROUP BY `customer`.`c_name`" in sql
+    assert sql.index("GROUP BY `o_custkey`") < sql.index("JOIN `customer`")
+
+
+def test_eager_agg_needs_schemas_and_spark_dialect():
+    plain = compile_prql(_EA_PRQL, "spark")
+    assert "GROUP BY `o_custkey`" not in plain  # no schemas -> plain form
+    duck = compile_prql(_EA_PRQL, "duckdb", schemas=_EA_SCHEMAS)
+    assert 'GROUP BY "o_custkey"' not in duck  # oracle stays un-rewritten
+
+
+def test_eager_agg_splits_wheres_and_decomposes(con):
+    """Fact-side filters land in the pre-aggregate, dim-side filters above
+    the join; count/average decompose into partials."""
+    prql = """
+from orders
+join customer [o_custkey == c_custkey]
+filter o_totalprice > 100
+filter c_acctbal > 0
+group [c_name] (aggregate [n = count, m = average o_totalprice])
+sort [c_name]
+"""
+    sql = compile_prql(prql, "spark", schemas=_EA_SCHEMAS)
+    inner = sql.split("JOIN")[0]
+    assert "o_totalprice` > 100" in inner        # pushed into the pre-agg
+    assert "c_acctbal" not in inner               # dim filter stays above
+    assert "COUNT(*)" in inner and "SUM(`o_totalprice`)" in inner
+    assert "SUM(`_pq_ea0`)" in sql                # count finalizes as SUM
+    assert "/ SUM(" in sql                        # average = sum/count
+
+
+@pytest.mark.parametrize("prql,why", [
+    ("from orders | join side:left customer [o_custkey == c_custkey] | "
+     "group [c_name] (aggregate [n = count])", "outer join"),
+    ("from orders | join customer [o_custkey == c_custkey] | "
+     "group [c_name] (aggregate [sd = stddev o_totalprice])",
+     "non-decomposable aggregate"),
+    ("from orders | join customer [o_custkey == c_custkey] | "
+     "group [o_orderstatus] (aggregate [n = count])", "fact-side group key"),
+    ("from orders | join customer [o_custkey == c_custkey] | "
+     "group [c_name] (aggregate [n = count_distinct o_orderkey])",
+     "count_distinct"),
+    ("from orders | join customer [o_custkey == c_custkey] | "
+     "group [c_name] (aggregate [m = max c_acctbal])", "dim-side agg arg"),
+    ("from orders | join customer [o_custkey == c_custkey] | "
+     "filter o_totalprice > c_acctbal | "
+     "group [c_name] (aggregate [n = count])", "mixed-side predicate"),
+    ("from orders | join customer [o_custkey == c_custkey] | "
+     "group [c_name] (aggregate [x = sum s\"o_totalprice\"])", "s-string"),
+])
+def test_eager_agg_bails_to_plain_form(prql, why):
+    sql = compile_prql(prql, "spark", schemas=_EA_SCHEMAS)
+    assert "_pq_ea" not in sql, why
+    # the plain form keeps the single join-then-aggregate SELECT
+    assert sql.count("GROUP BY") <= 1, why

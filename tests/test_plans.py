@@ -583,3 +583,31 @@ def test_equidepth_above_cutoff_has_no_global_sort(spark, sf_dir):
     # exact path still used under the cutoff (oracle parity path)
     plan2 = _plan(spark, equidepth_histogram(orders, "o_totalprice", 10))
     assert "ntile" in plan2.lower()
+
+
+def test_eager_agg_plan_and_values(spark, reg, sf_dir):
+    """Eager aggregation (sqlgen._try_eager_agg): the schema-aware compile
+    of q_topk_customers must pre-aggregate orders by the int join key
+    below the customer join — at scale the join probe input shrinks from
+    |fact| to ndv(fk) and the string-key hash-agg runs over ndv(fk) rows —
+    and must return exactly the rows of the un-rewritten plain form."""
+    import __spark_entry__ as entry
+    from prql_query_spark import compile_prql
+
+    prql = entry.PRQL_QUERIES["q_topk_customers"]
+    schemas = entry._schemas(spark, sf_dir)
+    sql = compile_prql(prql, "spark", schemas=schemas)
+    plain_sql = compile_prql(prql, "spark")
+    assert sql != plain_sql  # the rewrite fired
+
+    plan = _plan(spark, spark.sql(sql), "simple")
+    # two-level aggregation: pre-agg by o_custkey below the join, final
+    # agg by c_name above it (4 HashAggregates incl. partial/final pairs)
+    assert plan.count("HashAggregate") >= 4
+    assert re.search(r"HashAggregate.*keys=\[o_custkey", plan)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in spark.sql(plain_sql).collect()]
+    assert got == want
