@@ -59,21 +59,40 @@ def _reg(spark: SparkSession, sf_dir: str) -> None:
 _SCHEMA_CACHE: dict = {}
 
 
+def _catalog(sf_dir: str) -> tuple[dict[str, list], dict[str, int]]:
+    """(table -> column names, table -> row count) for the sf_dir parquet,
+    for the compiler's schema-dependent rewrites (eager aggregation and its
+    row-count cost gate).  Read straight from the parquet footers (no
+    Spark); cached per dir."""
+    import pyarrow.parquet as papq
+
+    sf_dir = os.path.abspath(sf_dir)
+    if sf_dir not in _SCHEMA_CACHE:
+        schemas: dict[str, list] = {}
+        rows: dict[str, int] = {}
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if not os.path.exists(path):
+                continue
+            if os.path.isdir(path):
+                parts = sorted(
+                    os.path.join(path, f) for f in os.listdir(path)
+                    if f.endswith(".parquet"))
+                if not parts:
+                    continue
+                schemas[t] = papq.read_schema(parts[0]).names
+                rows[t] = sum(
+                    papq.ParquetFile(p).metadata.num_rows for p in parts)
+            else:
+                pf = papq.ParquetFile(path)
+                schemas[t] = pf.schema_arrow.names
+                rows[t] = pf.metadata.num_rows
+        _SCHEMA_CACHE[sf_dir] = (schemas, rows)
+    return _SCHEMA_CACHE[sf_dir]
+
+
 def _schemas(spark: SparkSession, sf_dir: str) -> dict[str, list]:
-    """Table -> column names for the registered sf_dir views, for the
-    compiler's schema-dependent rewrites (eager aggregation).  Cached per
-    (session, dir): the columns come from the already-parsed view plans,
-    but ten py4j schema fetches per compiled query would still add
-    measurable driver chatter."""
-    app = spark.sparkContext.applicationId
-    key = (app, os.path.abspath(sf_dir))
-    if key not in _SCHEMA_CACHE:
-        _SCHEMA_CACHE[key] = {
-            t: spark.table(t).columns
-            for t in TABLES
-            if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
-        }
-    return _SCHEMA_CACHE[key]
+    return _catalog(sf_dir)[0]
 
 
 _TBL_CACHE: dict = {}
@@ -470,8 +489,9 @@ aggregate [
 def _prql_runner(prql: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _reg(spark, sf_dir)
+        schemas, rows = _catalog(sf_dir)
         return spark.sql(
-            compile_prql(prql, "spark", schemas=_schemas(spark, sf_dir)))
+            compile_prql(prql, "spark", schemas=schemas, table_rows=rows))
 
     return run
 
@@ -1541,9 +1561,10 @@ EXTENSION_ORACLES.update(_pii_oracle())
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _reg(spark, "/root/testdata/sf0.001")
+    schemas, rows = _catalog("/root/testdata/sf0.001")
     return spark.sql(compile_prql(
         PRQL_QUERIES["q_flagship_monthly"], "spark",
-        schemas=_schemas(spark, "/root/testdata/sf0.001")))
+        schemas=schemas, table_rows=rows))
 
 
 # The driver audits the FIRST 50 queries() entries (observed in round 1:

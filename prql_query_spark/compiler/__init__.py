@@ -21,7 +21,8 @@ __all__ = ["compile_prql", "parse", "ParseError", "CompileError", "DIALECTS"]
 
 def compile_prql(src: str, dialect: str = "spark",
                  extra_ctes: dict[str, str] | None = None,
-                 schemas: dict[str, list[str]] | None = None) -> str:
+                 schemas: dict[str, list[str]] | None = None,
+                 table_rows: dict[str, int] | None = None) -> str:
     """Compile PRQL text to a single SQL statement in the given dialect.
 
     extra_ctes: name -> raw SQL body, prepended as CTEs (used by the engine
@@ -34,6 +35,11 @@ def compile_prql(src: str, dialect: str = "spark",
     without schemas always yields the plain form, which is what the DuckDB
     oracle runs, so every rewrite is value-checked against its un-rewritten
     twin by the parity gates.
+
+    table_rows: table -> row count (parquet footer metadata).  Cost gate
+    for eager aggregation: the rewrite only fires when |fact| is at least
+    SqlGen.EAGER_MIN_REDUCTION times |dim1| — below that the pre-aggregate
+    exchange costs more than the probe/agg rows it saves.
     """
     q = parse(src)
     ctes: list[tuple[str, str]] = list((extra_ctes or {}).items())
@@ -49,12 +55,14 @@ def compile_prql(src: str, dialect: str = "spark",
             raw = Emitter(d, q.funcs, set()).emit(let.sql, ExprCtx())
             ctes.append((let.name, raw))
         else:
-            sub = SqlGen(d, q.funcs, cte_names, schemas=schemas)
+            sub = SqlGen(d, q.funcs, cte_names, schemas=schemas,
+                         table_rows=table_rows)
             for t in let.pipeline:
                 sub.apply(t)
             ctes.append((let.name, sub.finish()))
 
-    gen = SqlGen(d, q.funcs, cte_names, schemas=schemas)
+    gen = SqlGen(d, q.funcs, cte_names, schemas=schemas,
+                 table_rows=table_rows)
     if not q.pipeline:
         raise CompileError("query has no main pipeline")
     for t in q.pipeline:

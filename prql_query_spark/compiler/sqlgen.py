@@ -338,8 +338,14 @@ class Layer:
 
 
 class SqlGen:
+    # eager aggregation must buy at least this row-count reduction
+    # (|fact| / |dim1| as the ndv(fk) proxy) before it trades the plain
+    # plan's zero fact shuffles for a pre-aggregate exchange
+    EAGER_MIN_REDUCTION = 8
+
     def __init__(self, dialect, funcs: dict, cte_names: set[str] | None = None,
-                 schemas: dict[str, list[str]] | None = None):
+                 schemas: dict[str, list[str]] | None = None,
+                 table_rows: dict[str, int] | None = None):
         self.d = get_dialect(dialect)
         self.funcs = funcs
         self.cte_names = cte_names or set()
@@ -348,6 +354,12 @@ class SqlGen:
         # rewrite; compiling without schemas (the DuckDB oracle path) always
         # yields the plain join-then-aggregate form.
         self.schemas = schemas
+        # table -> row count (parquet footer metadata; cheap).  Cost gate
+        # for eager aggregation: the pre-aggregate's output is at most
+        # |dim1| rows after the inner join, so |fact|/|dim1| bounds the
+        # reduction the extra exchange buys.  When absent, the rewrite
+        # fires on shape alone (explicit schemas= is already an opt-in).
+        self.table_rows = table_rows
         self.counter = 0
         self.layer: Layer | None = None
 
@@ -608,47 +620,67 @@ class SqlGen:
         if self.schemas is None or self.d.name != "spark":
             return False
         L = self.layer
-        if (L.from_table is None or len(L.join_meta) != 1
-                or len(L.joins) != 1
+        if (L.from_table is None or not L.join_meta
+                or len(L.join_meta) != len(L.joins)
                 or L.group_keys or L.aggs or L.derives or L.projection
                 or L.exclude or L.distinct or L.sorts
                 or L.limit is not None or L.offset):
             return False
         if len(L.wheres) != len(L.where_asts):
             return False
-        jm = L.join_meta[0]
-        if jm["side"] != "inner":
+        if any(jm["side"] != "inner" for jm in L.join_meta):
             return False
         fact_t, fact_a = L.from_table, L.from_alias
-        dim_t, dim_a = jm["table"], jm["alias"]
-        if fact_t == dim_t:
-            return False  # self-join: column sides are ambiguous
-        fact_cols = set(self.schemas.get(fact_t) or [])
-        dim_cols = set(self.schemas.get(dim_t) or [])
-        if not fact_cols or not dim_cols:
-            return False
+        tables = [(fact_t, fact_a)] + [
+            (jm["table"], jm["alias"]) for jm in L.join_meta]
+        aliases = [a for _, a in tables]
+        if len({t for t, _ in tables}) != len(tables) \
+                or len(set(aliases)) != len(aliases):
+            return False  # self-join somewhere: sides are ambiguous
+        colsets = []
+        for tbl_name, _ in tables:
+            cols = set(self.schemas.get(tbl_name) or [])
+            if not cols:
+                return False
+            colsets.append(cols)
+        fact_cols = colsets[0]
+
+        # --- cost gate: the pre-aggregate joins inner against dim 1, so
+        # its surviving output is at most |dim1| rows; require the implied
+        # reduction before trading zero fact shuffles for an exchange.
+        # (q_topk: orders/customer = 10x -> fires; q5: lineitem/orders =
+        # 4x -> stays on the pure broadcast plan, measured noise-level at
+        # sf0.1 while adding a fact-wide shuffle at scale.)
+        if self.table_rows is not None:
+            fact_rows = self.table_rows.get(fact_t)
+            dim_rows = self.table_rows.get(tables[1][0])
+            if not fact_rows or not dim_rows:
+                return False
+            if fact_rows < self.EAGER_MIN_REDUCTION * dim_rows:
+                return False
 
         def side_of(ident: A.Ident) -> str | None:
+            """'fact', 'dim', or None (unknown/ambiguous)."""
             if len(ident.parts) == 2:
-                if ident.parts[0] == fact_a:
-                    return "fact" if ident.parts[1] in fact_cols else None
-                if ident.parts[0] == dim_a:
-                    return "dim" if ident.parts[1] in dim_cols else None
+                for i, a in enumerate(aliases):
+                    if ident.parts[0] == a:
+                        if ident.parts[1] not in colsets[i]:
+                            return None
+                        return "fact" if i == 0 else "dim"
                 return None
             if len(ident.parts) != 1:
                 return None
             c = ident.parts[0]
-            in_f, in_d = c in fact_cols, c in dim_cols
-            if in_f and in_d:
-                return None  # ambiguous without a qualifier
-            if in_f:
-                return "fact"
-            if in_d:
-                return "dim"
-            return None
+            hits = [i for i, cs in enumerate(colsets) if c in cs]
+            if len(hits) != 1:
+                return None  # missing or ambiguous without a qualifier
+            return "fact" if hits[0] == 0 else "dim"
 
-        # --- join condition: one equality between a fact and a dim column
-        conds = jm["conds"]
+        # --- first join: one equality between a fact and a dim-1 column.
+        # Later joins may be arbitrary (multi-cond, theta) but must not
+        # touch the fact: they connect dimensions to dimensions, so their
+        # already-emitted SQL stays valid above the pre-aggregate.
+        conds = L.join_meta[0]["conds"]
         if len(conds) != 1:
             return False
         c0 = conds[0]
@@ -664,20 +696,40 @@ class SqlGen:
         fact_key, dim_key = by_side["fact"], by_side["dim"]
         fk_out = fact_key.parts[-1]
         dim_key_name = dim_key.parts[-1]
+        dim_a = tables[1][1]
+        # the first join's dim side must belong to dim 1 specifically (it is
+        # the only dim in scope at that point of the original pipeline)
+        if dim_key_name not in colsets[1]:
+            return False
+        if len(dim_key.parts) == 2 and dim_key.parts[0] != dim_a:
+            return False
+        for jm in L.join_meta[1:]:
+            for c in jm["conds"]:
+                if isinstance(c, A.JoinCondUsing):
+                    return False
+                idents = _plain_idents(c, self.funcs)
+                if idents is None or any(side_of(i) != "dim" for i in idents):
+                    return False
 
         # --- group pipeline: exactly one aggregate
         pipe = list(t.pipeline)
         if len(pipe) != 1 or not isinstance(pipe[0], A.Aggregate):
             return False
 
-        # --- group keys: plain dim-side idents, no collision with fk_out
-        key_names = []
+        # --- group keys: plain dim-side idents, no collision with fk_out;
+        # resolve each to its owning dim alias for unambiguous emission
+        key_names: list[tuple[str, str]] = []  # (name, owning alias)
         for k in t.keys:
             if not isinstance(k, A.Ident) or side_of(k) != "dim":
                 return False
             if k.parts[-1] == fk_out:
                 return False
-            key_names.append(k.parts[-1])
+            if len(k.parts) == 2:
+                owner = k.parts[0]
+            else:
+                owner = aliases[[
+                    i for i, cs in enumerate(colsets) if k.parts[0] in cs][0]]
+            key_names.append((k.parts[-1], owner))
 
         # --- classify WHERE predicates by side
         fact_wheres, dim_wheres = [], []
@@ -753,19 +805,23 @@ class SqlGen:
         inner.append(f"GROUP BY {fk_sql}")
         inner_sql = "\n".join(inner)
 
-        # --- rebuild the layer: partials ⋈ dim, final agg by dim attrs
+        # --- rebuild the layer: partials ⋈ dims, final agg by dim attrs.
+        # Joins 2..n never reference the fact, so their emitted SQL is
+        # reused verbatim above the pre-aggregate.
         pre = self.fresh()
-        dim_sql = self.d.qualified(dim_t)
-        if jm["alias_explicit"]:
+        jm0 = L.join_meta[0]
+        dim_sql = self.d.qualified(jm0["table"])
+        if jm0["alias_explicit"]:
             dim_sql += f" AS {q(dim_a)}"
         nl = Layer(from_sql=f"({inner_sql}) AS {q(pre)}",
-                   aliases={pre, dim_a})
+                   aliases={pre, *aliases[1:]})
         nl.joins = [
             f"JOIN {dim_sql} ON "
             f"{q(pre)}.{q(fk_out)} = {q(dim_a)}.{q(dim_key_name)}"]
+        nl.joins.extend(L.joins[1:])
         nl.wheres = dim_wheres
-        nl.group_keys = [(n, f"{q(dim_a)}.{q(n)}") for n in key_names]
-        em_out = Emitter(self.d, self.funcs, {pre, dim_a})
+        nl.group_keys = [(n, f"{q(owner)}.{q(n)}") for n, owner in key_names]
+        em_out = Emitter(self.d, self.funcs, set(nl.aliases))
         nl.aggs = [(n, em_out.emit(e, ExprCtx(mode="aggregate")))
                    for n, e in finals]
         self.layer = nl

@@ -516,3 +516,53 @@ def test_eager_agg_bails_to_plain_form(prql, why):
     assert "_pq_ea" not in sql, why
     # the plain form keeps the single join-then-aggregate SELECT
     assert sql.count("GROUP BY") <= 1, why
+
+
+def test_eager_agg_multi_dim_chain():
+    """Joins 2..n that never reference the fact are reused verbatim above
+    the pre-aggregate; group keys resolve to their owning dim alias."""
+    schemas = dict(_EA_SCHEMAS, nation=["n_nationkey", "n_name"])
+    prql = """
+from orders
+join customer [o_custkey == c_custkey]
+join nation [c_nationkey == n_nationkey]
+group [n_name] (aggregate [spend = sum o_totalprice])
+sort [n_name]
+"""
+    sql = compile_prql(prql, "spark", schemas=schemas)
+    assert "GROUP BY `o_custkey`" in sql
+    assert "JOIN `nation` ON (`c_nationkey` = `n_nationkey`)" in sql
+    assert "GROUP BY `nation`.`n_name`" in sql
+    # a chain where a LATER join touches the fact must bail
+    prql_bad = """
+from orders
+join customer [o_custkey == c_custkey]
+join nation [o_orderkey == n_nationkey]
+group [n_name] (aggregate [spend = sum o_totalprice])
+"""
+    assert "_pq_ea" not in compile_prql(prql_bad, "spark", schemas=schemas)
+
+
+def test_eager_agg_row_count_gate():
+    """The rewrite trades the broadcast plan's zero fact shuffles for a
+    pre-aggregate exchange, so it must only fire when |fact|/|dim1| clears
+    EAGER_MIN_REDUCTION (the ndv(fk) reduction proxy)."""
+    fires = compile_prql(_EA_PRQL, "spark", schemas=_EA_SCHEMAS,
+                         table_rows={"orders": 1500, "customer": 150})
+    assert "_pq_ea" in fires  # 10x reduction
+    held = compile_prql(_EA_PRQL, "spark", schemas=_EA_SCHEMAS,
+                        table_rows={"orders": 600, "customer": 150})
+    assert "_pq_ea" not in held  # 4x: keep the pure broadcast plan
+    missing = compile_prql(_EA_PRQL, "spark", schemas=_EA_SCHEMAS,
+                           table_rows={"orders": 1500})
+    assert "_pq_ea" not in missing  # unknown dim rows: stay conservative
+    # q5's silhouette (lineitem/orders = 4x) must stay un-rewritten under
+    # the real testdata catalog
+    import __spark_entry__ as entry
+    schemas, rows = entry._catalog("/root/testdata/sf0.001")
+    q5 = entry.PRQL_QUERIES["q_join_agg_q5"]
+    assert "_pq_ea" not in compile_prql(
+        q5, "spark", schemas=schemas, table_rows=rows)
+    topk = entry.PRQL_QUERIES["q_topk_customers"]
+    assert "_pq_ea" in compile_prql(
+        topk, "spark", schemas=schemas, table_rows=rows)
