@@ -1624,8 +1624,8 @@ DRIVER_ORDER = [
     # x_dedup_best, x_benford, x_corr_matrix, x_bootstrap_ci,
     # x_vocab_jaccard, x_gini_mix, x_ks_drift, x_mannwhitney, x_spearman,
     # x_punct_ratio, and the round-5-new x_roundtrip_orc / x_roundtrip_xml /
-    # x_stream_tumbling / x_bloom_prefilter (value-oracled this round,
-    # parked for the r6 window).
+    # x_stream_tumbling / x_bloom_prefilter / x_bm25_search (value-oracled
+    # this round, parked for the r6 window).
 ]
 
 
@@ -5345,6 +5345,31 @@ def _x_bloom_prefilter(spark, sf_dir):
         .select(F.md5("text").alias("h"))
     return bloom_semi_join(corpus, audit, "h")
 
+
+def _x_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (operators/retrieval.py): top-20 documents
+    for a fixed keyword query — the lexical half of a hybrid retrieval
+    stack and the 'which training docs look like this benchmark prompt?'
+    relevance baseline.  The corpus tokenizes once and filters to the
+    query's terms via a broadcast literal before ANY aggregation, so the
+    shuffled candidate set is query-hit-sized, never corpus-sized."""
+    from prql_query_spark.operators.retrieval import bm25_topk
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERY, k=20)
+
+
+_BM25_QUERY = "data quality and the best model"
+
+
+def _bm25_oracle() -> dict[str, str]:
+    from prql_query_spark.operators.retrieval import bm25_topk_oracle_sql
+
+    return {"x_bm25_search": bm25_topk_oracle_sql(_BM25_QUERY, k=20)}
+
+
+EXTENSIONS["x_bm25_search"] = _x_bm25_search
+EXTENSION_ORACLES.update(_bm25_oracle())
 
 EXTENSIONS["x_roundtrip_orc"] = _x_roundtrip_orc
 EXTENSIONS["x_roundtrip_xml"] = _x_roundtrip_xml

@@ -611,3 +611,35 @@ def test_eager_agg_plan_and_values(spark, reg, sf_dir):
     got = [tuple(r) for r in spark.sql(sql).collect()]
     want = [tuple(r) for r in spark.sql(plain_sql).collect()]
     assert got == want
+
+
+def test_bm25_filters_before_aggregation(spark, reg, sf_dir):
+    """BM25 retrieval (operators/retrieval.py): the (doc, term) explode
+    must be filtered to the query's literal terms BEFORE any aggregate —
+    the shuffled candidate set is query-hit-sized, never vocabulary-sized
+    — and the final top-k must be TakeOrderedAndProject, with the df and
+    corpus-stats sides broadcast."""
+    import __spark_entry__ as entry
+    from prql_query_spark.operators.retrieval import bm25_topk
+
+    docs = entry._tbl(spark, sf_dir, "documents")
+    df = bm25_topk(docs, "data quality model", k=5)
+    plan = _plan(spark, df, "simple")
+    # the literal term IN-filter feeds the tf aggregate directly
+    assert "IN (data,model,quality)" in plan
+    # the corpus is tokenized/exploded exactly once (df comes from a
+    # window over tf, not a second derivation of the same subtree), plus
+    # one narrow no-explode scan for N/avgdl
+    assert plan.count("Generate explode") == 1
+    assert plan.count("FileScan") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan  # the scalar stats row
+    assert "SortMergeJoin" not in plan
+
+    rows = df.collect()
+    assert len(rows) == 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # the top hit really contains a query term
+    top = docs.filter(F.col("doc_id") == rows[0]["doc_id"]).collect()[0]
+    assert any(t in top["text"].lower() for t in ("data", "quality", "model"))
