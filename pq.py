@@ -163,6 +163,13 @@ def main(argv: list[str] | None = None) -> int:
 
     paths = [s.split("=", 1)[1] if "=" in s else s for s in frm]
     tune_session_for(spark, sources_bytes(paths))
+    if not use_sql:
+        # recompile now that the sources are registered: the catalog
+        # (columns + parquet row counts) enables schema-dependent rewrites
+        # (eager aggregation); the transpile-only path above stays plain
+        schemas, rows = eng.catalog()
+        sql = compile_prql(query, dialect="spark",
+                           schemas=schemas or None, table_rows=rows)
     df = eng.sql(sql)
 
     if args.explain:

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from prql_query_spark.compiler import compile_prql
@@ -23,17 +25,54 @@ class PrqlEngine:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
         self.source_names: list[str] = []
+        self.source_paths: dict[str, str] = {}  # view name -> file path
 
     def add_sources(self, sources: list[str]) -> None:
-        self.source_names.extend(register_sources(self.spark, sources))
+        from prql_query_spark.engine.sources import split_alias, table_name_for
+
+        names = register_sources(self.spark, sources)
+        self.source_names.extend(names)
+        for src in sources:
+            alias, path = split_alias(src)
+            name = table_name_for(path, alias)
+            if name in names:
+                self.source_paths[name] = path
 
     def add_dir(self, sf_dir: str) -> None:
-        self.source_names.extend(register_dir(self.spark, sf_dir))
+        names = register_dir(self.spark, sf_dir)
+        self.source_names.extend(names)
+        for n in names:
+            p = os.path.join(sf_dir, f"{n}.parquet")
+            if os.path.exists(p):
+                self.source_paths[n] = p
+
+    def catalog(self) -> tuple[dict[str, list], dict[str, int]]:
+        """(table -> columns, table -> row count) for the registered
+        sources, feeding the compiler's schema-dependent rewrites (eager
+        aggregation and its row-count cost gate).  Columns come from the
+        session catalog; row counts only from parquet footers — a source
+        without a cheap exact count is simply absent, which makes the
+        cost gate hold that rewrite back (conservative by construction)."""
+        schemas: dict[str, list] = {}
+        rows: dict[str, int] = {}
+        for n in self.source_names:
+            try:
+                schemas[n] = self.spark.table(n).columns
+            except Exception:
+                continue
+            path = self.source_paths.get(n)
+            if path and path.endswith(".parquet") and os.path.isfile(path):
+                import pyarrow.parquet as papq
+
+                rows[n] = papq.ParquetFile(path).metadata.num_rows
+        return schemas, rows
 
     def query(self, prql: str) -> DataFrame:
         if self.source_names:
             prql = auto_from(prql, self.source_names[-1])
-        sql = compile_prql(prql, dialect="spark")
+        schemas, rows = self.catalog()
+        sql = compile_prql(prql, dialect="spark",
+                           schemas=schemas or None, table_rows=rows)
         return self.spark.sql(sql)
 
     def sql(self, sql: str) -> DataFrame:
