@@ -43,7 +43,7 @@ def main() -> None:
     tune_session_for(spark, sources_bytes([sf_dir]))
     # catalog schemas enable the compiler's eager-aggregation rewrite —
     # the same schema-aware path _prql_runner (the driver gate) compiles
-    schemas, table_rows = entrymod._catalog(sf_dir)
+    compile_kwargs = entrymod._compile_kwargs(sf_dir)
     startup = time.time() - t0
 
     # BASELINE.md §2 shapes, verbatim semantics (q_take is the pure
@@ -168,11 +168,11 @@ take 10
     t_w = time.time()
     for _ in range(2):
         for name, prql in bench_prql.items():
-            execute(spark.sql(compile_prql(prql, "spark", schemas=schemas, table_rows=table_rows)))
+            execute(spark.sql(compile_prql(prql, "spark", **compile_kwargs)))
     warmup = time.time() - t_w
 
     for name, prql in bench_prql.items():
-        sql = compile_prql(prql, "spark", schemas=schemas, table_rows=table_rows)
+        sql = compile_prql(prql, "spark", **compile_kwargs)
         results[name] = time_df(lambda s=sql: spark.sql(s))
         note(f"bench {name}: {results[name]}s")
 
@@ -278,9 +278,9 @@ take 10
         tune_splits_for_layout(
             spark, [os.path.join(cdir, f"{t}.parquet") for t in big])
         for name, prql in bench_prql.items():
-            execute(spark.sql(compile_prql(prql, "spark", schemas=schemas, table_rows=table_rows)))  # re-warm plans
+            execute(spark.sql(compile_prql(prql, "spark", **compile_kwargs)))  # re-warm plans
         for name, prql in bench_prql.items():
-            sql = compile_prql(prql, "spark", schemas=schemas, table_rows=table_rows)
+            sql = compile_prql(prql, "spark", **compile_kwargs)
             compacted[name] = time_df(lambda s=sql: spark.sql(s))
             note(f"bench {name} [compacted]: {compacted[name]}s")
         shutil.rmtree(cdir, ignore_errors=True)

@@ -167,9 +167,9 @@ def main(argv: list[str] | None = None) -> int:
         # recompile now that the sources are registered: the catalog
         # (columns + parquet row counts) enables schema-dependent rewrites
         # (eager aggregation); the transpile-only path above stays plain
-        schemas, rows = eng.catalog()
-        sql = compile_prql(query, dialect="spark",
-                           schemas=schemas or None, table_rows=rows)
+        schemas, rows, nbytes = eng.catalog()
+        sql = compile_prql(query, dialect="spark", schemas=schemas or None,
+                           table_rows=rows, table_bytes=nbytes)
     df = eng.sql(sql)
 
     if args.explain:

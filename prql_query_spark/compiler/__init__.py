@@ -22,7 +22,8 @@ __all__ = ["compile_prql", "parse", "ParseError", "CompileError", "DIALECTS"]
 def compile_prql(src: str, dialect: str = "spark",
                  extra_ctes: dict[str, str] | None = None,
                  schemas: dict[str, list[str]] | None = None,
-                 table_rows: dict[str, int] | None = None) -> str:
+                 table_rows: dict[str, int] | None = None,
+                 table_bytes: dict[str, int] | None = None) -> str:
     """Compile PRQL text to a single SQL statement in the given dialect.
 
     extra_ctes: name -> raw SQL body, prepended as CTEs (used by the engine
@@ -40,6 +41,11 @@ def compile_prql(src: str, dialect: str = "spark",
     for eager aggregation: the rewrite only fires when |fact| is at least
     SqlGen.EAGER_MIN_REDUCTION times |dim1| — below that the pre-aggregate
     exchange costs more than the probe/agg rows it saves.
+
+    table_bytes: table -> on-disk bytes.  Second cost gate: the rewrite
+    only fires when dim1 is past SqlGen.EAGER_MIN_DIM_BYTES (Spark's
+    broadcast threshold) — against a broadcast dim the plain plan never
+    shuffles the fact and measured FASTER at every reduction tried.
     """
     q = parse(src)
     ctes: list[tuple[str, str]] = list((extra_ctes or {}).items())
@@ -56,13 +62,13 @@ def compile_prql(src: str, dialect: str = "spark",
             ctes.append((let.name, raw))
         else:
             sub = SqlGen(d, q.funcs, cte_names, schemas=schemas,
-                         table_rows=table_rows)
+                         table_rows=table_rows, table_bytes=table_bytes)
             for t in let.pipeline:
                 sub.apply(t)
             ctes.append((let.name, sub.finish()))
 
     gen = SqlGen(d, q.funcs, cte_names, schemas=schemas,
-                 table_rows=table_rows)
+                 table_rows=table_rows, table_bytes=table_bytes)
     if not q.pipeline:
         raise CompileError("query has no main pipeline")
     for t in q.pipeline:

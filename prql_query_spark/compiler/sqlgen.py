@@ -342,10 +342,19 @@ class SqlGen:
     # (|fact| / |dim1| as the ndv(fk) proxy) before it trades the plain
     # plan's zero fact shuffles for a pre-aggregate exchange
     EAGER_MIN_REDUCTION = 8
+    # ...and the dimension must be too big to broadcast (Spark's default
+    # autoBroadcastJoinThreshold).  Measured at sf1 (SCALING.md): against
+    # a broadcast dim the plain plan's map-side partial aggregate already
+    # reduces each task's output before its one exchange, and eager
+    # aggregation LOSES 4-21%; against a shuffle join it wins 19% on a
+    # single node — and at cluster scale that is the difference between
+    # shuffling the fact table and shuffling ndv(fk) partial rows.
+    EAGER_MIN_DIM_BYTES = 10 * 1024 * 1024
 
     def __init__(self, dialect, funcs: dict, cte_names: set[str] | None = None,
                  schemas: dict[str, list[str]] | None = None,
-                 table_rows: dict[str, int] | None = None):
+                 table_rows: dict[str, int] | None = None,
+                 table_bytes: dict[str, int] | None = None):
         self.d = get_dialect(dialect)
         self.funcs = funcs
         self.cte_names = cte_names or set()
@@ -360,6 +369,10 @@ class SqlGen:
         # reduction the extra exchange buys.  When absent, the rewrite
         # fires on shape alone (explicit schemas= is already an opt-in).
         self.table_rows = table_rows
+        # table -> on-disk bytes: proxy for "will Spark broadcast this
+        # dim?" — eager aggregation only pays in the shuffle-join regime
+        # (see EAGER_MIN_DIM_BYTES).
+        self.table_bytes = table_bytes
         self.counter = 0
         self.layer: Layer | None = None
 
@@ -645,18 +658,24 @@ class SqlGen:
             colsets.append(cols)
         fact_cols = colsets[0]
 
-        # --- cost gate: the pre-aggregate joins inner against dim 1, so
-        # its surviving output is at most |dim1| rows; require the implied
-        # reduction before trading zero fact shuffles for an exchange.
-        # (q_topk: orders/customer = 10x -> fires; q5: lineitem/orders =
-        # 4x -> stays on the pure broadcast plan, measured noise-level at
-        # sf0.1 while adding a fact-wide shuffle at scale.)
+        # --- cost gates.  (1) reduction: the pre-aggregate joins inner
+        # against dim 1, so its surviving output is at most |dim1| rows;
+        # require the implied |fact|/|dim1| reduction.  (2) join regime:
+        # a broadcastable dim means the plain plan never shuffles the fact
+        # at all and its map-side partial aggregate already reduces before
+        # the single exchange — measured at sf1 eager LOSES there even at
+        # 100x reduction, and WINS 19% once the join must shuffle.  Fire
+        # only when the dim is past the broadcast threshold.
         if self.table_rows is not None:
             fact_rows = self.table_rows.get(fact_t)
             dim_rows = self.table_rows.get(tables[1][0])
             if not fact_rows or not dim_rows:
                 return False
             if fact_rows < self.EAGER_MIN_REDUCTION * dim_rows:
+                return False
+        if self.table_bytes is not None:
+            dim_bytes = self.table_bytes.get(tables[1][0])
+            if not dim_bytes or dim_bytes < self.EAGER_MIN_DIM_BYTES:
                 return False
 
         def side_of(ident: A.Ident) -> str | None:

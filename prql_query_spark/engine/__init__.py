@@ -46,15 +46,17 @@ class PrqlEngine:
             if os.path.exists(p):
                 self.source_paths[n] = p
 
-    def catalog(self) -> tuple[dict[str, list], dict[str, int]]:
-        """(table -> columns, table -> row count) for the registered
-        sources, feeding the compiler's schema-dependent rewrites (eager
-        aggregation and its row-count cost gate).  Columns come from the
-        session catalog; row counts only from parquet footers — a source
-        without a cheap exact count is simply absent, which makes the
-        cost gate hold that rewrite back (conservative by construction)."""
+    def catalog(self) -> tuple[dict[str, list], dict[str, int], dict[str, int]]:
+        """(table -> columns, table -> row count, table -> bytes) for the
+        registered sources, feeding the compiler's schema-dependent
+        rewrites (eager aggregation and its reduction/broadcast-regime
+        cost gates).  Columns come from the session catalog; row counts
+        and sizes only from parquet files — a source without cheap exact
+        stats is simply absent, which makes the cost gates hold the
+        rewrite back (conservative by construction)."""
         schemas: dict[str, list] = {}
         rows: dict[str, int] = {}
+        nbytes: dict[str, int] = {}
         for n in self.source_names:
             try:
                 schemas[n] = self.spark.table(n).columns
@@ -65,14 +67,15 @@ class PrqlEngine:
                 import pyarrow.parquet as papq
 
                 rows[n] = papq.ParquetFile(path).metadata.num_rows
-        return schemas, rows
+                nbytes[n] = os.path.getsize(path)
+        return schemas, rows, nbytes
 
     def query(self, prql: str) -> DataFrame:
         if self.source_names:
             prql = auto_from(prql, self.source_names[-1])
-        schemas, rows = self.catalog()
-        sql = compile_prql(prql, dialect="spark",
-                           schemas=schemas or None, table_rows=rows)
+        schemas, rows, nbytes = self.catalog()
+        sql = compile_prql(prql, dialect="spark", schemas=schemas or None,
+                           table_rows=rows, table_bytes=nbytes)
         return self.spark.sql(sql)
 
     def sql(self, sql: str) -> DataFrame:

@@ -544,9 +544,8 @@ group [n_name] (aggregate [spend = sum o_totalprice])
 
 
 def test_eager_agg_row_count_gate():
-    """The rewrite trades the broadcast plan's zero fact shuffles for a
-    pre-aggregate exchange, so it must only fire when |fact|/|dim1| clears
-    EAGER_MIN_REDUCTION (the ndv(fk) reduction proxy)."""
+    """Reduction gate: the pre-aggregate's surviving output is bounded by
+    |dim1|, so |fact|/|dim1| must clear EAGER_MIN_REDUCTION."""
     fires = compile_prql(_EA_PRQL, "spark", schemas=_EA_SCHEMAS,
                          table_rows={"orders": 1500, "customer": 150})
     assert "_pq_ea" in fires  # 10x reduction
@@ -556,13 +555,34 @@ def test_eager_agg_row_count_gate():
     missing = compile_prql(_EA_PRQL, "spark", schemas=_EA_SCHEMAS,
                            table_rows={"orders": 1500})
     assert "_pq_ea" not in missing  # unknown dim rows: stay conservative
-    # q5's silhouette (lineitem/orders = 4x) must stay un-rewritten under
-    # the real testdata catalog
+
+
+def test_eager_agg_broadcast_regime_gate():
+    """Join-regime gate (measured at sf1, SCALING.md): against a
+    broadcastable dim the plain plan never shuffles the fact and its
+    map-side partial aggregate already reduces before the one exchange —
+    eager aggregation only fires when dim1 is past the broadcast
+    threshold, i.e. when the plain join would shuffle the fact table."""
+    rows = {"orders": 1500, "customer": 150}
+    big_dim = compile_prql(_EA_PRQL, "spark", schemas=_EA_SCHEMAS,
+                           table_rows=rows,
+                           table_bytes={"orders": 1 << 32,
+                                        "customer": 64 << 20})
+    assert "_pq_ea" in big_dim  # 64 MB dim: shuffle join, rewrite pays
+    small_dim = compile_prql(_EA_PRQL, "spark", schemas=_EA_SCHEMAS,
+                             table_rows=rows,
+                             table_bytes={"orders": 1 << 32,
+                                          "customer": 1 << 20})
+    assert "_pq_ea" not in small_dim  # 1 MB dim broadcasts: stay plain
+    unknown = compile_prql(_EA_PRQL, "spark", schemas=_EA_SCHEMAS,
+                           table_rows=rows,
+                           table_bytes={"orders": 1 << 32})
+    assert "_pq_ea" not in unknown  # unknown dim size: stay conservative
+    # under the real testdata catalog every dim is tiny/broadcastable, so
+    # NOTHING fires through the engine's default compile path — the plain
+    # broadcast plans measured faster at every scale tried
     import __spark_entry__ as entry
-    schemas, rows = entry._catalog("/root/testdata/sf0.001")
-    q5 = entry.PRQL_QUERIES["q_join_agg_q5"]
-    assert "_pq_ea" not in compile_prql(
-        q5, "spark", schemas=schemas, table_rows=rows)
-    topk = entry.PRQL_QUERIES["q_topk_customers"]
-    assert "_pq_ea" in compile_prql(
-        topk, "spark", schemas=schemas, table_rows=rows)
+    kw = entry._compile_kwargs("/root/testdata/sf0.001")
+    for name in ("q_join_agg_q5", "q_topk_customers"):
+        assert "_pq_ea" not in compile_prql(
+            entry.PRQL_QUERIES[name], "spark", **kw)
