@@ -1633,7 +1633,8 @@ DRIVER_ORDER = [
     # x_vocab_jaccard, x_gini_mix, x_ks_drift, x_mannwhitney, x_spearman,
     # x_punct_ratio, and the round-5-new x_roundtrip_orc / x_roundtrip_xml /
     # x_stream_tumbling / x_bloom_prefilter / x_bm25_search /
-    # x_eager_rollup (value-oracled this round, parked for the r6 window).
+    # x_hybrid_search / x_eager_rollup (value-oracled this round, parked
+    # for the r6 window).
 ]
 
 
@@ -5378,6 +5379,30 @@ def _bm25_oracle() -> dict[str, str]:
 
 EXTENSIONS["x_bm25_search"] = _x_bm25_search
 EXTENSION_ORACLES.update(_bm25_oracle())
+
+
+def _x_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical list
+    and the dense cosine list (query = corpus vector 7; vec_id == doc_id
+    by fixture contract).  Ranks, not scores, cross the fusion boundary,
+    so the branches need no calibration — the standard two-tower +
+    keyword serving stack."""
+    from prql_query_spark.operators.retrieval import hybrid_topk
+
+    docs = _tbl(spark, sf_dir, "documents")
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return hybrid_topk(docs, emb, _BM25_QUERY, query_vec_id=7, k=15)
+
+
+def _hybrid_oracle() -> dict[str, str]:
+    from prql_query_spark.operators.retrieval import hybrid_topk_oracle_sql
+
+    return {"x_hybrid_search": hybrid_topk_oracle_sql(
+        _BM25_QUERY, query_vec_id=7, k=15)}
+
+
+EXTENSIONS["x_hybrid_search"] = _x_hybrid_search
+EXTENSION_ORACLES.update(_hybrid_oracle())
 
 
 # Eager aggregation (compiler/sqlgen._try_eager_agg) under the value gate:

@@ -151,3 +151,139 @@ GROUP BY {id_col}
 ORDER BY score DESC, {id_col} ASC
 LIMIT {k}
 """
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_text: str,
+    query_vec_id: int,
+    k: int = 10,
+    depth: int = 50,
+    rrf_c: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of BM25 (lexical) and
+    brute-force cosine (dense) top-`depth` lists — the standard fusion
+    for a two-tower + keyword stack (Cormack et al., SIGIR'09 RRF):
+
+        rrf(d) = sum over lists of 1 / (rrf_c + rank_list(d))
+
+    with absent-from-list contributing 0.  The dense query is a corpus
+    vector (`query_vec_id`), the lexical query free text; embeddings
+    align to documents by id (fixture contract: vec_id == doc_id).
+
+    Scale: both branches are already sublinear-output (BM25's shuffles
+    are candidate-set-sized, cosine broadcasts the single query and
+    top-k's per partition before the merge); the fusion itself is a full
+    outer join of two depth-sized lists — trivially small.  Ranks, not
+    scores, cross the fusion boundary, so the two branches' score scales
+    never need calibration.
+    """
+    from pyspark.sql import Window
+
+    lex = bm25_topk(docs, query_text, k=depth, id_col=id_col,
+                    text_col=text_col)
+    wl = Window.orderBy(F.desc("score"), F.asc(id_col))
+    lex_r = lex.select(
+        F.col(id_col).alias("_id"),
+        F.row_number().over(wl).alias("_lex_rank"))
+
+    q = emb.filter(F.col(emb_id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qv"))
+    scored = (
+        emb.filter(F.col(emb_id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(emb_id_col).alias("_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(vec_col, "_qv",
+                               lambda a, b: a.cast("double") * b.cast("double")),
+                    F.lit(0.0), lambda acc, x: acc + x)
+                / (F.sqrt(F.aggregate(
+                    vec_col, F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double")))
+                   * F.sqrt(F.aggregate(
+                       "_qv", F.lit(0.0),
+                       lambda acc, x: acc + x.cast("double") * x.cast("double")))),
+                6).alias("_cos"))
+    )
+    wd = Window.orderBy(F.desc("_cos"), F.asc("_id"))
+    dense_r = (
+        scored.withColumn("_dense_rank", F.row_number().over(wd))
+        .filter(F.col("_dense_rank") <= depth)
+        .select("_id", "_dense_rank")
+    )
+
+    fused = (
+        lex_r.join(dense_r, "_id", "full_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            F.round(
+                F.coalesce(1.0 / (rrf_c + F.col("_lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (rrf_c + F.col("_dense_rank")), F.lit(0.0)),
+                6).alias("rrf"),
+            # BIGINT on both engines: the driver's schema gate is
+            # Arrow-width-typed (int32 row_number would mismatch the
+            # oracle's BIGINT)
+            F.col("_lex_rank").cast("long").alias("lex_rank"),
+            F.col("_dense_rank").cast("long").alias("dense_rank"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)
+
+
+def hybrid_topk_oracle_sql(
+    query_text: str,
+    query_vec_id: int,
+    k: int = 10,
+    depth: int = 50,
+    rrf_c: int = 60,
+    docs_table: str = "documents",
+    emb_table: str = "embeddings",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of hybrid_topk, generated from the same parameters.
+    The BM25 sub-oracle is the bm25_topk_oracle_sql body; cosine uses
+    list_cosine_similarity over DOUBLE[] (the repo's x_cosine_topk
+    convention, exact-verified every round)."""
+    bm25 = bm25_topk_oracle_sql(
+        query_text, k=depth, table=docs_table,
+        id_col=id_col, text_col=text_col).strip().rstrip()
+    return f"""
+WITH lex_list AS (
+    SELECT * FROM ({bm25})
+), lex AS (
+    SELECT {id_col} AS id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, {id_col} ASC) AS lex_rank
+    FROM lex_list
+), q AS (
+    SELECT {vec_col} AS qv FROM {emb_table} WHERE {emb_id_col} = {query_vec_id}
+), dense_scored AS (
+    SELECT e.{emb_id_col} AS id,
+           ROUND(list_cosine_similarity(CAST(e.{vec_col} AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])), 6) AS c
+    FROM {emb_table} e CROSS JOIN q
+    WHERE e.{emb_id_col} <> {query_vec_id}
+), dense AS (
+    SELECT id, dense_rank FROM (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY c DESC, id ASC) AS dense_rank
+        FROM dense_scored
+    ) WHERE dense_rank <= {depth}
+)
+SELECT COALESCE(lex.id, dense.id) AS {id_col},
+       ROUND(COALESCE(1.0 / ({rrf_c} + lex.lex_rank), 0.0)
+             + COALESCE(1.0 / ({rrf_c} + dense.dense_rank), 0.0), 6) AS rrf,
+       CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+       CAST(dense.dense_rank AS BIGINT) AS dense_rank
+FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
+ORDER BY rrf DESC, {id_col} ASC
+LIMIT {k}
+"""
