@@ -132,6 +132,44 @@ def main() -> None:
         except Exception as exc:  # signature drift — record, don't die
             out[f"ann_{label}_err"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # --- retrieval at 50k docs ------------------------------------------
+    # claim under test: BM25's shuffles are candidate-set-sized — the
+    # replicated corpus has 10x the docs AND 10x the per-term hits, the
+    # shape where a vocabulary-sized plan would blow up.  The DuckDB twin
+    # runs the SAME formula (oracle generator) for the per-byte anchor.
+    from prql_query_spark.operators.retrieval import (
+        bm25_topk, bm25_topk_oracle_sql,
+    )
+
+    BM25_Q = "data quality and the best model"
+
+    def run_bm25():
+        return bm25_topk(docs, BM25_Q, k=20).count()
+
+    try:
+        run_bm25()
+        t = time.time()
+        out["bm25_hits"] = run_bm25()
+        out["bm25_sec"] = round(time.time() - t, 2)
+    except Exception as exc:
+        out["bm25_err"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf1, 'documents.parquet')}/*.parquet')")
+        sql = bm25_topk_oracle_sql(BM25_Q, k=20)
+        con.execute(sql).fetchall()
+        t = time.time()
+        con.execute(sql).fetchall()
+        out["bm25_duckdb_sec"] = round(time.time() - t, 2)
+        con.close()
+    except Exception as exc:
+        out["bm25_duckdb_err"] = f"{type(exc).__name__}: {exc}"[:200]
+
     print(json.dumps(out))
     spark.stop()
 
