@@ -1633,8 +1633,8 @@ DRIVER_ORDER = [
     # x_vocab_jaccard, x_gini_mix, x_ks_drift, x_mannwhitney, x_spearman,
     # x_punct_ratio, and the round-5-new x_roundtrip_orc / x_roundtrip_xml /
     # x_stream_tumbling / x_bloom_prefilter / x_bm25_search /
-    # x_hybrid_search / x_eager_rollup (value-oracled this round, parked
-    # for the r6 window).
+    # x_hybrid_search / x_bm25_index / x_bm25_batch / x_eager_rollup
+    # (value-oracled this round, parked for the r6 window).
 ]
 
 
@@ -5403,6 +5403,74 @@ def _hybrid_oracle() -> dict[str, str]:
 
 EXTENSIONS["x_hybrid_search"] = _x_hybrid_search
 EXTENSION_ORACLES.update(_hybrid_oracle())
+
+
+def _x_bm25_index(spark, sf_dir):
+    """BM25 through the PERSISTED index: build postings once, write them
+    term-sorted (row-group stats then prune the probe's `term IN` at the
+    scan — query IO proportional to the posting lists, not the corpus),
+    read back, probe.  Must equal direct bm25_topk exactly, so the oracle
+    is the same direct-computation SQL."""
+    import shutil
+
+    from prql_query_spark.operators.retrieval import (
+        build_bm25_index, probe_bm25_index,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    postings, stats = build_bm25_index(docs)
+    d = _rt_dir("pq_bm25_idx_")
+    try:
+        postings.sort("term").write.mode("overwrite") \
+            .parquet(os.path.join(d, "postings.parquet"))
+        stats.write.mode("overwrite").parquet(os.path.join(d, "stats.parquet"))
+        out = probe_bm25_index(
+            spark.read.parquet(os.path.join(d, "postings.parquet")),
+            spark.read.parquet(os.path.join(d, "stats.parquet")),
+            _BM25_QUERY, k=20)
+        rows = out.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _bm25_index_oracle() -> dict[str, str]:
+    from prql_query_spark.operators.retrieval import bm25_topk_oracle_sql
+
+    return {"x_bm25_index": bm25_topk_oracle_sql(_BM25_QUERY, k=20)}
+
+
+EXTENSIONS["x_bm25_index"] = _x_bm25_index
+EXTENSION_ORACLES.update(_bm25_index_oracle())
+
+
+_BM25_BATCH = [
+    ("q_quality", "data quality and the best model"),
+    ("q_speed", "fast clean training data"),
+    ("q_neg", "terrible broken slow results"),
+]
+
+
+def _x_bm25_batch(spark, sf_dir):
+    """Batch BM25: every query scored in ONE plan — one corpus tokenize
+    semi-filtered by the union of all queries' terms, tf/df computed once
+    and shared, per-query top-k windows.  The contamination-ranking shape
+    ('score the corpus against every benchmark prompt')."""
+    from prql_query_spark.operators.retrieval import bm25_topk_batch
+
+    docs = _tbl(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_BATCH, "query_id string, query_text string")
+    return bm25_topk_batch(docs, queries, k=10)
+
+
+def _bm25_batch_oracle() -> dict[str, str]:
+    from prql_query_spark.operators.retrieval import bm25_topk_batch_oracle_sql
+
+    return {"x_bm25_batch": bm25_topk_batch_oracle_sql(_BM25_BATCH, k=10)}
+
+
+EXTENSIONS["x_bm25_batch"] = _x_bm25_batch
+EXTENSION_ORACLES.update(_bm25_batch_oracle())
 
 
 # Eager aggregation (compiler/sqlgen._try_eager_agg) under the value gate:

@@ -3583,3 +3583,30 @@ def test_checkpoint_schema_is_delta_spec(spark, tmp_path):
     assert all(set(a["partitionValues"].keys()) == {"part"} for a in adds)
     txn_row = cp.filter("txn IS NOT NULL").collect()[0]["txn"]
     assert (txn_row["appId"], txn_row["version"]) == ("app", 7)
+
+
+def test_bm25_batch_and_index_agree_with_direct(spark, sf_dir):
+    """The three BM25 entry points are one ranking function: a single-query
+    batch and a probe through the persisted index must reproduce
+    bm25_topk's exact (id, score) list — pins the shared formula against
+    refactors of any one path."""
+    import __spark_entry__ as entry
+    from prql_query_spark.operators.retrieval import (
+        bm25_topk, bm25_topk_batch, build_bm25_index, probe_bm25_index,
+    )
+
+    docs = entry._tbl(spark, sf_dir, "documents")
+    q = "data quality and the best model"
+    direct = [(r["doc_id"], r["score"]) for r in bm25_topk(docs, q, k=15).collect()]
+    assert len(direct) == 15
+
+    queries = spark.createDataFrame([("q0", q)], "query_id string, query_text string")
+    batch = [(r["doc_id"], r["score"])
+             for r in bm25_topk_batch(docs, queries, k=15)
+             .orderBy("rank").collect()]
+    assert batch == direct
+
+    postings, stats = build_bm25_index(docs)
+    via_index = [(r["doc_id"], r["score"])
+                 for r in probe_bm25_index(postings, stats, q, k=15).collect()]
+    assert via_index == direct
