@@ -1633,8 +1633,9 @@ DRIVER_ORDER = [
     # x_vocab_jaccard, x_gini_mix, x_ks_drift, x_mannwhitney, x_spearman,
     # x_punct_ratio, and the round-5-new x_roundtrip_orc / x_roundtrip_xml /
     # x_stream_tumbling / x_bloom_prefilter / x_bm25_search /
-    # x_hybrid_search / x_bm25_index / x_bm25_batch / x_eager_rollup
-    # (value-oracled this round, parked for the r6 window).
+    # x_hybrid_search / x_bm25_index / x_bm25_incremental / x_bm25_batch
+    # / x_eager_rollup (value-oracled this round, parked for the r6
+    # window).
 ]
 
 
@@ -5442,6 +5443,34 @@ def _bm25_index_oracle() -> dict[str, str]:
 
 EXTENSIONS["x_bm25_index"] = _x_bm25_index
 EXTENSION_ORACLES.update(_bm25_index_oracle())
+
+
+def _x_bm25_incremental(spark, sf_dir):
+    """Incremental index maintenance: build the index on half the corpus,
+    ingest the other half as a batch (postings UNION ALL + mergeable
+    (n, sum_dl) stats — df is never stored, so nothing is rewritten), and
+    probe.  Must equal direct BM25 over the FULL corpus, which is exactly
+    what the oracle computes — the invariant that makes streaming ingest
+    into the index safe."""
+    from prql_query_spark.operators.retrieval import (
+        build_bm25_index, merge_bm25_stats, probe_bm25_index,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    p0, s0 = build_bm25_index(docs.filter(F.col("doc_id") % 2 == 0))
+    p1, s1 = build_bm25_index(docs.filter(F.col("doc_id") % 2 == 1))
+    return probe_bm25_index(
+        p0.unionByName(p1), merge_bm25_stats(s0, s1), _BM25_QUERY, k=20)
+
+
+def _bm25_incremental_oracle() -> dict[str, str]:
+    from prql_query_spark.operators.retrieval import bm25_topk_oracle_sql
+
+    return {"x_bm25_incremental": bm25_topk_oracle_sql(_BM25_QUERY, k=20)}
+
+
+EXTENSIONS["x_bm25_incremental"] = _x_bm25_incremental
+EXTENSION_ORACLES.update(_bm25_incremental_oracle())
 
 
 _BM25_BATCH = [

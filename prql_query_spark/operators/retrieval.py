@@ -298,36 +298,46 @@ def build_bm25_index(
     answer every future query from the index alone.
 
     Returns (postings, stats):
-      postings — (term, id, tf, dl, df): one row per (term, doc), with the
-        per-term document frequency denormalized on so a probe needs no
-        window;
-      stats — one row (n, avgdl).
+      postings — (term, id, tf, dl): one row per (term, doc).  Document
+        frequency is deliberately NOT stored: every posting of a term is
+        in the probe's pruned scan anyway, so df falls out of a window
+        count there — and leaving it off makes the index APPEND-ONLY
+        (df of every term changes whenever any doc arrives; a
+        denormalized copy would force a full-index rewrite per batch).
+      stats — one row (n, sum_dl): MERGEABLE corpus moments (avgdl is
+        derived at probe time), so incremental ingest is
+        `new postings UNION ALL` + adding two numbers.
 
-    Persist both with `postings.sort("term").write.parquet(...)` — sorting
-    by term packs each term into few row groups, so the probe's
+    Persist with `postings.sort("term").write.parquet(...)` — sorting by
+    term packs each term into few row groups, so the probe's
     `term IN (...)` predicate prunes row groups at the parquet scan and
     query-time IO is proportional to the query's posting lists, NOT the
     corpus (the inverted-index property, expressed in parquet row-group
     statistics).  Same build-once / probe-forever pattern as
-    dedup.build_minhash_index.
+    dedup.build_minhash_index; merge batches with merge_bm25_stats +
+    parquet append.
     """
-    from pyspark.sql import Window
-
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg(F.size("_toks")).alias("avgdl"),
+        F.sum(F.size("_toks")).cast("long").alias("sum_dl"),
     )
-    tf = (
+    postings = (
         base.select("id", F.size("_toks").alias("dl"),
                     F.explode("_toks").alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
-    postings = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term")))
-    return postings.select("term", "id", "tf", "dl", "df"), stats
+    return postings.select("term", "id", "tf", "dl"), stats
+
+
+def merge_bm25_stats(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two index stats rows (n, sum_dl are plain sums).  Postings
+    merge by parquet append / UNION ALL — nothing to recompute."""
+    return a.unionByName(b).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"))
 
 
 def probe_bm25_index(
@@ -341,24 +351,31 @@ def probe_bm25_index(
 ) -> DataFrame:
     """Answer a BM25 query from a persisted index: no corpus scan, no
     tokenize — one term-pruned scan of the posting lists plus the 1-row
-    stats broadcast.  Identical scores to bm25_topk on the same corpus
-    (the x_bm25_index gate row pins probe-through-index == direct)."""
+    stats broadcast.  df is a window count over the pruned postings
+    (complete by construction: pruning keeps whole terms).  Identical
+    scores to bm25_topk on the same corpus (the x_bm25_index and
+    x_bm25_incremental gate rows pin it)."""
+    from pyspark.sql import Window
+
     terms = sorted({t for t in query.strip().lower().split() if t})
     if not terms:
         raise ValueError("probe_bm25_index: query has no terms")
     hits = postings.filter(F.col("term").isin(terms))
     scored = (
-        hits.crossJoin(F.broadcast(stats))
+        hits.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_avgdl", F.col("sum_dl") / F.col("n"))
         .withColumn(
             "_idf",
-            F.log(1.0 + (F.col("n") - F.col("df") + 0.5)
-                  / (F.col("df") + 0.5)),
+            F.log(1.0 + (F.col("n") - F.col("_df") + 0.5)
+                  / (F.col("_df") + 0.5)),
         )
         .withColumn(
             "_s",
             F.col("_idf") * F.col("tf") * (k1 + 1.0)
             / (F.col("tf")
-               + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+               + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))),
         )
     )
     return (
