@@ -629,6 +629,13 @@ class SqlGen:
         args not provably fact-side, mixed-side WHERE predicates, user
         funcs / s-strings anywhere in scope, and name collisions between
         the join key and group keys.
+
+        FP note: decomposing a double SUM changes the summation tree
+        (per-key partials first), which can drift the result by an ulp —
+        the same non-associativity class as Spark's own partition-order
+        nondeterminism, and why the repo rounds every money aggregate in
+        DECIMAL (FIXTURES.md).  Integer sums, counts, min and max are
+        exact; the randomized differential test pins all of this.
         """
         if self.schemas is None or self.d.name != "spark":
             return False

@@ -643,3 +643,55 @@ def test_bm25_filters_before_aggregation(spark, reg, sf_dir):
     # the top hit really contains a query term
     top = docs.filter(F.col("doc_id") == rows[0]["doc_id"]).collect()[0]
     assert any(t in top["text"].lower() for t in ("data", "quality", "model"))
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6])
+def test_eager_agg_randomized_differential(spark, seed):
+    """Differential fuzz for the eager-aggregation rewrite: random fact
+    (NULL fks, NULL measures) against a dim with DUPLICATE join keys
+    (the multiplicity case the Yan-Larson proof hinges on), random
+    filters on both sides, all decomposable aggregates at once.  The
+    rewritten plan must reproduce the plain plan's rows exactly.
+
+    Double sums/averages go through the repo-wide round-in-DECIMAL
+    convention: the rewrite changes the SUMMATION TREE (partials per fk
+    first), which drifts bare double sums by an ulp — the same
+    non-associativity class as Spark's own partition-order
+    nondeterminism, and the reason FIXTURES.md rounds every money
+    aggregate.  Integer counts/min/max are exact unrounded."""
+    import random
+
+    from prql_query_spark import compile_prql
+
+    rnd = random.Random(seed)
+    fact = [(rnd.choice([None, *range(8)]),
+             rnd.choice([None, rnd.randint(0, 100)]),
+             round(rnd.uniform(0, 50), 2))
+            for _ in range(60)]
+    # duplicate pks on purpose: two dim rows share key 3, with different
+    # and with identical attribute values
+    dim = [(k, f"g{rnd.randint(0, 2)}") for k in range(8)]
+    dim += [(3, "g0"), (3, "g1"), (None, "g2")]
+    spark.createDataFrame(fact, "fk int, qty int, price double") \
+        .createOrReplaceTempView("ea_fact")
+    spark.createDataFrame(dim, "pk int, grp string") \
+        .createOrReplaceTempView("ea_dim")
+
+    prql = """
+from ea_fact
+join ea_dim [fk == pk]
+filter price < 45
+filter grp != 'zzz'
+group [grp] (aggregate [
+    s = round 2 (sum price), n = count, nq = count qty,
+    mx = max price, mn = min qty, a = round 4 (average price),
+])
+sort [grp]
+"""
+    schemas = {"ea_fact": ["fk", "qty", "price"], "ea_dim": ["pk", "grp"]}
+    plain_sql = compile_prql(prql, "spark")
+    eager_sql = compile_prql(prql, "spark", schemas=schemas)
+    assert "_pq_ea" in eager_sql and "_pq_ea" not in plain_sql
+    plain = [tuple(r) for r in spark.sql(plain_sql).collect()]
+    eager = [tuple(r) for r in spark.sql(eager_sql).collect()]
+    assert eager == plain
