@@ -20,6 +20,8 @@ must grow; here it is immutable for determinism.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -331,3 +333,73 @@ def stream_dedup_growing(
         .queryName(queryName)
         .start()
     )
+
+
+def stream_bm25_index(
+    spark: SparkSession,
+    docs_path: str,
+    index_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    queryName: str = "pq_stream_bm25_index",
+    max_files_per_trigger: int | None = 64,
+):
+    """Continuously maintain the BM25 serving index from a document
+    stream.  The retrieval index design makes this a PURE APPEND:
+    postings carry no document frequency (the probe derives df from its
+    own pruned scan) and the stats row is mergeable moments (n, sum_dl),
+    so each micro-batch writes only its own postings/stats partitions and
+    never rewrites earlier ones — the property a df-denormalized index
+    would not have, since every arriving doc changes every term's df.
+
+    `_batch_id` dynamic-partition overwrite keeps crash replays
+    idempotent (the repo's standard exactly-once sink contract).  Read
+    back with `read_bm25_index` and serve with
+    `retrieval.probe_bm25_index`; results equal a from-scratch build on
+    everything ingested (batch-equivalence pytest pins it).
+    """
+    from prql_query_spark.operators.retrieval import build_bm25_index
+
+    schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_path)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        postings, stats = build_bm25_index(batch_df, id_col, text_col)
+        (
+            postings.sort("term").withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(os.path.join(index_dir, "postings"))
+        )
+        (
+            stats.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(os.path.join(index_dir, "stats"))
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(queryName)
+        .start()
+    )
+
+
+def read_bm25_index(spark: SparkSession, index_dir: str):
+    """(postings, stats) from a stream_bm25_index directory: postings as
+    written (per-batch partitions, each term-sorted within its batch),
+    stats folded to the single mergeable row probe_bm25_index expects."""
+    postings = spark.read.parquet(
+        os.path.join(index_dir, "postings")).drop("_batch_id")
+    stats = spark.read.parquet(os.path.join(index_dir, "stats")).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"))
+    return postings, stats

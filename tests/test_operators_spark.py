@@ -3610,3 +3610,39 @@ def test_bm25_batch_and_index_agree_with_direct(spark, sf_dir):
     via_index = [(r["doc_id"], r["score"])
                  for r in probe_bm25_index(postings, stats, q, k=15).collect()]
     assert via_index == direct
+
+
+def test_stream_bm25_index_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming index maintenance == from-scratch build: because the
+    postings carry no df and the stats are mergeable moments, per-batch
+    appends compose into exactly the index a single batch build would
+    produce — probe results must match direct bm25_topk over everything
+    ingested."""
+    from prql_query_spark.operators.retrieval import bm25_topk, probe_bm25_index
+    from prql_query_spark.streaming.ingest import (
+        read_bm25_index, stream_bm25_index,
+    )
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    in_dir = str(tmp_path / "incoming")
+    docs.repartition(3).write.parquet(in_dir)  # several files -> several batches
+
+    idx = str(tmp_path / "bm25_index")
+    q = stream_bm25_index(
+        spark, in_dir, idx, checkpoint=str(tmp_path / "ck"),
+        queryName="t_bm25_idx", max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    postings, stats = read_bm25_index(spark, idx)
+    query = "data quality and the best model"
+    got = [(r["doc_id"], r["score"])
+           for r in probe_bm25_index(postings, stats, query, k=15).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in bm25_topk(docs, query, k=15).collect()]
+    assert got == want and len(got) == 15
