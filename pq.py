@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["csv", "json", "parquet", "table"])
     p.add_argument("-w", "--writer", default=None, choices=["arrow", "backend"],
                    help="arrow = single-file via driver; backend = df.write.*")
+    p.add_argument("--schema", default=None,
+                   help="DDL schema for csv/ndjson sources (\"a INT, b STRING\") "
+                        "instead of inference (reference TODO.md:38)")
     p.add_argument("--sql", action="store_true",
                    help="pass a SQL query rather than a PRQL one")
     p.add_argument("--explain", action="store_true",
@@ -158,7 +161,7 @@ def main(argv: list[str] | None = None) -> int:
         from prql_query_spark.engine.databases import attach_database
 
         attach_database(spark, database)
-    eng.add_sources(frm)
+    eng.add_sources(frm, schema=args.schema)
     from prql_query_spark.engine.session import sources_bytes, tune_session_for
 
     paths = [s.split("=", 1)[1] if "=" in s else s for s in frm]

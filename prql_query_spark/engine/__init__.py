@@ -27,10 +27,10 @@ class PrqlEngine:
         self.source_names: list[str] = []
         self.source_paths: dict[str, str] = {}  # view name -> file path
 
-    def add_sources(self, sources: list[str]) -> None:
+    def add_sources(self, sources: list[str], schema: str | None = None) -> None:
         from prql_query_spark.engine.sources import split_alias, table_name_for
 
-        names = register_sources(self.spark, sources)
+        names = register_sources(self.spark, sources, schema=schema)
         self.source_names.extend(names)
         for src in sources:
             alias, path = split_alias(src)

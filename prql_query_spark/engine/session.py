@@ -81,9 +81,18 @@ def tune_session_for(spark: SparkSession, input_bytes: int) -> None:
 
 
 def sources_bytes(paths: list[str]) -> int:
-    """Total on-disk size of files/directories backing a query's sources."""
+    """Total on-disk size of files/directories backing a query's sources.
+    Glob patterns (--from supports them) expand before sizing."""
+    import glob as _glob
+
     total = 0
+    expanded: list[str] = []
     for p in paths:
+        if any(c in os.path.basename(p) for c in "*?["):
+            expanded.extend(_glob.glob(p))
+        else:
+            expanded.append(p)
+    for p in expanded:
         if os.path.isdir(p):
             for root, _, files in os.walk(p):
                 total += sum(os.path.getsize(os.path.join(root, f)) for f in files)

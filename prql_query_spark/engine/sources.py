@@ -44,11 +44,24 @@ def infer_format(path: str) -> str | None:
 def table_name_for(path: str, alias: str | None) -> str:
     if alias:
         return alias
-    stem = os.path.splitext(os.path.basename(path.rstrip("/")))[0]
+    base = os.path.basename(path.rstrip("/"))
+    if any(c in base for c in "*?["):
+        # glob source (reference TODO.md:39 "Support globs in --from"):
+        # the filename stem would be '*' — name the view after the parent
+        # directory instead (`/data/logs/*.parquet` -> `logs`)
+        base = os.path.basename(os.path.dirname(path)) or "glob"
+        return re.sub(r"\s+", "_", base)
+    stem = os.path.splitext(base)[0]
     return re.sub(r"\s+", "_", stem)  # spaces -> _ (main.rs:310)
 
 
-def read_source(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+def read_source(spark: SparkSession, path: str, fmt: str | None = None,
+                schema: str | None = None) -> DataFrame:
+    """schema: optional DDL string ("a INT, b STRING") applied to csv/ndjson
+    sources INSTEAD of inference — the reference's unshipped `--schema`
+    argument (TODO.md:38).  Inference reads the data twice and guesses
+    (ints that later turn string, timestamp formats); a declared schema is
+    one pass and exact, which is also the only viable mode at 100 TB."""
     if fmt is None and os.path.isdir(os.path.join(path, "_delta_log")):
         fmt = "delta"  # delta tables are directories marked by their log
     if fmt is None and os.path.isdir(os.path.join(path, "metadata")) and any(
@@ -59,12 +72,23 @@ def read_source(spark: SparkSession, path: str, fmt: str | None = None) -> DataF
     fmt = fmt or infer_format(path)
     if fmt is None:
         raise SourceError(f"cannot infer format of {path!r}")
+    if schema is not None and fmt not in ("csv", "json"):
+        raise SourceError(
+            f"--schema applies to csv/ndjson sources, not {fmt!r} "
+            "(self-describing formats carry their own)")
     if fmt == "csv":
+        if schema is not None:
+            return (spark.read.option("header", "true").schema(schema)
+                    .option("timestampFormat",
+                            "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]")
+                    .csv(path))
         # reference infers CSV schemas (datafusion.rs:39, duckdb read_csv_auto)
         return (spark.read.option("header", "true").option("inferSchema", "true")
                 .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]")
                 .csv(path))
     if fmt == "json":
+        if schema is not None:
+            return spark.read.schema(schema).json(path)
         return spark.read.json(path)  # NDJSON is Spark's default JSON framing
     if fmt == "parquet":
         return spark.read.parquet(path)
@@ -110,11 +134,13 @@ def read_source(spark: SparkSession, path: str, fmt: str | None = None) -> DataF
     raise SourceError(f"unsupported format {fmt!r}")
 
 
-def register_sources(spark: SparkSession, sources: list[str]) -> list[str]:
+def register_sources(spark: SparkSession, sources: list[str],
+                     schema: str | None = None) -> list[str]:
     """Register each `alias=path` (or bare path) as a temp view.
 
     Returns registered table names in order; the last one drives auto-`from`
     insertion (reference main.rs:146-148 uses sources.last()).
+    schema: optional DDL applied to every csv/ndjson source (--schema).
     """
     names = []
     for src in sources:
@@ -124,7 +150,7 @@ def register_sources(spark: SparkSession, sources: list[str]) -> list[str]:
             # schema-qualified passthrough: assume pre-registered table
             names.append(path)
             continue
-        df = read_source(spark, path, fmt)
+        df = read_source(spark, path, fmt, schema=schema)
         name = table_name_for(path, alias)
         df.createOrReplaceTempView(name)
         names.append(name)

@@ -586,3 +586,38 @@ def test_eager_agg_broadcast_regime_gate():
     for name in ("q_join_agg_q5", "q_topk_customers"):
         assert "_pq_ea" not in compile_prql(
             entry.PRQL_QUERIES[name], "spark", **kw)
+
+
+def test_cli_glob_sources_and_schema(spark, tmp_path, capsys):
+    """Two reference-TODO deliveries (TODO.md:38-39): glob patterns in
+    --from (view named after the glob's parent directory) and a
+    user-supplied --schema DDL for csv/ndjson replacing inference; a
+    --schema on a self-describing format errors loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    import pq
+
+    shard = tmp_path / "shard"
+    shard.mkdir()
+    papq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}),
+                     str(shard / "p1.parquet"))
+    papq.write_table(pa.table({"a": [3], "b": ["z"]}),
+                     str(shard / "p2.parquet"))
+    rc = pq.main(["-f", f"{shard}/*.parquet",
+                  "from shard | aggregate [n = count, mx = max a]"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "| 3 " in out and "| 3 |" in out  # both files scanned
+
+    csv = tmp_path / "d.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    rc = pq.main(["--schema", "a BIGINT, b STRING", "-f", f"d={csv}",
+                  "from d | derive [a2 = a * 10] | sort [a]"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "| 20 " in out  # arithmetic on the DECLARED bigint
+
+    from prql_query_spark.engine.sources import SourceError
+
+    with pytest.raises(SourceError, match="self-describing"):
+        pq.main(["--schema", "x INT", "-f", f"p={shard}/p1.parquet",
+                 "from p | take 1"])
