@@ -62,6 +62,30 @@ def read_source(spark: SparkSession, path: str, fmt: str | None = None,
     argument (TODO.md:38).  Inference reads the data twice and guesses
     (ints that later turn string, timestamp formats); a declared schema is
     one pass and exact, which is also the only viable mode at 100 TB."""
+    scheme = path.split("://", 1)[0].lower() if "://" in path else None
+    if scheme in ("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasbs", "oss"):
+        # cloud object stores (reference TODO.md:43 "Add s3 support"):
+        # Spark reads these natively WHEN the filesystem connector jar is
+        # deployed (hadoop-aws / gcs-connector / hadoop-azure) — probe for
+        # it and fail with the fix named instead of a Java stack trace
+        fs_class = {
+            "s3": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+            "s3a": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+            "s3n": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+            "gs": "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem",
+            "abfs": "org.apache.hadoop.fs.azurebfs.AzureBlobFileSystem",
+            "abfss": "org.apache.hadoop.fs.azurebfs.SecureAzureBlobFileSystem",
+            "wasbs": "org.apache.hadoop.fs.azure.NativeAzureFileSystem",
+            "oss": "org.apache.hadoop.fs.aliyun.oss.AliyunOSSFileSystem",
+        }[scheme]
+        try:
+            spark._jvm.java.lang.Class.forName(fs_class)  # noqa: SLF001
+        except Exception:
+            raise SourceError(
+                f"{scheme}:// paths need the {fs_class.split('.')[-1]} "
+                f"connector on the Spark classpath (deploy the jar "
+                f"providing {fs_class} plus credentials); not present in "
+                "this environment") from None
     if fmt is None and os.path.isdir(os.path.join(path, "_delta_log")):
         fmt = "delta"  # delta tables are directories marked by their log
     if fmt is None and os.path.isdir(os.path.join(path, "metadata")) and any(

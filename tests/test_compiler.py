@@ -621,3 +621,15 @@ def test_cli_glob_sources_and_schema(spark, tmp_path, capsys):
     with pytest.raises(SourceError, match="self-describing"):
         pq.main(["--schema", "x INT", "-f", f"p={shard}/p1.parquet",
                  "from p | take 1"])
+
+
+def test_cloud_scheme_guard_names_the_fix(spark):
+    """s3://gs://abfs:// paths probe for the filesystem connector class
+    and fail with the jar named (reference TODO.md:43) instead of a Java
+    stack trace; local paths are untouched by the guard."""
+    from prql_query_spark.engine.sources import SourceError, read_source
+
+    with pytest.raises(SourceError, match="S3AFileSystem"):
+        read_source(spark, "s3://bucket/data.parquet")
+    with pytest.raises(SourceError, match="GoogleHadoopFileSystem"):
+        read_source(spark, "gs://bucket/data.parquet")
