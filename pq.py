@@ -56,7 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="arrow = single-file via driver; backend = df.write.*")
     p.add_argument("--schema", default=None,
                    help="DDL schema for csv/ndjson sources (\"a INT, b STRING\") "
-                        "instead of inference (reference TODO.md:38)")
+                        "instead of inference; applies to every csv/ndjson "
+                        "source listed (reference TODO.md:38)")
     p.add_argument("--sql", action="store_true",
                    help="pass a SQL query rather than a PRQL one")
     p.add_argument("--explain", action="store_true",
