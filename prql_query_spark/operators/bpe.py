@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from prql_query_spark.operators.text import ASCII_WS
 from pyspark.sql.types import ArrayType, StringType
 
 END = "</w>"  # end-of-word sentinel, keeps merges word-internal
@@ -32,7 +34,7 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) over whitespace-split lowered text — the single corpus
     pass BPE training needs (map-side combined aggregate)."""
     return (
-        df.select(F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        df.select(F.explode(F.split(F.trim(F.lower(F.col(text_col))), ASCII_WS))
                   .alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")

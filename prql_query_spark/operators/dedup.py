@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from prql_query_spark.operators.text import ASCII_WS_SPARKSQL
+
 
 def shingles(text_col: Column, k: int = 5, pre_lowered: bool = False) -> Column:
     """Distinct character k-shingles of a string, JVM-side.
@@ -705,7 +707,7 @@ def simhash(text_col_name: str, bits: int = 64) -> Column:
     Python `F.shiftright` wrapper demands literal shift amounts, so the bit
     loop is spelled as SQL where shift counts can be expressions.
     """
-    toks = f"split(trim(lower(`{text_col_name}`)), '\\\\s+')"
+    toks = f"split(trim(lower(`{text_col_name}`)), '{ASCII_WS_SPARKSQL}')"
     votes = (
         f"transform(sequence(0, {bits - 1}), b -> "
         f"aggregate(transform({toks}, t -> xxhash64(t)), 0L, "
@@ -729,7 +731,7 @@ def _token_hash_sql(text_col: str, hash_fn: str) -> str:
     pipeline expressible as an oracle query.  Only the base hash differs;
     voting/packing/blocking logic is shared.
     """
-    toks = f"split(trim(lower(`{text_col}`)), '\\\\s+')"
+    toks = f"split(trim(lower(`{text_col}`)), '{ASCII_WS_SPARKSQL}')"
     if hash_fn == "xxhash64":
         return f"transform({toks}, t -> xxhash64(t))"
     if hash_fn == "md5_60":

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from prql_query_spark.operators.text import ASCII_WS
+
 
 def bm25_topk(
     df: DataFrame,
@@ -60,7 +62,7 @@ def bm25_topk(
     if not terms:
         raise ValueError("bm25_topk: query has no terms")
 
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), ASCII_WS)
     base = df.select(F.col(id_col), toks.alias("_toks"))
 
     # N and avgdl: one narrow pass, no explode
@@ -317,7 +319,7 @@ def build_bm25_index(
     dedup.build_minhash_index; merge batches with merge_bm25_stats +
     parquet append.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), ASCII_WS)
     base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
@@ -415,10 +417,10 @@ def bm25_topk_batch(
     qt = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.explode(F.array_distinct(F.split(
-            F.trim(F.lower(F.col(query_text_col))), r"\s+"))).alias("_t"),
+            F.trim(F.lower(F.col(query_text_col))), ASCII_WS))).alias("_t"),
     ).filter(F.col("_t") != "")
 
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), ASCII_WS)
     base = docs.select(F.col(id_col), toks.alias("_toks"))
     stats = base.agg(
         F.count(F.lit(1)).alias("_n"),

@@ -22,15 +22,33 @@ STOPWORDS = {
     "es": ["el", "la", "los", "y", "es", "no", "un", "una", "en", "por"],
 }
 
+# The repo-wide whitespace-tokenize class.  Java's \s is {space,\t,\n,
+# \x0B,\f,\r} but RE2's (DuckDB) is the same WITHOUT \x0B, so a literal
+# \s+ on the Spark side silently disagrees with every DuckDB oracle on
+# text containing a vertical tab (found by the hostile-string fuzz, not by
+# the fixtures).  Pinning Spark to RE2's exact set makes the two engines
+# agree on EVERY input; the oracles keep their natural '\s+'.  The raw
+# string works in both contexts that need it: Java regex via F.split and
+# Spark SQL string literals (whose escape processing turns \t into the
+# actual char — a character class of actual chars matches identically).
+ASCII_WS = r"[ \t\n\r\f]+"
+# Same class for embedding inside a SPARK SQL string literal: Spark's
+# string parser consumes one level of backslash escapes and turns unknown
+# ones into the bare letter ('\f' -> 'f' — a class that splits on the
+# LETTER f, caught by x_simhash_pairs parity), so the regex escapes must
+# arrive double-backslashed.  DuckDB SQL strings do NOT unescape, so the
+# oracles embed ASCII_WS-equivalent patterns ('\s+') directly.
+ASCII_WS_SPARKSQL = ASCII_WS.replace("\\", "\\\\")
+
 
 def tokens(text_col: Column) -> Column:
-    return F.split(F.trim(F.lower(text_col)), r"\s+")
+    return F.split(F.trim(F.lower(text_col)), ASCII_WS)
 
 
 def token_count(text_col: Column) -> Column:
     """Whitespace token count (0 for empty/blank strings)."""
     t = F.trim(text_col)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, ASCII_WS)))
 
 
 BPE_PIECE_RE = "[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]"
@@ -187,7 +205,7 @@ def compression_ratio(text_col: Column, level: int = 6) -> Column:
     return _ratio(text_col)
 
 
-def dup_token_fraction(text_col: Column, sep: str = r"\s+") -> Column:
+def dup_token_fraction(text_col: Column, sep: str = ASCII_WS) -> Column:
     """Fraction of repeated units (lines with sep='\\n', words by default) —
     the Gopher/MassiveText repetition filter.  Computed entirely in one
     projection: 1 - distinct_units/units via array functions, no explode and
@@ -259,7 +277,7 @@ def strip_html(text_col: Column) -> Column:
         ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
     ]:
         out = F.replace(out, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.trim(F.regexp_replace(out, ASCII_WS, " "))
 
 
 C4_THRESHOLDS = {
@@ -288,7 +306,7 @@ def c4_clean(df: DataFrame, text_col: str = "text", **overrides) -> DataFrame:
     lines = F.split(t, "\\n")
     line_ok = lambda ln: (
         F.regexp_like(ln, F.lit('[.!?"]\\s*$'))
-        & (F.size(F.split(F.trim(ln), "\\s+")) >= th["min_line_words"])
+        & (F.size(F.split(F.trim(ln), ASCII_WS)) >= th["min_line_words"])
         & ~F.lower(ln).contains("javascript")
         & ~F.lower(ln).contains("enable cookies")
     )
@@ -396,7 +414,7 @@ def gopher_audit(df: DataFrame, text_col: str = "text", **overrides) -> DataFram
             "mean_word_len",
             F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
                 F.round(
-                    F.length(F.regexp_replace(t, r"\s+", "")).cast("double")
+                    F.length(F.regexp_replace(t, ASCII_WS, "")).cast("double")
                     / F.col("n_words"),
                     4,
                 )
@@ -876,7 +894,7 @@ def chunk_documents(
     convention as token_count — split('') would otherwise yield ['']).
     """
     df = df.filter(F.length(F.trim(F.col(text_col))) > 0)
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), ASCII_WS)
     n_chunks = F.greatest(
         F.ceil((F.size("_toks") - F.lit(chunk_tokens))
                / F.lit(stride)) + 1,
@@ -1013,7 +1031,7 @@ def normalize_text(text_col: Column) -> Column:
     builtins — narrow, codegen'd, shuffle-free."""
     t = F.lower(text_col)
     t = F.translate(t, ACCENT_SRC, ACCENT_DST)
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.trim(F.regexp_replace(t, ASCII_WS, " "))
 
 
 def token_length_summary(
@@ -1220,7 +1238,7 @@ def top_ngram_char_fraction(text_col: Column, n: int = 2) -> Column:
             s,
         ).otherwise(acc),
     )
-    total_chars = F.length(F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", ""))
+    total_chars = F.length(F.regexp_replace(F.trim(F.lower(text_col)), ASCII_WS, ""))
     frac = (best["cnt"] * best["chars"] / total_chars).cast("decimal(38,12)")
     return F.when((m <= 0) | (total_chars <= 0), F.lit(0.0)).otherwise(
         F.round(frac, 4).cast("double")

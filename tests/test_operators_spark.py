@@ -3646,3 +3646,36 @@ def test_stream_bm25_index_matches_batch(spark, sf_dir, tmp_path):
     want = [(r["doc_id"], r["score"])
             for r in bm25_topk(docs, query, k=15).collect()]
     assert got == want and len(got) == 15
+
+
+def test_tokenize_parity_on_hostile_whitespace(spark):
+    """Java's \\s includes \\x0B (vertical tab); RE2's (DuckDB) does not —
+    so Spark tokenizing with a literal \\s+ silently disagreed with every
+    DuckDB oracle on text containing one (found by this fuzz, not the
+    fixtures).  The Spark side is pinned to RE2's exact set (text.ASCII_WS)
+    and must now tokenize every hostile string identically to the oracles'
+    regexp_split_to_array(..., '\\s+')."""
+    import duckdb
+    import pandas as pd
+
+    from prql_query_spark.operators.text import tokens
+
+    hostile = [
+        "plain words here", "tab\tsep and\nnewline",
+        "vertical\x0btab stays one token",   # the divergence case
+        "nbsp space", "em space",  # unicode spaces: word chars
+        "quote's and \"doubles\"", "  leading and trailing  ",
+        "", "   ", "CRLF\r\nmix", "form\x0cfeed",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(hostile)], "id long, text string")
+    got = {r["id"]: list(r["toks"])
+           for r in df.select("id", tokens(F.col("text")).alias("toks")).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"id": range(len(hostile)), "text": hostile}))
+    want = {r[0]: list(r[1]) for r in con.execute(
+        "SELECT id, regexp_split_to_array(trim(lower(text)), '\\s+') FROM t"
+    ).fetchall()}
+    con.close()
+    assert got == want
+    assert got[2] == ["vertical\x0btab", "stays", "one", "token"]
