@@ -3679,3 +3679,34 @@ def test_tokenize_parity_on_hostile_whitespace(spark):
     con.close()
     assert got == want
     assert got[2] == ["vertical\x0btab", "stays", "one", "token"]
+
+
+def test_unicode_case_mapping_divergence_is_known_and_bounded(spark):
+    """Unicode CASE MAPPING differs by engine and cannot be expressed
+    away: Spark (Java) applies full case mapping, DuckDB (utf8proc)
+    simple mapping.  Pin the four known divergence shapes so any silent
+    engine-behavior change surfaces, and pin that ASCII text — the
+    fixtures' entire cased surface, which is what makes the 194 oracle
+    comparisons byte-exact — agrees perfectly.  Non-ASCII corpora need a
+    collation-pinned casefold before oracle comparisons (FIXTURES.md)."""
+    import duckdb
+    import pandas as pd
+
+    cases = ["Straße", "İstanbul", "ΣIGMA FINAΣ", "ﬃ",
+             "PURE ascii Text 123", "MiXeD CaSe!"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "id long, t string")
+    sp = {r["id"]: (r["lo"], r["up"]) for r in df.select(
+        "id", F.lower("t").alias("lo"), F.upper("t").alias("up")).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"id": range(len(cases)), "t": cases}))
+    du = {r[0]: (r[1], r[2]) for r in con.execute(
+        "SELECT id, lower(t), upper(t) FROM t").fetchall()}
+    con.close()
+    # the known divergences (full vs simple mapping)
+    assert sp[0][1] == "STRASSE" and du[0][1] == "STRAẞE"      # ß
+    assert sp[1][0] == "i̇stanbul" and du[1][0] == "istanbul"  # İ
+    assert sp[2][0].endswith("ς") and du[2][0].endswith("σ")   # final sigma
+    assert sp[3][1] == "FFI" and du[3][1] == "ﬃ"               # ligature
+    # ASCII: exact agreement (the oracle guarantee's actual domain)
+    assert sp[4] == du[4] and sp[5] == du[5]
