@@ -2835,8 +2835,13 @@ EXTENSIONS["x_table_diff"] = _x_table_diff
 EXTENSIONS["x_psi_drift"] = _x_psi_drift
 
 _DIFF_COLS = "o_custkey o_orderstatus o_totalprice o_orderdate o_orderpriority".split()
+# doubles render through DECIMAL(38,6) — mirrors quality.table_diff, see
+# its docstring (bare double->string disagrees between engines at 1e7+)
 _DIFF_HASH = "md5(concat_ws('|', " + ", ".join(
-    f"COALESCE(CAST({c} AS VARCHAR), chr(1) || 'NULL')" for c in _DIFF_COLS
+    ("COALESCE(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR), "
+     "chr(1) || 'NULL')") if c == "o_totalprice"
+    else f"COALESCE(CAST({c} AS VARCHAR), chr(1) || 'NULL')"
+    for c in _DIFF_COLS
 ) + "))"
 
 EXTENSION_ORACLES["x_table_diff"] = f"""

@@ -228,14 +228,29 @@ def table_diff(
     (identical expression in the DuckDB oracle), so the full outer join
     carries ONE hash per side instead of every column; the join is the
     only shuffle and AQE handles key skew.
+
+    Float/double columns render through DECIMAL(38,6) before hashing:
+    engines disagree on bare double->string (Spark flips to E-notation at
+    1e7, DuckDB at 1e15; 'Infinity' vs 'inf'), while the decimal-cast
+    rendering is byte-identical on both (probed incl. -0.0).  Cost: the
+    diff is blind to changes below 1e-6 — a documented tolerance, which
+    is usually what a snapshot diff over money-like doubles wants anyway.
     """
+    from pyspark.sql.types import DoubleType, FloatType
+
     compare_cols = compare_cols or [c for c in old.columns if c != key]
+    float_cols = {
+        f.name for f in old.schema.fields
+        if isinstance(f.dataType, (DoubleType, FloatType))
+    }
 
     def h(df: DataFrame, name: str) -> DataFrame:
-        tagged = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x01NULL"))
-            for c in compare_cols
-        ]
+        tagged = []
+        for c in compare_cols:
+            v = F.col(c)
+            if c in float_cols:
+                v = v.cast("decimal(38,6)")
+            tagged.append(F.coalesce(v.cast("string"), F.lit("\x01NULL")))
         return df.select(F.col(key), F.md5(F.concat_ws("|", *tagged)).alias(name))
 
     o = h(old, "_ho")

@@ -3710,3 +3710,36 @@ def test_unicode_case_mapping_divergence_is_known_and_bounded(spark):
     assert sp[3][1] == "FFI" and du[3][1] == "ﬃ"               # ligature
     # ASCII: exact agreement (the oracle guarantee's actual domain)
     assert sp[4] == du[4] and sp[5] == du[5]
+
+
+def test_table_diff_hash_portable_on_big_doubles(spark):
+    """The diff hash renders doubles through DECIMAL(38,6): Spark's bare
+    double->string flips to E-notation at 1e7 ('1.0E7') while DuckDB's
+    at 1e15 ('10000000.0'), so an unchanged 1e7-valued row hashed as
+    'changed' against the oracle.  Identical rows with big doubles must
+    classify unchanged, and the Spark hash must equal the oracle's SQL
+    twin byte-for-byte."""
+    import duckdb
+    import pandas as pd
+
+    from prql_query_spark.operators.quality import table_diff
+
+    rows = [(1, 1e7), (2, 123456.789), (3, 5.5e8), (4, None)]
+    old = spark.createDataFrame(rows, "k long, v double")
+    new = spark.createDataFrame(rows, "k long, v double")
+    got = {r["k"]: r["status"] for r in table_diff(old, new, key="k").collect()}
+    assert set(got.values()) == {"unchanged"}
+
+    # byte-level: Spark-side md5 == DuckDB md5 of the mirrored expression
+    sp = {r["k"]: r["h"] for r in old.selectExpr(
+        "k",
+        "md5(coalesce(cast(cast(v AS DECIMAL(38,6)) AS STRING), 'N')) AS h"
+    ).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"k": [r[0] for r in rows],
+                                    "v": [r[1] for r in rows]}))
+    du = {r[0]: r[1] for r in con.execute(
+        "SELECT k, md5(coalesce(CAST(CAST(v AS DECIMAL(38,6)) AS VARCHAR), 'N')) FROM t"
+    ).fetchall()}
+    con.close()
+    assert sp == du
