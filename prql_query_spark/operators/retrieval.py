@@ -34,9 +34,21 @@ before ranking so libm's 1-ulp ln() divergence can't flip the ordering.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 from prql_query_spark.operators.text import ASCII_WS
+
+
+def _query_terms(query: str) -> list[str]:
+    """Sorted distinct query terms under the repo-wide pinned ASCII_WS
+    tokenization (FIXTURES.md).  Python's bare str.split() splits on
+    MORE (\\x0b, NBSP, \\x85...), so a query containing those would
+    produce terms that can never equal their corpus-token twins — the
+    query side must share the corpus side's exact whitespace class."""
+    return sorted({t for t in re.split(r"[ \t\n\r\f]+",
+                                       query.strip().lower()) if t})
 
 
 def bm25_topk(
@@ -58,7 +70,7 @@ def bm25_topk(
     Returns (id_col, score) ordered by score desc, id desc ties-last —
     deterministic and oracle-mirrorable.
     """
-    terms = sorted({t for t in query.strip().lower().split() if t})
+    terms = _query_terms(query)
     if not terms:
         raise ValueError("bm25_topk: query has no terms")
 
@@ -124,7 +136,7 @@ def bm25_topk_oracle_sql(
     """DuckDB twin of bm25_topk — same tokenization, same formula, same
     6-decimal rounding, same tie-break — generated from the same
     parameters so the two engines cannot drift."""
-    terms = sorted({t for t in query.strip().lower().split() if t})
+    terms = _query_terms(query)
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return f"""
 WITH tok AS (
@@ -214,11 +226,18 @@ def hybrid_topk(
                        lambda acc, x: acc + x.cast("double") * x.cast("double")))),
                 6).alias("_cos"))
     )
+    # Top-depth FIRST via orderBy+limit -> Catalyst TakeOrderedAndProject
+    # (per-partition partial top-k, merged on the driver) — the same
+    # shape the lexical branch gets from bm25_topk's limit.  Only THEN
+    # rank: the single-partition row_number window runs over a
+    # depth-sized list (~50 rows), never the scored corpus.  (Round 5
+    # shipped the window over the full scored table — a global
+    # single-partition sort exchange, THE bottleneck at a 1e9-vector
+    # corpus; plan-pinned against regression in test_plans.py.)
     wd = Window.orderBy(F.desc("_cos"), F.asc("_id"))
     dense_r = (
-        scored.withColumn("_dense_rank", F.row_number().over(wd))
-        .filter(F.col("_dense_rank") <= depth)
-        .select("_id", "_dense_rank")
+        scored.orderBy(F.desc("_cos"), F.asc("_id")).limit(depth)
+        .select("_id", F.row_number().over(wd).alias("_dense_rank"))
     )
 
     fused = (
@@ -359,7 +378,7 @@ def probe_bm25_index(
     x_bm25_incremental gate rows pin it)."""
     from pyspark.sql import Window
 
-    terms = sorted({t for t in query.strip().lower().split() if t})
+    terms = _query_terms(query)
     if not terms:
         raise ValueError("probe_bm25_index: query has no terms")
     hits = postings.filter(F.col("term").isin(terms))

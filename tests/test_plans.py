@@ -695,3 +695,114 @@ sort [grp]
     plain = [tuple(r) for r in spark.sql(plain_sql).collect()]
     eager = [tuple(r) for r in spark.sql(eager_sql).collect()]
     assert eager == plain
+
+
+def _singlepartition_feeds_only_limits(plan: str) -> list[str]:
+    """Return the offending lines: every `Exchange SinglePartition` whose
+    child subtree reaches a FileScan before a TakeOrderedAndProject /
+    GlobalLimit — i.e. a global single-task pass over table-sized input
+    rather than over an already-limited list."""
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if "SinglePartition" not in ln:
+            continue
+        for nxt in lines[i + 1:]:
+            if "TakeOrderedAndProject" in nxt or "Limit" in nxt:
+                break
+            if "HashAggregate(keys=[]" in nxt:
+                # scalar-aggregate merge: input is one partial row per
+                # partition, not table-sized — the legitimate case
+                break
+            if "FileScan" in nxt or "Scan parquet" in nxt:
+                bad.append(ln.strip())
+                break
+    return bad
+
+
+def test_hybrid_topk_dense_branch_is_take_ordered(spark, sf_dir):
+    """hybrid_topk (retrieval.py): the dense branch must top-`depth` via
+    orderBy+limit (Catalyst TakeOrderedAndProject — per-partition partial
+    top-k) BEFORE any row_number ranking.  Round 5 shipped a global
+    no-partition window over the whole scored embeddings table — a
+    single-partition sort exchange that is THE bottleneck at a
+    1e9-vector corpus.  Pin: every SinglePartition exchange in the plan
+    sits above a limit, never above a table scan."""
+    import __spark_entry__ as entry
+    from prql_query_spark.operators.retrieval import hybrid_topk
+
+    docs = entry._tbl(spark, sf_dir, "documents")
+    emb = entry._tbl(spark, sf_dir, "embeddings")
+    df = hybrid_topk(docs, emb, "data quality model", query_vec_id=0,
+                     k=10, depth=25)
+    plan = _plan(spark, df, "simple")
+    # both branches produce a TakeOrderedAndProject (lex via bm25 limit,
+    # dense via the new orderBy+limit), plus the final fused top-k
+    assert plan.count("TakeOrderedAndProject") >= 3
+    bad = _singlepartition_feeds_only_limits(plan)
+    assert not bad, f"single-partition exchange over table-sized input: {bad}"
+
+    rows = df.collect()
+    assert len(rows) == 10
+    rrfs = [r["rrf"] for r in rows]
+    assert rrfs == sorted(rrfs, reverse=True)
+
+
+def test_bm25_index_probe_pushes_term_filter(spark, sf_dir, tmp_path):
+    """probe_bm25_index (retrieval.py): the persisted-index probe's
+    `term IN (...)` must reach the parquet reader as PushedFilters — the
+    row-group pruning that makes query IO proportional to the query's
+    posting lists, not the corpus (the claim in build_bm25_index's
+    docstring).  Stats side must broadcast; no single-partition pass
+    over the postings."""
+    import __spark_entry__ as entry
+    from prql_query_spark.operators.retrieval import (
+        build_bm25_index, probe_bm25_index)
+
+    docs = entry._tbl(spark, sf_dir, "documents")
+    postings, stats = build_bm25_index(docs)
+    pdir = str(tmp_path / "postings")
+    sdir = str(tmp_path / "stats")
+    postings.sort("term").write.parquet(pdir)
+    stats.write.parquet(sdir)
+
+    probe = probe_bm25_index(
+        spark.read.parquet(pdir), spark.read.parquet(sdir),
+        "data quality model", k=5)
+    plan = _plan(spark, probe)
+    assert re.search(r"PushedFilters: \[In\(term, \[data,model,quality\]",
+                     plan), "term IN not pushed to the postings scan"
+    simple = _plan(spark, probe, "simple")
+    assert "TakeOrderedAndProject" in simple
+    assert "BroadcastExchange" in simple  # the 1-row stats side
+    bad = _singlepartition_feeds_only_limits(simple)
+    assert not bad, f"single-partition exchange over postings: {bad}"
+    assert len(probe.collect()) == 5
+
+
+def test_bm25_batch_no_corpus_single_partition(spark, sf_dir):
+    """bm25_topk_batch (retrieval.py): per-query ranking partitions by
+    query id — there must be NO single-partition exchange anywhere (the
+    batch path never needs a global sort), one corpus explode shared by
+    all queries, and the query->term table broadcast back."""
+    import __spark_entry__ as entry
+    from prql_query_spark.operators.retrieval import bm25_topk_batch
+
+    docs = entry._tbl(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, "data window"), (2, "spark merge batch")],
+        "query_id int, query_text string")
+    df = bm25_topk_batch(docs, qs, k=5)
+    plan = _plan(spark, df, "simple")
+    # the rank window partitions by _qid (hash exchange); the only
+    # SinglePartition allowed is the scalar N/avgdl aggregate merge
+    assert re.search(r"Window \[row_number\(\).*\], \[_qid", plan)
+    bad = _singlepartition_feeds_only_limits(plan)
+    assert not bad, f"single-partition exchange over corpus input: {bad}"
+    # corpus scanned exactly twice (tokenize/explode + narrow stats pass),
+    # shared across ALL queries in the batch; the extra explodes are the
+    # few-row query side (derived twice: term set + rank join-back)
+    assert plan.count("documents.parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert {r["query_id"] for r in rows} == {1, 2}
