@@ -1587,55 +1587,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # splits/sampling).  Everything after index 50 still runs under the
 # in-repo parity harness (tools/check_parity.py) every round.
 DRIVER_ORDER = [
-    # Round-5 rotation (VERDICT r4 item 1, two rounds overdue): 111 of 182
-    # queries were driver-hashed across r1-r4; this window keeps a 9-query
-    # stable core — the flagship trio plus the six r3 ex-reds whose fixes
-    # must keep proving out driver-side — and fills the other 41 slots
-    # with queries the driver has NEVER audited, leading with the five
-    # x_roundtrip_* format-codec rows (the only driver-side evidence the
-    # §2.B source/sink tier can get; the reference itself panics on Avro,
-    # datafusion.rs:47-49) and the round-4-fixed lag-axis/equidepth rows.
-    # After this round 32 never-audited remain (listed at the bottom) for
-    # the r6 window; the in-repo Arrow-typed parity harness
-    # (tools/check_parity.py) still value-checks all 184 every round.
-    # — stable regression core —
+    # Round-6 rotation (VERDICT r5 item 2 — the FINAL catch-up window):
+    # 152 of 194 queries were driver-hashed across r1-r5; this window
+    # keeps an 8-query stable regression core and fills the other 42
+    # slots with EVERY remaining never-audited query — the 32 long-parked
+    # extension rows plus the 10 round-5-new retrieval/roundtrip/stream
+    # rows.  After this round every queries() entry has been
+    # driver-audited at least once and rotation maintenance drops to
+    # new-queries-only.  The in-repo Arrow-typed parity harness
+    # (tools/check_parity.py) still value-checks all entries every round.
+    # — stable regression core (driver-green in r5, kept as canaries) —
     "q_agg_q1", "q_join_agg_q5", "q_flagship_monthly",
-    "q_priority_lines_q12", "x_constraint_audit", "x_json_props",
+    "q_priority_lines_q12", "x_constraint_audit",
     "x_normalize_text", "x_pack_sequences", "x_profile_orders",
-    # — format-codec round trips (jar-less Avro/Delta/CSV/Iceberg/
-    # WebDataset writers+readers pulled INTO the gate) —
-    "x_roundtrip_avro", "x_roundtrip_delta", "x_roundtrip_csv",
-    "x_roundtrip_iceberg", "x_roundtrip_webdataset",
-    # — round-4-fixed operators whose fixes have only local evidence —
-    "x_equidepth", "x_period_change", "x_autocorrelation",
-    # — the round-2/3-displaced set (__spark_entry__ r4 note) —
-    "x_dup_tokens", "x_events_tumbling", "x_impute_mean",
-    "x_retention_cohort", "x_bigram_top", "x_embed_centroid",
-    "x_histogram", "x_levenshtein",
-    # — never-audited TPC-H silhouettes —
-    "q_market_share_q8", "q_product_profit_q9", "q_small_qty_revenue_q17",
-    "q_top_supplier_q15", "q_parts_suppliers_q16", "q_waiting_suppliers_q21",
-    # — never-audited extension tier, one row per family where possible —
-    "x_token_count", "x_text_profile", "x_events_sliding", "x_time_rollup",
-    "x_salted_agg", "x_multimodal_frames", "x_unpivot_part",
-    "x_stratified_sample", "x_tfidf_top", "x_sentiment", "x_strip_html",
-    "x_scd2_history", "x_upsert_latest", "x_stats_family", "x_winsorize",
-    "x_unigram_logprob", "x_weighted_sample", "x_sessionize",
-    "x_rolling_distinct",
-    # Still never audited after this round (rotate into r6): x_json_struct,
-    # x_table_diff, x_transitions, x_twa, x_union_evolve, x_ewma,
-    # x_scale_minmax, x_token_length_summary, x_temperature_mix,
-    # x_token_budget, x_multimodal_av, x_top_ngrams, x_semantic_dedup,
-    # x_dup_substrings, x_image_neardup, x_resize_thumbs,
-    # x_audio_fingerprint, x_video_fingerprint, x_ivfpq_topk,
-    # x_random_projection, x_skew_report, x_seasonal_decompose,
-    # x_dedup_best, x_benford, x_corr_matrix, x_bootstrap_ci,
-    # x_vocab_jaccard, x_gini_mix, x_ks_drift, x_mannwhitney, x_spearman,
-    # x_punct_ratio, and the round-5-new x_roundtrip_orc / x_roundtrip_xml /
-    # x_stream_tumbling / x_bloom_prefilter / x_bm25_search /
-    # x_hybrid_search / x_bm25_index / x_bm25_incremental / x_bm25_batch
-    # / x_eager_rollup (value-oracled this round, parked for the r6
-    # window).
+    # — round-5-new retrieval tier (BM25 + hybrid RRF; hybrid_topk's
+    # dense branch was re-planned this round — fresh driver evidence) —
+    "x_bm25_search", "x_bm25_index", "x_bm25_incremental",
+    "x_bm25_batch", "x_hybrid_search",
+    # — round-5-new codec/stream/plan rows —
+    "x_roundtrip_orc", "x_roundtrip_xml", "x_stream_tumbling",
+    "x_bloom_prefilter", "x_eager_rollup",
+    # — long-parked: structured/diff/temporal —
+    "x_json_struct", "x_table_diff", "x_transitions", "x_twa",
+    "x_union_evolve", "x_ewma", "x_seasonal_decompose",
+    # — long-parked: scaling/sampling/mixing —
+    "x_scale_minmax", "x_token_length_summary", "x_temperature_mix",
+    "x_token_budget", "x_skew_report", "x_gini_mix",
+    # — long-parked: text/dedup —
+    "x_top_ngrams", "x_semantic_dedup", "x_dup_substrings",
+    "x_vocab_jaccard", "x_punct_ratio", "x_dedup_best",
+    # — long-parked: multimodal —
+    "x_multimodal_av", "x_image_neardup", "x_resize_thumbs",
+    "x_audio_fingerprint", "x_video_fingerprint",
+    # — long-parked: ANN/projection —
+    "x_ivfpq_topk", "x_random_projection",
+    # — long-parked: stats —
+    "x_benford", "x_corr_matrix", "x_bootstrap_ci", "x_ks_drift",
+    "x_mannwhitney", "x_spearman",
+    # Never-audited after this round: NONE of the pre-r6 entries — all 42
+    # are in this window.  Queries added in round 6 or later that don't
+    # fit the 50-slot window get listed here and rotated next round.
 ]
 
 
