@@ -2827,9 +2827,14 @@ EXTENSIONS["x_psi_drift"] = _x_psi_drift
 
 _DIFF_COLS = "o_custkey o_orderstatus o_totalprice o_orderdate o_orderpriority".split()
 # doubles render through DECIMAL(38,6) — mirrors quality.table_diff, see
-# its docstring (bare double->string disagrees between engines at 1e7+)
+# its docstring (bare double->string disagrees between engines at 1e7+);
+# NaN/Inf/|v|>1e31 escape to a chr(2)-tagged native render, mirroring the
+# Spark side's guard (DuckDB RAISES on the out-of-range decimal cast
+# where Spark silently NULLs — both wrong for a diff tool)
 _DIFF_HASH = "md5(concat_ws('|', " + ", ".join(
-    ("COALESCE(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR), "
+    ("COALESCE(CASE WHEN isnan(o_totalprice) OR abs(o_totalprice) > 1e31 "
+     "THEN chr(2) || CAST(o_totalprice AS VARCHAR) "
+     "ELSE CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR) END, "
      "chr(1) || 'NULL')") if c == "o_totalprice"
     else f"COALESCE(CAST({c} AS VARCHAR), chr(1) || 'NULL')"
     for c in _DIFF_COLS

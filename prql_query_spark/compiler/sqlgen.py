@@ -1195,4 +1195,9 @@ def _children(e):
         return [x for x in (e.start, e.end) if x is not None]
     if isinstance(e, A.Assign):
         return [e.expr]
+    if isinstance(e, A.ListLit):
+        # without this, identifiers inside `in [...]` are invisible to
+        # _plain_idents/_expr_mentions — the eager-agg classifier would
+        # misfile a dim-referencing in-list filter as fact-only
+        return list(e.items)
     return []

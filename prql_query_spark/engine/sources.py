@@ -165,8 +165,13 @@ def register_sources(spark: SparkSession, sources: list[str],
     Returns registered table names in order; the last one drives auto-`from`
     insertion (reference main.rs:146-148 uses sources.last()).
     schema: optional DDL applied to every csv/ndjson source (--schema).
+    Self-describing sources in the same list (parquet, avro, delta, ...)
+    are unaffected — a csv joined against a parquet is the normal case —
+    but if NO listed source can take the schema, fail loudly instead of
+    silently ignoring the flag.
     """
     names = []
+    schema_used = False
     for src in sources:
         alias, path = split_alias(src)
         fmt = infer_format(path)
@@ -174,10 +179,16 @@ def register_sources(spark: SparkSession, sources: list[str],
             # schema-qualified passthrough: assume pre-registered table
             names.append(path)
             continue
-        df = read_source(spark, path, fmt, schema=schema)
+        src_schema = schema if fmt in ("csv", "json") else None
+        schema_used = schema_used or src_schema is not None
+        df = read_source(spark, path, fmt, schema=src_schema)
         name = table_name_for(path, alias)
         df.createOrReplaceTempView(name)
         names.append(name)
+    if schema is not None and not schema_used:
+        raise SourceError(
+            "--schema supplied but no csv/ndjson source in the list "
+            "(self-describing formats carry their own)")
     return names
 
 

@@ -235,6 +235,14 @@ def table_diff(
     rendering is byte-identical on both (probed incl. -0.0).  Cost: the
     diff is blind to changes below 1e-6 — a documented tolerance, which
     is usually what a snapshot diff over money-like doubles wants anyway.
+
+    Values OUTSIDE the decimal's range — NaN, +/-Infinity, |v| > 1e31 —
+    take an escape branch instead: a chr(2)-tagged native string render.
+    Without it, Spark's non-ANSI cast silently NULLs them, collapsing
+    them with real NULLs (the chr(1) tag) so NULL->1e33 or NaN->Inf
+    transitions would report 'unchanged'; DuckDB raises on the same
+    cast.  The native renders differ across engines ('NaN' vs 'nan'),
+    which is fine: hashes are only ever compared WITHIN one engine.
     """
     from pyspark.sql.types import DoubleType, FloatType
 
@@ -249,8 +257,13 @@ def table_diff(
         for c in compare_cols:
             v = F.col(c)
             if c in float_cols:
-                v = v.cast("decimal(38,6)")
-            tagged.append(F.coalesce(v.cast("string"), F.lit("\x01NULL")))
+                rendered = F.when(
+                    F.isnan(v) | (F.abs(v) > 1e31),
+                    F.concat(F.lit("\x02"), v.cast("string")),
+                ).otherwise(v.cast("decimal(38,6)").cast("string"))
+            else:
+                rendered = v.cast("string")
+            tagged.append(F.coalesce(rendered, F.lit("\x01NULL")))
         return df.select(F.col(key), F.md5(F.concat_ws("|", *tagged)).alias(name))
 
     o = h(old, "_ho")

@@ -622,6 +622,15 @@ def test_cli_glob_sources_and_schema(spark, tmp_path, capsys):
         pq.main(["--schema", "x INT", "-f", f"p={shard}/p1.parquet",
                  "from p | take 1"])
 
+    # mixed source list (round-6 ADVICE): the schema applies to the csv
+    # and leaves the self-describing parquet alone — a csv joined against
+    # a parquet is the normal case, not an error
+    rc = pq.main(["--schema", "a BIGINT, b STRING",
+                  "-f", f"d={csv}", "-f", f"p={shard}/p1.parquet",
+                  "from d | join p [a] | aggregate [n = count]"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "| 2 " in out
+
 
 def test_cloud_scheme_guard_names_the_fix(spark):
     """s3://gs://abfs:// paths probe for the filesystem connector class

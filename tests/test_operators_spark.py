@@ -3743,3 +3743,46 @@ def test_table_diff_hash_portable_on_big_doubles(spark):
     ).fetchall()}
     con.close()
     assert sp == du
+
+
+def test_table_diff_nan_inf_overflow_not_collapsed_with_null(spark):
+    """Doubles outside DECIMAL(38,6)'s range — NaN, +/-Infinity,
+    |v| > 1e31 — must take the chr(2)-tagged escape render, NOT Spark's
+    silent cast-overflow NULL: before the guard, NULL->1e33, NaN->Inf and
+    1e33->2e33 transitions all hashed as 'unchanged' (every one of them
+    collapsed into the chr(1) NULL tag).  Sub-tolerance edits (<1e-6)
+    remain 'unchanged' by the documented DECIMAL tolerance; the escape
+    tag must also never collide with a real NULL."""
+    from prql_query_spark.operators.quality import table_diff
+
+    nan, inf = float("nan"), float("inf")
+    old = spark.createDataFrame(
+        [(1, None), (2, nan), (3, 1e33), (4, inf), (5, 7.25), (6, -1e33)],
+        "k long, v double")
+    new = spark.createDataFrame(
+        [(1, 1e33), (2, inf), (3, 2e33), (4, inf), (5, 7.25 + 1e-9),
+         (6, -1e33)],
+        "k long, v double")
+    got = {r["k"]: r["status"] for r in table_diff(old, new, key="k").collect()}
+    assert got == {1: "changed",    # NULL -> 1e33 (was 'unchanged')
+                   2: "changed",    # NaN -> Inf (was 'unchanged')
+                   3: "changed",    # 1e33 -> 2e33 (was 'unchanged')
+                   4: "unchanged",  # Inf -> Inf: stable under the tag
+                   5: "unchanged",  # below the documented 1e-6 tolerance
+                   6: "unchanged"}  # -1e33 stable
+
+    # the x_table_diff oracle must carry the same guard (DuckDB otherwise
+    # RAISES ConversionException on the out-of-range decimal cast)
+    import duckdb
+    con = duckdb.connect()
+    r = con.execute("""
+        WITH t(v) AS (VALUES (CAST(NULL AS DOUBLE)), ('nan'::DOUBLE),
+                             (1e33), ('inf'::DOUBLE), (7.25))
+        SELECT COALESCE(CASE WHEN isnan(v) OR abs(v) > 1e31
+                             THEN chr(2) || CAST(v AS VARCHAR)
+                             ELSE CAST(CAST(v AS DECIMAL(38,6)) AS VARCHAR) END,
+                        chr(1) || 'NULL') FROM t""").fetchall()
+    con.close()
+    vals = [x[0] for x in r]
+    assert len(set(vals)) == 5 and vals[0] == "\x01NULL"
+    assert all(x.startswith("\x02") for x in vals[1:4])

@@ -806,3 +806,38 @@ def test_bm25_batch_no_corpus_single_partition(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     rows = df.collect()
     assert {r["query_id"] for r in rows} == {1, 2}
+
+
+def test_eager_agg_sees_idents_inside_in_lists(spark):
+    """_children(ListLit) regression (round-6 ADVICE): a WHERE whose only
+    dim-side reference hides inside `in [...]` must be VISIBLE to the
+    eager-agg side classifier — before the fix the walker skipped list
+    items, misfiled the predicate as fact-only, and pushed it into the
+    fact pre-aggregate where the dim column doesn't resolve
+    (AnalysisException at best, silent wrong binding if the name also
+    existed fact-side).  Mixed-side predicate => the rewrite must bail
+    to the plain join-then-aggregate plan, which must still run and
+    match the schema-less compile exactly."""
+    from prql_query_spark import compile_prql
+
+    spark.createDataFrame(
+        [(k % 4, k % 7, float(k)) for k in range(40)],
+        "fk int, qty int, price double").createOrReplaceTempView("il_fact")
+    spark.createDataFrame(
+        [(k, f"g{k % 2}") for k in range(4)],
+        "pk int, grp string").createOrReplaceTempView("il_dim")
+
+    prql = """
+from il_fact
+join il_dim [fk == pk]
+filter qty in [pk, 6]
+group [grp] (aggregate [n = count, s = sum qty])
+sort [grp]
+"""
+    schemas = {"il_fact": ["fk", "qty", "price"], "il_dim": ["pk", "grp"]}
+    plain_sql = compile_prql(prql, "spark")
+    eager_sql = compile_prql(prql, "spark", schemas=schemas)
+    assert "_pq_ea" not in eager_sql  # the rewrite bailed (mixed sides)
+    got = [tuple(r) for r in spark.sql(eager_sql).collect()]
+    want = [tuple(r) for r in spark.sql(plain_sql).collect()]
+    assert got == want and len(got) > 0
