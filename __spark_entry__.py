@@ -1596,10 +1596,14 @@ DRIVER_ORDER = [
     # driver-audited at least once and rotation maintenance drops to
     # new-queries-only.  The in-repo Arrow-typed parity harness
     # (tools/check_parity.py) still value-checks all entries every round.
-    # — stable regression core (driver-green in r5, kept as canaries) —
+    # — stable regression core (driver-green in r5, kept as canaries;
+    # x_profile_orders yielded its slot to the round-6-new x_stream_delta
+    # so the window still covers every never-audited entry) —
     "q_agg_q1", "q_join_agg_q5", "q_flagship_monthly",
     "q_priority_lines_q12", "x_constraint_audit",
-    "x_normalize_text", "x_pack_sequences", "x_profile_orders",
+    "x_normalize_text", "x_pack_sequences",
+    # — round-6-new: exactly-once streaming Delta sink under the gate —
+    "x_stream_delta",
     # — round-5-new retrieval tier (BM25 + hybrid RRF; hybrid_topk's
     # dense branch was re-planned this round — fresh driver evidence) —
     "x_bm25_search", "x_bm25_index", "x_bm25_incremental",
@@ -5152,7 +5156,8 @@ def _rt_dir(prefix: str) -> str:
     which is correct on local[*] where driver and executors share one
     filesystem; on a REAL cluster executors would write to worker-local
     disks the driver can't list — set PQ_RT_DIR to a shared path (NFS /
-    fuse-mounted object store) so all parties see the same files."""
+    fuse-mounted object store) so all parties see the same files.
+    Harness-only pattern: COVERAGE.md 'Gate harness assumptions'."""
     import tempfile
 
     root = os.environ.get("PQ_RT_DIR")
@@ -5320,7 +5325,8 @@ def _x_stream_tumbling(spark, sf_dir):
     and the DuckDB oracle checks the actual STREAM output — the first
     value-oracle evidence for streaming/* beyond batch-equivalence
     pytests.  At scale the source/sink swap to Kafka/Delta; the middle of
-    the pipeline is exactly what ran here."""
+    the pipeline is exactly what ran here.  The complete-mode memory sink
+    is harness-only: COVERAGE.md 'Gate harness assumptions'."""
     import uuid
 
     from prql_query_spark.streaming.events import _event_stream
@@ -5340,6 +5346,47 @@ def _x_stream_tumbling(spark, sf_dir):
     finally:
         q.stop()
     return spark.table(name)
+
+
+def _x_stream_delta(spark, sf_dir):
+    """The exactly-once txn-marker path under the driver gate (round-6
+    brief item 5): a real readStream file source -> per-microbatch
+    append through the jar-less Delta committer with txn=(app_id,
+    batch_id) -> read back through deltalog -> value oracle.
+
+    The source is pre-split into 4 parquet files streamed with
+    maxFilesPerTrigger=1, so FOUR separate microbatches each commit a
+    txn-marked Delta version.  Then a SECOND stream runs over the same
+    source with a FRESH checkpoint but the SAME app_id: Spark replays
+    all four batches (ids 0-3 again) and `last_txn_version` must skip
+    every one — if the skip logic broke, every row would double and the
+    COUNT/SUM oracle below would hash-mismatch.  The exactly-once
+    guarantee is therefore value-checked by the gate itself, not just
+    asserted in pytest.  Gate-harness caveats (local tempdir sink):
+    COVERAGE.md 'Gate harness assumptions'."""
+    from prql_query_spark.engine.deltalog import read_delta_snapshot
+    from prql_query_spark.streaming.ingest import stream_to_delta
+
+    root = _rt_dir("pq_rt_streamdelta_")
+    src = root + "/src"
+    _tbl(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    table = root + "/t"
+    for ckpt in ("/ckpt1", "/ckpt2"):  # second pass = full replay, all skipped
+        q = stream_to_delta(
+            spark, src, table, checkpoint=root + ckpt,
+            app_id="pq_gate_stream_delta", max_files_per_trigger=1)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    back = read_delta_snapshot(spark, table)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("user_id").cast("bigint").alias("user_sum"),
+             F.sum(F.col("value").cast("decimal(18,2)") * 100)
+              .cast("bigint").alias("value_cents"))
+    )
 
 
 def _x_bloom_prefilter(spark, sf_dir):
@@ -5538,7 +5585,15 @@ EXTENSION_ORACLES["x_eager_rollup"] = compile_prql(_EAGER_PRQL, "duckdb")
 EXTENSIONS["x_roundtrip_orc"] = _x_roundtrip_orc
 EXTENSIONS["x_roundtrip_xml"] = _x_roundtrip_xml
 EXTENSIONS["x_stream_tumbling"] = _x_stream_tumbling
+EXTENSIONS["x_stream_delta"] = _x_stream_delta
 EXTENSIONS["x_bloom_prefilter"] = _x_bloom_prefilter
+
+EXTENSION_ORACLES["x_stream_delta"] = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(user_id) AS BIGINT) AS user_sum,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+"""
 
 EXTENSION_ORACLES["x_roundtrip_avro"] = """
 SELECT n_regionkey, COUNT(*) AS n,
