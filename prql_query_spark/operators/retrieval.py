@@ -206,24 +206,38 @@ def hybrid_topk(
         F.col(id_col).alias("_id"),
         F.row_number().over(wl).alias("_lex_rank"))
 
-    q = emb.filter(F.col(emb_id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qv"))
+    # The single query vector is collected driver-side (1 row — the
+    # small-by-contract query-side pattern, similarity.py:553) and
+    # inlined as a literal array: its norm constant-folds to a Python
+    # float and the main job loses one embeddings scan plus the
+    # broadcast-nested-loop join it fed.  FP-identical to the join form:
+    # the driver-side sum folds left-to-right over the same doubles the
+    # JVM aggregate would, and the multiply order (sqrt(corpus) * qnorm)
+    # is unchanged.
+    import math
+
+    qrow = (emb.filter(F.col(emb_id_col) == query_vec_id)
+            .select(vec_col).head())
+    if qrow is None:
+        raise ValueError(
+            f"hybrid_topk: query vector {query_vec_id!r} not found "
+            f"in {emb_id_col}")
+    qv = [float(x) for x in qrow[0]]
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    qlit = F.array(*[F.lit(x) for x in qv])
     scored = (
         emb.filter(F.col(emb_id_col) != query_vec_id)
-        .crossJoin(F.broadcast(q))
         .select(
             F.col(emb_id_col).alias("_id"),
             F.round(
                 F.aggregate(
-                    F.zip_with(vec_col, "_qv",
-                               lambda a, b: a.cast("double") * b.cast("double")),
+                    F.zip_with(vec_col, qlit,
+                               lambda a, b: a.cast("double") * b),
                     F.lit(0.0), lambda acc, x: acc + x)
                 / (F.sqrt(F.aggregate(
                     vec_col, F.lit(0.0),
                     lambda acc, x: acc + x.cast("double") * x.cast("double")))
-                   * F.sqrt(F.aggregate(
-                       "_qv", F.lit(0.0),
-                       lambda acc, x: acc + x.cast("double") * x.cast("double")))),
+                   * F.lit(qnorm)),
                 6).alias("_cos"))
     )
     # Top-depth FIRST via orderBy+limit -> Catalyst TakeOrderedAndProject
