@@ -41,13 +41,21 @@ def main() -> None:
     entrymod._reg(spark, sf_dir)
     tune_session_for(spark, sources_bytes([sf_dir]))
 
-    con = duckdb.connect()
-    for t in entrymod.TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-            )
+    def fresh_con():
+        c = duckdb.connect()
+        for t in entrymod.TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+        return c
+
+    # holder so run_capped can swap in a fresh connection: after
+    # con.interrupt() the connection is WEDGED — every later execute
+    # errors instantly, which nulled out the whole tail of the round-6
+    # sweep after the first capped oracle (x_cosine_ivf)
+    conbox = [fresh_con()]
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -88,6 +96,7 @@ def main() -> None:
         def run_capped() -> float | None:
             done: list[float] = []
             err: list[BaseException] = []
+            con = conbox[0]
 
             def work():
                 try:
@@ -103,8 +112,12 @@ def main() -> None:
             if th.is_alive():
                 con.interrupt()
                 th.join(30)
+                con.close()
+                conbox[0] = fresh_con()  # interrupted con is unusable
                 return None
             if err:
+                con.close()
+                conbox[0] = fresh_con()
                 return None
             return done[0]
 
