@@ -3786,3 +3786,45 @@ def test_table_diff_nan_inf_overflow_not_collapsed_with_null(spark):
     vals = [x[0] for x in r]
     assert len(set(vals)) == 5 and vals[0] == "\x01NULL"
     assert all(x.startswith("\x02") for x in vals[1:4])
+
+
+def test_stream_delta_gate_row_second_stream_skips_all(spark, monkeypatch,
+                                                       tmp_path):
+    """The x_stream_delta gate row's in-row replay (a SECOND stream over
+    the same source with a fresh checkpoint but the same app_id) must
+    commit NOTHING: the delta log ends with exactly the first stream's
+    versions and one txn action per microbatch, and the read-back equals
+    the batch source exactly.  The driver's value oracle would catch
+    doubled rows; this pins the log-level mechanism (commit count) so a
+    failure is attributable."""
+    import os
+
+    import __spark_entry__ as entry
+    from prql_query_spark.engine.deltalog import (
+        last_txn_version, read_delta_snapshot)
+
+    monkeypatch.setenv("PQ_RT_DIR", str(tmp_path))
+    out = entry._x_stream_delta(spark, "/root/testdata/sf0.001")
+    rows = {r["event_type"]: (r["n"], r["user_sum"], r["value_cents"])
+            for r in out.collect()}
+
+    roots = [d for d in os.listdir(tmp_path) if d.startswith("pq_rt_streamdelta_")]
+    assert len(roots) == 1
+    table = os.path.join(tmp_path, roots[0], "t")
+    log = os.path.join(table, "_delta_log")
+    commits = [f for f in os.listdir(log) if f.endswith(".json")]
+    # version 0 creates the table with batch 0; batches 1-3 append:
+    # exactly 4 commits — the second stream added NONE
+    assert len(commits) == 4, sorted(commits)
+    assert last_txn_version(spark, table, "pq_gate_stream_delta") == 3
+
+    back = read_delta_snapshot(spark, table)
+    src = load_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    assert back.count() == src.count()
+    assert rows == {
+        r["event_type"]: (r["n"], r["user_sum"], r["value_cents"])
+        for r in src.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").cast("bigint").alias("user_sum"),
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+             .cast("bigint").alias("value_cents")).collect()}
