@@ -168,6 +168,11 @@ class DuckDBDialect(Dialect):
             # matching spelling is quantile_cont.  args are in PRQL order
             # (`percentile 0.5 x` -> [fraction, value]).
             return f"quantile_cont({args[1]}, {args[0]})"
+        if name == "approx_percentile":
+            # DuckDB's sketch quantile (t-digest).  Engines use DIFFERENT
+            # sketches, so approx results agree only within sketch error —
+            # never put this in an exact-hash oracle row.
+            return f"approx_quantile({args[1]}, {args[0]})"
         return None
 
 

@@ -30,6 +30,7 @@ BUILTIN_ARITY = {
     "count_distinct": 1, "any": 1, "every": 1,
     # extension aggregates (SURVEY §2.A.2 "available in Spark")
     "median": 1, "percentile": 2, "approx_count_distinct": 1,
+    "approx_percentile": 2,
     # count is special-cased (0 or 1 args) in parse_call
     # window (SURVEY.md §2.A.3)
     "lag": 2, "lead": 2, "rank": 0, "row_number": 0, "dense_rank": 0,

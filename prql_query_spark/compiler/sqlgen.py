@@ -40,6 +40,12 @@ AGG_FNS = {
     "median": "MEDIAN({0})",
     "percentile": "PERCENTILE({1}, {0})",
     "approx_count_distinct": "APPROX_COUNT_DISTINCT({0})",
+    # sketch-based percentile: the 100 TB path for quantiles (Spark:
+    # single-pass KLL-style sketch, mergeable across partitions, vs the
+    # exact form's full per-group value buffer).  approx == exact is NOT
+    # guaranteed, so gate rows keep exact `percentile`; this spelling is
+    # for production pipelines where the buffer is the bottleneck.
+    "approx_percentile": "APPROX_PERCENTILE({1}, {0})",
 }
 WINDOW_FNS = {
     "lag": "LAG({1}, {0})", "lead": "LEAD({1}, {0})",

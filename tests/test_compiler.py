@@ -642,3 +642,47 @@ def test_cloud_scheme_guard_names_the_fix(spark):
         read_source(spark, "s3://bucket/data.parquet")
     with pytest.raises(SourceError, match="GoogleHadoopFileSystem"):
         read_source(spark, "gs://bucket/data.parquet")
+
+
+def test_approx_percentile_fn(spark, sf_dir):
+    """`approx_percentile` (round 6): the sketch-based quantile spelling —
+    Spark APPROX_PERCENTILE, DuckDB approx_quantile (t-digest).  The two
+    sketches differ, so this must NEVER sit in an exact-hash oracle row;
+    the contract tested here is that on EACH engine the approx result
+    lands within 2% of that engine's own exact percentile, and that the
+    compiler keeps the fn out of the eager-aggregation whitelist."""
+    import os
+
+    import duckdb
+
+    from prql_query_spark import compile_prql
+
+    prql = """
+from orders
+group [o_orderstatus] (aggregate [p50 = approx_percentile 0.5 o_totalprice])
+sort [o_orderstatus]
+"""
+    exact = prql.replace("approx_percentile", "percentile")
+
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .createOrReplaceTempView("orders")
+    sp = {r[0]: (r[1], e[1]) for r, e in zip(
+        spark.sql(compile_prql(prql, "spark")).collect(),
+        spark.sql(compile_prql(exact, "spark")).collect())}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{os.path.join(sf_dir, 'orders.parquet')}'")
+    du = {r[0]: (r[1], e[1]) for r, e in zip(
+        con.execute(compile_prql(prql, "duckdb")).fetchall(),
+        con.execute(compile_prql(exact, "duckdb")).fetchall())}
+    con.close()
+    assert set(sp) == set(du) and len(sp) >= 2
+    for eng in (sp, du):
+        for status, (approx, ex) in eng.items():
+            assert abs(approx - ex) <= 0.02 * max(abs(ex), 1.0), \
+                (status, approx, ex)
+
+    # not eligible for the eager-aggregation rewrite (sketches don't
+    # re-merge through the dim-join multiplicity argument)
+    from prql_query_spark.compiler.sqlgen import _EAGER_AGG_FNS
+    assert "approx_percentile" not in _EAGER_AGG_FNS
