@@ -1629,8 +1629,9 @@ DRIVER_ORDER = [
     "x_benford", "x_corr_matrix", "x_bootstrap_ci", "x_ks_drift",
     "x_mannwhitney", "x_spearman",
     # Never-audited after this round: NONE of the pre-r6 entries — all 42
-    # are in this window.  Queries added in round 6 or later that don't
-    # fit the 50-slot window get listed here and rotated next round.
+    # are in this window.  Round-6-new entries that didn't fit the 50
+    # slots (rotate into the r7 window): x_ann_index (persisted IVF-PQ
+    # index probe; exact-parity-checked at both SFs this round).
 ]
 
 
@@ -4490,7 +4491,48 @@ def _x_ivfpq_topk(spark, sf_dir):
     )
 
 
+def _x_ann_index(spark, sf_dir):
+    """IVF-PQ through a PERSISTED index — the dense twin of
+    x_bm25_index's build-once/probe-forever story: encode the corpus
+    once (`ivfpq_index`), write the rows CELL-SORTED parquet (each
+    cell's posting list packs into few row groups), read back, prefilter
+    with the queries' literal probed-cell set (`probed_cells` — the
+    `_cell IN (...)` predicate reaches the scan as PushedFilters, so
+    query IO is the probed posting lists, not the corpus), then score.
+    Must equal the direct x_ivfpq_topk computation exactly, so the
+    oracle is the same direct-computation SQL.  Tempdir sink:
+    COVERAGE.md 'Gate harness assumptions'."""
+    from prql_query_spark.operators.similarity import (
+        cosine_topk_ivfpq, ivfpq_index, pq_codebooks_from_anchors,
+        probed_cells,
+    )
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    anchors = [
+        r.embedding
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    codebooks = pq_codebooks_from_anchors(anchors, m=8)
+    d = _rt_dir("pq_ann_idx_")
+    ivfpq_index(emb, anchors, codebooks).sort("_cell") \
+        .write.mode("overwrite").parquet(os.path.join(d, "index.parquet"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    cells = probed_cells(queries, anchors, n_probe=4)
+    pruned = (spark.read.parquet(os.path.join(d, "index.parquet"))
+              .filter(F.col("_cell").isin(cells)))
+    out = cosine_topk_ivfpq(
+        emb, queries, k=10, n_probe=4,
+        centroids=anchors, codebooks=codebooks, index=pruned,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("approx_cosine", 6).alias("approx_cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 EXTENSIONS["x_ivfpq_topk"] = _x_ivfpq_topk
+EXTENSIONS["x_ann_index"] = _x_ann_index
 EXTENSION_ORACLES["x_ivfpq_topk"] = """
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cells AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
@@ -4543,6 +4585,8 @@ ranked AS (SELECT query_id, neighbor_id, ac,
 SELECT query_id, neighbor_id, ROUND(ac, 6) AS approx_cosine, CAST(rk AS INT) AS rank
 FROM ranked WHERE rk <= 10
 """
+# the persisted-index path must equal the direct computation EXACTLY
+EXTENSION_ORACLES["x_ann_index"] = EXTENSION_ORACLES["x_ivfpq_topk"]
 
 
 def _x_oov_rate(spark, sf_dir):

@@ -846,6 +846,39 @@ def ivfpq_index(
     )
 
 
+def probed_cells(
+    queries: DataFrame,
+    centroids: list,
+    n_probe: int,
+    vec_col: str = "embedding",
+) -> list[int]:
+    """The union of every query's ``n_probe`` nearest cell ids, as plain
+    ints — the literal prefilter for a PERSISTED IVF-PQ index: filter the
+    cell-sorted index parquet with ``_cell IN (...)`` BEFORE the
+    candidate join and the predicate reaches the scan (PushedFilters ->
+    row-group pruning), so query-time IO is proportional to the probed
+    posting lists, not the corpus — the dense twin of
+    retrieval.build_bm25_index's term-sorted pruning.
+
+    Cell choice runs THROUGH the same `_cell_dists` expressions the
+    probe plan evaluates (queries are small by contract — the collect is
+    the serving pattern, similarity.py cosine_topk_arrow:553), so the
+    literal set provably covers every cell the join would touch; a
+    driver-side numpy re-derivation could drift by an ulp on near-ties
+    and silently drop a probed cell."""
+    spark = queries.sparkSession
+    cells_packed = _pack_cells(spark, centroids)
+    rows = (
+        queries.crossJoin(F.broadcast(cells_packed))
+        .select(F.explode(F.transform(
+            F.slice(_cell_dists(F.col(vec_col)), 1, n_probe),
+            lambda s: s["cell"],
+        )).alias("_cell"))
+        .distinct().collect()
+    )
+    return sorted(r["_cell"] for r in rows)
+
+
 def cosine_topk_ivfpq(
     corpus: DataFrame,
     queries: DataFrame,

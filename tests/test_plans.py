@@ -841,3 +841,43 @@ sort [grp]
     got = [tuple(r) for r in spark.sql(eager_sql).collect()]
     want = [tuple(r) for r in spark.sql(plain_sql).collect()]
     assert got == want and len(got) > 0
+
+
+def test_ann_index_probe_pushes_cell_filter(spark, sf_dir, tmp_path):
+    """Persisted IVF-PQ index (similarity.ivfpq_index + probed_cells):
+    the `_cell IN (...)` literal prefilter must reach the parquet reader
+    as PushedFilters — on the cell-sorted index this is row-group
+    pruning, the dense twin of the BM25 term-IN pin — and the probe join
+    must broadcast the depth-bounded query side, never shuffle the
+    index."""
+    from prql_query_spark.engine.sources import load_parquet
+    from prql_query_spark.operators.similarity import (
+        cosine_topk_ivfpq, ivfpq_index, pq_codebooks_from_anchors,
+        probed_cells)
+
+    emb = load_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    anchors = [r.embedding for r in
+               emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    codebooks = pq_codebooks_from_anchors(anchors, m=8)
+    idir = str(tmp_path / "index.parquet")
+    ivfpq_index(emb, anchors, codebooks).sort("_cell").write.parquet(idir)
+    queries = emb.filter(F.col("vec_id") < 3)
+    cells = probed_cells(queries, anchors, n_probe=4)
+    assert 0 < len(cells) <= 12
+    pruned = spark.read.parquet(idir).filter(F.col("_cell").isin(cells))
+    out = cosine_topk_ivfpq(emb, queries, k=5, n_probe=4,
+                            centroids=anchors, codebooks=codebooks,
+                            index=pruned)
+    plan = _plan(spark, out)
+    assert re.search(r"PushedFilters: \[In\(_cell", plan), \
+        "cell IN not pushed to the index scan"
+    simple = _plan(spark, out, "simple")
+    assert "BroadcastHashJoin" in simple
+    bad = _singlepartition_feeds_only_limits(simple)
+    assert not bad, f"single-partition exchange over the index: {bad}"
+
+    # the pruned persisted path equals the direct in-memory computation
+    direct = cosine_topk_ivfpq(emb, queries, k=5, n_probe=4,
+                               centroids=anchors, codebooks=codebooks)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, direct.collect()))
