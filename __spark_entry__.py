@@ -1630,8 +1630,9 @@ DRIVER_ORDER = [
     "x_mannwhitney", "x_spearman",
     # Never-audited after this round: NONE of the pre-r6 entries — all 42
     # are in this window.  Round-6-new entries that didn't fit the 50
-    # slots (rotate into the r7 window): x_ann_index (persisted IVF-PQ
-    # index probe; exact-parity-checked at both SFs this round).
+    # slots (rotate into the r7 window): x_ann_index and
+    # x_ann_incremental (persisted / append-ingested IVF-PQ index
+    # probes; exact-parity-checked at both SFs this round).
 ]
 
 
@@ -4531,8 +4532,52 @@ def _x_ann_index(spark, sf_dir):
     )
 
 
+def _x_ann_incremental(spark, sf_dir):
+    """Incremental ANN index maintenance — the dense twin of
+    x_bm25_incremental: build the persisted index on HALF the corpus,
+    encode the other half as an arriving batch, parquet-APPEND it, and
+    probe the union.  Unlike BM25 (whose df/avgdl are corpus moments),
+    every IVF-PQ index row is self-contained (cell, codes, vnorm against
+    FIXED centers/codebooks), so ingest is a pure append — nothing is
+    recomputed or rewritten — and the probe must equal direct IVF-PQ
+    over the FULL corpus, which is exactly what the shared oracle
+    computes.  Tempdir sink: COVERAGE.md 'Gate harness assumptions'."""
+    from prql_query_spark.operators.similarity import (
+        cosine_topk_ivfpq, ivfpq_index, pq_codebooks_from_anchors,
+        probed_cells,
+    )
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    anchors = [
+        r.embedding
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    codebooks = pq_codebooks_from_anchors(anchors, m=8)
+    d = os.path.join(_rt_dir("pq_ann_inc_"), "index.parquet")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    ivfpq_index(half_a, anchors, codebooks).sort("_cell") \
+        .write.mode("overwrite").parquet(d)
+    ivfpq_index(half_b, anchors, codebooks).sort("_cell") \
+        .write.mode("append").parquet(d)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cells = probed_cells(queries, anchors, n_probe=4)
+    pruned = (spark.read.parquet(d)
+              .filter(F.col("_cell").isin(cells)))
+    out = cosine_topk_ivfpq(
+        emb, queries, k=10, n_probe=4,
+        centroids=anchors, codebooks=codebooks, index=pruned,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("approx_cosine", 6).alias("approx_cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 EXTENSIONS["x_ivfpq_topk"] = _x_ivfpq_topk
 EXTENSIONS["x_ann_index"] = _x_ann_index
+EXTENSIONS["x_ann_incremental"] = _x_ann_incremental
 EXTENSION_ORACLES["x_ivfpq_topk"] = """
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cells AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
@@ -4585,8 +4630,10 @@ ranked AS (SELECT query_id, neighbor_id, ac,
 SELECT query_id, neighbor_id, ROUND(ac, 6) AS approx_cosine, CAST(rk AS INT) AS rank
 FROM ranked WHERE rk <= 10
 """
-# the persisted-index path must equal the direct computation EXACTLY
+# the persisted-index and incremental-append paths must equal the
+# direct computation EXACTLY
 EXTENSION_ORACLES["x_ann_index"] = EXTENSION_ORACLES["x_ivfpq_topk"]
+EXTENSION_ORACLES["x_ann_incremental"] = EXTENSION_ORACLES["x_ivfpq_topk"]
 
 
 def _x_oov_rate(spark, sf_dir):
