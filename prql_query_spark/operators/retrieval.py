@@ -26,10 +26,12 @@ does not dedupe common subplans, so the join formulation would scan and
 explode the corpus twice).  No UDFs anywhere — whole-stage codegen end
 to end.
 
-Tokenization is the repo's whitespace convention (split on \\s+ of the
-lower-trimmed text), identical to the x_sentiment oracle, so the DuckDB
-twin can mirror it exactly; scores ROUND to 6 decimals on both sides
-before ranking so libm's 1-ulp ln() divergence can't flip the ordering.
+Tokenization is the repo's pinned ASCII whitespace convention
+(text.ASCII_WS over the lower-trimmed text, on BOTH the corpus and the
+query side — see _query_terms), identical to the x_sentiment oracle, so
+the DuckDB twin can mirror it exactly; scores ROUND to 6 decimals on
+both sides before ranking so libm's 1-ulp ln() divergence can't flip
+the ordering.
 """
 
 from __future__ import annotations
@@ -191,11 +193,16 @@ def hybrid_topk(
     align to documents by id (fixture contract: vec_id == doc_id).
 
     Scale: both branches are already sublinear-output (BM25's shuffles
-    are candidate-set-sized, cosine broadcasts the single query and
-    top-k's per partition before the merge); the fusion itself is a full
-    outer join of two depth-sized lists — trivially small.  Ranks, not
-    scores, cross the fusion boundary, so the two branches' score scales
-    never need calibration.
+    are candidate-set-sized, the dense branch inlines the query vector
+    as a literal and top-k's per partition before the merge via
+    orderBy+limit); the fusion itself is a full outer join of two
+    depth-sized lists — trivially small.  Ranks, not scores, cross the
+    fusion boundary, so the two branches' score scales never need
+    calibration.
+
+    Raises ValueError when `query_vec_id` is absent from the embeddings
+    (round 6 — previously the dense list silently came back empty and
+    the result degraded to lexical-only without any signal).
     """
     from pyspark.sql import Window
 
