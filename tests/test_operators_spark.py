@@ -3828,3 +3828,39 @@ def test_stream_delta_gate_row_second_stream_skips_all(spark, monkeypatch,
             F.sum("user_id").cast("bigint").alias("user_sum"),
             F.sum(F.col("value").cast("decimal(18,2)") * 100)
              .cast("bigint").alias("value_cents")).collect()}
+
+
+def test_bm25_query_tokenization_matches_corpus_on_odd_whitespace(spark):
+    """_query_terms regression (round-6 ADVICE): the query side must
+    tokenize with the pinned ASCII_WS class, not Python str.split().
+    str.split() also breaks on \\x0b and NBSP, so a query containing an
+    NBSP-joined token produced terms ('data', 'quality') that can never
+    equal their corpus twin ('data\\u00a0quality' — ONE token under
+    ASCII_WS), silently returning no hits; and the single-query and
+    batch entry points disagreed on such input."""
+    from prql_query_spark.operators.retrieval import (
+        bm25_topk, bm25_topk_batch)
+
+    nbsp_tok = "data\u00a0quality"  # NBSP-joined: ONE token under ASCII_WS
+    docs = spark.createDataFrame(
+        [(1, f"the {nbsp_tok} report"), (2, "plain data quality report"),
+         (3, "unrelated text entirely")],
+        "doc_id long, text string")
+    # \x0b is NOT whitespace under ASCII_WS (str.split() would cut it):
+    # the whole query is one never-matching term -> zero hits, where the
+    # old tokenizer would have matched via the split-off pieces
+    assert bm25_topk(docs, f"{nbsp_tok}\x0bextra", k=5).collect() == []
+    hits = bm25_topk(docs, f"{nbsp_tok} report", k=5).collect()
+    ids = [r["doc_id"] for r in hits]
+    assert 1 in ids  # the NBSP doc is found via its exact NBSP token
+    top = {r["doc_id"]: r["score"] for r in hits}
+    # doc 1 matches BOTH terms; doc 2 only 'report' (its 'data quality'
+    # is two separate tokens, not the NBSP-joined one)
+    assert top[1] > top.get(2, 0.0)
+
+    qs = spark.createDataFrame([(1, f"{nbsp_tok} report")],
+                               "query_id int, query_text string")
+    batch = {(r["doc_id"], r["score"])
+             for r in bm25_topk_batch(docs, qs, k=5).collect()}
+    single = {(r["doc_id"], r["score"]) for r in hits}
+    assert batch == single  # entry points agree on odd-whitespace input
