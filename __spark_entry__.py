@@ -1630,9 +1630,10 @@ DRIVER_ORDER = [
     "x_mannwhitney", "x_spearman",
     # Never-audited after this round: NONE of the pre-r6 entries — all 42
     # are in this window.  Round-6-new entries that didn't fit the 50
-    # slots (rotate into the r7 window): x_ann_index and
-    # x_ann_incremental (persisted / append-ingested IVF-PQ index
-    # probes; exact-parity-checked at both SFs this round).
+    # slots (rotate into the r7 window): x_ann_index, x_ann_incremental
+    # (persisted / append-ingested IVF-PQ index probes) and
+    # x_hybrid_index (both-branches-from-persisted-indexes serving
+    # stack); all three exact-parity-checked at both SFs this round.
 ]
 
 
@@ -4575,9 +4576,136 @@ def _x_ann_incremental(spark, sf_dir):
     )
 
 
+def _x_hybrid_index(spark, sf_dir):
+    """The full SERVING STACK in one row (round 6): hybrid RRF where
+    BOTH branches answer from persisted indexes — the lexical list from
+    the term-sorted BM25 inverted index (probe_bm25_index: term-pruned
+    posting scan, no corpus tokenize), the dense list from the
+    cell-sorted IVF-PQ index (probed_cells literal prefilter: cell-
+    pruned posting scan, no corpus encode).  Per query NOTHING
+    corpus-sized is read: this is what hybrid_topk amortizes into once
+    the indexes exist.  Dense ranks are IVF-PQ ADC (approximate), so
+    the oracle mirrors the x_ivfpq_topk computation — parameterized on
+    (query_vec_id, depth, n_probe) — fused with the bm25 twin by the
+    same RRF.  Tempdir: COVERAGE.md 'Gate harness assumptions'."""
+    from prql_query_spark.operators.retrieval import (
+        build_bm25_index, hybrid_topk_indexed,
+    )
+    from prql_query_spark.operators.similarity import (
+        ivfpq_index, pq_codebooks_from_anchors,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    emb = _tbl(spark, sf_dir, "embeddings")
+    anchors = [
+        r.embedding
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    codebooks = pq_codebooks_from_anchors(anchors, m=8)
+    d = _rt_dir("pq_hyb_idx_")
+    postings, stats = build_bm25_index(docs)
+    postings.sort("term").write.parquet(os.path.join(d, "postings.parquet"))
+    stats.write.parquet(os.path.join(d, "stats.parquet"))
+    ivfpq_index(emb, anchors, codebooks).sort("_cell") \
+        .write.parquet(os.path.join(d, "ann.parquet"))
+    return hybrid_topk_indexed(
+        spark.read.parquet(os.path.join(d, "postings.parquet")),
+        spark.read.parquet(os.path.join(d, "stats.parquet")),
+        spark.read.parquet(os.path.join(d, "ann.parquet")),
+        emb, anchors, codebooks,
+        _BM25_QUERY, query_vec_id=7, k=15, depth=25, n_probe=4)
+
+
+def _hybrid_index_oracle_sql(
+    query_text: str, query_vec_id: int,
+    k: int = 15, depth: int = 25, n_probe: int = 4, rrf_c: int = 60,
+) -> str:
+    """DuckDB twin of _x_hybrid_index: the bm25_topk twin for the lex
+    list (index probe == direct, the x_bm25_index invariant) and the
+    x_ivfpq_topk computation — same anchors, sub-codebooks, ADC fold
+    and tie rules — restricted to the one dense query, fused by RRF."""
+    from prql_query_spark.operators.retrieval import bm25_topk_oracle_sql
+
+    bm25 = bm25_topk_oracle_sql(query_text, k=depth).strip()
+    adc_sum = "MAX(CASE WHEN j=0 THEN p END)"
+    for j in range(1, 8):
+        adc_sum = f"({adc_sum} + MAX(CASE WHEN j={j} THEN p END))"
+    return f"""
+WITH lex_list AS (SELECT * FROM ({bm25})),
+lex AS (
+    SELECT doc_id AS id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+    FROM lex_list
+),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM emb WHERE vec_id < 16),
+ranked_cells AS (
+  SELECT e.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS crk
+  FROM emb e CROSS JOIN cells c
+),
+corpus_cell AS (SELECT vec_id, cell FROM ranked_cells WHERE crk = 1),
+query_cells AS (SELECT vec_id, cell FROM ranked_cells
+                WHERE crk <= {n_probe} AND vec_id = {query_vec_id}),
+anchors AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+            FROM emb WHERE vec_id < 16),
+subq AS (SELECT CAST(j AS INT) AS j FROM range(8) r(j)),
+cb AS (SELECT s.j, a.code, a.v[s.j*8+1 : s.j*8+8] AS c
+       FROM anchors a CROSS JOIN subq s),
+esub AS (SELECT e.vec_id, s.j, e.v[s.j*8+1 : s.j*8+8] AS sv
+         FROM emb e CROSS JOIN subq s),
+assign AS (
+  SELECT vec_id, j, code FROM (
+    SELECT es.vec_id, es.j, cb.code,
+           ROW_NUMBER() OVER (PARTITION BY es.vec_id, es.j
+             ORDER BY list_inner_product(es.sv, es.sv) + list_inner_product(cb.c, cb.c)
+                      - 2*list_inner_product(es.sv, cb.c), cb.code) AS rk
+    FROM esub es JOIN cb ON cb.j = es.j
+  ) t WHERE rk = 1),
+norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM emb),
+cand AS (
+  SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id
+  FROM query_cells q JOIN corpus_cell cc ON cc.cell = q.cell
+  WHERE cc.vec_id <> q.vec_id),
+lut AS (
+  SELECT cand.query_id, cand.neighbor_id, a.j,
+         list_inner_product(qe.v[a.j*8+1 : a.j*8+8], cb.c) AS p
+  FROM cand
+  JOIN emb qe ON qe.vec_id = cand.query_id
+  JOIN assign a ON a.vec_id = cand.neighbor_id
+  JOIN cb ON cb.j = a.j AND cb.code = a.code),
+adc AS (
+  SELECT query_id, neighbor_id, {adc_sum} AS s
+  FROM lut GROUP BY 1, 2),
+scored AS (
+  SELECT adc.query_id, adc.neighbor_id, adc.s / (qn.nrm * nn.nrm) AS ac
+  FROM adc JOIN norms qn ON qn.vec_id = adc.query_id
+           JOIN norms nn ON nn.vec_id = adc.neighbor_id),
+dense AS (
+  SELECT neighbor_id AS id, rk AS dense_rank FROM (
+    SELECT query_id, neighbor_id, ac,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ac DESC, neighbor_id) rk
+    FROM scored
+  ) WHERE rk <= {depth})
+SELECT COALESCE(lex.id, dense.id) AS doc_id,
+       ROUND(COALESCE(1.0 / ({rrf_c} + lex.lex_rank), 0.0)
+             + COALESCE(1.0 / ({rrf_c} + dense.dense_rank), 0.0), 6) AS rrf,
+       CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+       CAST(dense.dense_rank AS BIGINT) AS dense_rank
+FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 EXTENSIONS["x_ivfpq_topk"] = _x_ivfpq_topk
 EXTENSIONS["x_ann_index"] = _x_ann_index
 EXTENSIONS["x_ann_incremental"] = _x_ann_incremental
+EXTENSIONS["x_hybrid_index"] = _x_hybrid_index
+# (oracle registered after _BM25_QUERY's definition, below)
 EXTENSION_ORACLES["x_ivfpq_topk"] = """
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cells AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
@@ -5543,6 +5671,8 @@ def _hybrid_oracle() -> dict[str, str]:
 
 EXTENSIONS["x_hybrid_search"] = _x_hybrid_search
 EXTENSION_ORACLES.update(_hybrid_oracle())
+EXTENSION_ORACLES["x_hybrid_index"] = _hybrid_index_oracle_sql(
+    _BM25_QUERY, query_vec_id=7, k=15, depth=25, n_probe=4)
 
 
 def _x_bm25_index(spark, sf_dir):

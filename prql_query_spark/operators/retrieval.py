@@ -550,3 +550,77 @@ SELECT qid AS {query_id_col}, {id_col}, score, rank FROM (
 ) WHERE rank <= {k}
 ORDER BY {query_id_col}, rank
 """
+
+
+def hybrid_topk_indexed(
+    postings: DataFrame,
+    stats: DataFrame,
+    ann_index: DataFrame,
+    emb: DataFrame,
+    centroids: list,
+    codebooks: list,
+    query_text: str,
+    query_vec_id: int,
+    k: int = 10,
+    depth: int = 50,
+    rrf_c: int = 60,
+    n_probe: int = 4,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval over PERSISTED indexes — the serving-stack shape
+    the two index stories compose into: the lexical list comes from the
+    BM25 inverted index (`probe_bm25_index` — term-pruned posting scan,
+    no corpus tokenize), the dense list from the cell-sorted IVF-PQ
+    index (`cosine_topk_ivfpq(index=...)` behind a `probed_cells`
+    literal prefilter — cell-pruned posting scan, no corpus encode),
+    fused by the same RRF as `hybrid_topk`.  Per query, NOTHING
+    corpus-sized is read or computed: both branches touch only their
+    pruned posting lists plus broadcast constants.
+
+    Differs from `hybrid_topk` in the dense ranks: IVF-PQ ADC scores
+    (approximate) rather than exact cosine, so the oracle twin mirrors
+    the IVF-PQ computation, not brute force.  Raises ValueError when
+    `query_vec_id` is absent (same contract as hybrid_topk)."""
+    from pyspark.sql import Window
+
+    from prql_query_spark.operators.similarity import (
+        cosine_topk_ivfpq, probed_cells)
+
+    lex = probe_bm25_index(postings, stats, query_text, k=depth,
+                           id_col=id_col)
+    wl = Window.orderBy(F.desc("score"), F.asc(id_col))
+    lex_r = lex.select(
+        F.col(id_col).alias("_id"),
+        F.row_number().over(wl).alias("_lex_rank"))
+
+    queries = emb.filter(F.col(emb_id_col) == query_vec_id)
+    if queries.head() is None:
+        raise ValueError(
+            f"hybrid_topk_indexed: query vector {query_vec_id!r} not "
+            f"found in {emb_id_col}")
+    cells = probed_cells(queries, centroids, n_probe, vec_col=vec_col)
+    pruned = ann_index.filter(F.col("_cell").isin(cells))
+    dense_r = (
+        cosine_topk_ivfpq(
+            emb, queries, k=depth, n_probe=n_probe,
+            centroids=centroids, codebooks=codebooks,
+            id_col=emb_id_col, vec_col=vec_col, index=pruned)
+        .select(F.col("neighbor_id").alias("_id"),
+                F.col("rank").alias("_dense_rank"))
+    )
+
+    fused = (
+        lex_r.join(dense_r, "_id", "full_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            F.round(
+                F.coalesce(1.0 / (rrf_c + F.col("_lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (rrf_c + F.col("_dense_rank")), F.lit(0.0)),
+                6).alias("rrf"),
+            F.col("_lex_rank").cast("long").alias("lex_rank"),
+            F.col("_dense_rank").cast("long").alias("dense_rank"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)
