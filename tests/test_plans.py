@@ -881,3 +881,42 @@ def test_ann_index_probe_pushes_cell_filter(spark, sf_dir, tmp_path):
                                centroids=anchors, codebooks=codebooks)
     assert sorted(map(tuple, out.collect())) == \
         sorted(map(tuple, direct.collect()))
+
+
+def test_hybrid_indexed_pushes_both_index_filters(spark, sf_dir, tmp_path):
+    """hybrid_topk_indexed (the serving stack): BOTH persisted-index
+    scans must show their literal prefilter as PushedFilters — the BM25
+    postings scan prunes on `term IN (...)` and the IVF-PQ index scan on
+    `_cell IN (...)` — so per query the plan reads posting lists, never
+    either corpus."""
+    import __spark_entry__ as entry
+    from prql_query_spark.operators.retrieval import (
+        build_bm25_index, hybrid_topk_indexed)
+    from prql_query_spark.operators.similarity import (
+        ivfpq_index, pq_codebooks_from_anchors)
+
+    docs = entry._tbl(spark, sf_dir, "documents")
+    emb = entry._tbl(spark, sf_dir, "embeddings")
+    anchors = [r.embedding for r in
+               emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    codebooks = pq_codebooks_from_anchors(anchors, m=8)
+    build = build_bm25_index(docs)
+    build[0].sort("term").write.parquet(str(tmp_path / "p"))
+    build[1].write.parquet(str(tmp_path / "s"))
+    ivfpq_index(emb, anchors, codebooks).sort("_cell") \
+        .write.parquet(str(tmp_path / "a"))
+    out = hybrid_topk_indexed(
+        spark.read.parquet(str(tmp_path / "p")),
+        spark.read.parquet(str(tmp_path / "s")),
+        spark.read.parquet(str(tmp_path / "a")),
+        emb, anchors, codebooks,
+        "data quality model", query_vec_id=0, k=10, depth=20, n_probe=4)
+    plan = _plan(spark, out)
+    assert re.search(r"PushedFilters: \[In\(term, \[data,model,quality\]",
+                     plan), "term IN not pushed to the postings scan"
+    assert re.search(r"PushedFilters: \[In\(_cell", plan), \
+        "cell IN not pushed to the ANN index scan"
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    rrfs = [r["rrf"] for r in rows]
+    assert rrfs == sorted(rrfs, reverse=True)
