@@ -8,11 +8,12 @@ relevance baseline for corpus curation ("which training docs look like
 this benchmark prompt?").
 
 Scale plan (the part that matters at 100 TB):
-- The corpus is tokenized ONCE and immediately filtered to the query's
-  terms — a broadcast hash semi-join against a literal array of at most
-  a few dozen terms — so everything downstream (tf counts, df counts,
-  scoring, top-k) runs over only the matching (doc, term) pairs, never
-  the corpus vocabulary.
+- The corpus is tokenized ONCE and the token array is filtered to the
+  query's literal terms BEFORE the explode (an IN over at most a few
+  dozen literals, fused into the scan by whole-stage codegen) — so
+  everything downstream (tf counts, df counts, scoring, top-k) runs
+  over only the matching (doc, term) pairs, never the corpus
+  vocabulary, and the generator never constructs non-matching rows.
 - N and avgdl come from a narrow one-pass aggregate over per-doc token
   counts (no explode), cross-joined as a broadcast scalar row.
 - Top-k is ORDER BY + LIMIT -> Catalyst TakeOrderedAndProject, no global
@@ -85,14 +86,15 @@ def bm25_topk(
         F.avg(F.size("_toks")).alias("_avgdl"),
     )
 
-    # explode, keep ONLY query terms (broadcast literal semi-filter)
-    hits = (
-        base.select(
-            F.col(id_col),
-            F.size("_toks").alias("_dl"),
-            F.explode("_toks").alias("_t"),
-        )
-        .filter(F.col("_t").isin(terms))
+    # keep ONLY query terms, filtering the token ARRAY before the
+    # explode: whole-stage codegen fuses the explode+filter loop either
+    # way, but filter-first skips constructing a generator row for every
+    # non-matching token — measured 476 vs 593 ms at sf0.1 (11-run
+    # interleaved medians), never slower (tools/probe_bm25_formulations)
+    hits = base.select(
+        F.col(id_col),
+        F.size("_toks").alias("_dl"),
+        F.explode(F.filter("_toks", lambda x: x.isin(terms))).alias("_t"),
     )
     tf = hits.groupBy(id_col, "_t").agg(
         F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))

@@ -6,7 +6,10 @@ is the fastest known formulation, and that the remaining gap to the
 DuckDB twin is scan/stage floor, not per-byte slope:
 
   current     — operators/retrieval.bm25_topk as shipped
-  arrfilter   — array-filter BEFORE explode (same tf subtree otherwise)
+  arrfilter   — full pipeline with the array filtered BEFORE the
+                explode (WSCG fuses the explode+filter loop either way,
+                so the difference is row-construction for non-matching
+                tokens)
   flat        — per-term `size(filter(toks, =t))` columns; no explode,
                 no candidate-set shuffles, df folded into the stats agg
   structagg   — single-pass struct-of-counters F.aggregate; zero
@@ -71,13 +74,31 @@ def main() -> None:
         ex(bm25_topk(docs, QUERY, k=20))
 
     def arrfilter():
+        from pyspark.sql import Window
+
         base = docs.select(F.col("doc_id"), toks.alias("_toks"))
+        stats = base.agg(F.count(F.lit(1)).alias("_n"),
+                         F.avg(F.size("_toks")).alias("_avgdl"))
         hits = base.select(
             "doc_id", F.size("_toks").alias("_dl"),
             F.explode(F.filter(
                 "_toks", lambda x: x.isin(terms))).alias("_t"))
-        ex(hits.groupBy("doc_id", "_t").agg(
-            F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")))
+        tf = hits.groupBy("doc_id", "_t").agg(
+            F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+        scored = (
+            tf.withColumn("_df",
+                          F.count(F.lit(1)).over(Window.partitionBy("_t")))
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "_s",
+                F.log(1.0 + (F.col("_n") - F.col("_df") + 0.5)
+                      / (F.col("_df") + 0.5))
+                * F.col("_tf") * (K1 + 1.0)
+                / (F.col("_tf")
+                   + K1 * (1.0 - B + B * F.col("_dl") / F.col("_avgdl")))))
+        ex(scored.groupBy("doc_id")
+           .agg(F.round(F.sum("_s"), 6).alias("score"))
+           .orderBy(F.desc("score"), F.asc("doc_id")).limit(20))
 
     def _flat_base():
         tfs = [F.size(F.filter("_toks", _eq(t))).alias(f"_tf{i}")
