@@ -493,6 +493,34 @@ aggregate [
     n_supp = s"COUNT(DISTINCT {l_suppkey})",
 ]
 """,
+    # approx_percentile under the driver gate with an HONEST oracle
+    # (round-6 VERDICT item 5): the two engines use different sketches
+    # (Spark Greenwald-Khanna vs DuckDB t-digest), so the sketch values
+    # themselves must never enter an exact-hash row.  Instead each
+    # engine brackets ITS OWN sketch against ITS OWN exact percentile
+    # (computed in SQL, same GROUP BY) and emits the boolean "within the
+    # pinned 2%" plus the exact values — exact percentile round-4 parity
+    # is already driver-proven by q_percentiles, and the booleans match
+    # iff both sketches honor their error contract.  One PRQL text, two
+    # dialects: this row drives the compiler's approx_percentile path
+    # (sqlgen.py:48, dialect.py:171) end-to-end on both engines.
+    "q_approx_percentile": """
+from lineitem
+group [l_returnflag] (
+    aggregate [
+        exact_p50 = round 4 (percentile 0.5 l_extendedprice),
+        exact_p95 = round 4 (percentile 0.95 l_extendedprice),
+        approx_p50 = approx_percentile 0.5 l_extendedprice,
+        approx_p95 = approx_percentile 0.95 l_extendedprice,
+    ]
+)
+derive [
+    sketch_ok_p50 = (abs (approx_p50 - exact_p50)) <= exact_p50 * 0.02,
+    sketch_ok_p95 = (abs (approx_p95 - exact_p95)) <= exact_p95 * 0.02,
+]
+select [l_returnflag, exact_p50, exact_p95, sketch_ok_p50, sketch_ok_p95]
+sort [l_returnflag]
+""",
 }
 
 
@@ -1587,53 +1615,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # splits/sampling).  Everything after index 50 still runs under the
 # in-repo parity harness (tools/check_parity.py) every round.
 DRIVER_ORDER = [
-    # Round-6 rotation (VERDICT r5 item 2 — the FINAL catch-up window):
-    # 152 of 194 queries were driver-hashed across r1-r5; this window
-    # keeps an 8-query stable regression core and fills the other 42
-    # slots with EVERY remaining never-audited query — the 32 long-parked
-    # extension rows plus the 10 round-5-new retrieval/roundtrip/stream
-    # rows.  After this round every queries() entry has been
-    # driver-audited at least once and rotation maintenance drops to
-    # new-queries-only.  The in-repo Arrow-typed parity harness
+    # Round-7 rotation.  After r6 every pre-r6 entry has been
+    # driver-audited at least once, so from this round on the window is
+    # maintenance: (a) a 7-query stable regression core (unchanged since
+    # r6; it was 8 in r5 — x_json_props left the core in r5 and
+    # x_profile_orders yielded its slot to x_stream_delta in r6),
+    # (b) every never-audited entry (the three r6-parked index rows plus
+    # the r7-new rows), (c) x_resize_thumbs so its gate-render fix (array
+    # → joined string; the driver's pandas canonicalizer cannot hash
+    # list cells) is driver-validated, and (d) the stalest previously
+    # green rows, oldest audit first (all 14 last audited in r1, then 23
+    # of the 31 last audited in r2 — the 8 deferred to r8 are the
+    # lowest-risk scalar/identity rows: q_case_buckets q_coalesce
+    # q_distinct_status q_fstring_label q_func_inline q_having q_in_list
+    # q_select_exclude).  The in-repo Arrow-typed parity harness
     # (tools/check_parity.py) still value-checks all entries every round.
-    # — stable regression core (driver-green in r5, kept as canaries;
-    # x_profile_orders yielded its slot to the round-6-new x_stream_delta
-    # so the window still covers every never-audited entry) —
+    # — stable regression core (7) —
     "q_agg_q1", "q_join_agg_q5", "q_flagship_monthly",
     "q_priority_lines_q12", "x_constraint_audit",
     "x_normalize_text", "x_pack_sequences",
-    # — round-6-new: exactly-once streaming Delta sink under the gate —
-    "x_stream_delta",
-    # — round-5-new retrieval tier (BM25 + hybrid RRF; hybrid_topk's
-    # dense branch was re-planned this round — fresh driver evidence) —
-    "x_bm25_search", "x_bm25_index", "x_bm25_incremental",
-    "x_bm25_batch", "x_hybrid_search",
-    # — round-5-new codec/stream/plan rows —
-    "x_roundtrip_orc", "x_roundtrip_xml", "x_stream_tumbling",
-    "x_bloom_prefilter", "x_eager_rollup",
-    # — long-parked: structured/diff/temporal —
-    "x_json_struct", "x_table_diff", "x_transitions", "x_twa",
-    "x_union_evolve", "x_ewma", "x_seasonal_decompose",
-    # — long-parked: scaling/sampling/mixing —
-    "x_scale_minmax", "x_token_length_summary", "x_temperature_mix",
-    "x_token_budget", "x_skew_report", "x_gini_mix",
-    # — long-parked: text/dedup —
-    "x_top_ngrams", "x_semantic_dedup", "x_dup_substrings",
-    "x_vocab_jaccard", "x_punct_ratio", "x_dedup_best",
-    # — long-parked: multimodal —
-    "x_multimodal_av", "x_image_neardup", "x_resize_thumbs",
-    "x_audio_fingerprint", "x_video_fingerprint",
-    # — long-parked: ANN/projection —
-    "x_ivfpq_topk", "x_random_projection",
-    # — long-parked: stats —
-    "x_benford", "x_corr_matrix", "x_bootstrap_ci", "x_ks_drift",
-    "x_mannwhitney", "x_spearman",
-    # Never-audited after this round: NONE of the pre-r6 entries — all 42
-    # are in this window.  Round-6-new entries that didn't fit the 50
-    # slots (rotate into the r7 window): x_ann_index, x_ann_incremental
-    # (persisted / append-ingested IVF-PQ index probes) and
-    # x_hybrid_index (both-branches-from-persisted-indexes serving
-    # stack); all three exact-parity-checked at both SFs this round.
+    # — r6-new, parked for this window: persisted/append IVF-PQ index
+    # probes + the both-branches-from-persisted-indexes serving stack —
+    "x_ann_index", "x_ann_incremental", "x_hybrid_index",
+    # — r6 red row, re-entered to validate the gate-render fix —
+    "x_resize_thumbs",
+    # — round-7-new rows —
+    "q_approx_percentile", "x_stream_dedup",
+    # — stalest re-audit: last driver-hashed in r1 (14) —
+    "q_append_union", "q_count_distinct", "q_forecast_revenue_q6",
+    "q_in_range_dates", "q_let_chain", "q_null_check",
+    "q_returned_items_q10", "q_set_intersect", "q_set_remove",
+    "q_shipping_priority_q3", "q_sstring_strftime", "q_take_sorted",
+    "q_window_first_last", "q_window_ntile",
+    # — stalest re-audit: last driver-hashed in r2 (23 of 31) —
+    "q_agg_stats", "q_filter_derive", "q_lag_lead_rank",
+    "q_left_join_nulls", "q_let_cte", "q_loop_series", "q_percentiles",
+    "q_right_full_joins", "q_self_join", "q_set_ops", "q_sort_nulls",
+    "q_take_range", "q_topk_customers", "q_topk_per_group",
+    "q_window_range_frame", "q_window_rolling7", "q_window_running",
+    "x_char_entropy", "x_gopher_audit", "x_mix_corpora",
+    "x_nb_classifier", "x_pagerank", "x_paragraph_dedup",
 ]
 
 
@@ -4133,13 +4154,21 @@ ORDER BY a, b
 def _x_resize_thumbs(spark, sf_dir):
     """Image resize (box-average 4x4 thumbnails) over REAL decoded
     pixels — floor-division integer means, so the oracle rebuilds every
-    thumb cell from the synthesis rule bit-for-bit."""
+    thumb cell from the synthesis rule bit-for-bit.  The gate row
+    renders the thumb array as a comma-joined string: the driver's
+    pandas canonicalizer cannot hash list cells (CORRECTNESS_r06 err),
+    so both engines emit a scalar column with identical values."""
     from prql_query_spark.operators.multimodal import (
         resize_image, synthesize_png_images)
 
     docs = _tbl(spark, sf_dir, "documents")
     media = synthesize_png_images(docs, "doc_id", pattern="mixed")
-    return resize_image(media, 4, 4).orderBy("media_id")
+    out = resize_image(media, 4, 4)
+    return out.select(
+        "media_id", "width", "height",
+        F.array_join(F.col("thumb").cast("array<string>"), ",")
+         .alias("thumb"),
+    ).orderBy("media_id")
 
 
 EXTENSIONS["x_resize_thumbs"] = _x_resize_thumbs
@@ -4162,7 +4191,7 @@ WITH dims AS (
 )
 SELECT doc_id AS media_id,
        CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-       list(CAST(tv AS BIGINT) ORDER BY cl) AS thumb
+       string_agg(CAST(tv AS VARCHAR), ',' ORDER BY cl) AS thumb
 FROM agg GROUP BY doc_id, w, h ORDER BY media_id
 """
 
@@ -5606,6 +5635,94 @@ def _x_stream_delta(spark, sf_dir):
              F.sum(F.col("value").cast("decimal(18,2)") * 100)
               .cast("bigint").alias("value_cents"))
     )
+
+
+def _x_stream_dedup(spark, sf_dir):
+    """The growing-index streaming dedup under the driver gate (round-6
+    VERDICT item 6): the hardest streaming contract in the repo —
+    each microbatch is self-deduped (minhash LSH + exact-Jaccard verify
+    + CC, min-id survivor) then deduped against every earlier batch's
+    survivors, so batch N's accepted docs reject batch N+1's copies.
+
+    documents is split into 3 batch files by doc_id % 3, written with
+    pinned increasing mtimes so the file source's oldest-first order IS
+    the batch order (first-accepted-wins is order-dependent by
+    contract).  The stream runs to completion in-row
+    (maxFilesPerTrigger=1 -> three real microbatches), survivors are
+    read back from the idempotent `_batch_id` sink and value-oracled.
+
+    Oracle: first-accepted-wins over all-pairs exact 5-gram Jaccard —
+    a doc survives iff no >=0.6 partner precedes it in (batch, doc_id)
+    lexicographic order.  SQL-sound because the fixture's near-dup
+    components are CLIQUES (every >=0.6 component has all n(n-1)/2
+    pairs — verified at sf0.001 and sf0.01, 2026-08-15, min pair
+    j=0.92): under cliques the sequential accept/reject loop keeps
+    exactly each clique's (batch, id)-min member.  Same oracle-recall
+    assumption as x_incremental_dedup: true pairs sit at j>=0.92 where
+    16-band collision probability is 1-1e-10.  Gate-harness caveats
+    (local tempdir source/sink): COVERAGE.md 'Gate harness
+    assumptions'."""
+    import glob
+    import shutil
+
+    from prql_query_spark.streaming.ingest import stream_dedup_growing
+
+    root = _rt_dir("pq_rt_streamdedup_")
+    docs = _tbl(spark, sf_dir, "documents")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for b in range(3):
+        stage = os.path.join(root, f"stage{b}")
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1) \
+            .write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"f{b}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    out = os.path.join(root, "accepted")
+    q = stream_dedup_growing(
+        spark, src, out, checkpoint=os.path.join(root, "ck"),
+        threshold=0.6, queryName="pq_gate_stream_dedup",
+        max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        q.stop()
+    res = (
+        spark.read.parquet(out).select("doc_id")
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+    rows = res.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, res.schema)
+
+
+EXTENSIONS["x_stream_dedup"] = _x_stream_dedup
+EXTENSION_ORACLES["x_stream_dedup"] = """
+WITH sized AS MATERIALIZED (
+    SELECT doc_id, doc_id % 3 AS bat, s, len(s) AS n FROM (
+        SELECT doc_id,
+               list_distinct(list_transform([substr(lt, x, 5)
+                   for x in range(1, greatest(len(lt) - 4, 1) + 1)],
+                   g -> hash(g))) AS s
+        FROM (SELECT doc_id, lower(text) AS lt FROM documents)
+    )
+), rejected AS (
+    SELECT DISTINCT d.doc_id
+    FROM sized d JOIN sized p
+      ON (p.bat < d.bat OR (p.bat = d.bat AND p.doc_id < d.doc_id))
+     AND least(d.n, p.n) * 5 >= greatest(d.n, p.n) * 3
+    WHERE CAST(len(list_intersect(d.s, p.s)) AS DOUBLE)
+          / (d.n + p.n - len(list_intersect(d.s, p.s))) >= 0.6
+)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
+ORDER BY doc_id
+"""
 
 
 def _x_bloom_prefilter(spark, sf_dir):

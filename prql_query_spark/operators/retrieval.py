@@ -49,9 +49,12 @@ def _query_terms(query: str) -> list[str]:
     tokenization (FIXTURES.md).  Python's bare str.split() splits on
     MORE (\\x0b, NBSP, \\x85...), so a query containing those would
     produce terms that can never equal their corpus-token twins — the
-    query side must share the corpus side's exact whitespace class."""
+    query side must share the corpus side's exact whitespace class.
+    No .strip(): Python's strip() eats Unicode whitespace (NBSP, \\x0b,
+    \\x85) outside the pinned class; the `if t` filter already discards
+    the empty tokens ASCII edge-whitespace would produce."""
     return sorted({t for t in re.split(r"[ \t\n\r\f]+",
-                                       query.strip().lower()) if t})
+                                       query.lower()) if t})
 
 
 def bm25_topk(

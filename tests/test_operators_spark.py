@@ -3864,3 +3864,19 @@ def test_bm25_query_tokenization_matches_corpus_on_odd_whitespace(spark):
              for r in bm25_topk_batch(docs, qs, k=5).collect()}
     single = {(r["doc_id"], r["score"]) for r in hits}
     assert batch == single  # entry points agree on odd-whitespace input
+
+    # round-7 ADVICE: LEADING exotic whitespace.  Python str.strip()
+    # eats NBSP/\x85 that the pinned ASCII class does not, so the old
+    # single-query path turned the query term ' data' into 'data'
+    # (matching doc 2) while the Spark batch path kept ' data'
+    # (matching doc 4) — the two entry points disagreed on exactly this
+    # input class.  Both must now keep the NBSP and hit doc 4 only.
+    docs2 = docs.union(spark.createDataFrame(
+        [(4, "\u00a0data report")], "doc_id long, text string"))
+    lead = bm25_topk(docs2, "\u00a0data", k=5).collect()
+    assert [r["doc_id"] for r in lead] == [4]
+    qs2 = spark.createDataFrame([(1, "\u00a0data")],
+                                "query_id int, query_text string")
+    batch2 = {(r["doc_id"], r["score"])
+              for r in bm25_topk_batch(docs2, qs2, k=5).collect()}
+    assert batch2 == {(r["doc_id"], r["score"]) for r in lead}

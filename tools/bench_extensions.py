@@ -112,11 +112,22 @@ def main() -> None:
             if th.is_alive():
                 con.interrupt()
                 th.join(30)
-                con.close()
+                # The worker may STILL hold the connection after the
+                # grace join; duckdb can raise/crash on close-while-in-
+                # use, which would abort the whole sweep instead of
+                # nulling this one query.  Leak the wedged con instead.
+                if not th.is_alive():
+                    try:
+                        con.close()
+                    except Exception:
+                        pass
                 conbox[0] = fresh_con()  # interrupted con is unusable
                 return None
             if err:
-                con.close()
+                try:
+                    con.close()
+                except Exception:
+                    pass
                 conbox[0] = fresh_con()
                 return None
             return done[0]
