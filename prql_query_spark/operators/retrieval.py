@@ -600,11 +600,21 @@ def hybrid_topk_indexed(
         F.col(id_col).alias("_id"),
         F.row_number().over(wl).alias("_lex_rank"))
 
-    queries = emb.filter(F.col(emb_id_col) == query_vec_id)
-    if queries.head() is None:
+    # Collect the single query vector driver-side (1 row — the
+    # small-by-contract query-side pattern) and rebuild it as a LOCAL
+    # one-row DataFrame: the serving plan then contains NO scan of the
+    # embeddings table at all — a LocalTableScan replaces the pushed
+    # 1-row parquet lookup, so per query the only FILES read are the
+    # two pruned index scans (plan-pinned in test_plans.py).
+    # FP-identical: the same float values flow into the same LUT/qnorm
+    # expressions.
+    qsel = emb.select(F.col(emb_id_col), F.col(vec_col))
+    qrow = qsel.filter(F.col(emb_id_col) == query_vec_id).head()
+    if qrow is None:
         raise ValueError(
             f"hybrid_topk_indexed: query vector {query_vec_id!r} not "
             f"found in {emb_id_col}")
+    queries = emb.sparkSession.createDataFrame([qrow], qsel.schema)
     cells = probed_cells(queries, centroids, n_probe, vec_col=vec_col)
     pruned = ann_index.filter(F.col("_cell").isin(cells))
     dense_r = (

@@ -916,6 +916,17 @@ def test_hybrid_indexed_pushes_both_index_filters(spark, sf_dir, tmp_path):
                      plan), "term IN not pushed to the postings scan"
     assert re.search(r"PushedFilters: \[In\(_cell", plan), \
         "cell IN not pushed to the ANN index scan"
+    # round-7 pin: "nothing corpus-sized is read" as a PLAN invariant,
+    # not a docstring — the only corpus access is the 1-row query-vector
+    # lookup, which happens eagerly at build time (collect -> literal),
+    # so the SERVING plan must contain NO scan of documents/embeddings
+    # at all: every file scan location is one of the three index dirs.
+    locations = [ln for ln in plan.splitlines() if "Location" in ln]
+    assert locations, "formatted plan shows no scan locations"
+    for ln in locations:
+        assert "documents.parquet" not in ln and \
+            "embeddings.parquet" not in ln, \
+            f"serving plan scans a corpus table: {ln.strip()}"
     rows = out.collect()
     assert 0 < len(rows) <= 10
     rrfs = [r["rrf"] for r in rows]
