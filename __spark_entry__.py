@@ -1624,11 +1624,12 @@ DRIVER_ORDER = [
     # the r7-new rows), (c) x_resize_thumbs so its gate-render fix (array
     # → joined string; the driver's pandas canonicalizer cannot hash
     # list cells) is driver-validated, and (d) the stalest previously
-    # green rows, oldest audit first (all 14 last audited in r1, then 23
-    # of the 31 last audited in r2 — the 8 deferred to r8 are the
-    # lowest-risk scalar/identity rows: q_case_buckets q_coalesce
-    # q_distinct_status q_fstring_label q_func_inline q_having q_in_list
-    # q_select_exclude).  The in-repo Arrow-typed parity harness
+    # green rows, oldest audit first (all 14 last audited in r1, then 22
+    # of the 31 last audited in r2 — deferred to r8: the lowest-risk
+    # scalar/identity rows q_case_buckets q_coalesce q_distinct_status
+    # q_fstring_label q_func_inline q_having q_in_list q_select_exclude,
+    # plus x_paragraph_dedup, displaced by the r7-new x_stream_bm25).
+    # The in-repo Arrow-typed parity harness
     # (tools/check_parity.py) still value-checks all entries every round.
     # — stable regression core (7) —
     "q_agg_q1", "q_join_agg_q5", "q_flagship_monthly",
@@ -1640,7 +1641,7 @@ DRIVER_ORDER = [
     # — r6 red row, re-entered to validate the gate-render fix —
     "x_resize_thumbs",
     # — round-7-new rows —
-    "q_approx_percentile", "x_stream_dedup",
+    "q_approx_percentile", "x_stream_dedup", "x_stream_bm25",
     # — stalest re-audit: last driver-hashed in r1 (14) —
     "q_append_union", "q_count_distinct", "q_forecast_revenue_q6",
     "q_in_range_dates", "q_let_chain", "q_null_check",
@@ -1654,7 +1655,7 @@ DRIVER_ORDER = [
     "q_take_range", "q_topk_customers", "q_topk_per_group",
     "q_window_range_frame", "q_window_rolling7", "q_window_running",
     "x_char_entropy", "x_gopher_audit", "x_mix_corpora",
-    "x_nb_classifier", "x_pagerank", "x_paragraph_dedup",
+    "x_nb_classifier", "x_pagerank",
 ]
 
 
@@ -5857,6 +5858,66 @@ def _bm25_incremental_oracle() -> dict[str, str]:
 
 EXTENSIONS["x_bm25_incremental"] = _x_bm25_incremental
 EXTENSION_ORACLES.update(_bm25_incremental_oracle())
+
+
+def _x_stream_bm25(spark, sf_dir):
+    """The STREAMING-maintained BM25 index under the driver gate (round
+    7): documents arrive as 3 mtime-ordered parquet files, each
+    microbatch appends its own postings/stats `_batch_id` partitions
+    (pure append — postings store no df, stats are mergeable moments),
+    then a SECOND stream with a fresh checkpoint replays all three
+    batches into the same index dir: dynamic-partition overwrite must
+    make the replay a no-op.  The probe over the read-back index must
+    equal direct BM25 over the full corpus — the oracle recomputes that
+    directly, so a df/tf double-count from a non-idempotent replay (or
+    a batch boundary leaking into scores) hash-mismatches.  Gate-harness
+    caveats (local tempdir source/sink): COVERAGE.md 'Gate harness
+    assumptions'."""
+    import glob
+    import shutil
+
+    from prql_query_spark.operators.retrieval import probe_bm25_index
+    from prql_query_spark.streaming.ingest import (
+        read_bm25_index, stream_bm25_index)
+
+    root = _rt_dir("pq_rt_streambm25_")
+    docs = _tbl(spark, sf_dir, "documents")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for b in range(3):
+        stage = os.path.join(root, f"stage{b}")
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1) \
+            .write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"f{b}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    idx = os.path.join(root, "index")
+    for ckpt in ("/ck1", "/ck2"):  # second pass = full replay, no-op
+        q = stream_bm25_index(
+            spark, src, idx, checkpoint=root + ckpt,
+            queryName="pq_gate_stream_bm25", max_files_per_trigger=1)
+        try:
+            q.processAllAvailable()
+            if q.exception() is not None:
+                raise q.exception()
+        finally:
+            q.stop()
+    postings, stats = read_bm25_index(spark, idx)
+    out = probe_bm25_index(postings, stats, _BM25_QUERY, k=20)
+    rows = out.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _stream_bm25_oracle() -> dict[str, str]:
+    from prql_query_spark.operators.retrieval import bm25_topk_oracle_sql
+
+    return {"x_stream_bm25": bm25_topk_oracle_sql(_BM25_QUERY, k=20)}
+
+
+EXTENSIONS["x_stream_bm25"] = _x_stream_bm25
+EXTENSION_ORACLES.update(_stream_bm25_oracle())
 
 
 _BM25_BATCH = [
