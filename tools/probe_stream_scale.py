@@ -1,0 +1,106 @@
+"""Scale posture of the two streaming index maintainers at sf1
+(50k-doc replica, tools/make_sfbig.py): per-microbatch wall time over 5
+equal batches, read from the StreamingQuery progress events.
+
+The contrast this measures is the one their docstrings claim:
+
+- `stream_bm25_index` is PURE APPEND (postings carry no df, stats are
+  mergeable moments) — per-batch cost should stay FLAT as the index
+  grows.
+- `stream_dedup_growing` re-indexes the accepted-so-far corpus every
+  batch (bounded by accepted volume, not ingest volume — the documented
+  harness-scale shape; at warehouse scale you persist the MinHash index
+  incrementally instead) — per-batch cost should GROW with the accepted
+  set, and on the 90%-duplicate sf1 replica the accepted set stays
+  near one replica's size, so the growth should flatten after batch 0.
+
+Usage: python tools/probe_stream_scale.py [sf1_dir]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+N_BATCHES = 5
+
+
+def _batch_durations(q) -> list[tuple[int, int]]:
+    out = []
+    for p in q.recentProgress:
+        if p is None:
+            continue
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        if d.get("numInputRows", 0) > 0:
+            out.append((int(d["batchId"]),
+                        int(d["durationMs"]["triggerExecution"])))
+    return sorted(out)
+
+
+def main() -> None:
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", "sf1")
+
+    from prql_query_spark.engine.session import get_spark
+    from prql_query_spark.engine.sources import load_parquet
+    from prql_query_spark.streaming.ingest import (
+        stream_bm25_index, stream_dedup_growing)
+
+    spark = get_spark("pq-probe-stream-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_parquet(spark, os.path.join(sf1, "documents.parquet")) \
+        .select("doc_id", "text")
+    n_docs = docs.count()
+
+    root = tempfile.mkdtemp(prefix="pq_stream_scale_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for b in range(N_BATCHES):
+        stage = os.path.join(root, f"stage{b}")
+        docs.filter(F.col("doc_id") % N_BATCHES == b).coalesce(1) \
+            .write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"f{b}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+
+    out: dict = {"sf1_dir": sf1, "n_docs": n_docs, "n_batches": N_BATCHES}
+
+    q = stream_bm25_index(
+        spark, src, os.path.join(root, "bm25_idx"),
+        checkpoint=os.path.join(root, "ck_bm25"),
+        queryName="probe_bm25_scale", max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+        out["bm25_batch_ms"] = _batch_durations(q)
+    finally:
+        q.stop()
+
+    q = stream_dedup_growing(
+        spark, src, os.path.join(root, "dedup_out"),
+        checkpoint=os.path.join(root, "ck_dedup"),
+        threshold=0.8, queryName="probe_dedup_scale",
+        max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+        out["dedup_batch_ms"] = _batch_durations(q)
+    finally:
+        q.stop()
+    out["dedup_survivors"] = spark.read.parquet(
+        os.path.join(root, "dedup_out")).count()
+
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
