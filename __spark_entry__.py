@@ -521,6 +521,24 @@ derive [
 select [l_returnflag, exact_p50, exact_p95, sketch_ok_p50, sketch_ok_p95]
 sort [l_returnflag]
 """,
+    # approx_count_distinct — the sketch CARDINALITY path (Spark HLL++ vs
+    # DuckDB HLL), same honest bracketing contract as q_approx_percentile:
+    # each engine checks its OWN sketch against its OWN exact
+    # count-distinct within 5% — exactly Spark's default rsd parameter,
+    # observed with 2x headroom on the fixture (Spark 2.65% / DuckDB 0.5%
+    # at both gate SFs, 2026-08-15).  Sketch values never enter the hash.
+    "q_approx_distinct": """
+from lineitem
+group [l_returnflag] (
+    aggregate [
+        exact_parts = count_distinct l_partkey,
+        approx_parts = approx_count_distinct l_partkey,
+    ]
+)
+derive [sketch_ok = (abs (approx_parts - exact_parts)) <= exact_parts * 0.05]
+select [l_returnflag, exact_parts, sketch_ok]
+sort [l_returnflag]
+""",
 }
 
 
@@ -1624,11 +1642,12 @@ DRIVER_ORDER = [
     # the r7-new rows), (c) x_resize_thumbs so its gate-render fix (array
     # → joined string; the driver's pandas canonicalizer cannot hash
     # list cells) is driver-validated, and (d) the stalest previously
-    # green rows, oldest audit first (all 14 last audited in r1, then 22
+    # green rows, oldest audit first (all 14 last audited in r1, then 21
     # of the 31 last audited in r2 — deferred to r8: the lowest-risk
     # scalar/identity rows q_case_buckets q_coalesce q_distinct_status
     # q_fstring_label q_func_inline q_having q_in_list q_select_exclude,
-    # plus x_paragraph_dedup, displaced by the r7-new x_stream_bm25).
+    # plus x_paragraph_dedup and x_pagerank, displaced by the r7-new
+    # x_stream_bm25 and q_approx_distinct).
     # The in-repo Arrow-typed parity harness
     # (tools/check_parity.py) still value-checks all entries every round.
     # — stable regression core (7) —
@@ -1641,7 +1660,8 @@ DRIVER_ORDER = [
     # — r6 red row, re-entered to validate the gate-render fix —
     "x_resize_thumbs",
     # — round-7-new rows —
-    "q_approx_percentile", "x_stream_dedup", "x_stream_bm25",
+    "q_approx_percentile", "q_approx_distinct",
+    "x_stream_dedup", "x_stream_bm25",
     # — stalest re-audit: last driver-hashed in r1 (14) —
     "q_append_union", "q_count_distinct", "q_forecast_revenue_q6",
     "q_in_range_dates", "q_let_chain", "q_null_check",
@@ -1655,7 +1675,7 @@ DRIVER_ORDER = [
     "q_take_range", "q_topk_customers", "q_topk_per_group",
     "q_window_range_frame", "q_window_rolling7", "q_window_running",
     "x_char_entropy", "x_gopher_audit", "x_mix_corpora",
-    "x_nb_classifier", "x_pagerank",
+    "x_nb_classifier",
 ]
 
 

@@ -686,3 +686,45 @@ sort [o_orderstatus]
     # re-merge through the dim-join multiplicity argument)
     from prql_query_spark.compiler.sqlgen import _EAGER_AGG_FNS
     assert "approx_percentile" not in _EAGER_AGG_FNS
+
+
+def test_approx_count_distinct_fn(spark, sf_dir):
+    """`approx_count_distinct` (round 7): the sketch cardinality
+    spelling — Spark HLL++ vs DuckDB HLL, different sketches, so never
+    an exact-hash value.  Contract: on EACH engine the estimate lands
+    within 5% of that engine's own exact count-distinct (5% = Spark's
+    default rsd parameter; observed 2.65% Spark / 0.5% DuckDB on the
+    fixtures), and the fn stays out of the eager-agg whitelist
+    (cardinality sketches don't re-merge through join multiplicity)."""
+    import os
+
+    import duckdb
+
+    from prql_query_spark import compile_prql
+
+    prql = """
+from lineitem
+group [l_returnflag] (aggregate [n = approx_count_distinct l_partkey])
+sort [l_returnflag]
+"""
+    exact = prql.replace("approx_count_distinct", "count_distinct")
+
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")) \
+        .createOrReplaceTempView("lineitem")
+    sp = {r[0]: (r[1], e[1]) for r, e in zip(
+        spark.sql(compile_prql(prql, "spark")).collect(),
+        spark.sql(compile_prql(exact, "spark")).collect())}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{os.path.join(sf_dir, 'lineitem.parquet')}'")
+    du = {r[0]: (r[1], e[1]) for r, e in zip(
+        con.execute(compile_prql(prql, "duckdb")).fetchall(),
+        con.execute(compile_prql(exact, "duckdb")).fetchall())}
+    con.close()
+    assert set(sp) == set(du) and len(sp) >= 2
+    for eng in (sp, du):
+        for flag, (approx, ex) in eng.items():
+            assert abs(approx - ex) <= 0.05 * max(ex, 1), (flag, approx, ex)
+
+    from prql_query_spark.compiler.sqlgen import _EAGER_AGG_FNS
+    assert "approx_count_distinct" not in _EAGER_AGG_FNS
