@@ -1668,7 +1668,7 @@ DRIVER_ORDER = [
     "q_returned_items_q10", "q_set_intersect", "q_set_remove",
     "q_shipping_priority_q3", "q_sstring_strftime", "q_take_sorted",
     "q_window_first_last", "q_window_ntile",
-    # — stalest re-audit: last driver-hashed in r2 (23 of 31) —
+    # — stalest re-audit: last driver-hashed in r2 (21 of 31) —
     "q_agg_stats", "q_filter_derive", "q_lag_lead_rank",
     "q_left_join_nulls", "q_let_cte", "q_loop_series", "q_percentiles",
     "q_right_full_joins", "q_self_join", "q_set_ops", "q_sort_nulls",
