@@ -1642,12 +1642,13 @@ DRIVER_ORDER = [
     # the r7-new rows), (c) x_resize_thumbs so its gate-render fix (array
     # → joined string; the driver's pandas canonicalizer cannot hash
     # list cells) is driver-validated, and (d) the stalest previously
-    # green rows, oldest audit first (all 14 last audited in r1, then 21
+    # green rows, oldest audit first (all 14 last audited in r1, then 20
     # of the 31 last audited in r2 — deferred to r8: the lowest-risk
     # scalar/identity rows q_case_buckets q_coalesce q_distinct_status
     # q_fstring_label q_func_inline q_having q_in_list q_select_exclude,
-    # plus x_paragraph_dedup and x_pagerank, displaced by the r7-new
-    # x_stream_bm25 and q_approx_distinct).
+    # plus x_paragraph_dedup, x_pagerank and x_nb_classifier, displaced
+    # by the r7-new x_stream_bm25, q_approx_distinct and
+    # x_hard_negatives).
     # The in-repo Arrow-typed parity harness
     # (tools/check_parity.py) still value-checks all entries every round.
     # — stable regression core (7) —
@@ -1661,21 +1662,20 @@ DRIVER_ORDER = [
     "x_resize_thumbs",
     # — round-7-new rows —
     "q_approx_percentile", "q_approx_distinct",
-    "x_stream_dedup", "x_stream_bm25",
+    "x_stream_dedup", "x_stream_bm25", "x_hard_negatives",
     # — stalest re-audit: last driver-hashed in r1 (14) —
     "q_append_union", "q_count_distinct", "q_forecast_revenue_q6",
     "q_in_range_dates", "q_let_chain", "q_null_check",
     "q_returned_items_q10", "q_set_intersect", "q_set_remove",
     "q_shipping_priority_q3", "q_sstring_strftime", "q_take_sorted",
     "q_window_first_last", "q_window_ntile",
-    # — stalest re-audit: last driver-hashed in r2 (21 of 31) —
+    # — stalest re-audit: last driver-hashed in r2 (20 of 31) —
     "q_agg_stats", "q_filter_derive", "q_lag_lead_rank",
     "q_left_join_nulls", "q_let_cte", "q_loop_series", "q_percentiles",
     "q_right_full_joins", "q_self_join", "q_set_ops", "q_sort_nulls",
     "q_take_range", "q_topk_customers", "q_topk_per_group",
     "q_window_range_frame", "q_window_rolling7", "q_window_running",
     "x_char_entropy", "x_gopher_audit", "x_mix_corpora",
-    "x_nb_classifier",
 ]
 
 
@@ -5967,6 +5967,51 @@ def _bm25_batch_oracle() -> dict[str, str]:
 
 EXTENSIONS["x_bm25_batch"] = _x_bm25_batch
 EXTENSION_ORACLES.update(_bm25_batch_oracle())
+
+
+def _x_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (round 7): top-10 BM25 negatives per query
+    EXCLUDING the query's known positives — the standard dual-encoder /
+    reranker training-data step.  Positives here are self-derived
+    deterministically as ranks {1, 3} of the same batch scoring (the
+    fixture's true top docs differ between gate SFs, so a literal
+    positives list could not be top-ranked at both; ranks {1, 3} make
+    the exclusion bite at any SF and exercise real rank PROMOTION:
+    old-rank 2 must become 1, old-rank 4 must become 2, ...).  The
+    operator itself takes any (query_id, doc_id) positives table and
+    scores to the exact depth k + max-positives-per-query (see
+    mine_hard_negatives' promotion bound)."""
+    from prql_query_spark.operators.retrieval import (
+        bm25_topk_batch, mine_hard_negatives)
+
+    docs = _tbl(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_BATCH, "query_id string, query_text string")
+    pos = bm25_topk_batch(docs, queries, k=3) \
+        .filter(F.col("rank").isin(1, 3)).select("query_id", "doc_id")
+    return mine_hard_negatives(docs, queries, pos, k=10)
+
+
+def _hard_negatives_oracle() -> dict[str, str]:
+    from prql_query_spark.operators.retrieval import (
+        bm25_topk_batch_oracle_sql)
+
+    # depth 12 = k(10) + max positives per query(2), the operator's bound
+    ranked = bm25_topk_batch_oracle_sql(_BM25_BATCH, k=12).strip()
+    return {"x_hard_negatives": f"""
+WITH ranked AS ({ranked})
+SELECT query_id, doc_id, score, new_rank AS rank FROM (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS new_rank
+    FROM ranked WHERE rank NOT IN (1, 3)
+) WHERE new_rank <= 10
+ORDER BY query_id, rank
+"""}
+
+
+EXTENSIONS["x_hard_negatives"] = _x_hard_negatives
+EXTENSION_ORACLES.update(_hard_negatives_oracle())
 
 
 # Eager aggregation (compiler/sqlgen._try_eager_agg) under the value gate:

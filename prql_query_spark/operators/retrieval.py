@@ -502,6 +502,67 @@ def bm25_topk_batch(
     )
 
 
+def mine_hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 HARD NEGATIVES per query — the standard training-data
+    step for dual encoders / rerankers: the highest-scoring corpus docs
+    that are NOT the query's known positives make the most informative
+    negative examples.
+
+    ``positives`` is (query_id, doc_id).  One shared batch scoring pass
+    (bm25_topk_batch: one corpus tokenize, tf/df computed once), then a
+    broadcast anti-join drops each query's positives and a per-query
+    rank window re-ranks the survivors.  The corpus is never reshuffled
+    by the exclusion: positives are query-set-sized by contract.
+
+    Scoring depth = k + max(positives per query) is EXACT, not a
+    heuristic: excluding p rows from a ranked list promotes at most p
+    rows into the top-k, so any doc in the true post-exclusion top-k
+    has at most k-1 non-excluded plus at most p excluded docs ahead of
+    it — overall rank <= k+p, inside the scored prefix.  (The max-pos
+    count is one tiny aggregate on the query-sized positives table —
+    gated action, same pattern as equidepth_histogram.)
+
+    Returns (query_id, doc_id, score, rank) with bm25_topk's tie rules
+    (6-decimal round, id tie-break), rank re-numbered after exclusion.
+    """
+    from pyspark.sql import Window
+
+    max_pos = (
+        positives.groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n")).first()[0]
+    )
+    depth = k + int(max_pos or 0)
+    scored = bm25_topk_batch(
+        docs, queries, k=depth, id_col=id_col, text_col=text_col,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        k1=k1, b=b)
+    neg = scored.join(
+        F.broadcast(positives.select(query_id_col, id_col).distinct()),
+        on=[query_id_col, id_col], how="left_anti")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col))
+    return (
+        neg.drop("rank")
+        # long: the repo-wide pinned width for rank columns (the driver's
+        # Arrow schema compare is width-typed; DuckDB ROW_NUMBER is int64)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
 def bm25_topk_batch_oracle_sql(
     queries: list[tuple[object, str]],
     k: int = 10,

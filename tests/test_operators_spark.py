@@ -3648,6 +3648,57 @@ def test_stream_bm25_index_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) == 15
 
 
+def test_mine_hard_negatives_depth_bound_is_exact(spark, sf_dir):
+    """mine_hard_negatives scores only to depth k + max-positives-per-
+    query; this pins that the bound is EXACT (excluding p rows promotes
+    at most p rows into the top-k) by comparing against the exclusion
+    applied to the FULL ranking.  Positives mix top-ranked docs (real
+    promotion), a deep non-top doc, and a doc absent from the scored
+    list entirely (inflates p, must not perturb results)."""
+    from pyspark.sql import Window
+
+    from prql_query_spark.operators.retrieval import (
+        bm25_topk_batch, mine_hard_negatives)
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    queries = spark.createDataFrame(
+        [("a", "data quality and the best model"),
+         ("b", "fast clean training data")],
+        "query_id string, query_text string")
+    n_docs = docs.count()
+    full = bm25_topk_batch(docs, queries, k=n_docs)  # every scored doc
+
+    ranked = {q: [r["doc_id"] for r in rows] for q, rows in
+              ((q, sorted((r for r in full.collect() if r["query_id"] == q),
+                          key=lambda r: r["rank"])) for q in ("a", "b"))}
+    unscored = docs.join(
+        full.filter(F.col("query_id") == "a").select("doc_id"),
+        "doc_id", "left_anti").first()["doc_id"]
+    pos_rows = [("a", ranked["a"][0]), ("a", ranked["a"][4]),
+                ("a", unscored),                   # never scored for 'a'
+                ("b", ranked["b"][1])]
+    pos = spark.createDataFrame(pos_rows, "query_id string, doc_id long")
+
+    k = 6
+    got = [(r["query_id"], r["doc_id"], r["score"], r["rank"])
+           for r in mine_hard_negatives(docs, queries, pos, k=k).collect()]
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    want_df = (
+        full.join(pos, ["query_id", "doc_id"], "left_anti").drop("rank")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k).orderBy("query_id", "rank")
+    )
+    want = [(r["query_id"], r["doc_id"], r["score"], r["rank"])
+            for r in want_df.collect()]
+    assert got == want and len(got) == 2 * k
+    got_a = [d for q, d, _, _ in got if q == "a"]
+    assert ranked["a"][0] not in got_a and ranked["a"][4] not in got_a
+    assert got_a[0] == ranked["a"][1]  # old rank 2 promoted to 1
+
+
 def test_tokenize_parity_on_hostile_whitespace(spark):
     """Java's \\s includes \\x0B (vertical tab); RE2's (DuckDB) does not —
     so Spark tokenizing with a literal \\s+ silently disagreed with every
