@@ -563,6 +563,59 @@ def mine_hard_negatives(
     )
 
 
+def denoise_negatives(
+    negatives: DataFrame,
+    positives: DataFrame,
+    emb: DataFrame,
+    threshold: float = 0.9,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop mined negatives that are embedding-near-duplicates
+    (cosine >= threshold) of ANY of their query's positives — the
+    standard FALSE-NEGATIVE denoising step before training a dual
+    encoder / reranker: a lexically-mined "negative" nearly identical
+    to a positive is almost certainly an unlabeled positive, and
+    training against it teaches the model to push relevant docs away.
+
+    Pure post-filter: rows keep their mined rank (provenance), output
+    is <= k rows per query.  Negatives or positives WITHOUT an
+    embedding row are kept/ignored respectively (no embedding -> no
+    denoise evidence).  Both join sides are query-set-sized and
+    broadcast; the embeddings table is probed with a semi-join of
+    candidate ids, never shuffled."""
+    from prql_query_spark.operators.similarity import cosine
+
+    cand_ids = (
+        negatives.select(F.col(id_col).alias("_nid"))
+        .union(positives.select(F.col(id_col).alias("_nid"))).distinct()
+    )
+    vecs = emb.join(
+        F.broadcast(cand_ids),
+        emb[emb_id_col] == F.col("_nid"), "leftsemi"
+    ).select(F.col(emb_id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+
+    pos_v = positives.select(
+        F.col(query_id_col).alias("_pq"), F.col(id_col).alias("_pid")
+    ).join(F.broadcast(vecs), F.col("_pid") == F.col("_vid")) \
+        .select("_pq", F.col("_v").alias("_pv"))
+    neg_v = negatives.select(query_id_col, id_col).join(
+        F.broadcast(vecs), F.col(id_col) == F.col("_vid")
+    ).select(query_id_col, id_col, F.col("_v").alias("_nv"))
+
+    flagged = (
+        neg_v.join(F.broadcast(pos_v),
+                   neg_v[query_id_col] == F.col("_pq"))
+        .filter(cosine(F.col("_nv"), F.col("_pv")) >= threshold)
+        .select(query_id_col, id_col).distinct()
+    )
+    return negatives.join(
+        F.broadcast(flagged), [query_id_col, id_col], "left_anti"
+    ).orderBy(query_id_col, "rank")
+
+
 def bm25_topk_batch_oracle_sql(
     queries: list[tuple[object, str]],
     k: int = 10,

@@ -3699,6 +3699,59 @@ def test_mine_hard_negatives_depth_bound_is_exact(spark, sf_dir):
     assert got_a[0] == ranked["a"][1]  # old rank 2 promoted to 1
 
 
+def test_denoise_negatives_drops_false_negatives(spark, sf_dir):
+    """False-negative denoising: a mined negative whose embedding is
+    near-identical (cosine >= threshold) to ANY of its query's
+    positives is dropped; rows keep their mined rank; negatives or
+    positives without an embedding row pass through untouched.
+    Synthetic embeddings give controlled cosines (fixture pos-neg
+    cosines top out at ~0.35, so the filter can never fire there —
+    which the last assertion also pins as the no-op property)."""
+    from prql_query_spark.operators.retrieval import denoise_negatives
+
+    negs = spark.createDataFrame(
+        [("a", 1, 0.9, 1), ("a", 2, 0.8, 2), ("a", 3, 0.7, 3),
+         ("b", 1, 0.5, 1), ("b", 9, 0.4, 2)],
+        "query_id string, doc_id long, score double, rank long")
+    pos = spark.createDataFrame(
+        [("a", 10), ("a", 11), ("b", 10), ("b", 99)],
+        "query_id string, doc_id long")
+    # doc 1 ~ pos 10 (identical direction); doc 2 orthogonal to both
+    # positives; doc 3 ~ pos 11 (0.999 > thr); doc 9 and pos 99 have NO
+    # embedding rows.  Query scoping: doc 1 is near pos 10, which is a
+    # positive of BOTH queries -> flagged for both.
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+         (3, [0.0, 0.1, 1.0]), (10, [2.0, 0.0, 0.0]),
+         (11, [0.0, 0.1, 0.9])],
+        "vec_id long, embedding array<double>")
+
+    got = [(r["query_id"], r["doc_id"], r["rank"]) for r in
+           denoise_negatives(negs, pos, emb, threshold=0.95).collect()]
+    # a:1 flagged (cos=1 vs pos 10); a:3 flagged (~0.995 vs pos 11);
+    # a:2 kept (orthogonal); b:1 flagged (pos 10 is b's positive too);
+    # b:9 kept (no embedding -> no evidence).  Ranks NOT renumbered.
+    assert got == [("a", 2, 2), ("b", 9, 2)]
+
+    # no-op property on the real fixture: every pos-neg cosine is far
+    # below a near-dup threshold, so denoising changes nothing
+    from prql_query_spark.operators.retrieval import (
+        bm25_topk_batch, mine_hard_negatives)
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    fx_emb = load_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    queries = spark.createDataFrame(
+        [("q", "data quality and the best model")],
+        "query_id string, query_text string")
+    fx_pos = bm25_topk_batch(docs, queries, k=1) \
+        .select("query_id", "doc_id")
+    mined = mine_hard_negatives(docs, queries, fx_pos, k=8)
+    kept = denoise_negatives(mined, fx_pos, fx_emb, threshold=0.9)
+    assert sorted(map(tuple, kept.collect())) == \
+        sorted(map(tuple, mined.collect()))
+
+
 def test_tokenize_parity_on_hostile_whitespace(spark):
     """Java's \\s includes \\x0B (vertical tab); RE2's (DuckDB) does not —
     so Spark tokenizing with a literal \\s+ silently disagreed with every
