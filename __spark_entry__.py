@@ -1642,13 +1642,13 @@ DRIVER_ORDER = [
     # the r7-new rows), (c) x_resize_thumbs so its gate-render fix (array
     # → joined string; the driver's pandas canonicalizer cannot hash
     # list cells) is driver-validated, and (d) the stalest previously
-    # green rows, oldest audit first (all 14 last audited in r1, then 20
+    # green rows, oldest audit first (all 14 last audited in r1, then 19
     # of the 31 last audited in r2 — deferred to r8: the lowest-risk
     # scalar/identity rows q_case_buckets q_coalesce q_distinct_status
     # q_fstring_label q_func_inline q_having q_in_list q_select_exclude,
-    # plus x_paragraph_dedup, x_pagerank and x_nb_classifier, displaced
-    # by the r7-new x_stream_bm25, q_approx_distinct and
-    # x_hard_negatives).
+    # plus x_paragraph_dedup, x_pagerank, x_nb_classifier and
+    # x_mix_corpora, displaced by the r7-new x_stream_bm25,
+    # q_approx_distinct, x_hard_negatives and x_exact_quantiles).
     # The in-repo Arrow-typed parity harness
     # (tools/check_parity.py) still value-checks all entries every round.
     # — stable regression core (7) —
@@ -1663,19 +1663,20 @@ DRIVER_ORDER = [
     # — round-7-new rows —
     "q_approx_percentile", "q_approx_distinct",
     "x_stream_dedup", "x_stream_bm25", "x_hard_negatives",
+    "x_exact_quantiles",
     # — stalest re-audit: last driver-hashed in r1 (14) —
     "q_append_union", "q_count_distinct", "q_forecast_revenue_q6",
     "q_in_range_dates", "q_let_chain", "q_null_check",
     "q_returned_items_q10", "q_set_intersect", "q_set_remove",
     "q_shipping_priority_q3", "q_sstring_strftime", "q_take_sorted",
     "q_window_first_last", "q_window_ntile",
-    # — stalest re-audit: last driver-hashed in r2 (20 of 31) —
+    # — stalest re-audit: last driver-hashed in r2 (19 of 31) —
     "q_agg_stats", "q_filter_derive", "q_lag_lead_rank",
     "q_left_join_nulls", "q_let_cte", "q_loop_series", "q_percentiles",
     "q_right_full_joins", "q_self_join", "q_set_ops", "q_sort_nulls",
     "q_take_range", "q_topk_customers", "q_topk_per_group",
     "q_window_range_frame", "q_window_rolling7", "q_window_running",
-    "x_char_entropy", "x_gopher_audit", "x_mix_corpora",
+    "x_char_entropy", "x_gopher_audit",
 ]
 
 
@@ -6012,6 +6013,34 @@ ORDER BY query_id, rank
 
 EXTENSIONS["x_hard_negatives"] = _x_hard_negatives
 EXTENSION_ORACLES.update(_hard_negatives_oracle())
+
+
+def _x_exact_quantiles(spark, sf_dir):
+    """Exact per-group percentiles via the bounded-memory window-sort
+    plan (analytics.exact_percentiles) rather than Spark's PERCENTILE
+    aggregate, whose per-group in-heap value buffer is the thing that
+    OOMs on a 100 TB group (the window's per-group Tungsten sort spills
+    instead).  Interpolation uses quantile_cont's exact formula with the
+    same float64 operand order, so the oracle is DuckDB's quantile_cont
+    verbatim — this row value-pins the plan swap, q_percentiles keeps
+    pinning the compiler's PERCENTILE spelling."""
+    from prql_query_spark.operators.analytics import exact_percentiles
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    return exact_percentiles(
+        li, "l_extendedprice", [0.5, 0.95],
+        by=["l_returnflag"], round_digits=4)
+
+
+EXTENSIONS["x_exact_quantiles"] = _x_exact_quantiles
+EXTENSION_ORACLES["x_exact_quantiles"] = """
+SELECT l_returnflag,
+       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.5)
+            AS DECIMAL(38,12)), 4) AS DOUBLE) AS p50,
+       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.95)
+            AS DECIMAL(38,12)), 4) AS DOUBLE) AS p95
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
 
 
 # Eager aggregation (compiler/sqlgen._try_eager_agg) under the value gate:

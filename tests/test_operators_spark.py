@@ -3648,6 +3648,43 @@ def test_stream_bm25_index_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) == 15
 
 
+def test_exact_percentiles_window_plan(spark, sf_dir):
+    """The bounded-memory exact-quantile plan: values must equal
+    quantile_cont's formula on hand-computable cases (integral and
+    fractional positions, single-row group, NULL exclusion, global
+    no-group form) and match Spark's own PERCENTILE aggregate after the
+    repo's round-4 DECIMAL convention on the fixture."""
+    from prql_query_spark.operators.analytics import exact_percentiles
+
+    t = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+         ("b", 10.0), ("b", None), ("c", 7.0)],
+        "g string, v double")
+    rows = {r["g"]: (r["p50"], r["p90"]) for r in
+            exact_percentiles(t, "v", [0.5, 0.9], by=["g"]).collect()}
+    # a: pos50 = 1.5 -> 2 + 0.5*(3-2) = 2.5; pos90 = 2.7 -> 3 + 0.7*1
+    assert rows["a"] == (2.5, 3.7)
+    assert rows["b"] == (10.0, 10.0)  # NULL excluded, 1-row group
+    assert rows["c"] == (7.0, 7.0)
+    g = exact_percentiles(t, "v", [0.5]).collect()[0]
+    assert g["p50"] == 3.5  # global: 1,2,3,4,7,10 -> (3+4)/2
+
+    li = load_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    got = {r["l_returnflag"]: (r["p50"], r["p95"]) for r in
+           exact_percentiles(li, "l_extendedprice", [0.5, 0.95],
+                             by=["l_returnflag"],
+                             round_digits=4).collect()}
+    li.createOrReplaceTempView("_li_pct")
+    want = {r["f"]: (r["p50"], r["p95"]) for r in spark.sql("""
+        SELECT l_returnflag f,
+               CAST(ROUND(CAST(percentile(l_extendedprice, 0.5)
+                    AS DECIMAL(38,12)), 4) AS DOUBLE) p50,
+               CAST(ROUND(CAST(percentile(l_extendedprice, 0.95)
+                    AS DECIMAL(38,12)), 4) AS DOUBLE) p95
+        FROM _li_pct GROUP BY 1""").collect()}
+    assert got == want
+
+
 def test_mine_hard_negatives_depth_bound_is_exact(spark, sf_dir):
     """mine_hard_negatives scores only to depth k + max-positives-per-
     query; this pins that the bound is EXACT (excluding p rows promotes
