@@ -1642,13 +1642,14 @@ DRIVER_ORDER = [
     # the r7-new rows), (c) x_resize_thumbs so its gate-render fix (array
     # → joined string; the driver's pandas canonicalizer cannot hash
     # list cells) is driver-validated, and (d) the stalest previously
-    # green rows, oldest audit first (all 14 last audited in r1, then 19
+    # green rows, oldest audit first (all 14 last audited in r1, then 18
     # of the 31 last audited in r2 — deferred to r8: the lowest-risk
     # scalar/identity rows q_case_buckets q_coalesce q_distinct_status
     # q_fstring_label q_func_inline q_having q_in_list q_select_exclude,
-    # plus x_paragraph_dedup, x_pagerank, x_nb_classifier and
-    # x_mix_corpora, displaced by the r7-new x_stream_bm25,
-    # q_approx_distinct, x_hard_negatives and x_exact_quantiles).
+    # plus x_paragraph_dedup, x_pagerank, x_nb_classifier,
+    # x_mix_corpora and x_gopher_audit, displaced by the r7-new
+    # x_stream_bm25, q_approx_distinct, x_hard_negatives,
+    # x_exact_quantiles and x_ann_health).
     # The in-repo Arrow-typed parity harness
     # (tools/check_parity.py) still value-checks all entries every round.
     # — stable regression core (7) —
@@ -1663,20 +1664,20 @@ DRIVER_ORDER = [
     # — round-7-new rows —
     "q_approx_percentile", "q_approx_distinct",
     "x_stream_dedup", "x_stream_bm25", "x_hard_negatives",
-    "x_exact_quantiles",
+    "x_exact_quantiles", "x_ann_health",
     # — stalest re-audit: last driver-hashed in r1 (14) —
     "q_append_union", "q_count_distinct", "q_forecast_revenue_q6",
     "q_in_range_dates", "q_let_chain", "q_null_check",
     "q_returned_items_q10", "q_set_intersect", "q_set_remove",
     "q_shipping_priority_q3", "q_sstring_strftime", "q_take_sorted",
     "q_window_first_last", "q_window_ntile",
-    # — stalest re-audit: last driver-hashed in r2 (19 of 31) —
+    # — stalest re-audit: last driver-hashed in r2 (18 of 31) —
     "q_agg_stats", "q_filter_derive", "q_lag_lead_rank",
     "q_left_join_nulls", "q_let_cte", "q_loop_series", "q_percentiles",
     "q_right_full_joins", "q_self_join", "q_set_ops", "q_sort_nulls",
     "q_take_range", "q_topk_customers", "q_topk_per_group",
     "q_window_range_frame", "q_window_rolling7", "q_window_running",
-    "x_char_entropy", "x_gopher_audit",
+    "x_char_entropy",
 ]
 
 
@@ -6040,6 +6041,65 @@ SELECT l_returnflag,
        CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.95)
             AS DECIMAL(38,12)), 4) AS DOUBLE) AS p95
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _x_ann_health(spark, sf_dir):
+    """ANN index health monitoring (round 7): PSI between the persisted
+    index's cell-occupancy histogram and an arriving batch's (assigned
+    against the SAME fixed anchors), plus hot-cell share and dead-cell
+    counts — the drift detector that tells you the build-once centers
+    need re-training BEFORE probe recall decays silently.  The batch is
+    deliberately drifted: one label cluster only, so its mass crowds
+    into that cluster's cells and the PSI lands in the > 0.1
+    "investigate" band (0.13 on the fixture — the anchors are arbitrary
+    vectors, not trained centers, so one-label drift spreads over a few
+    cells rather than one).  The oracle
+    re-derives the cell assignment with the x_ivfpq cosine-ranking CTE
+    and the psi_drift smoothing formula."""
+    from prql_query_spark.operators.similarity import (
+        ann_index_health, ivfpq_index, pq_codebooks_from_anchors)
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    anchors = [
+        r.embedding
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    codebooks = pq_codebooks_from_anchors(anchors, m=8)
+    index = ivfpq_index(emb, anchors, codebooks)
+    batch = emb.filter(F.col("label") == 3)
+    return ann_index_health(index, batch, anchors, codebooks)
+
+
+EXTENSIONS["x_ann_health"] = _x_ann_health
+EXTENSION_ORACLES["x_ann_health"] = """
+WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+cells AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM emb WHERE vec_id < 16),
+ranked AS (
+  SELECT e.vec_id, e.label, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS crk
+  FROM emb e CROSS JOIN cells c
+),
+assign AS (SELECT vec_id, label, cell FROM ranked WHERE crk = 1),
+idx AS (SELECT cell, COUNT(*) AS na FROM assign GROUP BY cell),
+bat AS (SELECT cell, COUNT(*) AS nb FROM assign WHERE label = 3
+        GROUP BY cell),
+grid AS (SELECT CAST(c.c AS INT) AS cell FROM range(16) c(c)),
+j AS (SELECT g.cell, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+      FROM grid g LEFT JOIN idx USING (cell) LEFT JOIN bat USING (cell)),
+tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM j)
+SELECT ROUND(SUM(((na + 1.0) / (ta + 16.0) - (nb + 1.0) / (tb + 16.0))
+             * LN(((na + 1.0) / (ta + 16.0))
+                  / ((nb + 1.0) / (tb + 16.0)))), 6) AS psi,
+       ROUND(MAX(nb) * 1.0 / MAX(tb), 6) AS hot_cell_share,
+       CAST(SUM(CASE WHEN na = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS empty_index_cells,
+       CAST(SUM(CASE WHEN nb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS empty_batch_cells
+FROM j CROSS JOIN tot
 """
 
 

@@ -846,6 +846,60 @@ def ivfpq_index(
     )
 
 
+def ann_index_health(
+    index: DataFrame,
+    batch: DataFrame,
+    centroids: list,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row health report for a persisted IVF(-PQ) index against an
+    arriving batch — the monitoring step that keeps build-once/
+    probe-forever honest: the index's cell centers are FIXED at build
+    time, so when the data distribution drifts the new rows crowd into
+    few cells and probe recall decays silently.  Detect it from cell
+    OCCUPANCY alone, no recall evaluation needed:
+
+    - ``psi``: Population Stability Index between the index's cell
+      histogram and the batch's (assigned against the SAME centers via
+      `ivfpq_index` — the exact machinery the index itself used);
+      < 0.1 stable, > 0.25 re-train the centers.  Laplace smoothing
+      (n_i + 1)/(N + cells), identical in the DuckDB oracle — the
+      psi_drift convention.
+    - ``hot_cell_share``: the batch's max single-cell occupancy
+      fraction — the probe-cost skew indicator (a hot cell's posting
+      list is what every drifted query will scan).
+    - ``empty_index_cells`` / ``empty_batch_cells``: dead centers.
+
+    Cost: one column-pruned pass over each side aggregated to
+    <= n_cells rows (the index scan reads only `_cell`), then a
+    broadcast join of two n_cells-row histograms — runs at any index
+    size.  Gate row x_ann_health drifts the batch to one label cluster.
+    """
+    n_cells = len(centroids)
+    enc = ivfpq_index(batch, centroids, codebooks,
+                      id_col=id_col, vec_col=vec_col)
+    ia = index.groupBy("_cell").agg(F.count(F.lit(1)).alias("na"))
+    ib = enc.groupBy("_cell").agg(F.count(F.lit(1)).alias("nb"))
+    base = index.sparkSession.range(n_cells).select(
+        F.col("id").cast("int").alias("_cell"))
+    j = (
+        base.join(ia, "_cell", "left").join(ib, "_cell", "left")
+        .fillna(0, ["na", "nb"])
+    )
+    tot = j.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    jt = j.crossJoin(F.broadcast(tot))
+    p = (F.col("na") + 1) / (F.col("ta") + F.lit(n_cells))
+    q = (F.col("nb") + 1) / (F.col("tb") + F.lit(n_cells))
+    return jt.agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        F.round(F.max("nb") / F.max("tb"), 6).alias("hot_cell_share"),
+        F.sum((F.col("na") == 0).cast("long")).alias("empty_index_cells"),
+        F.sum((F.col("nb") == 0).cast("long")).alias("empty_batch_cells"),
+    )
+
+
 def probed_cells(
     queries: DataFrame,
     centroids: list,

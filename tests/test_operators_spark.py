@@ -3648,6 +3648,34 @@ def test_stream_bm25_index_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) == 15
 
 
+def test_ann_index_health_detects_drift(spark, sf_dir):
+    """Cell-occupancy drift monitor: an undrifted batch (the index's own
+    rows) reads PSI ~0 with no dead batch cells; a one-cluster batch
+    reads high PSI with most cells empty and a dominant hot cell."""
+    from prql_query_spark.operators.similarity import (
+        ann_index_health, ivfpq_index, pq_codebooks_from_anchors)
+
+    emb = load_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    anchors = [r.embedding for r in
+               emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    cbs = pq_codebooks_from_anchors(anchors, m=8)
+    index = ivfpq_index(emb, anchors, cbs)
+
+    same = ann_index_health(index, emb, anchors, cbs).first()
+    assert same["psi"] == 0.0  # identical histograms, exact zero
+    assert same["empty_batch_cells"] == same["empty_index_cells"]
+
+    drifted = ann_index_health(
+        index, emb.filter(F.col("label") == 3), anchors, cbs).first()
+    # fixture anchors are arbitrary vectors (not trained cluster
+    # centers), so one-label drift spreads over several cells: it lands
+    # in the PSI "investigate" band (> 0.1), not the 0.25 extreme
+    assert drifted["psi"] > 0.1
+    assert drifted["psi"] > same["psi"]
+    assert drifted["empty_batch_cells"] > same["empty_batch_cells"]
+    assert drifted["hot_cell_share"] > same["hot_cell_share"]
+
+
 def test_exact_percentiles_window_plan(spark, sf_dir):
     """The bounded-memory exact-quantile plan: values must equal
     quantile_cont's formula on hand-computable cases (integral and
