@@ -931,3 +931,28 @@ def test_hybrid_indexed_pushes_both_index_filters(spark, sf_dir, tmp_path):
     assert 0 < len(rows) <= 10
     rrfs = [r["rrf"] for r in rows]
     assert rrfs == sorted(rrfs, reverse=True)
+
+
+def test_exact_percentiles_single_data_exchange(spark, sf_dir):
+    """exact_percentiles' plan claim (round 7): ONE hash exchange feeds
+    the per-group sort, BOTH window passes (count, row_number) and the
+    partial/final aggregate — the groupBy key equals the window
+    partition, so no exchange sits between Window and HashAggregate.
+    The only other exchange allowed is the final output-sort range
+    partitioning.  A second hash exchange appearing here means the
+    aggregation stopped reusing the window's partitioning and the
+    operator's one-shuffle contract regressed."""
+    import __spark_entry__ as entry
+    from prql_query_spark.operators.analytics import exact_percentiles
+
+    li = entry._tbl(spark, sf_dir, "lineitem")
+    df = exact_percentiles(li, "l_extendedprice", [0.5, 0.95],
+                           by=["l_returnflag"])
+    simple = _plan(spark, df, "simple")
+    hash_ex = [ln for ln in simple.splitlines()
+               if "Exchange hashpartitioning" in ln]
+    range_ex = [ln for ln in simple.splitlines()
+                if "Exchange rangepartitioning" in ln]
+    assert len(hash_ex) == 1, f"extra data exchange: {hash_ex}"
+    assert len(range_ex) <= 1  # the output orderBy only
+    assert simple.count("Window") == 2
