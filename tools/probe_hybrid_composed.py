@@ -40,7 +40,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 RUNS = int(os.environ.get("PQ_PROBE_RUNS", "7"))
-QUERY = "data quality and the best model"
+# Override to probe query-dependence: the default gate query carries
+# stopword-grade terms ("and", "the") whose posting lists are
+# corpus-sized, so the BM25-probe side of the stack scales with the
+# corpus for it — a content-terms-only query isolates the index's
+# intended df-bounded regime (BASELINE.md §4.4e).
+QUERY = os.environ.get("PQ_PROBE_QUERY", "data quality and the best model")
 K, DEPTH, N_PROBE = 15, 25, 4
 
 
