@@ -402,18 +402,25 @@ def exact_percentiles(
     (`approx_percentile`) or distributed selection; this operator is the
     exact middle ground.)
 
-    NULLs are excluded (both engines' semantics).  ``round_digits``
-    applies the repo's DECIMAL round convention for gate comparisons.
+    NULL values are excluded from the computation but the GROUP is
+    kept: a group whose values are all NULL yields a NULL percentile —
+    exactly DuckDB quantile_cont's semantics (round-8 ADVICE fix;
+    previously the pre-filter dropped all-NULL groups entirely).  The
+    mechanism costs nothing: rows sort with NULLS LAST, `_n` counts
+    only non-NULL values (so non-NULL rows own ranks 0.._n-1 and NULL
+    rows own the trailing ranks no fraction can address), and an
+    all-NULL group interpolates NULL operands into a NULL result —
+    same single exchange, no join-back.  ``round_digits`` applies the
+    repo's DECIMAL round convention for gate comparisons.
     """
     keys = list(by or [])
-    nn = df.filter(F.col(value_col).isNotNull())
     w = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
-        .orderBy(F.col(value_col).asc())
-    ranked = nn.select(
+        .orderBy(F.col(value_col).asc_nulls_last())
+    ranked = df.select(
         *keys,
         F.col(value_col).cast("double").alias("_v"),
         (F.row_number().over(w) - 1).alias("_rn"),
-        F.count(F.lit(1)).over(
+        F.count(F.col(value_col)).over(
             (Window.partitionBy(*keys) if keys
              else Window.partitionBy())).alias("_n"),
     )

@@ -876,8 +876,22 @@ def ann_index_health(
     <= n_cells rows (the index scan reads only `_cell`), then a
     broadcast join of two n_cells-row histograms — runs at any index
     size.  Gate row x_ann_health drifts the batch to one label cluster.
+
+    Raises ValueError when either side is empty: an empty batch would
+    otherwise yield hot_cell_share = NULL (0/0) and a PSI computed
+    against a pure-smoothing distribution — a silent degenerate row
+    from an operator whose whole purpose is alerting.  The emptiness
+    probes are `isEmpty()` (limit-1 jobs), cheap at any index size.
     """
     n_cells = len(centroids)
+    if batch.isEmpty():
+        raise ValueError(
+            "ann_index_health: batch is empty — no occupancy histogram "
+            "to compare; upstream ingest produced zero rows")
+    if index.isEmpty():
+        raise ValueError(
+            "ann_index_health: index is empty — build the index before "
+            "monitoring it")
     enc = ivfpq_index(batch, centroids, codebooks,
                       id_col=id_col, vec_col=vec_col)
     ia = index.groupBy("_cell").agg(F.count(F.lit(1)).alias("na"))

@@ -3675,6 +3675,14 @@ def test_ann_index_health_detects_drift(spark, sf_dir):
     assert drifted["empty_batch_cells"] > same["empty_batch_cells"]
     assert drifted["hot_cell_share"] > same["hot_cell_share"]
 
+    # empty sides RAISE instead of emitting a silent degenerate row
+    # (hot_cell_share would be 0/0 = NULL — round-8 ADVICE fix)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="batch is empty"):
+        ann_index_health(index, emb.limit(0), anchors, cbs)
+    with _pytest.raises(ValueError, match="index is empty"):
+        ann_index_health(index.limit(0), emb, anchors, cbs)
+
 
 def test_exact_percentiles_window_plan(spark, sf_dir):
     """The bounded-memory exact-quantile plan: values must equal
@@ -3686,7 +3694,8 @@ def test_exact_percentiles_window_plan(spark, sf_dir):
 
     t = spark.createDataFrame(
         [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
-         ("b", 10.0), ("b", None), ("c", 7.0)],
+         ("b", 10.0), ("b", None), ("c", 7.0),
+         ("d", None), ("d", None)],
         "g string, v double")
     rows = {r["g"]: (r["p50"], r["p90"]) for r in
             exact_percentiles(t, "v", [0.5, 0.9], by=["g"]).collect()}
@@ -3694,6 +3703,9 @@ def test_exact_percentiles_window_plan(spark, sf_dir):
     assert rows["a"] == (2.5, 3.7)
     assert rows["b"] == (10.0, 10.0)  # NULL excluded, 1-row group
     assert rows["c"] == (7.0, 7.0)
+    # all-NULL group KEPT with NULL percentiles — quantile_cont's
+    # semantics (round-8 ADVICE fix: the old pre-filter dropped it)
+    assert "d" in rows and rows["d"] == (None, None)
     g = exact_percentiles(t, "v", [0.5]).collect()[0]
     assert g["p50"] == 3.5  # global: 1,2,3,4,7,10 -> (3+4)/2
 
