@@ -5882,6 +5882,67 @@ EXTENSIONS["x_bm25_incremental"] = _x_bm25_incremental
 EXTENSION_ORACLES.update(_bm25_incremental_oracle())
 
 
+_DFCAP_QUERY = "dup data join"
+_DFCAP_FRAC = 0.2
+
+
+def _x_bm25_dfcap(spark, sf_dir):
+    """df-capped (WAND-style) BM25 probing through the persisted index
+    (round-8 VERDICT item 1): BASELINE.md §4.4e measured probe IO
+    ∝ Σ df(term) — with two ~corpus-sized posting lists the uncapped
+    probe LOSES to direct recompute — so stopword-grade terms
+    (df > frac·N) are dropped BEFORE the posting scan, using the
+    append-only `term_stats` sidecar (per-batch SUM-mergeable df
+    partials) that build/stream emit next to the postings.
+
+    Fixture regime (both gate SFs): 'data'/'join' sit at ~78% df,
+    'dup' at 5%, so frac=0.2 drops both stopword-grade terms and scans
+    ONLY dup's posting list — the exact query shape that lost in
+    §4.4e, now reading ~1/30th of the posting bytes.  Capping changes
+    scores by design, so this row carries its OWN oracle twin applying
+    the identical drop rule (bm25_dfcap_oracle_sql); the exact rows
+    x_bm25_index / x_bm25_incremental stay untouched.  The index is
+    built, persisted term-sorted (term IN -> row-group pruning), read
+    back, and probed — same lifecycle as x_bm25_index."""
+    import shutil
+
+    from prql_query_spark.operators.retrieval import (
+        build_bm25_index, probe_bm25_index_dfcap, term_stats_from_postings,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    postings, stats = build_bm25_index(docs)
+    d = _rt_dir("pq_bm25_dfcap_")
+    try:
+        postings.sort("term").write.mode("overwrite") \
+            .parquet(os.path.join(d, "postings.parquet"))
+        stats.write.mode("overwrite").parquet(os.path.join(d, "stats.parquet"))
+        term_stats_from_postings(
+            spark.read.parquet(os.path.join(d, "postings.parquet"))
+        ).sort("term").write.mode("overwrite") \
+            .parquet(os.path.join(d, "term_stats.parquet"))
+        out = probe_bm25_index_dfcap(
+            spark.read.parquet(os.path.join(d, "postings.parquet")),
+            spark.read.parquet(os.path.join(d, "stats.parquet")),
+            spark.read.parquet(os.path.join(d, "term_stats.parquet")),
+            _DFCAP_QUERY, k=20, df_cap_frac=_DFCAP_FRAC)
+        rows = out.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _bm25_dfcap_oracle() -> dict[str, str]:
+    from prql_query_spark.operators.retrieval import bm25_dfcap_oracle_sql
+
+    return {"x_bm25_dfcap": bm25_dfcap_oracle_sql(
+        _DFCAP_QUERY, k=20, df_cap_frac=_DFCAP_FRAC)}
+
+
+EXTENSIONS["x_bm25_dfcap"] = _x_bm25_dfcap
+EXTENSION_ORACLES.update(_bm25_dfcap_oracle())
+
+
 def _x_stream_bm25(spark, sf_dir):
     """The STREAMING-maintained BM25 index under the driver gate (round
     7): documents arrive as 3 mtime-ordered parquet files, each

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -457,20 +458,43 @@ take 10
     # Round 7 moved BASELINE.md §2 to the same-run denominators above
     # (the 08-13 snapshot was 1.7-2.8x slower than this hardware runs
     # DuckDB), which tightens every headline ratio.  The floor reading
-    # applies to the whole headline set, not just q_agg: bare warm noop
-    # jobs on this build cost 52/143/166 ms at 0/1/2 shuffles
-    # (SCALING.md decomposition: ~17 ms Catalyst + ~31 ms driver/py4j +
-    # ~70-90 ms constant scan-task init per scan stage), so every
-    # sub-200 ms compacted number is floor-bound, and the per-byte
-    # SLOPES (SCALING.md sf1 table) — the term a cluster multiplies —
-    # are at or below the oracle's on every headline query.
+    # applies to MOST of the headline set: bare warm noop jobs on this
+    # build cost 52/143/166 ms at 0/1/2 shuffles (SCALING.md
+    # decomposition: ~17 ms Catalyst + ~31 ms driver/py4j + ~70-90 ms
+    # constant scan-task init per scan stage), so every sub-200 ms
+    # compacted number is floor-bound.  The ONE exception the sf1 sweep
+    # measures is q_join_agg_q5: its per-byte slope is ~9x DuckDB's at
+    # sf1 (SCALING.md sf1 table — single-node JVM decode + join compute,
+    # not plan: the pinned plan is all-broadcast/one-exchange and the
+    # round-8 broadcast-vs-SMJ A/B confirmed the plan choice is not the
+    # residual), so its deficit is slope, divided by a cluster's
+    # executor count rather than amortized away.  The other headline
+    # slopes are at or below the oracle's at sf1.
     out["headline_floor_note"] = (
-        "same-run denominators (BASELINE.md §2, round 7): all compacted "
+        "same-run denominators (BASELINE.md §2, round 7): compacted "
         "headline queries sit at their shuffle-count job floor "
         "(52/143/166 ms at 0/1/2 shuffles, SCALING.md); ratios at sf0.1 "
         "measure the constant floor over a 3 MB table, the sf1 slopes "
-        "measure the engine")
+        "measure the engine — at or below DuckDB's on every headline "
+        "query EXCEPT q_join_agg_q5, whose sf1 slope is ~9x "
+        "(engine-constant, plan verified broadcast-optimal; "
+        "BASELINE.md §4.4g)")
     print(json.dumps(out))
+    # The driver keeps only the tail of stdout, which truncated the
+    # primary section out of BENCH_r07.json (round-7 verdict item 4):
+    # persist the FULL result as a repo artifact every run, keyed to the
+    # upcoming round number (1 + the largest committed BENCH_r{N}).
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [int(m.group(1)) for f in os.listdir(here)
+                  if (m := re.match(r"BENCH_r(\d+)\.json$", f))]
+        nxt = (max(rounds) + 1) if rounds else 0
+        with open(os.path.join(here, f"BENCH_full_r{nxt:02d}.json"),
+                  "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError as e:  # never fail the bench over artifact IO
+        print(f"bench: could not write BENCH_full artifact: {e}",
+              file=sys.stderr)
     spark.stop()
 
 

@@ -379,6 +379,23 @@ def build_bm25_index(
     return postings.select("term", "id", "tf", "dl"), stats
 
 
+def term_stats_from_postings(postings: DataFrame) -> DataFrame:
+    """(term, df_partial) for one batch's postings — the SIDECAR that
+    makes df-capped probing possible without breaking the index's
+    append-onlyness: document frequency is SUM-mergeable (batches hold
+    disjoint docs, and postings have one row per (doc, term), so a
+    batch's row count per term IS its df contribution), so each batch
+    appends its own partials and total df(t) = SUM(df_partial) — no
+    rewrite of earlier batches, ever.
+
+    Persist term-sorted next to the postings (same row-group-pruning
+    story: the probe reads partials for ONLY the query's terms).  One
+    map-side-combined aggregate over rows the build already produced.
+    """
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_partial"))
+
+
 def merge_bm25_stats(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two index stats rows (n, sum_dl are plain sums).  Postings
     merge by parquet append / UNION ALL — nothing to recompute."""
@@ -402,11 +419,26 @@ def probe_bm25_index(
     (complete by construction: pruning keeps whole terms).  Identical
     scores to bm25_topk on the same corpus (the x_bm25_index and
     x_bm25_incremental gate rows pin it)."""
-    from pyspark.sql import Window
-
     terms = _query_terms(query)
     if not terms:
         raise ValueError("probe_bm25_index: query has no terms")
+    return _score_pruned_postings(postings, stats, terms, k, id_col, k1, b)
+
+
+def _score_pruned_postings(
+    postings: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared probe kernel: literal `term IN (...)` prune (the predicate
+    that reaches the parquet scan), window df over the pruned postings,
+    broadcast stats, BM25 score, TakeOrderedAndProject top-k."""
+    from pyspark.sql import Window
+
     hits = postings.filter(F.col("term").isin(terms))
     scored = (
         hits.withColumn(
@@ -431,6 +463,143 @@ def probe_bm25_index(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def dfcap_surviving_terms(
+    term_stats: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    df_cap_frac: float,
+) -> list[str]:
+    """The WAND-style term-drop rule, factored so probe and measurement
+    tools share it: query terms whose corpus document frequency is
+    <= df_cap_frac * N survive; when EVERY present term exceeds the cap
+    (an all-stopword query) the minimum-df term(s) survive instead —
+    the probe must answer something, and the least common term is the
+    cheapest list that still discriminates.  Terms absent from the
+    index have no postings and are skipped outright.
+
+    Both lookups are bounded by the QUERY size: the term_stats scan is
+    pruned to the query's terms (term-sorted sidecar -> row-group
+    pruning) and aggregates to <= len(terms) rows; stats is one row.
+    The driver-side collect is the gated-action pattern (the decision
+    must exist BEFORE the posting scan is planned — that is the entire
+    IO saving)."""
+    n = stats.agg(F.sum("n").alias("n")).first()["n"]
+    dfs = {
+        r["term"]: r["df"]
+        for r in term_stats.filter(F.col("term").isin(terms))
+        .groupBy("term").agg(F.sum("df_partial").alias("df")).collect()
+    }
+    if not dfs:
+        return []
+    cap = df_cap_frac * n
+    surviving = sorted(t for t, df in dfs.items() if df <= cap)
+    if not surviving:
+        min_df = min(dfs.values())
+        surviving = sorted(t for t, df in dfs.items() if df == min_df)
+    return surviving
+
+
+def probe_bm25_index_dfcap(
+    postings: DataFrame,
+    stats: DataFrame,
+    term_stats: DataFrame,
+    query: str,
+    k: int = 10,
+    df_cap_frac: float = 0.1,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """df-capped (WAND-style) BM25 probe: drop stopword-grade query
+    terms BEFORE the posting scan, so probe IO is proportional to the
+    SURVIVING terms' posting lists.
+
+    Why: probe IO is ∝ Σ df(term) over the query's terms (BASELINE.md
+    §4.4e measured the uncapped probe LOSING to direct recompute when
+    two ~corpus-sized posting lists must be scanned), and on a real
+    Zipfian vocabulary every multi-term query contains stopword-grade
+    terms.  A term with df near N carries almost no idf mass anyway —
+    dropping it changes scores slightly but removes the dominant IO
+    term.  The decision needs df BEFORE the posting scan, which the
+    append-only `term_stats` sidecar provides (term_stats_from_postings)
+    — a query-pruned read of <= |query| partial rows, never the
+    postings.
+
+    Scoring of the surviving terms is IDENTICAL to probe_bm25_index
+    (same window-df kernel — df of a surviving term is exact, from its
+    complete pruned posting list); `df_cap_frac=1.0` degenerates to the
+    uncapped probe exactly.  Deliberately a SEPARATE operator from the
+    exact probe: capping changes scores, so it carries its own oracle
+    twin (bm25_dfcap_oracle_sql / gate row x_bm25_dfcap) and the exact
+    rows stay untouched.
+
+    All-stopword queries keep the minimum-df term(s) rather than
+    returning nothing (see dfcap_surviving_terms).  Queries with no
+    indexed term return an empty frame, matching probe_bm25_index.
+    """
+    terms = _query_terms(query)
+    if not terms:
+        raise ValueError("probe_bm25_index_dfcap: query has no terms")
+    surviving = dfcap_surviving_terms(term_stats, stats, terms,
+                                      df_cap_frac)
+    # no query term exists in the index: scan nothing, return the empty
+    # top-k (same result the uncapped probe would produce)
+    return _score_pruned_postings(
+        postings, stats, surviving or terms, k, id_col, k1, b)
+
+
+def bm25_dfcap_oracle_sql(
+    query: str,
+    k: int = 10,
+    df_cap_frac: float = 0.1,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of probe_bm25_index_dfcap over the raw corpus: apply
+    the SAME term-drop rule (df <= frac*N survives; if none survives,
+    the min-df term(s) do), then the bm25_topk_oracle_sql scoring with
+    identical rounding and tie-break.  Generated from the same
+    parameters so the rule cannot drift between engines."""
+    terms = _query_terms(query)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH tok AS (
+    SELECT {id_col},
+           unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS t,
+           len(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS dl
+    FROM {table}
+), stats AS (
+    SELECT COUNT(*) AS n,
+           AVG(len(regexp_split_to_array(trim(lower({text_col})), '\\s+'))) AS avgdl
+    FROM {table}
+), tf AS (
+    SELECT {id_col}, t, COUNT(*) AS tf, MIN(dl) AS dl
+    FROM tok WHERE t IN ({in_list})
+    GROUP BY {id_col}, t
+), dfreq AS (
+    SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+), surv AS (
+    SELECT t, df FROM dfreq CROSS JOIN stats
+    WHERE df <= {df_cap_frac} * stats.n
+       OR (NOT EXISTS (SELECT 1 FROM dfreq d2 CROSS JOIN stats s2
+                       WHERE d2.df <= {df_cap_frac} * s2.n)
+           AND df = (SELECT MIN(df) FROM dfreq))
+)
+SELECT {id_col}, ROUND(SUM(
+    LN(1.0 + (stats.n - surv.df + 0.5) / (surv.df + 0.5))
+    * tf.tf * ({k1} + 1.0)
+    / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / stats.avgdl))
+), 6) AS score
+FROM tf JOIN surv USING (t) CROSS JOIN stats
+GROUP BY {id_col}
+ORDER BY score DESC, {id_col} ASC
+LIMIT {k}
+"""
 
 
 def bm25_topk_batch(

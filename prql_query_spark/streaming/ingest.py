@@ -353,13 +353,19 @@ def stream_bm25_index(
     never rewrites earlier ones — the property a df-denormalized index
     would not have, since every arriving doc changes every term's df.
 
+    Each batch also appends its `term_stats` partials (round 8 —
+    term_stats_from_postings: per-term df contributions, SUM-mergeable
+    because batches hold disjoint docs), feeding the df-capped probe
+    (`probe_bm25_index_dfcap`) without breaking append-onlyness.
+
     `_batch_id` dynamic-partition overwrite keeps crash replays
     idempotent (the repo's standard exactly-once sink contract).  Read
-    back with `read_bm25_index` and serve with
-    `retrieval.probe_bm25_index`; results equal a from-scratch build on
-    everything ingested (batch-equivalence pytest pins it).
+    back with `read_bm25_index` (+ `read_bm25_term_stats`) and serve
+    with `retrieval.probe_bm25_index`; results equal a from-scratch
+    build on everything ingested (batch-equivalence pytest pins it).
     """
-    from prql_query_spark.operators.retrieval import build_bm25_index
+    from prql_query_spark.operators.retrieval import (
+        build_bm25_index, term_stats_from_postings)
 
     schema = spark.read.parquet(docs_path).schema
     reader = spark.readStream.schema(schema)
@@ -369,6 +375,9 @@ def stream_bm25_index(
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         postings, stats = build_bm25_index(batch_df, id_col, text_col)
+        # the build's postings feed two sinks; materialize once so the
+        # tokenize+explode+groupBy subtree doesn't run twice per batch
+        postings = postings.localCheckpoint()
         (
             postings.sort("term").withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -382,6 +391,14 @@ def stream_bm25_index(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch_id")
             .parquet(os.path.join(index_dir, "stats"))
+        )
+        (
+            term_stats_from_postings(postings)
+            .sort("term").withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(os.path.join(index_dir, "term_stats"))
         )
 
     return (
@@ -403,3 +420,11 @@ def read_bm25_index(spark: SparkSession, index_dir: str):
         F.sum("n").cast("long").alias("n"),
         F.sum("sum_dl").cast("long").alias("sum_dl"))
     return postings, stats
+
+
+def read_bm25_term_stats(spark: SparkSession, index_dir: str):
+    """The term_stats sidecar from a stream_bm25_index directory:
+    per-batch df partials as written (the df-capped probe sums the
+    partials itself, pruned to the query's terms)."""
+    return spark.read.parquet(
+        os.path.join(index_dir, "term_stats")).drop("_batch_id")

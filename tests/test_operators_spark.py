@@ -3647,6 +3647,74 @@ def test_stream_bm25_index_matches_batch(spark, sf_dir, tmp_path):
             for r in bm25_topk(docs, query, k=15).collect()]
     assert got == want and len(got) == 15
 
+    # the term_stats sidecar the stream appends per batch must sum to
+    # the from-scratch build's dfs (df is SUM-mergeable over disjoint
+    # batches) — the invariant df-capped probing rests on
+    from prql_query_spark.operators.retrieval import (
+        build_bm25_index, term_stats_from_postings)
+    from prql_query_spark.streaming.ingest import read_bm25_term_stats
+
+    ts = read_bm25_term_stats(spark, idx)
+    got_df = {r["term"]: r["df"] for r in
+              ts.groupBy("term").agg(F.sum("df_partial").alias("df"))
+              .collect()}
+    p_full, _ = build_bm25_index(docs)
+    want_df = {r["term"]: r["df_partial"] for r in
+               term_stats_from_postings(p_full).collect()}
+    assert got_df == want_df
+
+
+def test_probe_bm25_dfcap_rules(spark, sf_dir):
+    """df-capped probing: frac=1.0 degenerates to the uncapped probe
+    exactly; a mixed query drops stopword-grade terms (equals probing
+    the surviving term alone); an all-stopword query falls back to the
+    min-df term(s); unknown terms return empty."""
+    from prql_query_spark.operators.retrieval import (
+        build_bm25_index, dfcap_surviving_terms, probe_bm25_index,
+        probe_bm25_index_dfcap, term_stats_from_postings,
+    )
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    postings, stats = build_bm25_index(docs)
+    postings = postings.localCheckpoint()
+    stats = stats.localCheckpoint()
+    ts = term_stats_from_postings(postings).localCheckpoint()
+
+    q = "dup data join"
+    uncapped = [(r["doc_id"], r["score"]) for r in
+                probe_bm25_index_dfcap(postings, stats, ts, q, k=10,
+                                       df_cap_frac=1.0).collect()]
+    direct = [(r["doc_id"], r["score"]) for r in
+              probe_bm25_index(postings, stats, q, k=10).collect()]
+    assert uncapped == direct
+
+    # fixture dfs: 'dup' ~5%, 'data'/'join' ~78% -> frac 0.2 keeps 'dup'
+    assert dfcap_surviving_terms(ts, stats, ["dup", "data", "join"],
+                                 0.2) == ["dup"]
+    capped = [(r["doc_id"], r["score"]) for r in
+              probe_bm25_index_dfcap(postings, stats, ts, q, k=10,
+                                     df_cap_frac=0.2).collect()]
+    only_dup = [(r["doc_id"], r["score"]) for r in
+                probe_bm25_index(postings, stats, "dup", k=10).collect()]
+    assert capped == only_dup and capped != direct
+
+    # all-stopword query: nothing under the cap -> min-df term(s) kept
+    surv = dfcap_surviving_terms(ts, stats, ["data", "join"], 0.01)
+    assert len(surv) >= 1 and set(surv) <= {"data", "join"}
+    fb = [(r["doc_id"], r["score"]) for r in
+          probe_bm25_index_dfcap(postings, stats, ts, "data join", k=10,
+                                 df_cap_frac=0.01).collect()]
+    fb_direct = [(r["doc_id"], r["score"]) for r in
+                 probe_bm25_index(postings, stats, " ".join(surv),
+                                  k=10).collect()]
+    assert fb == fb_direct and len(fb) == 10
+
+    # unknown terms: empty result, no error
+    assert probe_bm25_index_dfcap(
+        postings, stats, ts, "zzzunknownterm", k=10,
+        df_cap_frac=0.5).count() == 0
+
 
 def test_ann_index_health_detects_drift(spark, sf_dir):
     """Cell-occupancy drift monitor: an undrifted batch (the index's own
