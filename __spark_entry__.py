@@ -6077,6 +6077,100 @@ EXTENSIONS["x_hard_negatives"] = _x_hard_negatives
 EXTENSION_ORACLES.update(_hard_negatives_oracle())
 
 
+_DENOISE_BATCH = [("q0", "fast query scan"), ("q1", "slow merge sort")]
+
+
+def _x_denoise_negatives(spark, sf_dir):
+    """False-negative denoising under the driver gate (round-8 VERDICT
+    item 5): drop mined hard negatives that are embedding-near-dups
+    (cosine >= 0.9) of any of their query's positives — training
+    against such "negatives" teaches a dual encoder to push relevant
+    docs away.
+
+    The fixture's embeddings top out at pairwise cosine ~0.45 (measured
+    both gate SFs; zero pairs in [0.8, 0.97]), so no REAL positive can
+    fire an honest 0.9 threshold — the r7-verdict reason this operator
+    was pytest-only.  The fix is to PLANT the unlabeled-positive
+    scenario deterministically from fixture data: after mining (k=8,
+    positives = each query's rank-1 doc), the docs at mined ranks
+    {3, 6} get a synthetic labeled positive whose embedding is an EXACT
+    COPY of theirs (planted ids are negative, so they exist in no
+    corpus table and cannot perturb mining).  cosine(copy, original)
+    = 1 and every other fixture pair is <= ~0.45, so the flagged set is
+    exactly the planted twins at ANY scale — non-empty by construction,
+    with no tolerance-boundary risk.  The oracle replays the whole
+    pipeline: ranking, rank-1 positive, exclusion re-rank, the same
+    planting rule, the same cosine filter.  Survivors keep their mined
+    rank (provenance): output ranks are 1,2,4,5,7,8 per query."""
+    from prql_query_spark.operators.retrieval import (
+        bm25_topk_batch, denoise_negatives, mine_hard_negatives)
+
+    docs = _tbl(spark, sf_dir, "documents")
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        _DENOISE_BATCH, "query_id string, query_text string")
+    pos = bm25_topk_batch(docs, queries, k=1) \
+        .select("query_id", "doc_id")
+    neg = mine_hard_negatives(docs, queries, pos, k=8).localCheckpoint()
+
+    qnum = F.substring("query_id", 2, 10).cast("long")
+    pid = -(qnum * 100 + F.col("rank"))
+    planted = (
+        neg.filter(F.col("rank").isin(3, 6))
+        .join(emb, neg["doc_id"] == emb["vec_id"])
+        .select("query_id", pid.alias("_pid"), "embedding")
+    ).localCheckpoint()
+    pos_all = pos.unionByName(
+        planted.select("query_id", F.col("_pid").alias("doc_id")))
+    emb_ext = emb.select("vec_id", "embedding").unionByName(
+        planted.select(F.col("_pid").alias("vec_id"), "embedding"))
+    return denoise_negatives(neg, pos_all, emb_ext, threshold=0.9) \
+        .select("query_id", "doc_id", "score", "rank") \
+        .orderBy("query_id", "rank")
+
+
+def _denoise_oracle() -> dict[str, str]:
+    from prql_query_spark.operators.retrieval import (
+        bm25_topk_batch_oracle_sql)
+
+    # depth 9 = k(8) + max positives per query(1), the mining bound
+    ranked = bm25_topk_batch_oracle_sql(_DENOISE_BATCH, k=9).strip()
+    return {"x_denoise_negatives": f"""
+WITH ranked AS ({ranked}),
+neg AS (
+    SELECT query_id, doc_id, score,
+           CAST(rank - 1 AS BIGINT) AS rank
+    FROM ranked WHERE rank >= 2
+),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+posv AS (
+    -- the real positive: each query's rank-1 doc
+    SELECT r.query_id, e.v FROM ranked r JOIN ev e ON e.vec_id = r.doc_id
+    WHERE r.rank = 1
+    UNION ALL
+    -- the planted positives: exact copies of mined ranks 3 and 6
+    SELECT n.query_id, e.v FROM neg n JOIN ev e ON e.vec_id = n.doc_id
+    WHERE n.rank IN (3, 6)
+),
+flagged AS (
+    SELECT DISTINCT n.query_id, n.doc_id
+    FROM neg n
+    JOIN ev e ON e.vec_id = n.doc_id
+    JOIN posv p ON p.query_id = n.query_id
+    WHERE list_cosine_similarity(e.v, p.v) >= 0.9
+)
+SELECT n.query_id, n.doc_id, n.score, n.rank
+FROM neg n LEFT JOIN flagged f
+  ON f.query_id = n.query_id AND f.doc_id = n.doc_id
+WHERE f.query_id IS NULL
+ORDER BY n.query_id, n.rank
+"""}
+
+
+EXTENSIONS["x_denoise_negatives"] = _x_denoise_negatives
+EXTENSION_ORACLES.update(_denoise_oracle())
+
+
 def _x_exact_quantiles(spark, sf_dir):
     """Exact per-group percentiles via the bounded-memory window-sort
     plan (analytics.exact_percentiles) rather than Spark's PERCENTILE

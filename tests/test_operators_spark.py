@@ -3897,6 +3897,23 @@ def test_denoise_negatives_drops_false_negatives(spark, sf_dir):
         sorted(map(tuple, mined.collect()))
 
 
+def test_denoise_gate_row_flags_exactly_planted_twins(spark, sf_dir):
+    """The x_denoise_negatives gate construction (round 8): planting a
+    synthetic positive whose embedding is an exact copy of the mined
+    rank-3/rank-6 negatives' must flag EXACTLY those two ranks per
+    query (fixture cosines top out at ~0.45, so nothing else can reach
+    0.9) — survivors keep provenance ranks 1,2,4,5,7,8."""
+    import __spark_entry__ as entry
+
+    out = entry._x_denoise_negatives(spark, sf_dir)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == {"q0", "q1"}
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == [1, 2, 4, 5, 7, 8], (q, ranks)
+
+
 def test_tokenize_parity_on_hostile_whitespace(spark):
     """Java's \\s includes \\x0B (vertical tab); RE2's (DuckDB) does not —
     so Spark tokenizing with a literal \\s+ silently disagreed with every
