@@ -5748,6 +5748,66 @@ ORDER BY doc_id
 """
 
 
+def _x_stream_dedup_indexed(spark, sf_dir):
+    """The PERSISTED-INDEX streaming dedup under the driver gate
+    (round-8 VERDICT item 7): identical accept/reject semantics to
+    x_stream_dedup (first-accepted-wins over the same 3 mtime-pinned
+    microbatches — the oracle is the SAME all-pairs exact-Jaccard SQL),
+    but per batch the accepted-so-far evidence comes from append-only
+    `bands/` + `hashes/` sidecars instead of re-running the MinHash
+    kernel over all accepted text — the warehouse-scale cost model
+    (per-batch signature work is batch-sized; the index is scanned as
+    columnar ints).  Sidecar consistency with the warehouse is kept by
+    the shared `_batch_id` dynamic-overwrite contract, and a replayed
+    batch reads only STRICTLY-EARLIER partitions so it cannot reject
+    its own previous output.  Gate-harness caveats (local tempdir
+    source/sink): COVERAGE.md 'Gate harness assumptions'."""
+    import glob
+    import shutil
+
+    from prql_query_spark.streaming.ingest import stream_dedup_indexed
+
+    root = _rt_dir("pq_rt_streamdedupidx_")
+    docs = _tbl(spark, sf_dir, "documents")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for b in range(3):
+        stage = os.path.join(root, f"stage{b}")
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1) \
+            .write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"f{b}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    out = os.path.join(root, "accepted")
+    q = stream_dedup_indexed(
+        spark, src, out, index_dir=os.path.join(root, "idx"),
+        checkpoint=os.path.join(root, "ck"),
+        threshold=0.6, queryName="pq_gate_stream_dedup_idx",
+        max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        q.stop()
+    res = (
+        spark.read.parquet(out).select("doc_id")
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+    rows = res.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, res.schema)
+
+
+EXTENSIONS["x_stream_dedup_indexed"] = _x_stream_dedup_indexed
+# same decisions as the growing variant by contract -> same oracle
+EXTENSION_ORACLES["x_stream_dedup_indexed"] = \
+    EXTENSION_ORACLES["x_stream_dedup"]
+
+
 def _x_bloom_prefilter(spark, sf_dir):
     """Bloom-prefiltered membership probe: find every document whose
     CONTENT (md5 of text) matches an audit set — the shuffle-free

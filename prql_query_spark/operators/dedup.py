@@ -908,6 +908,7 @@ def dedup_against_corpus(
     bands: int = 16,
     k: int = 5,
     index: DataFrame | None = None,
+    corpus_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: rows of `new_df` that are neither exact nor
     verified near-duplicates (k-shingle Jaccard >= threshold) of any
@@ -917,7 +918,10 @@ def dedup_against_corpus(
     Two tiers, production shape:
     1. exact — xxhash64(lower(text)) anti-join (cheapest filter first;
        at scale keep the corpus hash set as a bucketed table for a
-       co-located anti-join).
+       co-located anti-join).  Pass ``corpus_hashes`` (one `_ch` column
+       of xxhash64(lower(text)) values — e.g. the sidecar
+       stream_dedup_indexed persists per batch) to skip re-hashing the
+       corpus text here.
     2. near — probe the LSH `index` (built here from `corpus` when not
        provided), then verify candidates with exact shingle Jaccard; the
        verify join only ever touches the candidate corpus rows.
@@ -930,7 +934,9 @@ def dedup_against_corpus(
     """
     h = lambda c: F.xxhash64(F.lower(c))  # noqa: E731
     pref = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
-    corpus_hashes = corpus.select(h(F.col(text_col)).alias("_ch")).distinct()
+    if corpus_hashes is None:
+        corpus_hashes = corpus.select(
+            h(F.col(text_col)).alias("_ch")).distinct()
     stage1 = new_df.join(
         corpus_hashes, h(F.col(text_col)) == F.col("_ch"), "left_anti"
     )

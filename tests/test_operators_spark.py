@@ -3492,6 +3492,75 @@ def test_stream_dedup_growing_catches_cross_batch_dups(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == n_before
 
 
+def test_stream_dedup_indexed_matches_growing(spark, sf_dir, tmp_path):
+    """The persisted-index streaming dedup must make IDENTICAL
+    accept/reject decisions to stream_dedup_growing on the same batch
+    order (first-accepted-wins): the index/hash sidecars are pure
+    evidence caches, never semantics.  Also pins the sidecar layout
+    (bands + hashes partitions per batch) and same-checkpoint restart
+    adding nothing."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from prql_query_spark.streaming.ingest import (
+        stream_dedup_growing, stream_dedup_indexed)
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for b in range(3):
+        part = docs.filter(F.col("doc_id") % 3 == b)
+        part.coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / "stage_i" / f"f{b}"))
+        src = _glob.glob(
+            str(tmp_path / "stage_i" / f"f{b}" / "part-*.parquet"))[0]
+        dst = str(in_dir / f"f{b}.parquet")
+        _shutil.copy(src, dst)
+        _os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+
+    def run(fn, out, ck, **kw):
+        q = fn(spark, str(in_dir), out, checkpoint=ck, threshold=0.6,
+               max_files_per_trigger=1, **kw)
+        try:
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+
+    out_g = str(tmp_path / "acc_growing")
+    run(stream_dedup_growing, out_g, str(tmp_path / "ck_g"),
+        queryName="t_sdg")
+    out_i = str(tmp_path / "acc_indexed")
+    run(stream_dedup_indexed, out_i, str(tmp_path / "ck_i"),
+        index_dir=str(tmp_path / "idx"), queryName="t_sdi")
+
+    got_g = sorted((r["doc_id"], r["_batch_id"]) for r in
+                   spark.read.parquet(out_g).collect())
+    got_i = sorted((r["doc_id"], r["_batch_id"]) for r in
+                   spark.read.parquet(out_i).collect())
+    assert got_i == got_g and got_i
+
+    # sidecars: one partition per batch, index rows = bands * survivors,
+    # hashes = distinct survivor texts
+    bands_dir = tmp_path / "idx" / "bands"
+    assert sorted(f for f in _os.listdir(bands_dir)
+                  if f.startswith("_batch_id=")) == [
+        "_batch_id=0", "_batch_id=1", "_batch_id=2"]
+    n_surv = len(got_i)
+    assert spark.read.parquet(str(bands_dir)).count() == 16 * n_surv
+    assert spark.read.parquet(str(tmp_path / "idx" / "hashes")) \
+        .select("_ch").distinct().count() == \
+        spark.read.parquet(out_i).select("text").distinct().count()
+
+    # same-checkpoint restart: processed files re-fire nothing
+    run(stream_dedup_indexed, out_i, str(tmp_path / "ck_i"),
+        index_dir=str(tmp_path / "idx"), queryName="t_sdi2")
+    assert sorted((r["doc_id"], r["_batch_id"]) for r in
+                  spark.read.parquet(out_i).collect()) == got_i
+
+
 def test_mannwhitney_known_values(spark):
     """Disjoint dominated samples give U = 0 and rank-biserial = 1;
     identical samples give rank-biserial 0 with U = n^2/2; midrank ties
