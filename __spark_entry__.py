@@ -1633,51 +1633,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # splits/sampling).  Everything after index 50 still runs under the
 # in-repo parity harness (tools/check_parity.py) every round.
 DRIVER_ORDER = [
-    # Round-7 rotation.  After r6 every pre-r6 entry has been
-    # driver-audited at least once, so from this round on the window is
-    # maintenance: (a) a 7-query stable regression core (unchanged since
-    # r6; it was 8 in r5 — x_json_props left the core in r5 and
-    # x_profile_orders yielded its slot to x_stream_delta in r6),
-    # (b) every never-audited entry (the three r6-parked index rows plus
-    # the r7-new rows), (c) x_resize_thumbs so its gate-render fix (array
-    # → joined string; the driver's pandas canonicalizer cannot hash
-    # list cells) is driver-validated, and (d) the stalest previously
-    # green rows, oldest audit first (all 14 last audited in r1, then 18
-    # of the 31 last audited in r2 — deferred to r8: the lowest-risk
-    # scalar/identity rows q_case_buckets q_coalesce q_distinct_status
-    # q_fstring_label q_func_inline q_having q_in_list q_select_exclude,
-    # plus x_paragraph_dedup, x_pagerank, x_nb_classifier,
-    # x_mix_corpora and x_gopher_audit, displaced by the r7-new
-    # x_stream_bm25, q_approx_distinct, x_hard_negatives,
-    # x_exact_quantiles and x_ann_health).
-    # The in-repo Arrow-typed parity harness
-    # (tools/check_parity.py) still value-checks all entries every round.
+    # Round-8 rotation (window = 50, maintenance discipline since r6):
+    # (a) the 7-query stable regression core (unchanged since r6),
+    # (b) the 3 round-8-new rows (df-capped BM25 serving probe, the
+    # planted-positive denoising gate, the persisted-index streaming
+    # dedup), (c) the 13 rows the r7 comment deferred to this window
+    # (the 8 low-risk scalar/identity PRQL rows + x_paragraph_dedup,
+    # x_pagerank, x_nb_classifier, x_mix_corpora, x_gopher_audit — all
+    # judge-verified exact at sf0.01 in the r7 session), then (d) the
+    # stalest previously-green rows, oldest audit first: the 2 r1
+    # leftovers (x_dedup_content, x_minhash_dedup), all 14 remaining
+    # r2 rows, and the first 11 (alphabetical) of the 41 r4 rows.
+    # Deferred to r9: the other 30 r4 rows (x_blocklist_filter ...
+    # x_url_canon, alphabetically after x_bigram_backoff; exact list =
+    # CORRECTNESS_r04 keys minus this window) and everything last
+    # audited r5+.  The in-repo Arrow-typed parity harness
+    # (tools/check_parity.py) still value-checks all entries at both
+    # gate SFs every round.
     # — stable regression core (7) —
     "q_agg_q1", "q_join_agg_q5", "q_flagship_monthly",
     "q_priority_lines_q12", "x_constraint_audit",
     "x_normalize_text", "x_pack_sequences",
-    # — r6-new, parked for this window: persisted/append IVF-PQ index
-    # probes + the both-branches-from-persisted-indexes serving stack —
-    "x_ann_index", "x_ann_incremental", "x_hybrid_index",
-    # — r6 red row, re-entered to validate the gate-render fix —
-    "x_resize_thumbs",
-    # — round-7-new rows —
-    "q_approx_percentile", "q_approx_distinct",
-    "x_stream_dedup", "x_stream_bm25", "x_hard_negatives",
-    "x_exact_quantiles", "x_ann_health",
-    # — stalest re-audit: last driver-hashed in r1 (14) —
-    "q_append_union", "q_count_distinct", "q_forecast_revenue_q6",
-    "q_in_range_dates", "q_let_chain", "q_null_check",
-    "q_returned_items_q10", "q_set_intersect", "q_set_remove",
-    "q_shipping_priority_q3", "q_sstring_strftime", "q_take_sorted",
-    "q_window_first_last", "q_window_ntile",
-    # — stalest re-audit: last driver-hashed in r2 (18 of 31) —
-    "q_agg_stats", "q_filter_derive", "q_lag_lead_rank",
-    "q_left_join_nulls", "q_let_cte", "q_loop_series", "q_percentiles",
-    "q_right_full_joins", "q_self_join", "q_set_ops", "q_sort_nulls",
-    "q_take_range", "q_topk_customers", "q_topk_per_group",
-    "q_window_range_frame", "q_window_rolling7", "q_window_running",
-    "x_char_entropy",
+    # — round-8-new rows —
+    "x_bm25_dfcap", "x_denoise_negatives", "x_stream_dedup_indexed",
+    # — the 13 rows deferred from the r7 window —
+    "q_case_buckets", "q_coalesce", "q_distinct_status",
+    "q_fstring_label", "q_func_inline", "q_having", "q_in_list",
+    "q_select_exclude", "x_paragraph_dedup", "x_pagerank",
+    "x_nb_classifier", "x_mix_corpora", "x_gopher_audit",
+    # — stalest re-audit: last driver-hashed in r1 (2) —
+    "x_dedup_content", "x_minhash_dedup",
+    # — stalest re-audit: last driver-hashed in r2 (all 14 remaining) —
+    "x_asof_join", "x_cc_components", "x_clean_corpus", "x_cosine_lsh",
+    "x_cosine_topk", "x_dedup_exact", "x_events_sessions",
+    "x_hash_split", "x_lang_id", "x_minhash_dedup_cc",
+    "x_minhash_pairs", "x_ngram_jaccard", "x_range_join",
+    "x_simhash_pairs",
+    # — stalest re-audit: last driver-hashed in r4 (first 11 of 41) —
+    "q_cust_distribution_q13", "q_disjunctive_filter_q19",
+    "q_idle_customers_q22", "q_large_orders_q18",
+    "q_min_cost_supplier_q2", "q_order_priority_q4",
+    "q_promo_revenue_q14", "q_scalar_funcs", "q_volume_shipping_q7",
+    "x_anomaly_zscore", "x_bigram_backoff",
 ]
 
 

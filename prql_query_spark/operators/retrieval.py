@@ -481,19 +481,23 @@ def dfcap_surviving_terms(
 
     Both lookups are bounded by the QUERY size: the term_stats scan is
     pruned to the query's terms (term-sorted sidecar -> row-group
-    pruning) and aggregates to <= len(terms) rows; stats is one row.
-    The driver-side collect is the gated-action pattern (the decision
-    must exist BEFORE the posting scan is planned — that is the entire
-    IO saving)."""
-    n = stats.agg(F.sum("n").alias("n")).first()["n"]
-    dfs = {
-        r["term"]: r["df"]
-        for r in term_stats.filter(F.col("term").isin(terms))
-        .groupBy("term").agg(F.sum("df_partial").alias("df")).collect()
-    }
-    if not dfs:
+    pruning) and aggregates to <= len(terms) rows; stats is one row,
+    broadcast into the same plan so the decision costs ONE driver-side
+    job (measured: the two-job formulation added ~160 ms of pure job
+    floor at 500k docs — tools/probe_bm25_dfcap.py).  The collect is
+    the gated-action pattern (the decision must exist BEFORE the
+    posting scan is planned — that is the entire IO saving)."""
+    rows = (
+        term_stats.filter(F.col("term").isin(terms))
+        .groupBy("term").agg(F.sum("df_partial").alias("df"))
+        .crossJoin(F.broadcast(stats.groupBy().agg(
+            F.sum("n").alias("_n"))))
+        .collect()
+    )
+    if not rows:
         return []
-    cap = df_cap_frac * n
+    dfs = {r["term"]: r["df"] for r in rows}
+    cap = df_cap_frac * rows[0]["_n"]
     surviving = sorted(t for t, df in dfs.items() if df <= cap)
     if not surviving:
         min_df = min(dfs.values())
@@ -856,6 +860,8 @@ def hybrid_topk_indexed(
     id_col: str = "doc_id",
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    term_stats: DataFrame | None = None,
+    df_cap_frac: float | None = None,
 ) -> DataFrame:
     """Hybrid retrieval over PERSISTED indexes — the serving-stack shape
     the two index stories compose into: the lexical list comes from the
@@ -870,14 +876,31 @@ def hybrid_topk_indexed(
     Differs from `hybrid_topk` in the dense ranks: IVF-PQ ADC scores
     (approximate) rather than exact cosine, so the oracle twin mirrors
     the IVF-PQ computation, not brute force.  Raises ValueError when
-    `query_vec_id` is absent (same contract as hybrid_topk)."""
+    `query_vec_id` is absent (same contract as hybrid_topk).
+
+    ``df_cap_frac`` (with the ``term_stats`` sidecar) switches the
+    lexical branch to the df-capped probe (probe_bm25_index_dfcap):
+    §4.4e measured probe IO ∝ Σ df(term), so multi-term queries with
+    stopword-grade terms make the UNCAPPED serving stack lose to
+    direct recompute — capping restores the df-bounded regime.  Leave
+    it None for exact probe_bm25_index scores (the gate-row
+    configuration)."""
     from pyspark.sql import Window
 
     from prql_query_spark.operators.similarity import (
         cosine_topk_ivfpq, probed_cells)
 
-    lex = probe_bm25_index(postings, stats, query_text, k=depth,
-                           id_col=id_col)
+    if df_cap_frac is not None:
+        if term_stats is None:
+            raise ValueError(
+                "hybrid_topk_indexed: df_cap_frac needs the term_stats "
+                "sidecar (term_stats_from_postings)")
+        lex = probe_bm25_index_dfcap(
+            postings, stats, term_stats, query_text, k=depth,
+            df_cap_frac=df_cap_frac, id_col=id_col)
+    else:
+        lex = probe_bm25_index(postings, stats, query_text, k=depth,
+                               id_col=id_col)
     wl = Window.orderBy(F.desc("score"), F.asc(id_col))
     lex_r = lex.select(
         F.col(id_col).alias("_id"),

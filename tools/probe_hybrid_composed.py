@@ -46,6 +46,10 @@ RUNS = int(os.environ.get("PQ_PROBE_RUNS", "7"))
 # corpus for it — a content-terms-only query isolates the index's
 # intended df-bounded regime (BASELINE.md §4.4e).
 QUERY = os.environ.get("PQ_PROBE_QUERY", "data quality and the best model")
+# When set (a fraction, e.g. "0.5"), ALSO measure the df-capped serving
+# probe (round 8): stopword-grade terms are dropped before the posting
+# scan via the term_stats sidecar, the fix for the losing regime above.
+DFCAP = os.environ.get("PQ_PROBE_DFCAP")
 K, DEPTH, N_PROBE = 15, 25, 4
 
 
@@ -75,7 +79,8 @@ def main() -> None:
     from prql_query_spark.engine.session import get_spark
     from prql_query_spark.engine.sources import load_parquet
     from prql_query_spark.operators.retrieval import (
-        build_bm25_index, hybrid_topk, hybrid_topk_indexed)
+        build_bm25_index, hybrid_topk, hybrid_topk_indexed,
+        term_stats_from_postings)
     from prql_query_spark.operators.similarity import (
         ivfpq_index, pq_codebooks_from_anchors)
 
@@ -100,12 +105,15 @@ def main() -> None:
     d = tempfile.mkdtemp(prefix="pq_hyb_amort_")
     pdir = os.path.join(d, "postings.parquet")
     sdir = os.path.join(d, "stats.parquet")
+    tdir = os.path.join(d, "term_stats.parquet")
     adir = os.path.join(d, "ann.parquet")
 
     def build():
         postings, stats = build_bm25_index(docs)
         postings.sort("term").write.mode("overwrite").parquet(pdir)
         stats.write.mode("overwrite").parquet(sdir)
+        term_stats_from_postings(spark.read.parquet(pdir)).sort("term") \
+            .write.mode("overwrite").parquet(tdir)
         ivfpq_index(emb, anchors, codebooks).sort("_cell") \
             .write.mode("overwrite").parquet(adir)
 
@@ -115,6 +123,14 @@ def main() -> None:
             spark.read.parquet(adir), emb, anchors, codebooks,
             QUERY, query_vec_id=7, k=K, depth=DEPTH, n_probe=N_PROBE))
 
+    def probe_dfcap():
+        ex(hybrid_topk_indexed(
+            spark.read.parquet(pdir), spark.read.parquet(sdir),
+            spark.read.parquet(adir), emb, anchors, codebooks,
+            QUERY, query_vec_id=7, k=K, depth=DEPTH, n_probe=N_PROBE,
+            term_stats=spark.read.parquet(tdir),
+            df_cap_frac=float(DFCAP)))
+
     def direct():
         ex(hybrid_topk(docs, emb, QUERY, query_vec_id=7, k=K, depth=DEPTH))
 
@@ -122,18 +138,29 @@ def main() -> None:
     probe()
     direct()  # warm
     samples = {"build": [], "probe": [], "direct": []}
+    if DFCAP:
+        probe_dfcap()
+        samples["probe_dfcap"] = []
     for _ in range(RUNS):
         t0 = time.time(); build(); samples["build"].append(time.time() - t0)
         t0 = time.time(); probe(); samples["probe"].append(time.time() - t0)
+        if DFCAP:
+            t0 = time.time(); probe_dfcap()
+            samples["probe_dfcap"].append(time.time() - t0)
         t0 = time.time(); direct(); samples["direct"].append(time.time() - t0)
     shutil.rmtree(d, ignore_errors=True)
 
     ms = {n: round(statistics.median(v) * 1000, 1) for n, v in samples.items()}
     out = {"sf_dir": sf_dir, "n_docs": n_docs, "n_vecs": n_vecs,
            "runs": RUNS, **{f"{n}_ms": v for n, v in ms.items()}}
+    if DFCAP:
+        out["df_cap_frac"] = float(DFCAP)
     if ms["direct"] > ms["probe"]:
         out["crossover_queries"] = round(
             ms["build"] / (ms["direct"] - ms["probe"]), 1)
+    if DFCAP and ms["direct"] > ms["probe_dfcap"]:
+        out["crossover_queries_dfcap"] = round(
+            ms["build"] / (ms["direct"] - ms["probe_dfcap"]), 1)
     print(json.dumps(out))
 
 
