@@ -64,6 +64,22 @@ for master in ("local[1]", "local-cluster[2,2,1024]"):
     out["bm25"] = [(r["doc_id"], r["score"]) for r in
                    bm25_topk(docs, "data quality model", k=10).collect()]
 
+    # df-capped index probe (round 8): the capping decision is a
+    # driver-side collect feeding a LITERAL isin pushed to executors,
+    # and the sidecar/stats sides broadcast — in-memory frames stand in
+    # for the parquet index (plan shape is pinned elsewhere; this is
+    # the cross-process differential)
+    from prql_query_spark.operators.retrieval import (
+        build_bm25_index, probe_bm25_index_dfcap,
+        term_stats_from_postings)
+    postings, stats = build_bm25_index(docs)
+    out["dfcap"] = [(r["doc_id"], r["score"]) for r in
+                    probe_bm25_index_dfcap(
+                        postings, stats,
+                        term_stats_from_postings(postings),
+                        "dup data join", k=10,
+                        df_cap_frac=0.2).collect()]
+
     # mapInPandas numpy partial moments (Arrow batches + numpy state
     # crossing executor process boundaries)
     emb = load_parquet(spark, sf + "/embeddings.parquet")
@@ -77,6 +93,7 @@ for master in ("local[1]", "local-cluster[2,2,1024]"):
 a, b = RESULTS["local[1]"], RESULTS["local-cluster[2,2,1024]"]
 print("FLAGSHIP_EQ", a["flagship"] == b["flagship"], len(a["flagship"]))
 print("BM25_EQ", a["bm25"] == b["bm25"], len(a["bm25"]))
+print("DFCAP_EQ", a["dfcap"] == b["dfcap"], len(a["dfcap"]))
 print("MOMENTS_EQ", a["mean0_5"] == b["mean0_5"]
       and a["cov_trace"] == b["cov_trace"])
 """
@@ -94,4 +111,5 @@ def test_local_cluster_matches_local():
     assert proc.returncode == 0, tail
     assert "FLAGSHIP_EQ True" in proc.stdout, tail
     assert "BM25_EQ True" in proc.stdout, tail
+    assert "DFCAP_EQ True" in proc.stdout, tail
     assert "MOMENTS_EQ True" in proc.stdout, tail

@@ -780,6 +780,55 @@ def test_bm25_index_probe_pushes_term_filter(spark, sf_dir, tmp_path):
     assert len(probe.collect()) == 5
 
 
+def test_bm25_dfcap_probe_scans_only_surviving_terms(spark, sf_dir,
+                                                     tmp_path):
+    """probe_bm25_index_dfcap (round 8): the WHOLE point is that
+    dropped stopword-grade terms never reach the posting scan — the
+    pushed `term IN` literal must contain ONLY the surviving terms
+    ('dup' at frac 0.2 on the fixture; 'data'/'join' at ~78% df must
+    be absent from the filter), and the plan keeps the exact probe's
+    shape (broadcast stats, TakeOrderedAndProject, no single-partition
+    pass over postings).  With frac=1.0 the filter must carry all
+    three terms — the degenerate-to-uncapped plan."""
+    import __spark_entry__ as entry
+    from prql_query_spark.operators.retrieval import (
+        build_bm25_index, probe_bm25_index_dfcap,
+        term_stats_from_postings)
+
+    docs = entry._tbl(spark, sf_dir, "documents")
+    postings, stats = build_bm25_index(docs)
+    pdir = str(tmp_path / "postings")
+    sdir = str(tmp_path / "stats")
+    tdir = str(tmp_path / "term_stats")
+    postings.sort("term").write.parquet(pdir)
+    stats.write.parquet(sdir)
+    term_stats_from_postings(spark.read.parquet(pdir)).sort("term") \
+        .write.parquet(tdir)
+
+    p = spark.read.parquet(pdir)
+    s = spark.read.parquet(sdir)
+    t = spark.read.parquet(tdir)
+    probe = probe_bm25_index_dfcap(p, s, t, "dup data join", k=5,
+                                   df_cap_frac=0.2)
+    plan = _plan(spark, probe)
+    # one survivor compiles to EqualTo(term, dup) — even tighter than In
+    pushed = re.search(r"PushedFilters: \[[^\n]*", plan)
+    assert pushed and re.search(
+        r"(EqualTo\(term,dup\)|In\(term, \[dup\])", pushed.group(0)), \
+        f"surviving-terms-only filter not pushed: {pushed}"
+    assert "data" not in pushed.group(0) and "join" not in pushed.group(0)
+    simple = _plan(spark, probe, "simple")
+    assert "TakeOrderedAndProject" in simple
+    assert "BroadcastExchange" in simple  # the 1-row stats side
+    bad = _singlepartition_feeds_only_limits(simple)
+    assert not bad, f"single-partition exchange over postings: {bad}"
+
+    full = probe_bm25_index_dfcap(p, s, t, "dup data join", k=5,
+                                  df_cap_frac=1.0)
+    assert re.search(r"PushedFilters: \[In\(term, \[data,dup,join\]",
+                     _plan(spark, full))
+
+
 def test_bm25_batch_no_corpus_single_partition(spark, sf_dir):
     """bm25_topk_batch (retrieval.py): per-query ranking partitions by
     query id — there must be NO single-partition exchange anywhere (the
