@@ -870,9 +870,16 @@ def probe_minhash_index(
     bands: int = 16,
     k: int = 5,
     broadcast_batch: bool = True,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (new_id, corpus_id, n_bands) matches of a new batch
     against a persisted corpus index.
+
+    ``banded`` optionally supplies the batch's precomputed
+    `_banded_buckets` rows (_id, _band, _bucket) — callers that need
+    the buckets anyway (e.g. stream_dedup_indexed, which also appends
+    them to the persisted index) pass them in so the MinHash signature
+    kernel runs ONCE per batch instead of once per consumer.
 
     Scale shape: the daily batch is orders of magnitude smaller than the
     all-time corpus, so the BATCH side's banded buckets broadcast and the
@@ -886,7 +893,11 @@ def probe_minhash_index(
     the job at ``spark.sql.autoBroadcastJoinThreshold``-scale.  Without
     the hint Spark/AQE picks the join strategy from actual sizes.
     """
-    nb = _banded_buckets(new_df, id_col, text_col, num_perm, bands, k).select(
+    nb = (
+        banded
+        if banded is not None
+        else _banded_buckets(new_df, id_col, text_col, num_perm, bands, k)
+    ).select(
         F.col("_id").alias("new_id"),
         F.col("_band").alias("band"),
         F.col("_bucket").alias("bucket"),
@@ -909,6 +920,7 @@ def dedup_against_corpus(
     k: int = 5,
     index: DataFrame | None = None,
     corpus_hashes: DataFrame | None = None,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: rows of `new_df` that are neither exact nor
     verified near-duplicates (k-shingle Jaccard >= threshold) of any
@@ -945,7 +957,12 @@ def dedup_against_corpus(
         if index is not None
         else build_minhash_index(corpus, id_col, text_col, num_perm, bands, k)
     )
-    cand = probe_minhash_index(stage1, idx, id_col, text_col, num_perm, bands, k)
+    # ``new_banded`` (precomputed buckets of new_df) may cover exact-tier
+    # rejects too: their candidate pairs verify against docs absent from
+    # stage1, so the final anti-join ignores them — same survivors,
+    # probe work bounded by the batch either way.
+    cand = probe_minhash_index(stage1, idx, id_col, text_col, num_perm,
+                               bands, k, banded=new_banded)
     pairs = cand.select(
         pref("n:", "new_id").alias("a"),
         pref("c:", "corpus_id").alias("b"),

@@ -380,7 +380,8 @@ def stream_dedup_indexed(
     ``seed_corpus`` contributes its index/hashes/texts in-memory
     (localCheckpoint) without entering the persisted layout."""
     from prql_query_spark.operators.dedup import (
-        build_minhash_index, dedup_against_corpus, minhash_dedup_cc)
+        _banded_buckets, build_minhash_index, dedup_against_corpus,
+        minhash_dedup_cc)
 
     schema = spark.read.parquet(docs_path).schema
     reader = spark.readStream.schema(schema)
@@ -427,7 +428,15 @@ def stream_dedup_indexed(
         batch_self = minhash_dedup_cc(
             batch_df, id_col=id_col, text_col=text_col,
             threshold=threshold, num_perm=num_perm, bands=bands, k=k,
-        )
+        ).localCheckpoint()
+        # ONE signature pass per batch: these buckets feed BOTH the
+        # corpus-index probe and the survivors' sidecar append (the
+        # semi-join below) — without the reuse the MinHash kernel ran
+        # once inside dedup_against_corpus and again in
+        # build_minhash_index(survivors)
+        bb = _banded_buckets(
+            batch_self, id_col, text_col, num_perm, bands, k
+        ).localCheckpoint()
         texts, idx, hashes = _persisted(batch_id)
         if seed is not None:
             texts = seed if texts is None else seed.unionByName(texts)
@@ -440,6 +449,7 @@ def stream_dedup_indexed(
             survivors = dedup_against_corpus(
                 batch_self, texts, id_col, text_col, threshold,
                 num_perm, bands, k, index=idx, corpus_hashes=hashes,
+                new_banded=bb,
             )
         # one pass feeds three sinks
         survivors = survivors.localCheckpoint()
@@ -451,8 +461,12 @@ def stream_dedup_indexed(
             .parquet(out_dir)
         )
         (
-            build_minhash_index(
-                survivors, id_col, text_col, num_perm, bands, k)
+            bb.join(
+                survivors.select(F.col(id_col).alias("_id")),
+                "_id", "left_semi")
+            .select(F.col("_id").alias("corpus_id"),
+                    F.col("_band").alias("band"),
+                    F.col("_bucket").alias("bucket"))
             .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
