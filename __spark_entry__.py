@@ -1635,17 +1635,18 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_ORDER = [
     # Round-8 rotation (window = 50, maintenance discipline since r6):
     # (a) the 7-query stable regression core (unchanged since r6),
-    # (b) the 3 round-8-new rows (df-capped BM25 serving probe, the
+    # (b) the 4 round-8-new rows (df-capped BM25 serving probe, the
     # planted-positive denoising gate, the persisted-index streaming
-    # dedup), (c) the 13 rows the r7 comment deferred to this window
-    # (the 8 low-risk scalar/identity PRQL rows + x_paragraph_dedup,
-    # x_pagerank, x_nb_classifier, x_mix_corpora, x_gopher_audit — all
-    # judge-verified exact at sf0.01 in the r7 session), then (d) the
-    # stalest previously-green rows, oldest audit first: the 2 r1
-    # leftovers (x_dedup_content, x_minhash_dedup), all 14 remaining
-    # r2 rows, and the first 11 (alphabetical) of the 41 r4 rows.
-    # Deferred to r9: the other 30 r4 rows (x_blocklist_filter ...
-    # x_url_canon, alphabetically after x_bigram_backoff; exact list =
+    # dedup, batched index probing), (c) the 13 rows the r7 comment
+    # deferred to this window (the 8 low-risk scalar/identity PRQL
+    # rows + x_paragraph_dedup, x_pagerank, x_nb_classifier,
+    # x_mix_corpora, x_gopher_audit — all judge-verified exact at
+    # sf0.01 in the r7 session), then (d) the stalest previously-green
+    # rows, oldest audit first: the 2 r1 leftovers (x_dedup_content,
+    # x_minhash_dedup), all 14 remaining r2 rows, and the first 10
+    # (alphabetical) of the 41 r4 rows.
+    # Deferred to r9: the other 31 r4 rows (x_bigram_backoff ...
+    # x_url_canon, alphabetically after x_anomaly_zscore; exact list =
     # CORRECTNESS_r04 keys minus this window) and everything last
     # audited r5+.  The in-repo Arrow-typed parity harness
     # (tools/check_parity.py) still value-checks all entries at both
@@ -1656,6 +1657,7 @@ DRIVER_ORDER = [
     "x_normalize_text", "x_pack_sequences",
     # — round-8-new rows —
     "x_bm25_dfcap", "x_denoise_negatives", "x_stream_dedup_indexed",
+    "x_bm25_index_batch",
     # — the 13 rows deferred from the r7 window —
     "q_case_buckets", "q_coalesce", "q_distinct_status",
     "q_fstring_label", "q_func_inline", "q_having", "q_in_list",
@@ -1669,12 +1671,12 @@ DRIVER_ORDER = [
     "x_hash_split", "x_lang_id", "x_minhash_dedup_cc",
     "x_minhash_pairs", "x_ngram_jaccard", "x_range_join",
     "x_simhash_pairs",
-    # — stalest re-audit: last driver-hashed in r4 (first 11 of 41) —
+    # — stalest re-audit: last driver-hashed in r4 (first 10 of 41) —
     "q_cust_distribution_q13", "q_disjunctive_filter_q19",
     "q_idle_customers_q22", "q_large_orders_q18",
     "q_min_cost_supplier_q2", "q_order_priority_q4",
     "q_promo_revenue_q14", "q_scalar_funcs", "q_volume_shipping_q7",
-    "x_anomaly_zscore", "x_bigram_backoff",
+    "x_anomaly_zscore",
 ]
 
 
@@ -6000,6 +6002,7 @@ EXTENSIONS["x_bm25_dfcap"] = _x_bm25_dfcap
 EXTENSION_ORACLES.update(_bm25_dfcap_oracle())
 
 
+
 def _x_stream_bm25(spark, sf_dir):
     """The STREAMING-maintained BM25 index under the driver gate (round
     7): documents arrive as 3 mtime-ordered parquet files, each
@@ -6226,6 +6229,51 @@ ORDER BY n.query_id, n.rank
 
 EXTENSIONS["x_denoise_negatives"] = _x_denoise_negatives
 EXTENSION_ORACLES.update(_denoise_oracle())
+
+
+def _x_bm25_index_batch(spark, sf_dir):
+    """Batched probing of the persisted BM25 index (round 8): answer a
+    whole request batch from the index in ONE plan — the serving shape
+    that amortizes the measured ~100-150 ms per-job constant
+    (SCALING.md job floor) across queries instead of paying it per
+    query.  One union-pruned posting scan (literal `term IN` — the
+    query list is driver-side, so pruning survives), one window df,
+    the tiny (query, term) map broadcast back, one per-query rank
+    window.  Scores equal N independent index probes AND the direct
+    batch computation exactly (pytest pins both), so the oracle is the
+    direct batch twin."""
+    import shutil
+
+    from prql_query_spark.operators.retrieval import (
+        build_bm25_index, probe_bm25_index_batch)
+
+    docs = _tbl(spark, sf_dir, "documents")
+    postings, stats = build_bm25_index(docs)
+    d = _rt_dir("pq_bm25_bat_")
+    try:
+        postings.sort("term").write.mode("overwrite") \
+            .parquet(os.path.join(d, "postings.parquet"))
+        stats.write.mode("overwrite").parquet(os.path.join(d, "stats.parquet"))
+        out = probe_bm25_index_batch(
+            spark.read.parquet(os.path.join(d, "postings.parquet")),
+            spark.read.parquet(os.path.join(d, "stats.parquet")),
+            _BM25_BATCH, k=10)
+        rows = out.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _bm25_index_batch_oracle() -> dict[str, str]:
+    from prql_query_spark.operators.retrieval import (
+        bm25_topk_batch_oracle_sql)
+
+    return {"x_bm25_index_batch": bm25_topk_batch_oracle_sql(
+        _BM25_BATCH, k=10)}
+
+
+EXTENSIONS["x_bm25_index_batch"] = _x_bm25_index_batch
+EXTENSION_ORACLES.update(_bm25_index_batch_oracle())
 
 
 def _x_exact_quantiles(spark, sf_dir):

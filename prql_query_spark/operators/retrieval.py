@@ -606,6 +606,123 @@ LIMIT {k}
 """
 
 
+def probe_bm25_index_batch(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[object, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    term_stats: DataFrame | None = None,
+    df_cap_frac: float | None = None,
+) -> DataFrame:
+    """Answer a BATCH of queries from the persisted index in ONE plan —
+    the serving-side twin of `bm25_topk_batch`: the per-query job floor
+    (~100-150 ms constant on this build, SCALING.md) is the dominant
+    cost of a single indexed probe at interactive corpus sizes, so a
+    request batch should pay it once, not once per query.
+
+    ``queries`` is a driver-side list of (query_id, query_text) — the
+    serving shape, and what lets the UNION of all queries' terms become
+    the LITERAL `term IN (...)` prune that reaches the parquet scan
+    (a DataFrame query side would join instead and forfeit row-group
+    pruning).  One pruned posting scan, df per term from one window
+    (complete by construction — pruning keeps whole terms), the tiny
+    (query, term) map broadcast back so each query scores only its own
+    terms, one per-query rank window.  Scores/ties identical to
+    probe_bm25_index per query (pinned by pytest), which is itself
+    identical to direct bm25_topk — so the oracle is the direct batch
+    twin.
+
+    ``df_cap_frac`` (with ``term_stats``) applies the WAND-style drop
+    rule PER QUERY via one sidecar read for the union of terms: each
+    query keeps its own surviving terms (min-df fallback per query),
+    and the posting scan prunes to the union of SURVIVORS — equal to
+    running probe_bm25_index_dfcap per query (pinned by pytest).
+
+    Returns (query_id, doc_id, score, rank), rank 1..k per query.
+    """
+    from pyspark.sql import Window
+
+    qterms = {qid: _query_terms(text) for qid, text in queries}
+    if any(not t for t in qterms.values()):
+        raise ValueError("probe_bm25_index_batch: a query has no terms")
+    if df_cap_frac is not None:
+        if term_stats is None:
+            raise ValueError(
+                "probe_bm25_index_batch: df_cap_frac needs the "
+                "term_stats sidecar")
+        union_all = sorted(set().union(*qterms.values()))
+        rows = (
+            term_stats.filter(F.col("term").isin(union_all))
+            .groupBy("term").agg(F.sum("df_partial").alias("df"))
+            .crossJoin(F.broadcast(stats.groupBy().agg(
+                F.sum("n").alias("_n"))))
+            .collect()
+        )
+        dfs = {r["term"]: r["df"] for r in rows}
+        cap = df_cap_frac * (rows[0]["_n"] if rows else 0)
+        capped = {}
+        for qid, terms in qterms.items():
+            present = {t: dfs[t] for t in terms if t in dfs}
+            if not present:
+                capped[qid] = []
+                continue
+            surv = sorted(t for t, df in present.items() if df <= cap)
+            if not surv:
+                m = min(present.values())
+                surv = sorted(t for t, df in present.items() if df == m)
+            capped[qid] = surv
+        qterms = capped
+    union_terms = sorted(set().union(*qterms.values()) or set())
+
+    spark = postings.sparkSession
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in qterms.items() for t in terms],
+        f"{query_id_col} string, term string",
+    ) if union_terms else None
+
+    hits = postings.filter(F.col("term").isin(union_terms)
+                           if union_terms else F.lit(False))
+    scored = (
+        hits.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_avgdl", F.col("sum_dl") / F.col("n"))
+        .withColumn(
+            "_idf",
+            F.log(1.0 + (F.col("n") - F.col("_df") + 0.5)
+                  / (F.col("_df") + 0.5)),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf") * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf")
+               + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))),
+        )
+    )
+    if qt is None:
+        return scored.select(
+            F.lit(None).cast("string").alias(query_id_col),
+            F.col("id").alias(id_col),
+            F.lit(0.0).alias("score"),
+            F.lit(0).cast("long").alias("rank")).limit(0)
+    per_q = (
+        scored.join(F.broadcast(qt), "term")
+        .groupBy(query_id_col, F.col("id").alias(id_col))
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col))
+    return (
+        per_q.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
 def bm25_topk_batch(
     docs: DataFrame,
     queries: DataFrame,

@@ -3733,6 +3733,60 @@ def test_stream_bm25_index_matches_batch(spark, sf_dir, tmp_path):
     assert got_df == want_df
 
 
+def test_probe_bm25_index_batch_matches_per_query(spark, sf_dir):
+    """Batched index probing == N per-query probes, exactly — for both
+    the exact configuration and the df-capped one (per-query drop rule,
+    min-df fallback included); also == the direct batch (the index
+    invariant composes)."""
+    from prql_query_spark.operators.retrieval import (
+        bm25_topk_batch, build_bm25_index, probe_bm25_index,
+        probe_bm25_index_batch, probe_bm25_index_dfcap,
+        term_stats_from_postings,
+    )
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    postings, stats = build_bm25_index(docs)
+    postings = postings.localCheckpoint()
+    stats = stats.localCheckpoint()
+    ts = term_stats_from_postings(postings).localCheckpoint()
+    queries = [("qa", "data quality model"), ("qb", "dup data join"),
+               ("qc", "slow merge sort")]
+
+    got = [(r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in
+           probe_bm25_index_batch(postings, stats, queries,
+                                  k=7).collect()]
+    want = []
+    for qid, text in queries:
+        for i, r in enumerate(
+                probe_bm25_index(postings, stats, text, k=7).collect()):
+            want.append((qid, r["doc_id"], r["score"], i + 1))
+    assert got == sorted(want, key=lambda t: (t[0], t[3]))
+
+    qdf = spark.createDataFrame(
+        queries, "query_id string, query_text string")
+    direct = [(r["query_id"], r["doc_id"], r["score"], r["rank"])
+              for r in bm25_topk_batch(docs, qdf, k=7)
+              .orderBy("query_id", "rank").collect()]
+    assert got == direct
+
+    capped = [(r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in
+              probe_bm25_index_batch(postings, stats, queries, k=7,
+                                     term_stats=ts,
+                                     df_cap_frac=0.2).collect()]
+    want_c = []
+    for qid, text in queries:
+        for i, r in enumerate(
+                probe_bm25_index_dfcap(postings, stats, ts, text, k=7,
+                                       df_cap_frac=0.2).collect()):
+            want_c.append((qid, r["doc_id"], r["score"], i + 1))
+    assert capped == sorted(want_c, key=lambda t: (t[0], t[3]))
+    # 'qb' contains 'dup' -> its capped list differs from exact; 'qa'
+    # is all-stopword -> min-df fallback fires, still 7 rows
+    assert capped != got
+    assert len([r for r in capped if r[0] == "qa"]) == 7
+
+
 def test_probe_bm25_dfcap_rules(spark, sf_dir):
     """df-capped probing: frac=1.0 degenerates to the uncapped probe
     exactly; a mixed query drops stopword-grade terms (equals probing
