@@ -5684,23 +5684,15 @@ def _x_stream_dedup(spark, sf_dir):
     16-band collision probability is 1-1e-10.  Gate-harness caveats
     (local tempdir source/sink): COVERAGE.md 'Gate harness
     assumptions'."""
-    import glob
     import shutil
 
-    from prql_query_spark.streaming.ingest import stream_dedup_growing
+    from prql_query_spark.streaming.ingest import (
+        split_mtime_ordered_batches, stream_dedup_growing)
 
     root = _rt_dir("pq_rt_streamdedup_")
     docs = _tbl(spark, sf_dir, "documents")
     src = os.path.join(root, "src")
-    os.makedirs(src)
-    for b in range(3):
-        stage = os.path.join(root, f"stage{b}")
-        docs.filter(F.col("doc_id") % 3 == b).coalesce(1) \
-            .write.parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"f{b}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    split_mtime_ordered_batches(docs, src, 3)
     out = os.path.join(root, "accepted")
     q = stream_dedup_growing(
         spark, src, out, checkpoint=os.path.join(root, "ck"),
@@ -5761,23 +5753,15 @@ def _x_stream_dedup_indexed(spark, sf_dir):
     batch reads only STRICTLY-EARLIER partitions so it cannot reject
     its own previous output.  Gate-harness caveats (local tempdir
     source/sink): COVERAGE.md 'Gate harness assumptions'."""
-    import glob
     import shutil
 
-    from prql_query_spark.streaming.ingest import stream_dedup_indexed
+    from prql_query_spark.streaming.ingest import (
+        split_mtime_ordered_batches, stream_dedup_indexed)
 
     root = _rt_dir("pq_rt_streamdedupidx_")
     docs = _tbl(spark, sf_dir, "documents")
     src = os.path.join(root, "src")
-    os.makedirs(src)
-    for b in range(3):
-        stage = os.path.join(root, f"stage{b}")
-        docs.filter(F.col("doc_id") % 3 == b).coalesce(1) \
-            .write.parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"f{b}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    split_mtime_ordered_batches(docs, src, 3)
     out = os.path.join(root, "accepted")
     q = stream_dedup_indexed(
         spark, src, out, index_dir=os.path.join(root, "idx"),
@@ -6021,20 +6005,12 @@ def _x_stream_bm25(spark, sf_dir):
 
     from prql_query_spark.operators.retrieval import probe_bm25_index
     from prql_query_spark.streaming.ingest import (
-        read_bm25_index, stream_bm25_index)
+        read_bm25_index, split_mtime_ordered_batches, stream_bm25_index)
 
     root = _rt_dir("pq_rt_streambm25_")
     docs = _tbl(spark, sf_dir, "documents")
     src = os.path.join(root, "src")
-    os.makedirs(src)
-    for b in range(3):
-        stage = os.path.join(root, f"stage{b}")
-        docs.filter(F.col("doc_id") % 3 == b).coalesce(1) \
-            .write.parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"f{b}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    split_mtime_ordered_batches(docs, src, 3)
     idx = os.path.join(root, "index")
     for ckpt in ("/ck1", "/ck2"):  # second pass = full replay, no-op
         q = stream_bm25_index(

@@ -487,6 +487,18 @@ def dfcap_surviving_terms(
     floor at 500k docs — tools/probe_bm25_dfcap.py).  The collect is
     the gated-action pattern (the decision must exist BEFORE the
     posting scan is planned — that is the entire IO saving)."""
+    dfs, n = _collect_query_dfs(term_stats, stats, terms)
+    return _apply_drop_rule(dfs, terms, df_cap_frac * n)
+
+
+def _collect_query_dfs(
+    term_stats: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+) -> tuple[dict, int]:
+    """One driver-side job: ({term: df} for the query's terms present
+    in the index, corpus N) — the sidecar read both dfcap entry points
+    share."""
     rows = (
         term_stats.filter(F.col("term").isin(terms))
         .groupBy("term").agg(F.sum("df_partial").alias("df"))
@@ -494,14 +506,23 @@ def dfcap_surviving_terms(
             F.sum("n").alias("_n"))))
         .collect()
     )
-    if not rows:
+    return ({r["term"]: r["df"] for r in rows},
+            rows[0]["_n"] if rows else 0)
+
+
+def _apply_drop_rule(dfs: dict, terms: list[str], cap: float) -> list[str]:
+    """The pure WAND-style rule, ONE implementation for the single and
+    batch probes (the SQL oracle twin is the deliberate third copy):
+    of the query's indexed terms, keep df <= cap; if none qualifies,
+    keep the min-df term(s)."""
+    present = {t: dfs[t] for t in terms if t in dfs}
+    if not present:
         return []
-    dfs = {r["term"]: r["df"] for r in rows}
-    cap = df_cap_frac * rows[0]["_n"]
-    surviving = sorted(t for t, df in dfs.items() if df <= cap)
+    surviving = sorted(t for t, df in present.items() if df <= cap)
     if not surviving:
-        min_df = min(dfs.values())
-        surviving = sorted(t for t, df in dfs.items() if df == min_df)
+        min_df = min(present.values())
+        surviving = sorted(t for t, df in present.items()
+                           if df == min_df)
     return surviving
 
 
@@ -609,7 +630,7 @@ LIMIT {k}
 def probe_bm25_index_batch(
     postings: DataFrame,
     stats: DataFrame,
-    queries: list[tuple[object, str]],
+    queries: list[tuple[str, str]],
     k: int = 10,
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
@@ -646,6 +667,16 @@ def probe_bm25_index_batch(
     """
     from pyspark.sql import Window
 
+    ids = [qid for qid, _ in queries]
+    if len(set(ids)) != len(ids):
+        raise ValueError(
+            "probe_bm25_index_batch: duplicate query_id in the batch — "
+            "a dict of per-query terms would silently drop requests")
+    if any(not isinstance(qid, str) for qid in ids):
+        raise ValueError(
+            "probe_bm25_index_batch: query ids must be strings (the "
+            "result's query_id column and the oracle twin render them "
+            "as strings)")
     qterms = {qid: _query_terms(text) for qid, text in queries}
     if any(not t for t in qterms.values()):
         raise ValueError("probe_bm25_index_batch: a query has no terms")
@@ -655,27 +686,12 @@ def probe_bm25_index_batch(
                 "probe_bm25_index_batch: df_cap_frac needs the "
                 "term_stats sidecar")
         union_all = sorted(set().union(*qterms.values()))
-        rows = (
-            term_stats.filter(F.col("term").isin(union_all))
-            .groupBy("term").agg(F.sum("df_partial").alias("df"))
-            .crossJoin(F.broadcast(stats.groupBy().agg(
-                F.sum("n").alias("_n"))))
-            .collect()
-        )
-        dfs = {r["term"]: r["df"] for r in rows}
-        cap = df_cap_frac * (rows[0]["_n"] if rows else 0)
-        capped = {}
-        for qid, terms in qterms.items():
-            present = {t: dfs[t] for t in terms if t in dfs}
-            if not present:
-                capped[qid] = []
-                continue
-            surv = sorted(t for t, df in present.items() if df <= cap)
-            if not surv:
-                m = min(present.values())
-                surv = sorted(t for t, df in present.items() if df == m)
-            capped[qid] = surv
-        qterms = capped
+        # ONE sidecar read for the whole batch, then the shared pure
+        # rule per query (the same code path the single probe runs)
+        dfs, n = _collect_query_dfs(term_stats, stats, union_all)
+        cap = df_cap_frac * n
+        qterms = {qid: _apply_drop_rule(dfs, terms, cap)
+                  for qid, terms in qterms.items()}
     union_terms = sorted(set().union(*qterms.values()) or set())
 
     spark = postings.sparkSession

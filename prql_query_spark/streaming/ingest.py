@@ -26,6 +26,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def split_mtime_ordered_batches(
+    df: DataFrame,
+    src_dir: str,
+    n_batches: int = 3,
+    key_col: str = "doc_id",
+) -> None:
+    """Write ``df`` as ``n_batches`` single-file parquet batches under
+    ``src_dir`` (file b holds the rows with key_col % n_batches == b)
+    with PINNED INCREASING mtimes, so a file-source stream's
+    oldest-first order IS the batch order.  This is the deterministic
+    source fixture every streaming gate row, batch-equivalence test,
+    and scale probe shares — first-accepted-wins streams are
+    order-dependent by contract, so the six call sites must agree on
+    the split and the ordering or they silently measure different
+    streams."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    stage_root = tempfile.mkdtemp(prefix="pq_stage_")
+    try:
+        os.makedirs(src_dir, exist_ok=True)
+        for b in range(n_batches):
+            stage = os.path.join(stage_root, f"stage{b}")
+            df.filter(F.col(key_col) % n_batches == b).coalesce(1) \
+                .write.mode("overwrite").parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src_dir, f"f{b}.parquet")
+            _shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    finally:
+        _shutil.rmtree(stage_root, ignore_errors=True)
+
+
 def stream_dedup_against_corpus(
     spark: SparkSession,
     docs_path: str,
@@ -411,17 +445,30 @@ def stream_dedup_indexed(
         # previously-accepted docs against themselves and rewrite its
         # partition smaller — replay stays a deterministic function of
         # (earlier batches, batch input).
-        if not os.path.isdir(out_dir) or not any(
-            f.startswith("_batch_id=") for f in os.listdir(out_dir)
-        ):
+        def _has(d: str) -> bool:
+            return os.path.isdir(d) and any(
+                f.startswith("_batch_id=") for f in os.listdir(d))
+
+        if not _has(out_dir):
             return None, None, None
         earlier = F.col("_batch_id") < batch_id
         texts = spark.read.parquet(out_dir).filter(earlier) \
             .select(id_col, text_col)
-        idx = spark.read.parquet(os.path.join(index_dir, "bands")) \
-            .filter(earlier).drop("_batch_id")
-        hashes = spark.read.parquet(os.path.join(index_dir, "hashes")) \
-            .filter(earlier).drop("_batch_id")
+        bands_d = os.path.join(index_dir, "bands")
+        hashes_d = os.path.join(index_dir, "hashes")
+        if not (_has(bands_d) and _has(hashes_d)):
+            # a crash landed between the accepted-output write and a
+            # sidecar write: reading the missing/partial sidecar would
+            # fail (or silently drop evidence) forever.  Degrade to
+            # deriving BOTH evidence structures from the accepted
+            # texts for this batch — same decisions, growing-variant
+            # cost once; the batch's own sidecar writes self-heal the
+            # layout at commit.
+            return texts, None, None
+        idx = spark.read.parquet(bands_d).filter(earlier) \
+            .drop("_batch_id")
+        hashes = spark.read.parquet(hashes_d).filter(earlier) \
+            .drop("_batch_id")
         return texts, idx, hashes
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -439,10 +486,18 @@ def stream_dedup_indexed(
         ).localCheckpoint()
         texts, idx, hashes = _persisted(batch_id)
         if seed is not None:
-            texts = seed if texts is None else seed.unionByName(texts)
-            idx = seed_idx if idx is None else seed_idx.unionByName(idx)
-            hashes = (seed_hashes if hashes is None
-                      else seed_hashes.unionByName(hashes).distinct())
+            if texts is None:  # nothing on disk yet: seed-only corpus
+                texts, idx, hashes = seed, seed_idx, seed_hashes
+            else:
+                texts = seed.unionByName(texts)
+                # degraded (None) evidence stays None so EVERYTHING —
+                # seed included — derives from the unioned texts; a
+                # seed-only index over seed+accepted texts would
+                # silently skip the accepted side's near-dup evidence
+                idx = (None if idx is None
+                       else seed_idx.unionByName(idx))
+                hashes = (None if hashes is None
+                          else seed_hashes.unionByName(hashes).distinct())
         if texts is None:
             survivors = batch_self
         else:

@@ -3501,24 +3501,15 @@ def test_stream_dedup_indexed_matches_growing(spark, sf_dir, tmp_path):
     adding nothing."""
     import glob as _glob
     import os as _os
-    import shutil as _shutil
 
     from prql_query_spark.streaming.ingest import (
-        stream_dedup_growing, stream_dedup_indexed)
+        split_mtime_ordered_batches, stream_dedup_growing,
+        stream_dedup_indexed)
 
     docs = load_parquet(spark, f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
     in_dir = tmp_path / "in"
-    in_dir.mkdir()
-    for b in range(3):
-        part = docs.filter(F.col("doc_id") % 3 == b)
-        part.coalesce(1).write.mode("overwrite") \
-            .parquet(str(tmp_path / "stage_i" / f"f{b}"))
-        src = _glob.glob(
-            str(tmp_path / "stage_i" / f"f{b}" / "part-*.parquet"))[0]
-        dst = str(in_dir / f"f{b}.parquet")
-        _shutil.copy(src, dst)
-        _os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    split_mtime_ordered_batches(docs, str(in_dir), 3)
 
     def run(fn, out, ck, **kw):
         q = fn(spark, str(in_dir), out, checkpoint=ck, threshold=0.6,
@@ -3559,6 +3550,29 @@ def test_stream_dedup_indexed_matches_growing(spark, sf_dir, tmp_path):
         index_dir=str(tmp_path / "idx"), queryName="t_sdi2")
     assert sorted((r["doc_id"], r["_batch_id"]) for r in
                   spark.read.parquet(out_i).collect()) == got_i
+
+    # crash-degradation: if a sidecar is missing (a crash landed
+    # between the accepted write and the sidecar write), later batches
+    # must DERIVE the evidence from accepted texts instead of failing
+    # or silently dropping rejections — decisions stay identical
+    import shutil as _shutil
+
+    _shutil.rmtree(str(tmp_path / "idx" / "bands"))
+    extra = docs.withColumn("doc_id", F.col("doc_id") + 500_000)
+    extra.coalesce(1).write.parquet(str(tmp_path / "stage_x"))
+    src4 = _glob.glob(str(tmp_path / "stage_x" / "part-*.parquet"))[0]
+    dst4 = str(tmp_path / "in" / "f3.parquet")
+    _shutil.copy(src4, dst4)
+    _os.utime(dst4, (1_000_000_003, 1_000_000_003))
+    run(stream_dedup_indexed, out_i, str(tmp_path / "ck_i"),
+        index_dir=str(tmp_path / "idx"), queryName="t_sdi3")
+    b3 = sorted(r["doc_id"] for r in spark.read.parquet(out_i)
+                .filter(F.col("_batch_id") == 3).collect())
+    # batch 3 is a key-shifted copy of the WHOLE corpus: every doc is a
+    # text-duplicate of something already accepted -> all rejected
+    assert b3 == []
+    # and the batch self-healed its own sidecar partition layout
+    assert (tmp_path / "idx" / "bands").is_dir()
 
 
 def test_mannwhitney_known_values(spark):

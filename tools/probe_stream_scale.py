@@ -66,17 +66,12 @@ def main() -> None:
         .select("doc_id", "text")
     n_docs = docs.count()
 
+    from prql_query_spark.streaming.ingest import (
+        split_mtime_ordered_batches)
+
     root = tempfile.mkdtemp(prefix="pq_stream_scale_")
     src = os.path.join(root, "src")
-    os.makedirs(src)
-    for b in range(N_BATCHES):
-        stage = os.path.join(root, f"stage{b}")
-        docs.filter(F.col("doc_id") % N_BATCHES == b).coalesce(1) \
-            .write.parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"f{b}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    split_mtime_ordered_batches(docs, src, N_BATCHES)
 
     out: dict = {"sf1_dir": sf1, "n_docs": n_docs, "n_batches": N_BATCHES}
 
@@ -140,15 +135,7 @@ def main() -> None:
                 F.xxhash64(F.col("doc_id") * 1000 + i)).cast("string"),
         )).alias("text"))
     src_u = os.path.join(root, "src_u")
-    os.makedirs(src_u)
-    for b in range(N_BATCHES):
-        stage = os.path.join(root, f"stage_u{b}")
-        uniq.filter(F.col("doc_id") % N_BATCHES == b).coalesce(1) \
-            .write.parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(src_u, f"f{b}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    split_mtime_ordered_batches(uniq, src_u, N_BATCHES)
 
     q = stream_dedup_growing(
         spark, src_u, os.path.join(root, "u_grow_out"),
