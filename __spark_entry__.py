@@ -6000,7 +6000,6 @@ def _x_stream_bm25(spark, sf_dir):
     a batch boundary leaking into scores) hash-mismatches.  Gate-harness
     caveats (local tempdir source/sink): COVERAGE.md 'Gate harness
     assumptions'."""
-    import glob
     import shutil
 
     from prql_query_spark.operators.retrieval import probe_bm25_index

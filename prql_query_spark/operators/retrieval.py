@@ -425,22 +425,24 @@ def probe_bm25_index(
     return _score_pruned_postings(postings, stats, terms, k, id_col, k1, b)
 
 
-def _score_pruned_postings(
+def _scored_hits(
     postings: DataFrame,
     stats: DataFrame,
     terms: list[str],
-    k: int,
-    id_col: str,
     k1: float,
     b: float,
 ) -> DataFrame:
-    """Shared probe kernel: literal `term IN (...)` prune (the predicate
-    that reaches the parquet scan), window df over the pruned postings,
-    broadcast stats, BM25 score, TakeOrderedAndProject top-k."""
+    """ONE implementation of the index-probe scoring kernel, shared by
+    the single, df-capped, and batch probes (a drifted copy would break
+    the pinned single==batch invariant): literal `term IN (...)` prune
+    — the predicate that reaches the parquet scan — window df over the
+    pruned postings (complete by construction: pruning keeps whole
+    terms), broadcast stats, per-(doc, term) BM25 contribution `_s`."""
     from pyspark.sql import Window
 
-    hits = postings.filter(F.col("term").isin(terms))
-    scored = (
+    hits = postings.filter(
+        F.col("term").isin(terms) if terms else F.lit(False))
+    return (
         hits.withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(stats))
@@ -457,6 +459,20 @@ def _score_pruned_postings(
                + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))),
         )
     )
+
+
+def _score_pruned_postings(
+    postings: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Single-query probe: the shared kernel folded per doc, then
+    TakeOrderedAndProject top-k."""
+    scored = _scored_hits(postings, stats, terms, k1, b)
     return (
         scored.groupBy(F.col("id").alias(id_col))
         .agg(F.round(F.sum("_s"), 6).alias("score"))
@@ -700,25 +716,7 @@ def probe_bm25_index_batch(
         f"{query_id_col} string, term string",
     ) if union_terms else None
 
-    hits = postings.filter(F.col("term").isin(union_terms)
-                           if union_terms else F.lit(False))
-    scored = (
-        hits.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("term")))
-        .crossJoin(F.broadcast(stats))
-        .withColumn("_avgdl", F.col("sum_dl") / F.col("n"))
-        .withColumn(
-            "_idf",
-            F.log(1.0 + (F.col("n") - F.col("_df") + 0.5)
-                  / (F.col("_df") + 0.5)),
-        )
-        .withColumn(
-            "_s",
-            F.col("_idf") * F.col("tf") * (k1 + 1.0)
-            / (F.col("tf")
-               + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))),
-        )
-    )
+    scored = _scored_hits(postings, stats, union_terms, k1, b)
     if qt is None:
         return scored.select(
             F.lit(None).cast("string").alias(query_id_col),

@@ -445,25 +445,27 @@ def stream_dedup_indexed(
         # previously-accepted docs against themselves and rewrite its
         # partition smaller — replay stays a deterministic function of
         # (earlier batches, batch input).
-        def _has(d: str) -> bool:
-            return os.path.isdir(d) and any(
-                f.startswith("_batch_id=") for f in os.listdir(d))
-
-        if not _has(out_dir):
+        out_ids = _batch_partition_ids(out_dir)
+        earlier_ids = {i for i in out_ids if i < batch_id}
+        if not earlier_ids:
             return None, None, None
         earlier = F.col("_batch_id") < batch_id
         texts = spark.read.parquet(out_dir).filter(earlier) \
             .select(id_col, text_col)
         bands_d = os.path.join(index_dir, "bands")
         hashes_d = os.path.join(index_dir, "hashes")
-        if not (_has(bands_d) and _has(hashes_d)):
-            # a crash landed between the accepted-output write and a
-            # sidecar write: reading the missing/partial sidecar would
-            # fail (or silently drop evidence) forever.  Degrade to
-            # deriving BOTH evidence structures from the accepted
-            # texts for this batch — same decisions, growing-variant
-            # cost once; the batch's own sidecar writes self-heal the
-            # layout at commit.
+        # per-PARTITION reconciliation, not directory existence: the
+        # sidecars are trustworthy only if they cover EVERY earlier
+        # accepted batch.  A crash between the accepted write and a
+        # sidecar write — or any later partition loss — would otherwise
+        # either fail the read forever (missing dir) or, worse,
+        # silently accept near-duplicates of the batches whose LSH rows
+        # are gone.  Degrade to deriving BOTH evidence structures from
+        # the accepted texts (same decisions, growing-variant cost);
+        # `repair_dedup_index` rebuilds the lost partitions offline so
+        # the fast path returns.
+        if not (earlier_ids <= _batch_partition_ids(bands_d)
+                and earlier_ids <= _batch_partition_ids(hashes_d)):
             return texts, None, None
         idx = spark.read.parquet(bands_d).filter(earlier) \
             .drop("_batch_id")
@@ -546,6 +548,72 @@ def stream_dedup_indexed(
         .queryName(queryName)
         .start()
     )
+
+
+def _batch_partition_ids(d: str) -> set[int]:
+    """The `_batch_id` partition ids present under a sink directory
+    (empty set when the directory is missing) — one listdir, the unit
+    of the sidecar completeness check and of repair."""
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    for f in os.listdir(d):
+        if f.startswith("_batch_id="):
+            try:
+                out.add(int(f.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return out
+
+
+def repair_dedup_index(
+    spark: SparkSession,
+    out_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> dict:
+    """Rebuild missing `stream_dedup_indexed` sidecar partitions from
+    the accepted warehouse — the offline reconciliation that restores
+    the fast probe path after a sidecar loss (crash between sink
+    writes, retention mishap, partial restore).  The sidecars are pure
+    derivations of the accepted texts, so a rebuild is always safe:
+    for every `_batch_id` partition present in ``out_dir`` but absent
+    from `bands/` or `hashes/`, recompute that partition's rows from
+    its accepted docs and write it (dynamic overwrite — idempotent).
+    Until this runs, `stream_dedup_indexed` keeps making IDENTICAL
+    decisions via the degraded derive-from-texts path, so repair is a
+    cost optimization, never a correctness event.
+
+    Returns {"bands": [rebuilt ids...], "hashes": [...]}."""
+    from prql_query_spark.operators.dedup import build_minhash_index
+
+    out_ids = _batch_partition_ids(out_dir)
+    rebuilt: dict = {"bands": [], "hashes": []}
+    for part, make in (
+        ("bands", lambda df: build_minhash_index(
+            df, id_col, text_col, num_perm, bands, k)),
+        ("hashes", lambda df: df.select(
+            F.xxhash64(F.lower(F.col(text_col))).alias("_ch"))
+            .distinct()),
+    ):
+        d = os.path.join(index_dir, part)
+        for bid in sorted(out_ids - _batch_partition_ids(d)):
+            src = spark.read.parquet(out_dir) \
+                .filter(F.col("_batch_id") == bid) \
+                .select(id_col, text_col)
+            (
+                make(src).withColumn("_batch_id", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(d)
+            )
+            rebuilt[part].append(bid)
+    return rebuilt
 
 
 def stream_bm25_index(

@@ -3551,15 +3551,29 @@ def test_stream_dedup_indexed_matches_growing(spark, sf_dir, tmp_path):
     assert sorted((r["doc_id"], r["_batch_id"]) for r in
                   spark.read.parquet(out_i).collect()) == got_i
 
-    # crash-degradation: if a sidecar is missing (a crash landed
-    # between the accepted write and the sidecar write), later batches
-    # must DERIVE the evidence from accepted texts instead of failing
-    # or silently dropping rejections — decisions stay identical
+    # sidecar-loss degradation (round-8 review finding): lose ONE bands
+    # partition — the exact-hash tier stays intact, so only the LSH
+    # evidence of batch 1 is gone.  Batch 3 mixes (a) PERTURBED
+    # near-dups of batch-1-accepted docs (text + ' zz' -> different
+    # hash, shingle-Jaccard still >= 0.6 — only LSH can reject them)
+    # with (b) genuinely novel docs.  The per-partition completeness
+    # check must route batch 3 through the derive-from-texts path so
+    # (a) is rejected and (b) accepted — a directory-existence check
+    # would silently accept every (a).
     import shutil as _shutil
 
-    _shutil.rmtree(str(tmp_path / "idx" / "bands"))
-    extra = docs.withColumn("doc_id", F.col("doc_id") + 500_000)
-    extra.coalesce(1).write.parquet(str(tmp_path / "stage_x"))
+    _shutil.rmtree(str(tmp_path / "idx" / "bands" / "_batch_id=1"))
+    b1_accepted = spark.read.parquet(out_i) \
+        .filter(F.col("_batch_id") == 1).select("doc_id", "text")
+    near = b1_accepted.limit(5).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"))
+    novel = spark.createDataFrame(
+        [(900_000 + i,
+          f"novelword{i} " + " ".join(f"tok{i}x{j}" for j in range(40)))
+         for i in range(3)], "doc_id long, text string")
+    batch3 = near.unionByName(novel)
+    batch3.coalesce(1).write.parquet(str(tmp_path / "stage_x"))
     src4 = _glob.glob(str(tmp_path / "stage_x" / "part-*.parquet"))[0]
     dst4 = str(tmp_path / "in" / "f3.parquet")
     _shutil.copy(src4, dst4)
@@ -3568,11 +3582,27 @@ def test_stream_dedup_indexed_matches_growing(spark, sf_dir, tmp_path):
         index_dir=str(tmp_path / "idx"), queryName="t_sdi3")
     b3 = sorted(r["doc_id"] for r in spark.read.parquet(out_i)
                 .filter(F.col("_batch_id") == 3).collect())
-    # batch 3 is a key-shifted copy of the WHOLE corpus: every doc is a
-    # text-duplicate of something already accepted -> all rejected
-    assert b3 == []
-    # and the batch self-healed its own sidecar partition layout
-    assert (tmp_path / "idx" / "bands").is_dir()
+    assert b3 == [900_000, 900_001, 900_002], b3
+
+    # offline repair rebuilds exactly the lost partition from the
+    # warehouse, after which the completeness check passes again
+    from prql_query_spark.streaming.ingest import (
+        _batch_partition_ids, repair_dedup_index)
+
+    rebuilt = repair_dedup_index(spark, out_i, str(tmp_path / "idx"))
+    assert rebuilt["bands"] == [1] and rebuilt["hashes"] == []
+    assert _batch_partition_ids(str(tmp_path / "idx" / "bands")) \
+        >= {0, 1, 2}
+    # rebuilt rows equal the original build for batch 1's survivors
+    from prql_query_spark.operators.dedup import build_minhash_index
+
+    got_rows = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "idx" / "bands"))
+        .filter(F.col("_batch_id") == 1)
+        .select("corpus_id", "band", "bucket").collect()))
+    want_rows = sorted(map(tuple,
+                       build_minhash_index(b1_accepted).collect()))
+    assert got_rows == want_rows
 
 
 def test_mannwhitney_known_values(spark):

@@ -24,7 +24,6 @@ Usage: python tools/probe_stream_scale.py [sf1_dir]
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import shutil
