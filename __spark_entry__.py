@@ -1635,29 +1635,32 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_ORDER = [
     # Round-8 rotation (window = 50, maintenance discipline since r6):
     # (a) the 7-query stable regression core (unchanged since r6),
-    # (b) the 4 round-8-new rows (df-capped BM25 serving probe, the
+    # (b) the 7 round-8-new rows (df-capped BM25 serving probe, the
     # planted-positive denoising gate, the persisted-index streaming
-    # dedup, batched index probing), (c) the 13 rows the r7 comment
-    # deferred to this window (the 8 low-risk scalar/identity PRQL
-    # rows + x_paragraph_dedup, x_pagerank, x_nb_classifier,
-    # x_mix_corpora, x_gopher_audit — all judge-verified exact at
-    # sf0.01 in the r7 session), then (d) the stalest previously-green
-    # rows, oldest audit first: the 2 r1 leftovers (x_dedup_content,
-    # x_minhash_dedup), all 14 remaining r2 rows, and the first 10
+    # dedup, batched index probing, exact heavy hitters, the exact
+    # prefix-filtered similarity join, the stateful streaming
+    # sessionizer), (c) the 13 rows the r7 comment deferred to this
+    # window (the 8 low-risk scalar/identity PRQL rows +
+    # x_paragraph_dedup, x_pagerank, x_nb_classifier, x_mix_corpora,
+    # x_gopher_audit — all judge-verified exact at sf0.01 in the r7
+    # session), then (d) the stalest previously-green rows, oldest
+    # audit first: the 2 r1 leftovers (x_dedup_content,
+    # x_minhash_dedup), all 14 remaining r2 rows, and the first 7
     # (alphabetical) of the 41 r4 rows.
-    # Deferred to r9: the other 31 r4 rows (x_bigram_backoff ...
-    # x_url_canon, alphabetically after x_anomaly_zscore; exact list =
-    # CORRECTNESS_r04 keys minus this window) and everything last
-    # audited r5+.  The in-repo Arrow-typed parity harness
-    # (tools/check_parity.py) still value-checks all entries at both
-    # gate SFs every round.
+    # Deferred to r9: the other 34 r4 rows (q_scalar_funcs,
+    # q_volume_shipping_q7, x_anomaly_zscore, then
+    # x_bigram_backoff ... x_url_canon; exact list = CORRECTNESS_r04
+    # keys minus this window) and everything last audited r5+.  The
+    # in-repo Arrow-typed parity harness (tools/check_parity.py) still
+    # value-checks all entries at both gate SFs every round.
     # — stable regression core (7) —
     "q_agg_q1", "q_join_agg_q5", "q_flagship_monthly",
     "q_priority_lines_q12", "x_constraint_audit",
     "x_normalize_text", "x_pack_sequences",
     # — round-8-new rows —
     "x_bm25_dfcap", "x_denoise_negatives", "x_stream_dedup_indexed",
-    "x_bm25_index_batch",
+    "x_bm25_index_batch", "x_heavy_hitters", "x_jaccard_prefix",
+    "x_stream_sessions",
     # — the 13 rows deferred from the r7 window —
     "q_case_buckets", "q_coalesce", "q_distinct_status",
     "q_fstring_label", "q_func_inline", "q_having", "q_in_list",
@@ -1671,12 +1674,11 @@ DRIVER_ORDER = [
     "x_hash_split", "x_lang_id", "x_minhash_dedup_cc",
     "x_minhash_pairs", "x_ngram_jaccard", "x_range_join",
     "x_simhash_pairs",
-    # — stalest re-audit: last driver-hashed in r4 (first 10 of 41) —
+    # — stalest re-audit: last driver-hashed in r4 (first 7 of 41) —
     "q_cust_distribution_q13", "q_disjunctive_filter_q19",
     "q_idle_customers_q22", "q_large_orders_q18",
     "q_min_cost_supplier_q2", "q_order_priority_q4",
-    "q_promo_revenue_q14", "q_scalar_funcs", "q_volume_shipping_q7",
-    "x_anomaly_zscore",
+    "q_promo_revenue_q14",
 ]
 
 
@@ -6439,4 +6441,164 @@ FROM events GROUP BY 1, 2
 EXTENSION_ORACLES["x_bloom_prefilter"] = """
 SELECT doc_id, md5(text) AS h FROM documents
 WHERE md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % 13 = 0)
+"""
+
+
+def _x_heavy_hitters(spark, sf_dir):
+    """EXACT phi-heavy hitters (phi = 1/100) over whitespace tokens:
+    per-partition Misra-Gries candidates (bounded summary, capacity >=
+    1/phi so recall is provable — analytics.heavy_hitters docstring) ->
+    broadcast exact-verify pass.  Output is exactly the naive
+    GROUP BY ... HAVING set, so the oracle is that twin with the same
+    integer cross-multiplied threshold (no float boundary).  The
+    fixture discriminates: 30 near-uniform tokens at ~3.3% pass, the
+    rare 'dup' token (~0.1%) is correctly excluded."""
+    from prql_query_spark.operators.analytics import heavy_hitters
+    from prql_query_spark.operators.text import tokens
+
+    docs = _tbl(spark, sf_dir, "documents")
+    items = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    return heavy_hitters(items, "term", phi_num=1, phi_den=100) \
+        .orderBy(F.desc("cnt"), "term")
+
+
+EXTENSIONS["x_heavy_hitters"] = _x_heavy_hitters
+EXTENSION_ORACLES["x_heavy_hitters"] = """
+WITH t AS (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+), tot AS (SELECT COUNT(*) AS n FROM t WHERE term IS NOT NULL)
+SELECT term, COUNT(*) AS cnt, (SELECT n FROM tot) AS n_total
+FROM t WHERE term IS NOT NULL
+GROUP BY term HAVING COUNT(*) * 100 > 1 * (SELECT n FROM tot)
+ORDER BY cnt DESC, term
+"""
+
+
+def _x_jaccard_prefix(spark, sf_dir):
+    """EXACT near-dup pair discovery via prefix filtering (AllPairs/
+    PPJoin) at t = 3/5 on 5-shingles: deterministic total recall —
+    the exact complement to the probabilistic minhash rows — with no
+    all-pairs join in the plan (pinned by test_plans).  The oracle IS
+    the all-pairs twin (fixture-sized), threshold integer
+    cross-multiplied on both sides so the boundary is float-free;
+    jaccard values are cardinality ratios, hash-family independent.
+    Fixture caveat (same as the minhash rows): real pairs sit at
+    j >= 0.92, so the [0.6, 0.92) borderline band is covered by
+    pytest's planted boundary pairs, not this row."""
+    from prql_query_spark.operators.dedup import jaccard_join_prefix
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return jaccard_join_prefix(docs, t_num=3, t_den=5) \
+        .orderBy("a", "b")
+
+
+EXTENSIONS["x_jaccard_prefix"] = _x_jaccard_prefix
+EXTENSION_ORACLES["x_jaccard_prefix"] = """
+WITH s AS (
+    SELECT doc_id, list_distinct(list_transform([substr(lt, x, 5)
+               for x in range(1, greatest(len(lt) - 4, 1) + 1)],
+               g -> hash(g))) AS ts
+    FROM (SELECT doc_id, lower(text) AS lt FROM documents)
+), sized AS (SELECT doc_id, ts, len(ts) AS n FROM s)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+             / (a.n + b.n - len(list_intersect(a.ts, b.ts))), 4) AS jaccard
+FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ts, b.ts)) * 5
+      >= 3 * (a.n + b.n - len(list_intersect(a.ts, b.ts)))
+ORDER BY a, b
+"""
+
+
+def _x_stream_sessions(spark, sf_dir):
+    """The applyInPandasWithState sessionizer under the driver gate —
+    the first value-oracle evidence for the CUSTOM-stateful streaming
+    tier (x_stream_tumbling covers the built-in watermark agg; this row
+    covers the explicit per-key state machine, streaming/stateful.py).
+
+    Drive-to-completion shape: events (value pre-quantized to integer
+    cents so Python's sequential accumulation and SQL's SUM agree
+    bit-for-bit) are split into 3 TIME-RANGE batch files with pinned
+    increasing mtimes (per-user arrival order == event-time order, the
+    property a log-backed production source provides), then a 4th
+    SENTINEL batch adds one far-future event per user (global max ts
+    + 2 h > the 30 min gap), forcing the gap logic to CLOSE every real
+    trailing session deterministically — the sentinel's own session
+    stays in state and is never emitted.  Timeout mode is NoTimeout:
+    with the sentinel supplying the closing evidence, the wall-clock
+    flush (production's idle-key path, pytest-covered under
+    ProcessingTimeTimeout) is not needed — and under
+    ProcessingTimeTimeout the query never idles (the state-cleanup
+    microbatch loop runs even under trigger(availableNow), measured at
+    ~390 empty epochs before this row switched modes).
+    Driven with trigger(availableNow): the query consumes the 4 files
+    (one microbatch each) then terminates itself.
+    Oracle: the batch gaps-and-islands twin over the same events.
+    Gate-harness caveats (memory sink, local tempdir source):
+    COVERAGE.md 'Gate harness assumptions'."""
+    import shutil
+    import uuid
+
+    from prql_query_spark.streaming.ingest import split_mtime_ts_batches
+    from prql_query_spark.streaming.stateful import stream_user_sessions
+
+    root = _rt_dir("pq_rt_streamsess_")
+    ev = _tbl(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint").cast("double").alias("value"))
+    src = os.path.join(root, "src")
+    split_mtime_ts_batches(ev, src, 3)
+    far = ev.agg(F.max("ts").alias("m")).select(
+        (F.col("m") + F.expr("INTERVAL 2 HOURS")).alias("ts"))
+    sent = ev.select("user_id").distinct().crossJoin(F.broadcast(far)) \
+        .select((-F.col("user_id") - 1).alias("event_id"), "user_id",
+                "ts", F.lit(0.0).alias("value"))
+    split_mtime_ts_batches(sent, src, 1, tiebreak="user_id",
+                           start_batch=3)
+    name = "pq_gate_sess_" + uuid.uuid4().hex[:8]
+    q = stream_user_sessions(
+        spark, src, gap="30 minutes", queryName=name,
+        timeout_ms=None, max_files_per_trigger=1,
+        available_now=True)
+    try:
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        q.stop()
+    res = (
+        spark.table(name)
+        .select("user_id", "session_start", "session_end", "n_events",
+                F.col("session_value").cast("bigint")
+                 .alias("session_value_cents"))
+        .orderBy("user_id", "session_start")
+    )
+    rows = res.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, res.schema)
+
+
+EXTENSIONS["x_stream_sessions"] = _x_stream_sessions
+EXTENSION_ORACLES["x_stream_sessions"] = """
+WITH e AS (
+    SELECT user_id, ts,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+), o AS (
+    SELECT user_id, ts, cents,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+    SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS session_value_cents
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
 """

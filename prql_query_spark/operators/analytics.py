@@ -595,6 +595,109 @@ def topk_sketch_merge(
     return sketches.agg(est)
 
 
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    phi_num: int = 1,
+    phi_den: int = 100,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT phi-heavy hitters: every item whose count exceeds
+    ``phi_num/phi_den`` of the total, with its exact count — the exact
+    complement to `topk_sketch_build` (which estimates).
+
+    Two passes, never a full-vocabulary shuffle:
+
+    1. *Candidates* — a per-partition Misra-Gries summary with
+       ``capacity`` counters (`mapInPandas`, vectorized `value_counts`
+       merge; overflow subtracts the (capacity+1)-th largest counter
+       from all and drops the non-positive — the mergeable-summaries
+       rule, so per-partition undercount <= n_p/(capacity+1)).  Each
+       partition emits <= capacity candidate rows plus one row-count
+       sentinel; the exchange is bounded by capacity x partitions,
+       independent of vocabulary size.
+
+       Recall proof (why the output is exact, not approximate): take
+       capacity >= phi_den/phi_num.  If an item's GLOBAL count exceeds
+       phi*N, then on at least one partition its count exceeds
+       phi*n_p >= n_p/(capacity+1) (pigeonhole over the partition
+       decomposition), so its counter there survives and the item is in
+       the candidate union.  No false negatives; false positives are
+       removed by pass 2.
+
+    2. *Verify* — exact counts for candidates only: a broadcast
+       semi-join (candidate set <= capacity x partitions rows) filters
+       the item stream before one map-side-combined aggregate, so the
+       shuffle carries only candidate keys.  The phi threshold is
+       integer cross-multiplied (``cnt * phi_den > phi_num * N``) — no
+       float boundary, so a DuckDB HAVING twin matches exactly.
+
+    NULL items are excluded from both the candidates and the total N
+    (document the same WHERE in any SQL twin).  Output:
+    ``(item_col, cnt, n_total)``, unordered.
+
+    At 100 TB: pass 1 is a narrow map whose only exchange is the
+    <= capacity x partitions summary (the distinct/total aggregates run
+    over that bounded set, and the candidate set re-enters pass 2 as a
+    broadcast); pass 2's aggregate shuffles only candidate keys.
+    Contrast with the naive GROUP BY + HAVING, whose exchange carries
+    the full vocabulary.  Measured on the 50k-vocab Zipfian scratch
+    fixture in tools/probe_heavy_hitters.py.
+    """
+    import math
+
+    if phi_num <= 0 or phi_den <= 0:
+        raise ValueError("phi must be positive")
+    k = capacity if capacity is not None else math.ceil(phi_den / phi_num)
+    if k < phi_den / phi_num:
+        raise ValueError(
+            f"capacity={k} < 1/phi={phi_den}/{phi_num}: the Misra-Gries "
+            "recall guarantee needs capacity >= phi_den/phi_num — a "
+            "smaller summary could drop a true heavy hitter")
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    items = df.select(F.col(item_col).cast("string").alias("_item")) \
+        .filter(F.col("_item").isNotNull())
+
+    summary_schema = T.StructType([
+        T.StructField("_item", T.StringType()),
+        T.StructField("_w", T.LongType()),
+    ])
+
+    def mg(batches):
+        counters = pd.Series(dtype="int64")
+        n_rows = 0
+        for pdf in batches:
+            vc = pdf["_item"].value_counts()
+            n_rows += int(vc.sum())
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                kth = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > kth] - kth
+        out = {"_item": [None], "_w": [n_rows]}
+        if len(counters):
+            out["_item"] = list(counters.index) + out["_item"]
+            out["_w"] = [int(w) for w in counters.values] + out["_w"]
+        yield pd.DataFrame(out)
+
+    summary = items.mapInPandas(mg, summary_schema).cache()
+    total = summary.filter(F.col("_item").isNull()) \
+        .agg(F.sum("_w").alias("n_total"))
+    cands = summary.filter(F.col("_item").isNotNull()) \
+        .select("_item").distinct()
+    exact = (
+        items.join(F.broadcast(cands), "_item")
+        .groupBy("_item").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * phi_den > phi_num * F.col("n_total"))
+        .select(F.col("_item").alias(item_col), "cnt", "n_total")
+    )
+
+
 def chi2_independence(
     df: DataFrame,
     col_a: str,

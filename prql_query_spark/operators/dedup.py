@@ -535,6 +535,124 @@ def ngram_jaccard(
     )
 
 
+def _prefix_candidates(
+    docs: DataFrame, t_num: int, t_den: int,
+    id_col: str, text_col: str, k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, ordered per-doc sets) — the discovery half of
+    `jaccard_join_prefix`, separated so tools/probe_prefix_join.py can
+    count the candidate volume the prefix filter actually admits."""
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+
+    sh = _shingle_hash_arrays(docs, id_col, text_col, k)
+    ex = sh.select("_jid", F.explode("_sh").alias("_h"))
+    dfreq = ex.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        ex.join(dfreq, "_h")
+        .groupBy("_jid")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_h"))).alias("_o"))
+        .select(
+            "_jid",
+            F.transform("_o", lambda s: s["_h"]).alias("_ts"),
+            F.size("_o").alias("_n"),
+        )
+    )
+    # p = n - ceil(t*n) + 1, integer-exact
+    p = (F.col("_n")
+         - F.expr(f"(_n * {t_num} + {t_den} - 1) div {t_den}") + 1)
+    pref = ordered.select(
+        "_jid", "_n", F.explode(F.slice("_ts", F.lit(1), p)).alias("_h"))
+    cand = (
+        pref.alias("pa").join(
+            pref.alias("pb"),
+            (F.col("pa._h") == F.col("pb._h"))
+            & (F.col("pa._jid") < F.col("pb._jid"))
+            & (F.least("pa._n", "pb._n") * t_den
+               >= F.greatest("pa._n", "pb._n") * t_num),
+        )
+        .select(F.col("pa._jid").alias("a"), F.col("pb._jid").alias("b"))
+        .distinct()
+    )
+    return cand, ordered
+
+
+def jaccard_join_prefix(
+    docs: DataFrame,
+    t_num: int = 3,
+    t_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin family): every pair ``a < b`` whose k-shingle Jaccard is
+    >= ``t_num/t_den``, with the exact value — the deterministic-recall
+    complement to ``minhash_lsh_pairs``, whose banding recall is
+    probabilistic and decays toward the threshold.  No all-pairs join
+    exists in the plan (pinned by test_plans).
+
+    How recall is total without comparing everything: order every
+    document's shingle set by a GLOBAL rarest-first total order
+    (document frequency asc, hash asc), and take each document's
+    *prefix* of length ``p = n - ceil(t*n) + 1``.  Two documents can
+    reach Jaccard >= t only if their prefixes share a shingle:
+
+        Suppose A's prefix shares nothing with B.  All common shingles
+        then sit in A's suffix, so |A∩B| <= n_a - p = ceil(t*n_a) - 1.
+        But J >= t forces |A∩B| >= t/(1+t) * (n_a+n_b) >= t*n_a (using
+        n_b >= t*n_a, itself implied by J >= t), i.e. |A∩B| >=
+        ceil(t*n_a) — contradiction.  (Symmetric in A/B.)
+
+    So the candidate generator is an equi-join on PREFIX shingles only,
+    plus the length filter ``min(n)*t_den >= max(n)*t_num`` (J >= t
+    implies min/max >= t).  Both the length filter and the final accept
+    are integer cross-multiplied — no float threshold boundary, so a
+    DuckDB all-pairs twin matches exactly.
+
+    Shingles are 64-bit-hashed (the shared `_shingle_hash_arrays` Arrow
+    kernel): set cardinalities — the only thing Jaccard observes — are
+    hash-family independent modulo ~1e-8 collisions, same contract as
+    `ngram_jaccard`.
+
+    At 100 TB: stages are (1) shingle-hash map, (2) one df aggregate
+    over exploded shingles, (3) join-back + per-doc sort (the exchange
+    is on ``id``), (4) candidate equi-join keyed on PREFIX shingles —
+    the rarest ~(1-t) fraction of each document's set by construction,
+    so bucket sizes are bounded by LOW dfs and the join never sees the
+    stopword-grade shingles that would blow up a naive token join,
+    (5) verify join on the candidate pair set only.  Candidate volume
+    is sum over prefix shingles of df_prefix(h)^2 — measured against
+    |corpus|^2 in tools/probe_prefix_join.py.  The verify stage re-reads
+    the per-doc sets via the same melt/fold shape as `ngram_jaccard`
+    (each side's array computed once).
+    """
+    cand, ordered = _prefix_candidates(docs, t_num, t_den, id_col,
+                                       text_col, k)
+    melted = cand.select(
+        "a", "b",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("_side"), F.col("a").alias("_jid")),
+            F.struct(F.lit(1).alias("_side"), F.col("b").alias("_jid")),
+        )).alias("_m"),
+    ).select("a", "b", F.col("_m._side").alias("_side"),
+             F.col("_m._jid").alias("_jid"))
+    folded = (
+        melted.join(ordered.select("_jid", "_ts"), "_jid")
+        .groupBy("a", "b")
+        .agg(
+            F.max(F.when(F.col("_side") == 0, F.col("_ts"))).alias("_ta"),
+            F.max(F.when(F.col("_side") == 1, F.col("_ts"))).alias("_tb"),
+        )
+        .withColumn("_i", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn("_u", F.size("_ta") + F.size("_tb") - F.col("_i"))
+    )
+    return (
+        folded.filter(F.col("_i") * t_den >= t_num * F.col("_u"))
+        .select("a", "b", F.round(F.col("_i") / F.col("_u"), 4).alias("jaccard"))
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

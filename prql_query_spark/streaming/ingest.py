@@ -60,6 +60,53 @@ def split_mtime_ordered_batches(
         _shutil.rmtree(stage_root, ignore_errors=True)
 
 
+def split_mtime_ts_batches(
+    df: DataFrame,
+    src_dir: str,
+    n_batches: int = 3,
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    start_batch: int = 0,
+) -> None:
+    """Time-ordered sibling of `split_mtime_ordered_batches`: file b
+    holds the b-th RANGE of rows ordered by (ts_col, tiebreak), so any
+    key's rows arrive across microbatches in timestamp order — the
+    property stateful event-time operators (sessionization) need from a
+    deterministic file-source fixture.  Harness-only: the global
+    row_number window is single-partition, fine for a gate fixture,
+    never an engine path (a production stream gets this ordering from
+    its log, not from a sort).  ``start_batch`` offsets the file names
+    and mtimes so a later sentinel/flush batch can be appended with
+    `split_mtime_ts_batches(sent, src, 1, start_batch=n)`."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    total = df.count()
+    per = -(-total // n_batches)  # ceil
+    w = Window.orderBy(ts_col, tiebreak)
+    bucketed = df.withColumn(
+        "_rn", F.row_number().over(w)).withColumn(
+        "_b", ((F.col("_rn") - 1) / per).cast("int")).drop("_rn")
+
+    stage_root = tempfile.mkdtemp(prefix="pq_stage_")
+    try:
+        os.makedirs(src_dir, exist_ok=True)
+        for b in range(n_batches):
+            stage = os.path.join(stage_root, f"stage{b}")
+            bucketed.filter(F.col("_b") == b).drop("_b").coalesce(1) \
+                .write.mode("overwrite").parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            fno = start_batch + b
+            dst = os.path.join(src_dir, f"f{fno}.parquet")
+            _shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + fno, 1_000_000_000 + fno))
+    finally:
+        _shutil.rmtree(stage_root, ignore_errors=True)
+
+
 def stream_dedup_against_corpus(
     spark: SparkSession,
     docs_path: str,

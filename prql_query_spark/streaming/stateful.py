@@ -37,11 +37,15 @@ STATE_SCHEMA = StructType([
 ])
 
 
-def make_sessionizer(gap_seconds: int, timeout_ms: int = 30_000):
+def make_sessionizer(gap_seconds: int, timeout_ms: int | None = 30_000):
     """Returns the (key, pdf_iter, state) function for
     applyInPandasWithState: closes a session when the gap between
     consecutive events of a user exceeds ``gap_seconds``; a processing-time
-    timeout flushes the trailing open session of idle users."""
+    timeout flushes the trailing open session of idle users.
+    ``timeout_ms=None`` = no timeout registration (pair with
+    GroupStateTimeout.NoTimeout): sessions close on gap evidence only —
+    the deterministic drive-to-completion shape, where a sentinel event
+    per key supplies the closing evidence instead of the wall clock."""
     gap_us = gap_seconds * 1_000_000
 
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -75,7 +79,8 @@ def make_sessionizer(gap_seconds: int, timeout_ms: int = 30_000):
                         total += float(value)
             if start_us >= 0:
                 state.update((start_us, last_us, n, total))
-                state.setTimeoutDuration(timeout_ms)
+                if timeout_ms is not None:
+                    state.setTimeoutDuration(timeout_ms)
         if closed:
             yield pd.DataFrame(
                 {
@@ -95,7 +100,9 @@ def stream_user_sessions(
     events_path: str,
     gap: str = "30 minutes",
     queryName: str = "pq_stream_sessions",
-    timeout_ms: int = 30_000,
+    timeout_ms: int | None = 30_000,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = False,
 ):
     """Streaming sessionization over a file source; returns the started
     StreamingQuery writing closed sessions to a memory sink.
@@ -103,6 +110,15 @@ def stream_user_sessions(
     Mirrors stream_tumbling_counts' source handling (ns-timestamp parquet,
     bare-file symlink wrap); the stateful core is engine-agnostic — swap
     the source for Kafka and nothing else changes.
+    ``max_files_per_trigger=1`` makes each pinned-mtime source file its
+    own microbatch (the deterministic gate/test drive shape).
+    ``available_now=True`` drives all pending files (still batched per
+    max_files_per_trigger) then TERMINATES the query — the
+    drive-to-completion shape.  Note processAllAvailable() never
+    settles on this query under the default trigger: the
+    processing-time timeout keeps scheduling state-cleanup
+    microbatches (see test_stateful_stream_sessions_match_batch), so
+    finite drivers must either poll (default trigger) or use this.
     """
     import os
     import tempfile
@@ -119,7 +135,10 @@ def stream_user_sessions(
         d = tempfile.mkdtemp(prefix="pq_stream_")
         os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
         events_path = d
-    stream = spark.readStream.schema(raw_schema).parquet(events_path)
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_path)
     for name, field in zip(batch.schema.fieldNames(), batch.schema.fields):
         raw = raw_schema[name].dataType
         if raw != field.dataType and str(field.dataType) == "TimestampType()":
@@ -134,15 +153,18 @@ def stream_user_sessions(
             OUTPUT_SCHEMA,
             STATE_SCHEMA,
             "append",
-            GroupStateTimeout.ProcessingTimeTimeout,
+            GroupStateTimeout.NoTimeout if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
-    return (
+    writer = (
         out.writeStream.outputMode("append")
         .format("memory")
         .queryName(queryName)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_running_totals(

@@ -4313,3 +4313,195 @@ def test_bm25_query_tokenization_matches_corpus_on_odd_whitespace(spark):
     batch2 = {(r["doc_id"], r["score"])
               for r in bm25_topk_batch(docs2, qs2, k=5).collect()}
     assert batch2 == {(r["doc_id"], r["score"]) for r in lead}
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters (exact phi-heavy set via Misra-Gries candidates + verify)
+
+
+def test_heavy_hitters_equals_naive_groupby(spark, sf_dir):
+    from prql_query_spark.operators.analytics import heavy_hitters
+    from prql_query_spark.operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # multi-partition input: the per-partition MG summaries must union
+    # into a candidate set that still recalls every global heavy hitter
+    items = docs.select(F.explode(tokens(F.col("text"))).alias("term")) \
+        .repartition(16)
+    got = {(r["term"], r["cnt"])
+           for r in heavy_hitters(items, "term", 1, 100).collect()}
+    n = items.filter(F.col("term").isNotNull()).count()
+    naive = {(r["term"], r["cnt"])
+             for r in items.filter(F.col("term").isNotNull())
+                 .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+                 .collect()
+             if r["cnt"] * 100 > n}
+    assert got == naive and len(got) > 0
+    # the fixture's rare 'dup' token (~0.1%) must be excluded — the
+    # HAVING threshold actually discriminates on this corpus
+    assert "dup" not in {t for t, _ in got}
+
+
+def test_heavy_hitters_mg_prunes_but_recalls(spark):
+    """Vocabulary much larger than capacity: the MG summary must prune
+    (candidate exchange bounded by capacity x partitions) yet the final
+    output still equals the exact answer — the recall proof in action."""
+    from prql_query_spark.operators.analytics import heavy_hitters
+
+    rows = []
+    for i in range(2000):          # 2000 singleton tail items
+        rows.append((f"tail_{i}",))
+    for i in range(5):             # 5 heavy items, 300 each
+        rows += [(f"heavy_{i}",)] * 300
+    df = spark.createDataFrame(rows, "term string").repartition(8)
+    # phi = 1/20: heavy items are 300/3500 ~ 8.6% > 5%; tails are 0.03%
+    out = heavy_hitters(df, "term", 1, 20)
+    got = {(r["term"], r["cnt"], r["n_total"]) for r in out.collect()}
+    assert got == {(f"heavy_{i}", 300, 3500) for i in range(5)}
+
+
+def test_heavy_hitters_capacity_guard_and_nulls(spark):
+    import pytest as _pytest
+
+    from prql_query_spark.operators.analytics import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "term string")
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "term", 1, 100, capacity=10)
+    # NULLs excluded from both candidates and the total: N = 3, a = 2/3
+    out = {(r["term"], r["cnt"], r["n_total"])
+           for r in heavy_hitters(df, "term", 1, 2).collect()}
+    assert out == {("a", 2, 3)}
+
+
+# ---------------------------------------------------------------------------
+# jaccard_join_prefix (exact prefix-filtered set-similarity self-join)
+
+
+def test_jaccard_prefix_boundary_recall(spark):
+    """Planted pairs straddling the threshold — the regime the gate
+    fixture cannot exercise (its true pairs all sit at j >= 0.92).
+    Sets engineered over single-char k=1 'shingles' (one char per
+    token) so intersections are controlled exactly:
+      docs 1,2: |A|=|B|=5, i=4  -> j = 4/6  = 0.667 >= 0.6   kept
+      docs 3,4: |A|=|B|=4, i=3  -> j = 3/5  = 0.6 (boundary) kept
+      docs 5,6: |A|=|B|=5, i=3  -> j = 3/7  = 0.43           dropped
+    """
+    from prql_query_spark.operators.dedup import jaccard_join_prefix
+
+    docs = spark.createDataFrame(
+        [(1, "abcde"), (2, "abcdf"),
+         (3, "ghij"), (4, "ghik"),
+         (5, "lmnop"), (6, "lmnqr")],
+        "doc_id long, text string")
+    got = {(r["a"], r["b"], r["jaccard"])
+           for r in jaccard_join_prefix(docs, 3, 5, k=1).collect()}
+    assert got == {(1, 2, 0.6667), (3, 4, 0.6)}
+
+
+def test_jaccard_prefix_equals_bruteforce(spark, sf_dir):
+    """Multi-partition fixture input must equal the all-pairs brute
+    force exactly (pair set AND values)."""
+    from prql_query_spark.operators.dedup import (
+        _shingle_hash_arrays, jaccard_join_prefix)
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .repartition(16)
+    got = {(r["a"], r["b"], r["jaccard"])
+           for r in jaccard_join_prefix(docs, 3, 5).collect()}
+    sh = _shingle_hash_arrays(docs, "doc_id", "text", 5)
+    a = sh.select(F.col("_jid").alias("a"), F.col("_sh").alias("_ta"))
+    b = sh.select(F.col("_jid").alias("b"), F.col("_sh").alias("_tb"))
+    brute = (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("_i", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn("_u", F.size("_ta") + F.size("_tb") - F.col("_i"))
+        .filter(F.col("_i") * 5 >= 3 * F.col("_u"))
+        .select("a", "b",
+                F.round(F.col("_i") / F.col("_u"), 4).alias("jaccard"))
+    )
+    want = {(r["a"], r["b"], r["jaccard"]) for r in brute.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stream_sessions_available_now_sentinel_equals_batch(spark, tmp_path):
+    """NoTimeout + sentinel + trigger(availableNow): the deterministic
+    drive-to-completion shape (the x_stream_sessions gate row).  Three
+    ts-range batches + one sentinel batch must terminate by themselves
+    and emit EXACTLY the batch gaps-and-islands sessions — including
+    sessions that span microbatch boundaries."""
+    import datetime as dt
+
+    from prql_query_spark.streaming.ingest import split_mtime_ts_batches
+    from prql_query_spark.streaming.stateful import stream_user_sessions
+
+    T = lambda m: (dt.datetime(2024, 1, 1, 10, 0, 0)  # noqa: E731
+                   + dt.timedelta(minutes=m))
+    rows = [
+        # user 1: events 0,10,20,35-with-25-gap-> still same session
+        # (gap measured event-to-event, 35-20=15 < 30), then 90 starts
+        # a new session; session 2 spans the batch boundary
+        (1, 1, T(0), 100.0), (2, 1, T(10), 200.0), (3, 1, T(20), 50.0),
+        (4, 1, T(35), 25.0), (5, 1, T(90), 10.0), (6, 1, T(95), 5.0),
+        # user 2: one session entirely inside batch 1, then nothing —
+        # only the sentinel can close it
+        (7, 2, T(1), 7.0), (8, 2, T(2), 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    src = str(tmp_path / "src")
+    split_mtime_ts_batches(ev, src, 3)
+    far = dt.datetime(2024, 1, 2, 0, 0, 0)
+    sent = spark.createDataFrame(
+        [(-2, 1, far, 0.0), (-3, 2, far, 0.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    split_mtime_ts_batches(sent, src, 1, tiebreak="user_id",
+                           start_batch=3)
+    q = stream_user_sessions(
+        spark, src, gap="30 minutes", queryName="t_sess_an",
+        timeout_ms=None, max_files_per_trigger=1, available_now=True)
+    try:
+        assert q.awaitTermination(120), "availableNow did not terminate"
+        assert q.exception() is None
+    finally:
+        q.stop()
+    got = {(r.user_id, str(r.session_start), str(r.session_end),
+            r.n_events, r.session_value)
+           for r in spark.sql("SELECT * FROM t_sess_an").collect()}
+    want = {
+        (1, str(T(0)), str(T(35)), 4, 375.0),
+        (1, str(T(90)), str(T(95)), 2, 15.0),
+        (2, str(T(1)), str(T(2)), 2, 14.0),
+    }
+    assert got == want
+
+
+def test_split_mtime_ts_batches_order(spark, tmp_path):
+    """Files hold disjoint increasing ts ranges and carry increasing
+    pinned mtimes — the per-key in-order arrival property the stateful
+    gate row depends on."""
+    import os
+
+    from prql_query_spark.streaming.ingest import split_mtime_ts_batches
+
+    ev = spark.range(90).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        F.lit(1.0).alias("value"))
+    src = str(tmp_path / "src")
+    split_mtime_ts_batches(ev, src, 3)
+    files = sorted(os.listdir(src))
+    assert files == ["f0.parquet", "f1.parquet", "f2.parquet"]
+    prev_max, prev_mtime = None, 0
+    for f in files:
+        p = os.path.join(src, f)
+        df = spark.read.parquet(p)
+        lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
+        if prev_max is not None:
+            assert lo > prev_max
+        prev_max = hi
+        assert os.path.getmtime(p) > prev_mtime
+        prev_mtime = os.path.getmtime(p)
+    assert spark.read.parquet(src).count() == 90

@@ -1005,3 +1005,15 @@ def test_exact_percentiles_single_data_exchange(spark, sf_dir):
     assert len(hash_ex) == 1, f"extra data exchange: {hash_ex}"
     assert len(range_ex) <= 1  # the output orderBy only
     assert simple.count("Window") == 2
+
+
+def test_jaccard_prefix_no_allpairs_join(spark, sf_dir):
+    """Prefix-filtered exact similarity join: candidate generation is an
+    equi-join on prefix shingles + the verify equi-join on pair ids —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere (the brute
+    force twin in test_operators uses one; the operator never may)."""
+    from prql_query_spark.operators.dedup import jaccard_join_prefix
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    plan = _plan(spark, jaccard_join_prefix(docs, 3, 5), "simple")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
