@@ -1635,20 +1635,21 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_ORDER = [
     # Round-8 rotation (window = 50, maintenance discipline since r6):
     # (a) the 7-query stable regression core (unchanged since r6),
-    # (b) the 7 round-8-new rows (df-capped BM25 serving probe, the
+    # (b) the 8 round-8-new rows (df-capped BM25 serving probe, the
     # planted-positive denoising gate, the persisted-index streaming
     # dedup, batched index probing, exact heavy hitters, the exact
     # prefix-filtered similarity join, the stateful streaming
-    # sessionizer), (c) the 13 rows the r7 comment deferred to this
+    # sessionizer, the streaming MG-summary maintainer), (c) the 13
+    # rows the r7 comment deferred to this
     # window (the 8 low-risk scalar/identity PRQL rows +
     # x_paragraph_dedup, x_pagerank, x_nb_classifier, x_mix_corpora,
     # x_gopher_audit — all judge-verified exact at sf0.01 in the r7
     # session), then (d) the stalest previously-green rows, oldest
     # audit first: the 2 r1 leftovers (x_dedup_content,
-    # x_minhash_dedup), all 14 remaining r2 rows, and the first 7
+    # x_minhash_dedup), all 14 remaining r2 rows, and the first 6
     # (alphabetical) of the 41 r4 rows.
-    # Deferred to r9: the other 34 r4 rows (q_scalar_funcs,
-    # q_volume_shipping_q7, x_anomaly_zscore, then
+    # Deferred to r9: the other 35 r4 rows (q_promo_revenue_q14,
+    # q_scalar_funcs, q_volume_shipping_q7, x_anomaly_zscore, then
     # x_bigram_backoff ... x_url_canon; exact list = CORRECTNESS_r04
     # keys minus this window) and everything last audited r5+.  The
     # in-repo Arrow-typed parity harness (tools/check_parity.py) still
@@ -1660,7 +1661,7 @@ DRIVER_ORDER = [
     # — round-8-new rows —
     "x_bm25_dfcap", "x_denoise_negatives", "x_stream_dedup_indexed",
     "x_bm25_index_batch", "x_heavy_hitters", "x_jaccard_prefix",
-    "x_stream_sessions",
+    "x_stream_sessions", "x_stream_heavy_hitters",
     # — the 13 rows deferred from the r7 window —
     "q_case_buckets", "q_coalesce", "q_distinct_status",
     "q_fstring_label", "q_func_inline", "q_having", "q_in_list",
@@ -1674,11 +1675,10 @@ DRIVER_ORDER = [
     "x_hash_split", "x_lang_id", "x_minhash_dedup_cc",
     "x_minhash_pairs", "x_ngram_jaccard", "x_range_join",
     "x_simhash_pairs",
-    # — stalest re-audit: last driver-hashed in r4 (first 7 of 41) —
+    # — stalest re-audit: last driver-hashed in r4 (first 6 of 41) —
     "q_cust_distribution_q13", "q_disjunctive_filter_q19",
     "q_idle_customers_q22", "q_large_orders_q18",
     "q_min_cost_supplier_q2", "q_order_priority_q4",
-    "q_promo_revenue_q14",
 ]
 
 
@@ -6602,3 +6602,59 @@ SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
 FROM s GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
+
+
+def _x_stream_heavy_hitters(spark, sf_dir):
+    """The streaming frequent-terms maintainer under the driver gate:
+    documents stream in as 3 mtime-pinned microbatches, each appending
+    ONE bounded Misra-Gries summary partition (flat per-batch cost —
+    earlier batches are never re-read); serving is the exact-verify
+    aggregate over the accumulated corpus filtered to the candidate
+    union.  Correctness does not depend on batch boundaries: the
+    candidate union provably recalls every global phi-heavy term
+    (pigeonhole, mg_candidate_summary docstring) and the verify pass
+    discards false candidates, so the output equals the batch
+    heavy_hitters row exactly.  A SECOND stream with a fresh checkpoint
+    replays all 3 batches against the same sink: `_batch_id` dynamic
+    overwrite must rewrite (not duplicate) each summary partition — a
+    duplicate would double the sentinel total N and shift the phi
+    threshold, hash-mismatching the oracle.  Oracle: the plain
+    GROUP BY + HAVING twin.  Gate-harness caveats (local tempdir
+    source/sink): COVERAGE.md 'Gate harness assumptions'."""
+    import shutil
+
+    from prql_query_spark.operators.analytics import heavy_hitters_verify
+    from prql_query_spark.operators.text import tokens
+    from prql_query_spark.streaming.ingest import (
+        split_mtime_ordered_batches, stream_heavy_hitter_summaries)
+
+    root = _rt_dir("pq_rt_streamhh_")
+    docs = _tbl(spark, sf_dir, "documents")
+    src = os.path.join(root, "src")
+    split_mtime_ordered_batches(docs, src, 3)
+    sums = os.path.join(root, "sums")
+    for ckpt in ("/ck1", "/ck2"):  # second pass = full replay, rewritten
+        q = stream_heavy_hitter_summaries(
+            spark, src, sums, checkpoint=root + ckpt,
+            phi_num=1, phi_den=100, max_files_per_trigger=1,
+            queryName="pq_gate_stream_hh")
+        try:
+            q.processAllAvailable()
+            if q.exception() is not None:
+                raise q.exception()
+        finally:
+            q.stop()
+    items = docs.select(F.explode(tokens(F.col("text"))).alias("_item")) \
+        .filter(F.col("_item").isNotNull())
+    summary = spark.read.parquet(sums)
+    res = heavy_hitters_verify(items, summary, 1, 100) \
+        .withColumnRenamed("_item", "term") \
+        .orderBy(F.desc("cnt"), "term")
+    rows = res.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, res.schema)
+
+
+EXTENSIONS["x_stream_heavy_hitters"] = _x_stream_heavy_hitters
+EXTENSION_ORACLES["x_stream_heavy_hitters"] = EXTENSION_ORACLES[
+    "x_heavy_hitters"]

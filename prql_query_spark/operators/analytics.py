@@ -655,11 +655,24 @@ def heavy_hitters(
             "recall guarantee needs capacity >= phi_den/phi_num — a "
             "smaller summary could drop a true heavy hitter")
 
-    import pandas as pd
-    from pyspark.sql import types as T
-
     items = df.select(F.col(item_col).cast("string").alias("_item")) \
         .filter(F.col("_item").isNotNull())
+    summary = mg_candidate_summary(items, k).cache()
+    return heavy_hitters_verify(items, summary, phi_num, phi_den) \
+        .withColumnRenamed("_item", item_col)
+
+
+def mg_candidate_summary(items: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of a non-null `_item` stream:
+    <= ``capacity`` candidate rows per partition plus one row-count
+    sentinel (``_item`` NULL, ``_w`` = partition rows).  The building
+    block `heavy_hitters` runs inline and the streaming maintainer
+    (streaming/ingest.stream_heavy_hitter_summaries) persists per batch
+    — summaries are UNION-mergeable for candidate purposes: an item
+    heavy over any union of slices is heavy in at least one slice
+    (pigeonhole), so the union of slice candidates recalls it."""
+    import pandas as pd
+    from pyspark.sql import types as T
 
     summary_schema = T.StructType([
         T.StructField("_item", T.StringType()),
@@ -673,8 +686,8 @@ def heavy_hitters(
             vc = pdf["_item"].value_counts()
             n_rows += int(vc.sum())
             counters = counters.add(vc, fill_value=0)
-            if len(counters) > k:
-                kth = counters.nlargest(k + 1).iloc[-1]
+            if len(counters) > capacity:
+                kth = counters.nlargest(capacity + 1).iloc[-1]
                 counters = counters[counters > kth] - kth
         out = {"_item": [None], "_w": [n_rows]}
         if len(counters):
@@ -682,7 +695,22 @@ def heavy_hitters(
             out["_w"] = [int(w) for w in counters.values] + out["_w"]
         yield pd.DataFrame(out)
 
-    summary = items.mapInPandas(mg, summary_schema).cache()
+    return items.mapInPandas(mg, summary_schema)
+
+
+def heavy_hitters_verify(
+    items: DataFrame,
+    summary: DataFrame,
+    phi_num: int,
+    phi_den: int,
+) -> DataFrame:
+    """The exact-verify half of `heavy_hitters`: given any candidate
+    summary whose candidate set is a SUPERSET of the true phi-heavy
+    items (and whose sentinel rows sum to the item total), produce the
+    exact phi-heavy set with exact counts.  Output correctness does not
+    depend on WHICH superset the summary holds — false candidates are
+    counted and filtered out — which is what makes the streaming
+    maintainer's batch-order-dependent summaries safe to serve from."""
     total = summary.filter(F.col("_item").isNull()) \
         .agg(F.sum("_w").alias("n_total"))
     cands = summary.filter(F.col("_item").isNotNull()) \
@@ -694,7 +722,7 @@ def heavy_hitters(
     return (
         exact.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * phi_den > phi_num * F.col("n_total"))
-        .select(F.col("_item").alias(item_col), "cnt", "n_total")
+        .select("_item", "cnt", "n_total")
     )
 
 

@@ -107,6 +107,75 @@ def split_mtime_ts_batches(
         _shutil.rmtree(stage_root, ignore_errors=True)
 
 
+def stream_heavy_hitter_summaries(
+    spark: SparkSession,
+    docs_path: str,
+    summary_dir: str,
+    checkpoint: str,
+    phi_num: int = 1,
+    phi_den: int = 100,
+    text_col: str = "text",
+    queryName: str = "pq_stream_hh",
+    max_files_per_trigger: int | None = 64,
+):
+    """Continuously maintain frequent-term candidate summaries from a
+    document stream — the streaming half of `analytics.heavy_hitters`.
+
+    Each micro-batch runs ONE Misra-Gries pass over its own tokens
+    (`mg_candidate_summary`, capacity >= 1/phi per partition) and
+    appends the bounded summary (<= capacity x partitions rows + one
+    row-count sentinel per partition).  Per-batch cost is therefore
+    FLAT — it never re-reads earlier batches, the same property the
+    BM25 maintainer has.  Recall stays total across any batch split:
+    an item phi-heavy over the accumulated corpus is phi-heavy in at
+    least one (batch, partition) slice (pigeonhole), so it survives
+    that slice's summary; the candidate UNION can only grow.  Exact
+    counts are NOT maintained incrementally (a term may be candidate
+    in one batch and not another, so summing per-batch counts would
+    undercount); serving runs `heavy_hitters_verify` — one
+    candidate-filtered aggregate over the accumulated corpus, the same
+    query-time contract as the persisted dedup/BM25 probes.
+
+    `_batch_id` dynamic-partition overwrite keeps crash replays
+    idempotent (the repo's standard exactly-once sink contract) — a
+    replayed batch REWRITES its own summary partition; a duplicated one
+    would double the sentinel total and shift the phi threshold, which
+    is exactly what the x_stream_heavy_hitters gate row's in-row replay
+    would catch."""
+    import math
+
+    from prql_query_spark.operators.analytics import mg_candidate_summary
+    from prql_query_spark.operators.text import tokens
+
+    k = math.ceil(phi_den / phi_num)
+    schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_path)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        items = batch_df.select(
+            F.explode(tokens(F.col(text_col))).alias("_item")) \
+            .filter(F.col("_item").isNotNull())
+        (
+            mg_candidate_summary(items, k)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(summary_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(queryName)
+        .start()
+    )
+
+
 def stream_dedup_against_corpus(
     spark: SparkSession,
     docs_path: str,

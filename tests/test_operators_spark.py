@@ -4505,3 +4505,43 @@ def test_split_mtime_ts_batches_order(spark, tmp_path):
         assert os.path.getmtime(p) > prev_mtime
         prev_mtime = os.path.getmtime(p)
     assert spark.read.parquet(src).count() == 90
+
+
+def test_stream_heavy_hitters_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed MG summaries (3 microbatches) + exact verify must equal
+    the inline heavy_hitters row exactly; a replay with a fresh
+    checkpoint must REWRITE summary partitions, not duplicate them
+    (sentinel total N would double and shift the threshold)."""
+    from prql_query_spark.operators.analytics import (
+        heavy_hitters, heavy_hitters_verify)
+    from prql_query_spark.operators.text import tokens
+    from prql_query_spark.streaming.ingest import (
+        split_mtime_ordered_batches, stream_heavy_hitter_summaries)
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "src")
+    split_mtime_ordered_batches(docs, src, 3)
+    sums = str(tmp_path / "sums")
+    for ck in ("ck1", "ck2"):
+        q = stream_heavy_hitter_summaries(
+            spark, src, sums, checkpoint=str(tmp_path / ck),
+            phi_num=1, phi_den=100, max_files_per_trigger=1,
+            queryName="t_stream_hh")
+        try:
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+    items = docs.select(F.explode(tokens(F.col("text"))).alias("_item")) \
+        .filter(F.col("_item").isNotNull())
+    summary = spark.read.parquet(sums)
+    n_total = items.count()
+    assert summary.filter(F.col("_item").isNull()) \
+        .agg(F.sum("_w")).first()[0] == n_total  # replay did not double N
+    got = {(r["_item"], r["cnt"])
+           for r in heavy_hitters_verify(summary=summary, items=items,
+                                         phi_num=1, phi_den=100).collect()}
+    want = {(r["term"], r["cnt"])
+            for r in heavy_hitters(items.withColumnRenamed("_item", "term"),
+                                   "term", 1, 100).collect()}
+    assert got == want and len(got) > 0
