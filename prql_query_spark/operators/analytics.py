@@ -698,6 +698,60 @@ def mg_candidate_summary(items: DataFrame, capacity: int) -> DataFrame:
     return items.mapInPandas(mg, summary_schema)
 
 
+def compact_mg_summaries(summary: DataFrame, capacity: int) -> DataFrame:
+    """Merge a pile of per-slice Misra-Gries summaries into ONE summary
+    with the same ``capacity`` guarantee — the compaction pass that
+    bounds the streaming maintainer's sidecar: after B batches the raw
+    sidecar holds B x (capacity x partitions + sentinels) rows; this
+    folds them back to <= capacity candidates + 1 sentinel.
+
+    Correctness (mergeable summaries, Agarwal et al. 2012): summing
+    counters item-wise then subtracting the (capacity+1)-th largest and
+    dropping non-positives yields an MG summary OF THE UNION with
+    undercount <= N_total/(capacity+1), so every item with global count
+    > N/(capacity+1) still has a positive counter — the same recall
+    contract `heavy_hitters_verify` needs.  Serving output is therefore
+    IDENTICAL before and after compaction (pinned by pytest): the
+    candidate set may shrink, but never below the true phi-heavy set,
+    and verify recounts exactly.
+
+    Runs as one aggregate over the (tiny) summary table — at 100 TB the
+    summary is capacity x partitions x batches rows, orders of magnitude
+    under the corpus; a maintenance job compacts periodically and
+    rewrites the sidecar."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("_item", T.StringType()),
+        T.StructField("_w", T.LongType()),
+    ])
+    merged_items = (
+        summary.filter(F.col("_item").isNotNull())
+        .groupBy("_item").agg(F.sum("_w").alias("_w"))
+    )
+    total = summary.filter(F.col("_item").isNull()) \
+        .agg(F.sum("_w").alias("_w"))
+
+    def fold(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = counters.add(
+                pdf.set_index("_item")["_w"], fill_value=0)
+        if len(counters) > capacity:
+            kth = counters.nlargest(capacity + 1).iloc[-1]
+            counters = counters[counters > kth] - kth
+        yield pd.DataFrame({"_item": list(counters.index),
+                            "_w": [int(w) for w in counters.values]})
+
+    # one partition so ONE global decrement produces a single
+    # <=capacity summary; the folded table is capacity x partitions x
+    # batches rows — orders of magnitude under the corpus
+    folded = merged_items.coalesce(1).mapInPandas(fold, out_schema)
+    return folded.unionByName(
+        total.select(F.lit(None).cast("string").alias("_item"), "_w"))
+
+
 def heavy_hitters_verify(
     items: DataFrame,
     summary: DataFrame,

@@ -4545,3 +4545,40 @@ def test_stream_heavy_hitters_matches_batch(spark, sf_dir, tmp_path):
             for r in heavy_hitters(items.withColumnRenamed("_item", "term"),
                                    "term", 1, 100).collect()}
     assert got == want and len(got) > 0
+
+
+def test_compact_mg_summaries_preserves_serving_output(spark, sf_dir, tmp_path):
+    """Compacting B x partitions MG summaries down to <= capacity
+    candidates + 1 sentinel must leave heavy_hitters_verify output
+    IDENTICAL (candidates may shrink, never below the true heavy set),
+    including on an adversarial stream where heavy items are spread
+    thin across every slice."""
+    from prql_query_spark.operators.analytics import (
+        compact_mg_summaries, heavy_hitters_verify, mg_candidate_summary)
+
+    # adversarial synthetic: 4000 singleton tails + 6 heavy items whose
+    # occurrences are interleaved uniformly across partitions, so no
+    # single slice sees them as dominant
+    rows = [(f"tail_{i}",) for i in range(4000)]
+    for j in range(6):
+        rows += [(f"heavy_{j}",)] * 260   # 260/5560 ~ 4.7% > 1/25
+    items = spark.createDataFrame(rows, "term string") \
+        .select(F.col("term").alias("_item")) \
+        .repartition(8)  # hash-spreads each heavy item over all slices
+    k = 25
+    raw = mg_candidate_summary(items, k)
+    # simulate the B-batch sidecar: three independent summaries unioned
+    thirds = [mg_candidate_summary(
+        items.filter(F.crc32(F.col("_item")) % 3 == b), k)
+        for b in range(3)]
+    sidecar = thirds[0].unionByName(thirds[1]).unionByName(thirds[2])
+    want = {(r["_item"], r["cnt"], r["n_total"])
+            for r in heavy_hitters_verify(items, raw, 1, 25).collect()}
+    got_raw = {(r["_item"], r["cnt"], r["n_total"])
+               for r in heavy_hitters_verify(items, sidecar, 1, 25).collect()}
+    compacted = compact_mg_summaries(sidecar, k)
+    assert compacted.filter(F.col("_item").isNotNull()).count() <= k
+    got_c = {(r["_item"], r["cnt"], r["n_total"])
+             for r in heavy_hitters_verify(items, compacted, 1, 25).collect()}
+    exp = {(f"heavy_{j}", 260, 5560) for j in range(6)}
+    assert want == got_raw == got_c == exp
