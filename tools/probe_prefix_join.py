@@ -17,8 +17,10 @@ prefix join's output (exact ⊇ probabilistic), and on the brute subset
 the prefix join equals brute force exactly.
 
 Usage: python tools/probe_prefix_join.py [--sf DIR] [--brute N]
+         [--limit N] [--no-brute]
        (defaults: /root/testdata/sf0.1, brute subset 1500 docs;
-       PQ_PROBE_RUNS=3 interleaved warm medians)
+       --sf may point at the .scratch zipf corpus for the long-tail-df
+       regime; PQ_PROBE_RUNS=3 interleaved warm medians)
 """
 
 from __future__ import annotations
@@ -36,7 +38,9 @@ import duckdb
 from pyspark.sql import functions as F
 
 RUNS = int(os.environ.get("PQ_PROBE_RUNS", "3"))
-T_NUM, T_DEN, K = 3, 5, 5
+T_NUM = int(os.environ.get("PQ_PROBE_TNUM", "3"))
+T_DEN = int(os.environ.get("PQ_PROBE_TDEN", "5"))
+K = 5
 
 
 def _med(fn):
@@ -49,12 +53,15 @@ def _med(fn):
 
 
 def main():
-    sf_dir, brute_n = "/root/testdata/sf0.1", 1500
+    sf_dir, brute_n, limit = "/root/testdata/sf0.1", 1500, None
+    no_brute = "--no-brute" in sys.argv
     for i, a in enumerate(sys.argv):
         if a == "--sf":
             sf_dir = sys.argv[i + 1]
         if a == "--brute":
             brute_n = int(sys.argv[i + 1])
+        if a == "--limit":
+            limit = int(sys.argv[i + 1])
 
     from prql_query_spark.engine.session import get_spark
     from prql_query_spark.engine.sources import load_parquet
@@ -63,6 +70,8 @@ def main():
 
     spark = get_spark()
     docs = load_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    if limit:
+        docs = docs.filter(F.col("doc_id") < limit)
     n_docs = docs.count()
     out: dict = {"sf_dir": sf_dir, "n_docs": n_docs, "runs": RUNS,
                  "threshold": f"{T_NUM}/{T_DEN}"}
@@ -86,6 +95,10 @@ def main():
         lambda: jaccard_join_prefix(docs, T_NUM, T_DEN).count())
     out["minhash_ms"] = _med(
         lambda: minhash_verified_pairs(docs, threshold=T_NUM / T_DEN).count())
+
+    if no_brute:
+        print(json.dumps(out))
+        return
 
     # brute-force twin on a capped subset, DuckDB and Spark side by side
     sub = docs.filter(F.col("doc_id") < brute_n)
