@@ -1635,20 +1635,21 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_ORDER = [
     # Round-8 rotation (window = 50, maintenance discipline since r6):
     # (a) the 7-query stable regression core (unchanged since r6),
-    # (b) the 8 round-8-new rows (df-capped BM25 serving probe, the
+    # (b) the 9 round-8-new rows (df-capped BM25 serving probe, the
     # planted-positive denoising gate, the persisted-index streaming
-    # dedup, batched index probing, exact heavy hitters, the exact
-    # prefix-filtered similarity join, the stateful streaming
-    # sessionizer, the streaming MG-summary maintainer), (c) the 13
-    # rows the r7 comment deferred to this
+    # dedup, batched index probing, exact heavy hitters — flat and
+    # per-group, the exact prefix-filtered similarity join, the
+    # stateful streaming sessionizer, the streaming MG-summary
+    # maintainer), (c) the 13 rows the r7 comment deferred to this
     # window (the 8 low-risk scalar/identity PRQL rows +
     # x_paragraph_dedup, x_pagerank, x_nb_classifier, x_mix_corpora,
     # x_gopher_audit — all judge-verified exact at sf0.01 in the r7
     # session), then (d) the stalest previously-green rows, oldest
     # audit first: the 2 r1 leftovers (x_dedup_content,
-    # x_minhash_dedup), all 14 remaining r2 rows, and the first 6
+    # x_minhash_dedup), all 14 remaining r2 rows, and the first 5
     # (alphabetical) of the 41 r4 rows.
-    # Deferred to r9: the other 35 r4 rows (q_promo_revenue_q14,
+    # Deferred to r9: the other 36 r4 rows (q_order_priority_q4,
+    # q_promo_revenue_q14,
     # q_scalar_funcs, q_volume_shipping_q7, x_anomaly_zscore, then
     # x_bigram_backoff ... x_url_canon; exact list = CORRECTNESS_r04
     # keys minus this window) and everything last audited r5+.  The
@@ -1662,6 +1663,7 @@ DRIVER_ORDER = [
     "x_bm25_dfcap", "x_denoise_negatives", "x_stream_dedup_indexed",
     "x_bm25_index_batch", "x_heavy_hitters", "x_jaccard_prefix",
     "x_stream_sessions", "x_stream_heavy_hitters",
+    "x_heavy_hitters_by",
     # — the 13 rows deferred from the r7 window —
     "q_case_buckets", "q_coalesce", "q_distinct_status",
     "q_fstring_label", "q_func_inline", "q_having", "q_in_list",
@@ -1675,10 +1677,10 @@ DRIVER_ORDER = [
     "x_hash_split", "x_lang_id", "x_minhash_dedup_cc",
     "x_minhash_pairs", "x_ngram_jaccard", "x_range_join",
     "x_simhash_pairs",
-    # — stalest re-audit: last driver-hashed in r4 (first 6 of 41) —
+    # — stalest re-audit: last driver-hashed in r4 (first 5 of 41) —
     "q_cust_distribution_q13", "q_disjunctive_filter_q19",
     "q_idle_customers_q22", "q_large_orders_q18",
-    "q_min_cost_supplier_q2", "q_order_priority_q4",
+    "q_min_cost_supplier_q2",
 ]
 
 
@@ -6658,3 +6660,37 @@ def _x_stream_heavy_hitters(spark, sf_dir):
 EXTENSIONS["x_stream_heavy_hitters"] = _x_stream_heavy_hitters
 EXTENSION_ORACLES["x_stream_heavy_hitters"] = EXTENSION_ORACLES[
     "x_heavy_hitters"]
+
+
+def _x_heavy_hitters_by(spark, sf_dir):
+    """Per-group exact heavy hitters (trending terms per source, phi =
+    1/100): the group-wise Misra-Gries candidates + exact-verify pass
+    (analytics.heavy_hitters_by) against the per-group GROUP BY +
+    HAVING twin.  20 source groups x ~30 terms; groups where a term
+    falls under the per-group threshold (missing or rare-'dup' sources)
+    discriminate the HAVING."""
+    from prql_query_spark.operators.analytics import heavy_hitters_by
+    from prql_query_spark.operators.text import tokens
+
+    docs = _tbl(spark, sf_dir, "documents")
+    items = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term"))
+    return heavy_hitters_by(items, ["source"], "term", 1, 100) \
+        .orderBy("source", F.desc("cnt"), "term")
+
+
+EXTENSIONS["x_heavy_hitters_by"] = _x_heavy_hitters_by
+EXTENSION_ORACLES["x_heavy_hitters_by"] = """
+WITH t AS (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+), tot AS (SELECT source, COUNT(*) AS n FROM t WHERE term IS NOT NULL
+           GROUP BY source)
+SELECT t.source AS source, term, COUNT(*) AS cnt, MAX(tot.n) AS n_total
+FROM t JOIN tot ON tot.source = t.source
+WHERE term IS NOT NULL
+GROUP BY t.source, term
+HAVING COUNT(*) * 100 > 1 * MAX(tot.n)
+ORDER BY t.source, cnt DESC, term
+"""

@@ -698,6 +698,89 @@ def mg_candidate_summary(items: DataFrame, capacity: int) -> DataFrame:
     return items.mapInPandas(mg, summary_schema)
 
 
+def heavy_hitters_by(
+    df: DataFrame,
+    by: list[str],
+    item_col: str,
+    phi_num: int = 1,
+    phi_den: int = 100,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Per-group exact phi-heavy hitters ("trending terms per source"):
+    for every ``by`` group, every item whose in-group count exceeds
+    ``phi_num/phi_den`` of that GROUP's total, with exact counts.
+
+    Same two-pass shape as `heavy_hitters`, applied per group: the
+    Misra-Gries recall proof holds group-wise (an item phi-heavy in
+    group g is phi-heavy in g's slice of at least one partition, so it
+    survives that slice's per-group summary), and the verify aggregate
+    recounts candidates exactly.  Per-partition kernel state is
+    ``capacity`` counters per group present in the partition — bounded
+    by groups x capacity, the operator's stated memory envelope (use
+    the ungrouped variant + a pre-filter when ``by`` is
+    high-cardinality).  The candidate exchange is groups x capacity x
+    partitions rows; the verify exchange carries candidate keys only.
+    """
+    import math
+
+    if phi_num <= 0 or phi_den <= 0:
+        raise ValueError("phi must be positive")
+    k = capacity if capacity is not None else math.ceil(phi_den / phi_num)
+    if k < phi_den / phi_num:
+        raise ValueError(
+            f"capacity={k} < 1/phi={phi_den}/{phi_num}: the Misra-Gries "
+            "recall guarantee needs capacity >= phi_den/phi_num")
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    items = df.select(
+        *by, F.col(item_col).cast("string").alias("_item")) \
+        .filter(F.col("_item").isNotNull())
+
+    summary_schema = T.StructType(
+        [items.schema[c] for c in by]
+        + [T.StructField("_item", T.StringType()),
+           T.StructField("_w", T.LongType())])
+
+    def mg(batches):
+        counters: dict = {}   # group key tuple -> pd.Series
+        totals: dict = {}     # group key tuple -> rows
+        for pdf in batches:
+            for keys, sub in pdf.groupby(by, sort=False, dropna=False):
+                kt = keys if isinstance(keys, tuple) else (keys,)
+                vc = sub["_item"].value_counts()
+                totals[kt] = totals.get(kt, 0) + int(vc.sum())
+                s = counters.get(kt, pd.Series(dtype="int64")) \
+                    .add(vc, fill_value=0)
+                if len(s) > k:
+                    kth = s.nlargest(k + 1).iloc[-1]
+                    s = s[s > kth] - kth
+                counters[kt] = s
+        rows = []
+        for kt, s in counters.items():
+            rows += [kt + (it, int(w)) for it, w in s.items()]
+        rows += [kt + (None, n) for kt, n in totals.items()]
+        cols = list(zip(*rows)) if rows else [[] for _ in range(len(by) + 2)]
+        yield pd.DataFrame(
+            {c: list(v) for c, v in zip(by + ["_item", "_w"], cols)})
+
+    summary = items.mapInPandas(mg, summary_schema).cache()
+    totals = summary.filter(F.col("_item").isNull()) \
+        .groupBy(*by).agg(F.sum("_w").alias("n_total"))
+    cands = summary.filter(F.col("_item").isNotNull()) \
+        .select(*by, "_item").distinct()
+    exact = (
+        items.join(cands, [*by, "_item"])
+        .groupBy(*by, "_item").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.join(totals, list(by))
+        .filter(F.col("cnt") * phi_den > phi_num * F.col("n_total"))
+        .select(*by, F.col("_item").alias(item_col), "cnt", "n_total")
+    )
+
+
 def compact_mg_summaries(summary: DataFrame, capacity: int) -> DataFrame:
     """Merge a pile of per-slice Misra-Gries summaries into ONE summary
     with the same ``capacity`` guarantee — the compaction pass that

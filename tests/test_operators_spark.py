@@ -4582,3 +4582,38 @@ def test_compact_mg_summaries_preserves_serving_output(spark, sf_dir, tmp_path):
              for r in heavy_hitters_verify(items, compacted, 1, 25).collect()}
     exp = {(f"heavy_{j}", 260, 5560) for j in range(6)}
     assert want == got_raw == got_c == exp
+
+
+def test_heavy_hitters_by_equals_naive_per_group(spark):
+    """Group-wise MG: per-group thresholds must bind independently —
+    an item globally light can be group-heavy and vice versa."""
+    from prql_query_spark.operators.analytics import heavy_hitters_by
+
+    rows = []
+    rows += [("a", "hot")] * 50 + [("a", f"t{i}") for i in range(950)]
+    rows += [("b", "hot")] * 2 + [("b", "warm")] * 98  # hot light in b
+    df = spark.createDataFrame(rows, "g string, term string") \
+        .repartition(8)
+    got = {(r["g"], r["term"], r["cnt"], r["n_total"])
+           for r in heavy_hitters_by(df, ["g"], "term", 1, 25).collect()}
+    # group a: 1000 items, threshold 40 -> only 'hot' (50); tails are 1
+    # group b: 100 items, threshold 4 -> only 'warm' (98); 'hot' is 2
+    assert got == {("a", "hot", 50, 1000), ("b", "warm", 98, 100)}
+
+
+def test_heavy_hitters_by_matches_ungrouped_within_group(spark, sf_dir):
+    from prql_query_spark.operators.analytics import (
+        heavy_hitters, heavy_hitters_by)
+    from prql_query_spark.operators.text import tokens
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    items = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")) \
+        .repartition(16)
+    by = {(r["source"], r["term"], r["cnt"])
+          for r in heavy_hitters_by(items, ["source"], "term", 1, 100)
+              .collect()}
+    one = items.filter(F.col("source") == "src0")
+    solo = {("src0", r["term"], r["cnt"])
+            for r in heavy_hitters(one, "term", 1, 100).collect()}
+    assert {t for t in by if t[0] == "src0"} == solo and len(solo) > 0
