@@ -562,14 +562,29 @@ def _prefix_candidates(
     p = (F.col("_n")
          - F.expr(f"(_n * {t_num} + {t_den} - 1) div {t_den}") + 1)
     pref = ordered.select(
-        "_jid", "_n", F.explode(F.slice("_ts", F.lit(1), p)).alias("_h"))
+        "_jid", "_n",
+        F.posexplode(F.slice("_ts", F.lit(1), p)).alias("_i", "_h"))
+    # Positional filter (PPJoin, Xiao et al. WWW'08): a shared prefix
+    # token at 0-indexed positions (i, j) of the FULL sorted arrays
+    # bounds the overlap: for the pair's FIRST shared token nothing
+    # precedes it on either side, so overlap <= 1 + min(na-1-i,
+    # nb-1-j); J >= t needs overlap >= ceil(t_num*(na+nb) /
+    # (t_num+t_den)).  Keeping a pair when ANY matched occurrence
+    # passes is a superset of PPJoin's first-match rule (earlier
+    # positions only loosen the bound), so recall stays total while
+    # candidates that cannot reach the overlap are never emitted.
+    # Integer cross-multiplied — no float boundary.
     cand = (
         pref.alias("pa").join(
             pref.alias("pb"),
             (F.col("pa._h") == F.col("pb._h"))
             & (F.col("pa._jid") < F.col("pb._jid"))
             & (F.least("pa._n", "pb._n") * t_den
-               >= F.greatest("pa._n", "pb._n") * t_num),
+               >= F.greatest("pa._n", "pb._n") * t_num)
+            & ((F.lit(1) + F.least(F.col("pa._n") - 1 - F.col("pa._i"),
+                                   F.col("pb._n") - 1 - F.col("pb._i")))
+               * (t_num + t_den)
+               >= t_num * (F.col("pa._n") + F.col("pb._n"))),
         )
         .select(F.col("pa._jid").alias("a"), F.col("pb._jid").alias("b"))
         .distinct()
