@@ -1635,21 +1635,22 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_ORDER = [
     # Round-8 rotation (window = 50, maintenance discipline since r6):
     # (a) the 7-query stable regression core (unchanged since r6),
-    # (b) the 9 round-8-new rows (df-capped BM25 serving probe, the
+    # (b) the 10 round-8-new rows (df-capped BM25 serving probe, the
     # planted-positive denoising gate, the persisted-index streaming
     # dedup, batched index probing, exact heavy hitters — flat and
     # per-group, the exact prefix-filtered similarity join, the
     # stateful streaming sessionizer, the streaming MG-summary
-    # maintainer), (c) the 13 rows the r7 comment deferred to this
+    # maintainer, Luhn-gated card redaction), (c) the 13 rows the r7
+    # comment deferred to this
     # window (the 8 low-risk scalar/identity PRQL rows +
     # x_paragraph_dedup, x_pagerank, x_nb_classifier, x_mix_corpora,
     # x_gopher_audit — all judge-verified exact at sf0.01 in the r7
     # session), then (d) the stalest previously-green rows, oldest
     # audit first: the 2 r1 leftovers (x_dedup_content,
-    # x_minhash_dedup), all 14 remaining r2 rows, and the first 5
+    # x_minhash_dedup), all 14 remaining r2 rows, and the first 4
     # (alphabetical) of the 41 r4 rows.
-    # Deferred to r9: the other 36 r4 rows (q_order_priority_q4,
-    # q_promo_revenue_q14,
+    # Deferred to r9: the other 37 r4 rows (q_min_cost_supplier_q2,
+    # q_order_priority_q4, q_promo_revenue_q14,
     # q_scalar_funcs, q_volume_shipping_q7, x_anomaly_zscore, then
     # x_bigram_backoff ... x_url_canon; exact list = CORRECTNESS_r04
     # keys minus this window) and everything last audited r5+.  The
@@ -1663,7 +1664,7 @@ DRIVER_ORDER = [
     "x_bm25_dfcap", "x_denoise_negatives", "x_stream_dedup_indexed",
     "x_bm25_index_batch", "x_heavy_hitters", "x_jaccard_prefix",
     "x_stream_sessions", "x_stream_heavy_hitters",
-    "x_heavy_hitters_by",
+    "x_heavy_hitters_by", "x_card_scrub",
     # — the 13 rows deferred from the r7 window —
     "q_case_buckets", "q_coalesce", "q_distinct_status",
     "q_fstring_label", "q_func_inline", "q_having", "q_in_list",
@@ -1677,10 +1678,9 @@ DRIVER_ORDER = [
     "x_hash_split", "x_lang_id", "x_minhash_dedup_cc",
     "x_minhash_pairs", "x_ngram_jaccard", "x_range_join",
     "x_simhash_pairs",
-    # — stalest re-audit: last driver-hashed in r4 (first 5 of 41) —
+    # — stalest re-audit: last driver-hashed in r4 (first 4 of 41) —
     "q_cust_distribution_q13", "q_disjunctive_filter_q19",
     "q_idle_customers_q22", "q_large_orders_q18",
-    "q_min_cost_supplier_q2",
 ]
 
 
@@ -6694,3 +6694,89 @@ GROUP BY t.source, term
 HAVING COUNT(*) * 100 > 1 * MAX(tot.n)
 ORDER BY t.source, cnt DESC, term
 """
+
+
+def _x_card_scrub(spark, sf_dir):
+    """Luhn-VALIDATED card redaction (text.scrub_card_numbers) under the
+    gate: candidates are planted deterministically in-row (doc_id%7==0
+    a Luhn-valid Visa test number, ==1 an invalid near-miss, ==2 a
+    valid 15-digit Amex test number — same CASE in the oracle), so the
+    row discriminates the checksum: invalid candidates MUST survive
+    unredacted (a pattern-only scrubber would hash-mismatch).  All JVM
+    higher-order expressions, zero shuffle before the audit aggregate;
+    the oracle re-derives the Luhn fold with DuckDB list lambdas and
+    the identical sorted-candidate replace order."""
+    from prql_query_spark.operators.text import (
+        card_counts, scrub_card_numbers)
+
+    docs = _tbl(spark, sf_dir, "documents")
+    planted = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" card 4111 1111 1111 1111"))
+            .when(F.col("doc_id") % 7 == 1,
+                  F.lit(" ref 4111-1111-1111-1112"))
+            .when(F.col("doc_id") % 7 == 2,
+                  F.lit(" acct 378282246310005"))
+            .otherwise(F.lit(""))).alias("tx"))
+    cc = card_counts(F.col("tx"))
+    per_doc = planted.select(
+        "source",
+        cc["card_valid_n"].alias("v"),
+        cc["card_candidate_n"].alias("c"),
+        (F.length("tx") - F.length(scrub_card_numbers(F.col("tx"))))
+        .alias("delta"))
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.sum("v").cast("bigint").alias("valid_n"),
+             F.sum("c").cast("bigint").alias("candidate_n"),
+             F.sum("delta").cast("bigint").alias("chars_redacted"))
+        .orderBy("source")
+    )
+
+
+def _card_scrub_oracle() -> str:
+    luhn = lambda c: (  # noqa: E731
+        "list_sum([CASE WHEN (x-1)%2=1 THEN CASE WHEN "
+        f"2*CAST(list_reverse(string_split(replace(replace({c},' ','')"
+        f",'-',''), ''))[x] AS INT)>9 THEN 2*CAST(list_reverse("
+        f"string_split(replace(replace({c},' ',''),'-',''), ''))[x] "
+        f"AS INT)-9 ELSE 2*CAST(list_reverse(string_split(replace("
+        f"replace({c},' ',''),'-',''), ''))[x] AS INT) END ELSE "
+        f"CAST(list_reverse(string_split(replace(replace({c},' ','')"
+        f",'-',''), ''))[x] AS INT) END for x in range(1, "
+        f"len(string_split(replace(replace({c},' ',''),'-',''), ''))"
+        "+1)]) % 10 = 0")
+    cands = ("list_sort(list_distinct(regexp_extract_all(tx, "
+             r"'\b(?:\d[ -]?){12,18}\d\b')))")
+    return f"""
+WITH t AS (
+    SELECT source,
+           text || CASE doc_id % 7
+               WHEN 0 THEN ' card 4111 1111 1111 1111'
+               WHEN 1 THEN ' ref 4111-1111-1111-1112'
+               WHEN 2 THEN ' acct 378282246310005'
+               ELSE '' END AS tx
+    FROM documents
+), per_doc AS (
+    SELECT source,
+           len(list_filter({cands}, c -> {luhn('c')})) AS v,
+           len({cands}) AS c,
+           length(tx) - length(list_reduce(
+               list_prepend(tx, list_filter({cands}, c -> {luhn('c')})),
+               (acc, cc) -> replace(acc, cc, '<CARD>'))) AS delta
+    FROM t
+)
+SELECT source, COUNT(*) AS docs,
+       CAST(SUM(v) AS BIGINT) AS valid_n,
+       CAST(SUM(c) AS BIGINT) AS candidate_n,
+       CAST(SUM(delta) AS BIGINT) AS chars_redacted
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+EXTENSIONS["x_card_scrub"] = _x_card_scrub
+EXTENSION_ORACLES["x_card_scrub"] = _card_scrub_oracle()

@@ -168,6 +168,63 @@ def scrub_pii(text_col: Column) -> Column:
     return out
 
 
+# Candidate payment-card shapes: 13-19 digits with optional single
+# space/dash separators.  A regex alone over-redacts (timestamps, ids),
+# so redaction is gated on the Luhn checksum — the public card check
+# digit algorithm — making this the one PII class with a VALIDATING
+# scrubber rather than a pattern scrubber.
+CARD_CANDIDATE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_valid(cand: Column) -> Column:
+    """Luhn checksum over a candidate string (separators stripped),
+    entirely in JVM higher-order functions — no UDF: reverse the digit
+    array, double every second digit from the right (0-based odd index
+    of the reversed array), subtract 9 past 9, sum % 10 == 0."""
+    digits = F.filter(
+        F.split(F.regexp_replace(cand, "[ -]", ""), ""),
+        lambda x: x != "")
+    total = F.aggregate(
+        F.transform(
+            F.reverse(digits),
+            lambda d, i: F.when(
+                i % 2 == 1,
+                F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
+                 .otherwise(d.cast("int") * 2),
+            ).otherwise(d.cast("int"))),
+        F.lit(0), lambda a, x: a + x)
+    return total % 10 == 0
+
+
+def _card_candidates(text_col: Column) -> Column:
+    # sorted+distinct so the replace fold order is deterministic and
+    # any SQL twin applying the same sort redacts identically even when
+    # one candidate is a substring of another
+    return F.array_sort(F.array_distinct(
+        F.regexp_extract_all(text_col, F.lit(CARD_CANDIDATE), F.lit(0))))
+
+
+def scrub_card_numbers(text_col: Column) -> Column:
+    """Redact Luhn-VALID card numbers to <CARD>; Luhn-invalid candidates
+    (order ids, timestamps) are left alone.  Pure JVM expressions
+    (regexp_extract_all + higher-order filter/aggregate/replace), so it
+    pipelines into the scan with zero shuffle, same posture as
+    scrub_pii."""
+    return F.aggregate(
+        F.filter(_card_candidates(text_col), luhn_valid),
+        text_col,
+        lambda acc, c: F.replace(acc, c, F.lit("<CARD>")))
+
+
+def card_counts(text_col: Column) -> dict[str, Column]:
+    """Audit columns: Luhn-valid matches vs all candidates per row."""
+    cands = _card_candidates(text_col)
+    return {
+        "card_valid_n": F.size(F.filter(cands, luhn_valid)),
+        "card_candidate_n": F.size(cands),
+    }
+
+
 def pii_counts(text_col: Column) -> dict[str, Column]:
     """Per-type match counts (for audit dashboards / drop-thresholds)."""
     return {

@@ -4617,3 +4617,32 @@ def test_heavy_hitters_by_matches_ungrouped_within_group(spark, sf_dir):
     solo = {("src0", r["term"], r["cnt"])
             for r in heavy_hitters(one, "term", 1, 100).collect()}
     assert {t for t in by if t[0] == "src0"} == solo and len(solo) > 0
+
+
+def test_scrub_card_numbers_luhn_gated(spark):
+    """Only Luhn-valid candidates are redacted; separators and the
+    13/15/16-digit shapes all hit; plain digit runs shorter than 13
+    are never candidates."""
+    from prql_query_spark.operators.text import (
+        card_counts, scrub_card_numbers)
+
+    rows = [
+        (1, "visa 4111 1111 1111 1111 ok"),          # valid 16
+        (2, "near 4111-1111-1111-1112 miss"),        # invalid 16
+        (3, "amex 378282246310005 ok"),              # valid 15
+        (4, "visa13 4222222222222 ok"),              # valid 13
+        (5, "order 123456789012 and ts 1699999999"),  # 12 digits: no cand
+        (6, "two 4111111111111111 and 5500005555555559 cards"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    cc = card_counts(F.col("text"))
+    out = {r["id"]: (r["red"], r["v"], r["c"]) for r in df.select(
+        "id", scrub_card_numbers(F.col("text")).alias("red"),
+        cc["card_valid_n"].alias("v"),
+        cc["card_candidate_n"].alias("c")).collect()}
+    assert out[1] == ("visa <CARD> ok", 1, 1)
+    assert out[2] == ("near 4111-1111-1111-1112 miss", 0, 1)
+    assert out[3] == ("amex <CARD> ok", 1, 1)
+    assert out[4] == ("visa13 <CARD> ok", 1, 1)
+    assert out[5][1:] == (0, 0)
+    assert out[6] == ("two <CARD> and <CARD> cards", 2, 2)
