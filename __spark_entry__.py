@@ -1635,21 +1635,23 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_ORDER = [
     # Round-8 rotation (window = 50, maintenance discipline since r6):
     # (a) the 7-query stable regression core (unchanged since r6),
-    # (b) the 10 round-8-new rows (df-capped BM25 serving probe, the
+    # (b) the 13 round-8-new rows (df-capped BM25 serving probe, the
     # planted-positive denoising gate, the persisted-index streaming
     # dedup, batched index probing, exact heavy hitters — flat and
     # per-group, the exact prefix-filtered similarity join, the
     # stateful streaming sessionizer, the streaming MG-summary
-    # maintainer, Luhn-gated card redaction), (c) the 13 rows the r7
+    # maintainer, Luhn-gated card redaction, and the classifier
+    # evaluation tier: report/AUC/calibration), (c) the 13 rows the r7
     # comment deferred to this
     # window (the 8 low-risk scalar/identity PRQL rows +
     # x_paragraph_dedup, x_pagerank, x_nb_classifier, x_mix_corpora,
     # x_gopher_audit — all judge-verified exact at sf0.01 in the r7
     # session), then (d) the stalest previously-green rows, oldest
     # audit first: the 2 r1 leftovers (x_dedup_content,
-    # x_minhash_dedup), all 14 remaining r2 rows, and the first 4
+    # x_minhash_dedup), all 14 remaining r2 rows, and the first 1
     # (alphabetical) of the 41 r4 rows.
-    # Deferred to r9: the other 37 r4 rows (q_min_cost_supplier_q2,
+    # Deferred to r9: the other 40 r4 rows (q_disjunctive_filter_q19,
+    # q_idle_customers_q22, q_large_orders_q18, q_min_cost_supplier_q2,
     # q_order_priority_q4, q_promo_revenue_q14,
     # q_scalar_funcs, q_volume_shipping_q7, x_anomaly_zscore, then
     # x_bigram_backoff ... x_url_canon; exact list = CORRECTNESS_r04
@@ -1664,7 +1666,8 @@ DRIVER_ORDER = [
     "x_bm25_dfcap", "x_denoise_negatives", "x_stream_dedup_indexed",
     "x_bm25_index_batch", "x_heavy_hitters", "x_jaccard_prefix",
     "x_stream_sessions", "x_stream_heavy_hitters",
-    "x_heavy_hitters_by", "x_card_scrub",
+    "x_heavy_hitters_by", "x_card_scrub", "x_classifier_eval",
+    "x_roc_auc", "x_calibration",
     # — the 13 rows deferred from the r7 window —
     "q_case_buckets", "q_coalesce", "q_distinct_status",
     "q_fstring_label", "q_func_inline", "q_having", "q_in_list",
@@ -1678,9 +1681,8 @@ DRIVER_ORDER = [
     "x_hash_split", "x_lang_id", "x_minhash_dedup_cc",
     "x_minhash_pairs", "x_ngram_jaccard", "x_range_join",
     "x_simhash_pairs",
-    # — stalest re-audit: last driver-hashed in r4 (first 4 of 41) —
-    "q_cust_distribution_q13", "q_disjunctive_filter_q19",
-    "q_idle_customers_q22", "q_large_orders_q18",
+    # — stalest re-audit: last driver-hashed in r4 (first 1 of 41) —
+    "q_cust_distribution_q13",
 ]
 
 
@@ -6780,3 +6782,109 @@ FROM per_doc GROUP BY source ORDER BY source
 
 EXTENSIONS["x_card_scrub"] = _x_card_scrub
 EXTENSION_ORACLES["x_card_scrub"] = _card_scrub_oracle()
+
+
+def _nb_scored_labeled(spark, sf_dir):
+    """Shared input for the round-8 evaluation tier: the x_nb_classifier
+    model's scores joined back to the text-derived label."""
+    from prql_query_spark.operators.classify import (
+        score_nb_classifier, train_nb_classifier)
+
+    docs = _tbl(spark, sf_dir, "documents")
+    labeled = docs.withColumn("_y", F.col("text").contains("spark"))
+    model = train_nb_classifier(labeled, "_y", dim=256, seed=7)
+    scored = score_nb_classifier(docs, model, dim=256, seed=7)
+    return scored.join(labeled.select("doc_id", "_y"), "doc_id")
+
+
+def _nb_labeled_cte() -> str:
+    from prql_query_spark.operators.classify import nb_oracle_sql
+
+    nb = nb_oracle_sql("documents", "text LIKE '%spark%'",
+                       dim=256, seed=7)
+    return (f"WITH nb AS ({nb}), j AS (SELECT nb.doc_id, nb.score, "
+            "nb.pred, (d.text LIKE '%spark%') AS y "
+            "FROM nb JOIN documents d USING (doc_id))")
+
+
+def _x_classifier_eval(spark, sf_dir):
+    """Confusion matrix + accuracy/precision/recall/F1 for the trained
+    quality classifier against its own training label (the in-sample
+    report a gate-threshold decision starts from) — the evaluation half
+    the train/score pair was missing.  Integer confusion counts, so the
+    oracle twin is exact; ratios DECIMAL-rounded per convention."""
+    from prql_query_spark.operators.classify import classifier_report
+
+    return classifier_report(_nb_scored_labeled(spark, sf_dir),
+                             "_y", "pred")
+
+
+def _x_roc_auc(spark, sf_dir):
+    """Exact tie-aware ROC-AUC of the classifier scores via the rank
+    statistic (Mann-Whitney identity); one global rank window (sorts
+    spill, never OOM — same memory class as exact_percentiles) plus one
+    aggregate.  Oracle re-derives the identical avg-rank formula."""
+    from prql_query_spark.operators.analytics import roc_auc
+
+    return roc_auc(_nb_scored_labeled(spark, sf_dir), "score", "_y")
+
+
+def _x_calibration(spark, sf_dir):
+    """Reliability-curve bins over the classifier scores (10 bins on
+    [-10, 40), edges clamp): per bin n, exact-decimal mean score, and
+    positive fraction — what choosing a quality-gate threshold actually
+    reads."""
+    from prql_query_spark.operators.classify import calibration_bins
+
+    return calibration_bins(_nb_scored_labeled(spark, sf_dir),
+                            "score", "_y", bins=10, lo=-10.0, hi=40.0)
+
+
+EXTENSIONS["x_classifier_eval"] = _x_classifier_eval
+EXTENSIONS["x_roc_auc"] = _x_roc_auc
+EXTENSIONS["x_calibration"] = _x_calibration
+
+
+def _eval_tier_oracles() -> dict[str, str]:
+    cte = _nb_labeled_cte()
+    r6 = lambda expr, alias: (  # noqa: E731
+        f"CAST(ROUND(CAST({expr} AS DECIMAL(38,12)), 6) AS DOUBLE) "
+        f"AS {alias}")
+    report = f"""{cte}, c AS (
+    SELECT CAST(SUM(CASE WHEN y AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN NOT y AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN y AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN NOT y AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM j)
+SELECT tp, fp, fn, tn,
+       {r6("(tp + tn) / (tp + fp + fn + tn)", "accuracy")},
+       {r6("tp / (tp + fp)", "precision")},
+       {r6("tp / (tp + fn)", "recall")},
+       {r6("2 * tp / (2 * tp + fp + fn)", "f1")}
+FROM c"""
+    auc = f"""{cte}, r AS (
+    SELECT y, RANK() OVER (ORDER BY score)
+              + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS ar
+    FROM j), a AS (
+    SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           SUM(CASE WHEN y THEN ar ELSE 0 END) AS rs
+    FROM r)
+SELECT n_pos, n_neg,
+       {r6("(rs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)", "auc")}
+FROM a"""
+    calib = f"""{cte}, b AS (
+    SELECT LEAST(9, GREATEST(0,
+               CAST(FLOOR((score - (-10.0)) / 5.0) AS INT))) AS bin,
+           score, y
+    FROM j)
+SELECT bin, COUNT(*) AS n,
+       {r6("CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)",
+           "mean_score")},
+       {r6("SUM(CASE WHEN y THEN 1 ELSE 0 END) / COUNT(*)", "frac_pos")}
+FROM b GROUP BY bin ORDER BY bin"""
+    return {"x_classifier_eval": report, "x_roc_auc": auc,
+            "x_calibration": calib}
+
+
+EXTENSION_ORACLES.update(_eval_tier_oracles())

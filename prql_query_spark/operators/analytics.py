@@ -1200,3 +1200,38 @@ def period_change(
         )
         .orderBy("bucket")
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """EXACT ROC-AUC via the rank statistic (the Mann-Whitney identity
+    AUC = U/(P*N), tie-aware): average tied ranks (RANK + (ties-1)/2),
+    then AUC = (sum of positive avg-ranks - P(P+1)/2) / (P*N).
+    Halves are exact in float64 and the rank sums are integers+halves,
+    so any SQL twin applying the same formula matches bit-for-bit
+    after the 6-decimal DECIMAL rounding.
+
+    Plan: ONE global rank window (a sort — same memory class as
+    exact_percentiles' spilling window-sort: spills, never OOMs) plus
+    one aggregate.  For monitoring at 100 TB prefer a bucketed
+    approximation (histogram AUC over equidepth_histogram_approx cuts);
+    this operator is the exact evaluation path.
+    """
+    w_rank = Window.orderBy(score_col)
+    w_tie = Window.partitionBy(score_col)
+    ranked = df.select(
+        F.col(label_col).cast("boolean").alias("_y"),
+        (F.rank().over(w_rank)
+         + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias("_ar"))
+    agg = ranked.agg(
+        F.sum(F.col("_y").cast("long")).alias("_p"),
+        F.sum((~F.col("_y")).cast("long")).alias("_n"),
+        F.sum(F.when(F.col("_y"), F.col("_ar")).otherwise(0.0)).alias("_rs"))
+    auc = ((F.col("_rs") - F.col("_p") * (F.col("_p") + 1) / 2.0)
+           / (F.col("_p") * F.col("_n")))
+    return agg.select(
+        F.col("_p").alias("n_pos"), F.col("_n").alias("n_neg"),
+        F.round(auc.cast("decimal(38,12)"), 6).cast("double").alias("auc"))

@@ -153,3 +153,73 @@ SELECT d.{id_col},
        CAST(ROUND(CAST(COALESCE(s.s, 0.0) AS DECIMAL(38,12)), 6) AS DOUBLE) > 0 AS pred
 FROM {table} d LEFT JOIN scored s USING ({id_col})
 """
+
+
+def classifier_report(
+    scored: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Binary-classifier evaluation in ONE map-side-combined aggregate:
+    confusion counts plus accuracy/precision/recall/F1 (6-decimal,
+    DECIMAL-rounded per the cross-engine float convention; ratios of
+    exact integer counts, so any SQL twin matches bit-for-bit).  The
+    missing half of the train/score pair: the quality-gate loop is
+    label -> train_nb_classifier -> score -> classifier_report ->
+    threshold decision."""
+    l_ = F.col(label_col).cast("boolean")
+    p_ = F.col(pred_col).cast("boolean")
+    agg = scored.agg(
+        F.sum((l_ & p_).cast("long")).alias("tp"),
+        F.sum((~l_ & p_).cast("long")).alias("fp"),
+        F.sum((l_ & ~p_).cast("long")).alias("fn"),
+        F.sum((~l_ & ~p_).cast("long")).alias("tn"),
+    )
+
+    def r6(c):
+        return F.round(c.cast("decimal(38,12)"), 6).cast("double")
+
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        r6((tp + tn) / (tp + fp + fn + tn)).alias("accuracy"),
+        r6(tp / (tp + fp)).alias("precision"),
+        r6(tp / (tp + fn)).alias("recall"),
+        r6(2 * tp / (2 * tp + fp + fn)).alias("f1"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability-curve bins over a score: per fixed-width bin
+    (out-of-range scores clamp to the edge bins), row count, exact-sum
+    mean score, and positive fraction — what a threshold decision for a
+    quality gate actually reads.  Mean uses the repo's exact-decimal
+    convention (sum in DECIMAL once, divide by the exact count), so a
+    SQL twin matches despite float partial-aggregation order."""
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(score_col) - lo) / width)
+                   .cast("int"))).alias("bin")
+    g = scored.select(b, F.col(score_col).alias("_s"),
+                      F.col(label_col).cast("boolean").alias("_y")) \
+        .groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_s").cast("decimal(28,6)")).alias("_ssum"),
+            F.sum(F.col("_y").cast("long")).alias("_pos"))
+
+    def r6(c):
+        return F.round(c.cast("decimal(38,12)"), 6).cast("double")
+
+    return g.select(
+        "bin", "n",
+        r6(F.col("_ssum").cast("double") / F.col("n")).alias("mean_score"),
+        r6(F.col("_pos") / F.col("n")).alias("frac_pos"),
+    ).orderBy("bin")

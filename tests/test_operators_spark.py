@@ -4646,3 +4646,44 @@ def test_scrub_card_numbers_luhn_gated(spark):
     assert out[4] == ("visa13 <CARD> ok", 1, 1)
     assert out[5][1:] == (0, 0)
     assert out[6] == ("two <CARD> and <CARD> cards", 2, 2)
+
+
+def test_classifier_eval_tier(spark):
+    """Hand-checkable confusion/AUC/calibration on a crafted scored set
+    WITH score ties (the gate fixture has none, so the tie-average rank
+    correction is pinned here)."""
+    from prql_query_spark.operators.analytics import roc_auc
+    from prql_query_spark.operators.classify import (
+        calibration_bins, classifier_report)
+
+    rows = [  # (score, label, pred)
+        (0.9, True, True), (0.8, True, True), (0.8, False, True),
+        (0.6, True, True), (0.4, False, False), (0.4, True, False),
+        (0.2, False, False), (0.1, False, False),
+    ]
+    df = spark.createDataFrame(rows, "score double, y boolean, p boolean")
+    rep = classifier_report(df, "y", "p").first()
+    assert (rep["tp"], rep["fp"], rep["fn"], rep["tn"]) == (3, 1, 1, 3)
+    assert rep["accuracy"] == 0.75 and rep["precision"] == 0.75
+    assert rep["recall"] == 0.75 and rep["f1"] == 0.75
+
+    # ranks asc: 0.1->1, 0.2->2, 0.4,0.4->3.5, 0.6->5, 0.8,0.8->6.5, 0.9->8
+    # pos avg-ranks: 8 + 6.5 + 5 + 3.5 = 23; AUC = (23 - 10)/(4*4) = 0.8125
+    auc = roc_auc(df, "score", "y").first()
+    assert (auc["n_pos"], auc["n_neg"], auc["auc"]) == (4, 4, 0.8125)
+
+    # IEEE bin edges: 0.6/0.2 = 2.9999... -> bin 2; 0.8/0.2 = 4.0000...1
+    # -> clamps to bin 4 — identical in both engines by construction
+    cal = {r["bin"]: (r["n"], r["mean_score"], r["frac_pos"])
+           for r in calibration_bins(df, "score", "y", bins=5,
+                                     lo=0.0, hi=1.0).collect()}
+    assert cal[0] == (1, 0.1, 0.0)
+    assert cal[1] == (1, 0.2, 0.0)
+    assert cal[2] == (3, 0.466667, 0.666667)  # 0.4, 0.4, 0.6
+    assert cal[4] == (3, 0.833333, 0.666667)  # 0.8, 0.8, 0.9
+    # clamping: out-of-range scores land in edge bins
+    df2 = spark.createDataFrame([(-5.0, False, False), (9.0, True, True)],
+                                "score double, y boolean, p boolean")
+    cal2 = {r["bin"] for r in calibration_bins(
+        df2, "score", "y", bins=5, lo=0.0, hi=1.0).collect()}
+    assert cal2 == {0, 4}
