@@ -1635,22 +1635,23 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_ORDER = [
     # Round-8 rotation (window = 50, maintenance discipline since r6):
     # (a) the 7-query stable regression core (unchanged since r6),
-    # (b) the 13 round-8-new rows (df-capped BM25 serving probe, the
+    # (b) the 14 round-8-new rows (df-capped BM25 serving probe, the
     # planted-positive denoising gate, the persisted-index streaming
     # dedup, batched index probing, exact heavy hitters — flat and
     # per-group, the exact prefix-filtered similarity join, the
     # stateful streaming sessionizer, the streaming MG-summary
-    # maintainer, Luhn-gated card redaction, and the classifier
-    # evaluation tier: report/AUC/calibration), (c) the 13 rows the r7
-    # comment deferred to this
+    # maintainer, Luhn-gated card redaction, the classifier
+    # evaluation tier: report/AUC/calibration, and retrieval-quality
+    # metrics), (c) the 13 rows the r7 comment deferred to this
     # window (the 8 low-risk scalar/identity PRQL rows +
     # x_paragraph_dedup, x_pagerank, x_nb_classifier, x_mix_corpora,
     # x_gopher_audit — all judge-verified exact at sf0.01 in the r7
     # session), then (d) the stalest previously-green rows, oldest
     # audit first: the 2 r1 leftovers (x_dedup_content,
-    # x_minhash_dedup), all 14 remaining r2 rows, and the first 1
-    # (alphabetical) of the 41 r4 rows.
-    # Deferred to r9: the other 40 r4 rows (q_disjunctive_filter_q19,
+    # x_minhash_dedup) and all 14 remaining r2 rows.
+    # Deferred to r9: ALL 41 r4 rows (the 14 new rows squeezed this
+    # round's re-audit quota — r9 should lead with them:
+    # q_cust_distribution_q13, q_disjunctive_filter_q19,
     # q_idle_customers_q22, q_large_orders_q18, q_min_cost_supplier_q2,
     # q_order_priority_q4, q_promo_revenue_q14,
     # q_scalar_funcs, q_volume_shipping_q7, x_anomaly_zscore, then
@@ -1667,7 +1668,7 @@ DRIVER_ORDER = [
     "x_bm25_index_batch", "x_heavy_hitters", "x_jaccard_prefix",
     "x_stream_sessions", "x_stream_heavy_hitters",
     "x_heavy_hitters_by", "x_card_scrub", "x_classifier_eval",
-    "x_roc_auc", "x_calibration",
+    "x_roc_auc", "x_calibration", "x_ir_metrics",
     # — the 13 rows deferred from the r7 window —
     "q_case_buckets", "q_coalesce", "q_distinct_status",
     "q_fstring_label", "q_func_inline", "q_having", "q_in_list",
@@ -1681,8 +1682,6 @@ DRIVER_ORDER = [
     "x_hash_split", "x_lang_id", "x_minhash_dedup_cc",
     "x_minhash_pairs", "x_ngram_jaccard", "x_range_join",
     "x_simhash_pairs",
-    # — stalest re-audit: last driver-hashed in r4 (first 1 of 41) —
-    "q_cust_distribution_q13",
 ]
 
 
@@ -6888,3 +6887,88 @@ FROM b GROUP BY bin ORDER BY bin"""
 
 
 EXTENSION_ORACLES.update(_eval_tier_oracles())
+
+
+def _x_ir_metrics(spark, sf_dir):
+    """Retrieval-quality evaluation under the gate: recall@10 / MRR@10 /
+    nDCG@10 of the batched BM25 serving output against graded qrels
+    derived deterministically from the corpus itself (rel = how many of
+    the query's distinct tokens the document contains — same rule in
+    the oracle).  This is the measurement layer the df-capped probe
+    needs: capping changes scores BY DESIGN, and this row is how a
+    quality regression would be caught, not just a speed one.  DCG and
+    IDCG are rank-sorted sequential folds on both engines (the repo's
+    ordered-summation convention), so the hash comparison is exact."""
+    from prql_query_spark.operators.retrieval import (
+        bm25_topk_batch, ir_metrics)
+    from prql_query_spark.operators.text import ASCII_WS, tokens
+
+    docs = _tbl(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_BATCH, "query_id string, query_text string")
+    results = bm25_topk_batch(docs, queries, k=10)
+    qterms = queries.select(
+        "query_id",
+        F.array_distinct(F.split(
+            F.trim(F.lower(F.col("query_text"))), ASCII_WS)).alias("_qt"))
+    qrels = (
+        docs.select("doc_id", tokens(F.col("text")).alias("_dt"))
+        .crossJoin(F.broadcast(qterms))
+        .select(
+            "query_id", "doc_id",
+            F.size(F.filter(
+                "_qt",
+                lambda t: F.array_contains(F.col("_dt"), t))).alias("rel"))
+    )
+    return ir_metrics(results, qrels, k=10).orderBy("query_id")
+
+
+def _ir_metrics_oracle() -> str:
+    from prql_query_spark.operators.retrieval import (
+        bm25_topk_batch_oracle_sql)
+
+    res = bm25_topk_batch_oracle_sql(_BM25_BATCH, k=10)
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_BATCH)
+    r6 = lambda e, a: (  # noqa: E731
+        f"CAST(ROUND(CAST({e} AS DECIMAL(38,12)), 6) AS DOUBLE) AS {a}")
+    return f"""
+WITH res AS ({res}),
+q(query_id, query_text) AS (VALUES {vals}),
+qr AS (
+    SELECT q.query_id, d.doc_id,
+           len(list_filter(
+               list_distinct(regexp_split_to_array(
+                   trim(lower(q.query_text)), '\\s+')),
+               t -> list_contains(regexp_split_to_array(
+                   trim(lower(d.text)), '\\s+'), t))) AS rel
+    FROM q CROSS JOIN documents d
+), pos AS (SELECT query_id, doc_id, rel FROM qr WHERE rel >= 1),
+nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM pos GROUP BY query_id),
+topk AS (SELECT query_id, doc_id, rank FROM res WHERE rank <= 10),
+hits AS (SELECT t.query_id, t.rank, p.rel
+         FROM topk t JOIN pos p USING (query_id, doc_id)),
+ah AS (SELECT query_id, COUNT(*) AS n_hit, MIN(rank) AS fr,
+              list_sum(list((POW(2.0, rel) - 1) / LOG2(rank + 1)
+                            ORDER BY rank)) AS dcg
+       FROM hits GROUP BY query_id),
+ideal AS (SELECT query_id, rel,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, doc_id) AS irk
+          FROM pos),
+ai AS (SELECT query_id,
+              list_sum(list((POW(2.0, rel) - 1) / LOG2(irk + 1)
+                            ORDER BY irk)) AS idcg
+       FROM ideal WHERE irk <= 10 GROUP BY query_id)
+SELECT n.query_id, n.n_rel,
+       CAST(COALESCE(ah.n_hit, 0) AS BIGINT) AS n_hit,
+       {r6("COALESCE(ah.n_hit, 0) / n.n_rel", "recall_10")},
+       {r6("COALESCE(1.0 / ah.fr, 0.0)", "mrr_10")},
+       {r6("COALESCE(ah.dcg, 0.0) / ai.idcg", "ndcg_10")}
+FROM nrel n JOIN ai USING (query_id)
+LEFT JOIN ah USING (query_id)
+ORDER BY n.query_id
+"""
+
+
+EXTENSIONS["x_ir_metrics"] = _x_ir_metrics
+EXTENSION_ORACLES["x_ir_metrics"] = _ir_metrics_oracle()

@@ -1076,3 +1076,84 @@ def hybrid_topk_indexed(
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)
+
+
+def ir_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query retrieval evaluation over ranked results: recall@k,
+    MRR@k, nDCG@k (graded relevance, standard 2^rel-1 gains) — the
+    measurement layer for the serving stack: without it, plan changes
+    that alter scores (df-capped probing deliberately does) cannot be
+    judged for QUALITY, only speed.
+
+    Inputs: ``results`` ranked lists (rank 1-based, deterministic
+    tiebreak — bm25_topk_batch / hybrid outputs qualify), ``qrels``
+    graded judgments (rel >= 1 relevant).  Queries with no relevant
+    docs are excluded (metrics undefined); queries with no HITS in the
+    top-k score 0.0, not NULL.
+
+    Cross-engine float convention: both DCG and IDCG are sequential
+    folds over rank-sorted term lists (the repo's sorted-order
+    summation convention), so a SQL twin summing the identical order
+    matches bit-for-bit after 6-decimal DECIMAL rounding.  Shuffles:
+    everything groups on query_id; qrels-side work is judgment-sized,
+    results-side is k x queries — nothing corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    def r6(c):
+        return F.round(c.cast("decimal(38,12)"), 6).cast("double")
+
+    def fold_sorted(key_col, val_col):
+        arr = F.array_sort(F.collect_list(F.struct(
+            key_col.alias("r"), val_col.alias("v"))))
+        return F.aggregate(F.transform(arr, lambda s: s["v"]),
+                           F.lit(0.0), lambda a, x: a + x)
+
+    pos = qrels.filter(F.col(rel_col) >= 1).select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d"),
+        F.col(rel_col).cast("int").alias("_rel"))
+    n_rel = pos.groupBy("_q").agg(F.count(F.lit(1)).alias("_nrel"))
+
+    topk = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("int").alias("_rk"))
+    hits = topk.join(pos, ["_q", "_d"])
+    gain = (F.pow(F.lit(2.0), F.col("_rel")) - 1) \
+        / F.log2(F.col("_rk") + 1)
+    agg_hits = hits.groupBy("_q").agg(
+        F.count(F.lit(1)).alias("_nhit"),
+        F.min("_rk").alias("_fr"),
+        fold_sorted(F.col("_rk"), gain).alias("_dcg"))
+
+    w = Window.partitionBy("_q").orderBy(F.desc("_rel"), "_d")
+    ideal = pos.withColumn("_irk", F.row_number().over(w)) \
+        .filter(F.col("_irk") <= k)
+    igain = (F.pow(F.lit(2.0), F.col("_rel")) - 1) \
+        / F.log2(F.col("_irk") + 1)
+    agg_ideal = ideal.groupBy("_q").agg(
+        fold_sorted(F.col("_irk"), igain).alias("_idcg"))
+
+    out = (
+        n_rel.join(agg_ideal, "_q")
+        .join(agg_hits, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("_nrel").alias("n_rel"),
+            F.coalesce("_nhit", F.lit(0)).cast("long").alias("n_hit"),
+            r6(F.coalesce("_nhit", F.lit(0)) / F.col("_nrel"))
+            .alias(f"recall_{k}"),
+            r6(F.coalesce(1.0 / F.col("_fr"), F.lit(0.0)))
+            .alias(f"mrr_{k}"),
+            r6(F.coalesce("_dcg", F.lit(0.0)) / F.col("_idcg"))
+            .alias(f"ndcg_{k}"),
+        )
+    )
+    return out

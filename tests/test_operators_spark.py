@@ -4687,3 +4687,37 @@ def test_classifier_eval_tier(spark):
     cal2 = {r["bin"] for r in calibration_bins(
         df2, "score", "y", bins=5, lo=0.0, hi=1.0).collect()}
     assert cal2 == {0, 4}
+
+
+def test_ir_metrics_hand_checked(spark):
+    """Hand-computed recall/MRR/nDCG on a crafted ranked list, including
+    a query with zero hits in the top-k (metrics 0.0, not NULL) and a
+    query excluded for having no relevant docs."""
+    from prql_query_spark.operators.retrieval import ir_metrics
+
+    results = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+         ("q2", 20, 1), ("q2", 21, 2),
+         ("q3", 30, 1)],
+        "query_id string, doc_id long, rank int")
+    qrels = spark.createDataFrame(
+        [("q1", 11, 2), ("q1", 12, 1), ("q1", 99, 1),
+         ("q2", 77, 1),
+         ("q3", 30, 0)],   # q3: judged but rel=0 -> excluded
+        "query_id string, doc_id long, rel int")
+    out = {r["query_id"]: r.asDict() for r in
+           ir_metrics(results, qrels, k=3).collect()}
+    assert set(out) == {"q1", "q2"}
+    q1 = out["q1"]
+    # hits: d11 rel2 rank2, d12 rel1 rank3; recall 2/3
+    assert (q1["n_rel"], q1["n_hit"], q1["recall_3"]) == (3, 2, 0.666667)
+    assert q1["mrr_3"] == 0.5
+    # dcg = 3/log2(3) + 1/log2(4) = 1.892789... + 0.5
+    # idcg = 3/log2(2) + 1/log2(3) + 1/log2(4) = 3 + 0.63093 + 0.5
+    import math
+    dcg = 3 / math.log2(3) + 1 / 2
+    idcg = 3 + 1 / math.log2(3) + 1 / 2
+    assert q1["ndcg_3"] == round(dcg / idcg, 6)
+    q2 = out["q2"]
+    assert (q2["n_hit"], q2["recall_3"], q2["mrr_3"], q2["ndcg_3"]) == \
+        (0, 0.0, 0.0, 0.0)
