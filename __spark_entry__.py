@@ -1656,7 +1656,10 @@ DRIVER_ORDER = [
     # q_order_priority_q4, q_promo_revenue_q14,
     # q_scalar_funcs, q_volume_shipping_q7, x_anomaly_zscore, then
     # x_bigram_backoff ... x_url_canon; exact list = CORRECTNESS_r04
-    # keys minus this window) and everything last audited r5+.  The
+    # keys minus this window) and everything last audited r5+, plus
+    # the two late r8 eval variants (x_auc_by_source, x_avg_precision
+    # — same rank machinery as the windowed x_roc_auc, parity-exact at
+    # both SFs in-repo).  The
     # in-repo Arrow-typed parity harness (tools/check_parity.py) still
     # value-checks all entries at both gate SFs every round.
     # — stable regression core (7) —
@@ -6972,3 +6975,69 @@ ORDER BY n.query_id
 
 EXTENSIONS["x_ir_metrics"] = _x_ir_metrics
 EXTENSION_ORACLES["x_ir_metrics"] = _ir_metrics_oracle()
+
+
+def _x_auc_by_source(spark, sf_dir):
+    """Per-segment AUC (the drift/fairness slice view): the classifier's
+    rank quality on every source independently — the rank windows
+    partition on the group, groups with one class are excluded by
+    contract (all 20 fixture sources carry both classes, verified)."""
+    from prql_query_spark.operators.analytics import roc_auc
+
+    scored = _nb_scored_labeled(spark, sf_dir)
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "source")
+    return roc_auc(scored.join(docs, "doc_id"), "score", "_y",
+                   by=["source"]).orderBy("source")
+
+
+def _x_avg_precision(spark, sf_dir):
+    """Exact average precision (step-definition PR-AUC) of the
+    classifier scores, tiebroken on doc_id (AP is order-dependent under
+    ties, so determinism comes from the explicit total order); the
+    per-positive precision terms fold in rank order on both engines."""
+    from prql_query_spark.operators.analytics import average_precision
+
+    return average_precision(_nb_scored_labeled(spark, sf_dir),
+                             "score", "_y", tie_col="doc_id")
+
+
+EXTENSIONS["x_auc_by_source"] = _x_auc_by_source
+EXTENSIONS["x_avg_precision"] = _x_avg_precision
+
+
+def _auc_ap_oracles() -> dict[str, str]:
+    cte = _nb_labeled_cte()
+    r6 = lambda e, a: (  # noqa: E731
+        f"CAST(ROUND(CAST({e} AS DECIMAL(38,12)), 6) AS DOUBLE) AS {a}")
+    auc_by = f"""{cte}, s AS (
+    SELECT d.source, j.score, j.y FROM j JOIN documents d USING (doc_id)
+), r AS (
+    SELECT source, y,
+           RANK() OVER (PARTITION BY source ORDER BY score)
+           + (COUNT(*) OVER (PARTITION BY source, score) - 1) / 2.0 AS ar
+    FROM s
+), a AS (
+    SELECT source,
+           CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           SUM(CASE WHEN y THEN ar ELSE 0 END) AS rs
+    FROM r GROUP BY source)
+SELECT source, n_pos, n_neg,
+       {r6("(rs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)", "auc")}
+FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY source"""
+    ap = f"""{cte}, r AS (
+    SELECT y, doc_id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn,
+           SUM(CASE WHEN y THEN 1 ELSE 0 END) OVER (
+               ORDER BY score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cp
+    FROM j
+), t AS (SELECT rn, CAST(cp AS DOUBLE) / rn AS v FROM r WHERE y),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+             list_sum(list(v ORDER BY rn)) AS apsum FROM t)
+SELECT n_pos, {r6("apsum / n_pos", "avg_precision")} FROM a
+WHERE n_pos > 0"""
+    return {"x_auc_by_source": auc_by, "x_avg_precision": ap}
+
+
+EXTENSION_ORACLES.update(_auc_ap_oracles())

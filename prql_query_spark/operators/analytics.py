@@ -1206,6 +1206,7 @@ def roc_auc(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """EXACT ROC-AUC via the rank statistic (the Mann-Whitney identity
     AUC = U/(P*N), tie-aware): average tied ranks (RANK + (ties-1)/2),
@@ -1219,19 +1220,82 @@ def roc_auc(
     one aggregate.  For monitoring at 100 TB prefer a bucketed
     approximation (histogram AUC over equidepth_histogram_approx cuts);
     this operator is the exact evaluation path.
+
+    ``by`` computes per-group AUC (the segment-drift / fairness slice
+    view; the rank window partitions on the groups, so no group ever
+    sees another's rows).  Groups with only one class have undefined
+    AUC and are EXCLUDED (same contract as ir_metrics' undefined
+    queries) — check n_pos/n_neg coverage separately if absence
+    matters.
     """
-    w_rank = Window.orderBy(score_col)
-    w_tie = Window.partitionBy(score_col)
+    groups = list(by) if by else []
+    w_rank = Window.partitionBy(*groups).orderBy(score_col)
+    w_tie = Window.partitionBy(*groups, score_col)
     ranked = df.select(
+        *groups,
         F.col(label_col).cast("boolean").alias("_y"),
         (F.rank().over(w_rank)
          + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias("_ar"))
-    agg = ranked.agg(
+    aggs = [
         F.sum(F.col("_y").cast("long")).alias("_p"),
         F.sum((~F.col("_y")).cast("long")).alias("_n"),
-        F.sum(F.when(F.col("_y"), F.col("_ar")).otherwise(0.0)).alias("_rs"))
+        F.sum(F.when(F.col("_y"), F.col("_ar")).otherwise(0.0)).alias("_rs"),
+    ]
+    agg = ranked.groupBy(*groups).agg(*aggs) if groups else ranked.agg(*aggs)
     auc = ((F.col("_rs") - F.col("_p") * (F.col("_p") + 1) / 2.0)
            / (F.col("_p") * F.col("_n")))
-    return agg.select(
-        F.col("_p").alias("n_pos"), F.col("_n").alias("n_neg"),
-        F.round(auc.cast("decimal(38,12)"), 6).cast("double").alias("auc"))
+    return (
+        agg.filter((F.col("_p") > 0) & (F.col("_n") > 0))
+        .select(
+            *groups,
+            F.col("_p").alias("n_pos"), F.col("_n").alias("n_neg"),
+            F.round(auc.cast("decimal(38,12)"), 6).cast("double")
+            .alias("auc"))
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tie_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """EXACT average precision (PR-AUC by the step definition):
+    AP = (1/P) * sum over positives of precision@rank, ranking by
+    (score DESC, tie_col ASC).  The tiebreak column is REQUIRED —
+    unlike the rank-statistic AUC, AP is genuinely order-dependent
+    under score ties, so determinism must come from an explicit total
+    order, not from luck.
+
+    The per-positive precision terms are rationals, so the sum uses
+    the ordered-fold convention (rank-sorted sequential fold) — a SQL
+    twin summing the identical order matches bit-for-bit after the
+    6-decimal DECIMAL rounding.  Groups with no positives are
+    excluded.  Scale note: the fold collects one value per POSITIVE
+    per group — evaluation-sized (judgment sets), not corpus-sized;
+    this is the exact evaluation path, not a monitoring stream.
+    """
+    groups = list(by) if by else []
+    w = Window.partitionBy(*groups).orderBy(
+        F.desc(score_col), F.col(tie_col))
+    ranked = df.select(
+        *groups,
+        F.col(label_col).cast("boolean").alias("_y"),
+        F.row_number().over(w).alias("_rn"),
+        F.sum(F.col(label_col).cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cp"))
+    terms = ranked.filter(F.col("_y"))
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col("_rn").alias("r"),
+        (F.col("_cp") / F.col("_rn")).alias("v"))))
+    fold = F.aggregate(F.transform(arr, lambda s: s["v"]),
+                       F.lit(0.0), lambda a, x: a + x)
+    aggs = [F.count(F.lit(1)).alias("_pp"), fold.alias("_apsum")]
+    agg = terms.groupBy(*groups).agg(*aggs) if groups else terms.agg(*aggs)
+    return agg.filter(F.col("_pp") > 0).select(
+        *groups,
+        F.col("_pp").alias("n_pos"),
+        F.round((F.col("_apsum") / F.col("_pp")).cast("decimal(38,12)"), 6)
+        .cast("double").alias("avg_precision"))

@@ -4721,3 +4721,35 @@ def test_ir_metrics_hand_checked(spark):
     q2 = out["q2"]
     assert (q2["n_hit"], q2["recall_3"], q2["mrr_3"], q2["ndcg_3"]) == \
         (0, 0.0, 0.0, 0.0)
+
+
+def test_auc_by_group_and_average_precision(spark):
+    """Grouped AUC excludes single-class groups; AP matches the
+    hand-computed step definition under an explicit tiebreak."""
+    from prql_query_spark.operators.analytics import (
+        average_precision, roc_auc)
+
+    rows = [  # (g, id, score, y)
+        ("a", 1, 0.9, True), ("a", 2, 0.7, False),
+        ("a", 3, 0.5, True), ("a", 4, 0.3, False),
+        ("b", 5, 0.8, True), ("b", 6, 0.6, True),  # single-class group
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, score double, y boolean")
+    by = {r["g"]: (r["n_pos"], r["n_neg"], r["auc"])
+          for r in roc_auc(df, "score", "y", by=["g"]).collect()}
+    # group a ranks asc: 0.3->1, 0.5->2, 0.7->3, 0.9->4; pos ranks 2+4=6
+    # AUC = (6 - 2*3/2) / (2*2) = 0.75;  group b: no negatives -> excluded
+    assert by == {"a": (2, 2, 0.75)}
+
+    # AP over group a only (drop b): ranked desc 0.9(+),0.7(-),0.5(+),0.3(-)
+    # AP = (1/1 + 2/3) / 2 = 0.833333
+    ap = average_precision(
+        df.filter(F.col("g") == "a"), "score", "y", tie_col="id").first()
+    assert (ap["n_pos"], ap["avg_precision"]) == (2, 0.833333)
+    # tie determinism: equal scores ordered by the tiebreak column
+    tied = spark.createDataFrame(
+        [(1, 0.5, True), (2, 0.5, False), (3, 0.5, True)],
+        "id long, score double, y boolean")
+    ap2 = average_precision(tied, "score", "y", tie_col="id").first()
+    # order: id 1(+), 2(-), 3(+): AP = (1/1 + 2/3)/2 = 0.833333
+    assert ap2["avg_precision"] == 0.833333
