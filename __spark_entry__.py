@@ -6491,10 +6491,22 @@ def _x_jaccard_prefix(spark, sf_dir):
     jaccard values are cardinality ratios, hash-family independent.
     Fixture caveat (same as the minhash rows): real pairs sit at
     j >= 0.92, so the [0.6, 0.92) borderline band is covered by
-    pytest's planted boundary pairs, not this row."""
+    pytest's planted boundary pairs, not this row.
+    ASCII-only assumption (r8 ADVICE): the Spark side shingles UTF-8
+    BYTES (k-NUL padding for short docs) while the DuckDB twin
+    shingles CHARACTERS via substr — cardinalities, hence jaccard,
+    diverge on any multibyte text.  The assert below keeps a future
+    fixture refresh from surfacing as an opaque hash mismatch."""
     from prql_query_spark.operators.dedup import jaccard_join_prefix
 
     docs = _tbl(spark, sf_dir, "documents")
+    n_non_ascii = docs.filter(
+        F.col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert n_non_ascii == 0, (
+        f"x_jaccard_prefix fixture has {n_non_ascii} non-ASCII docs: "
+        "byte-shingles (Spark) vs char-shingles (DuckDB) diverge on "
+        "multibyte text — restrict the row to ASCII docs or align the "
+        "oracle's shingler")
     return jaccard_join_prefix(docs, t_num=3, t_den=5) \
         .orderBy("a", "b")
 
@@ -6569,7 +6581,9 @@ def _x_stream_sessions(spark, sf_dir):
         timeout_ms=None, max_files_per_trigger=1,
         available_now=True)
     try:
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "x_stream_sessions availableNow did not terminate in 300s")
         if q.exception() is not None:
             raise q.exception()
     finally:

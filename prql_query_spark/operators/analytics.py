@@ -657,7 +657,15 @@ def heavy_hitters(
 
     items = df.select(F.col(item_col).cast("string").alias("_item")) \
         .filter(F.col("_item").isNotNull())
-    summary = mg_candidate_summary(items, k).cache()
+    summary = mg_candidate_summary(items, k)
+    # Materialize the summary ONCE on the driver instead of cache():
+    # verify references it twice (totals + candidates), and a cached
+    # copy would otherwise linger in executor storage for the session
+    # (unpersist has no safe point — the return is lazy).  The volume is
+    # the operator's documented exchange bound: <= capacity x partitions
+    # candidates + one sentinel per partition.
+    local = summary.collect()
+    summary = df.sparkSession.createDataFrame(local, summary.schema)
     return heavy_hitters_verify(items, summary, phi_num, phi_den) \
         .withColumnRenamed("_item", item_col)
 
@@ -765,7 +773,12 @@ def heavy_hitters_by(
         yield pd.DataFrame(
             {c: list(v) for c, v in zip(by + ["_item", "_w"], cols)})
 
-    summary = items.mapInPandas(mg, summary_schema).cache()
+    summary = items.mapInPandas(mg, summary_schema)
+    # Driver-materialized like `heavy_hitters` (no lingering cache);
+    # bound = groups x capacity x partitions — the docstring's stated
+    # memory envelope (pre-filter high-cardinality `by` first).
+    local = summary.collect()
+    summary = df.sparkSession.createDataFrame(local, summary_schema)
     totals = summary.filter(F.col("_item").isNull()) \
         .groupBy(*by).agg(F.sum("_w").alias("n_total"))
     cands = summary.filter(F.col("_item").isNotNull()) \

@@ -538,10 +538,22 @@ def ngram_jaccard(
 def _prefix_candidates(
     docs: DataFrame, t_num: int, t_den: int,
     id_col: str, text_col: str, k: int,
+    max_candidate_pairs: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(candidate pairs, ordered per-doc sets) — the discovery half of
     `jaccard_join_prefix`, separated so tools/probe_prefix_join.py can
-    count the candidate volume the prefix filter actually admits."""
+    count the candidate volume the prefix filter actually admits.
+
+    ``max_candidate_pairs`` (None = unguarded, the probe's mode): before
+    launching the candidate join, estimate its pre-distinct output
+    volume as sum over prefix shingles of C(df_prefix(h), 2) — one tiny
+    aggregate over the prefix postings the operator already computes —
+    and raise if it exceeds the bound.  The estimate is an upper bound
+    on the join's row count (each shared prefix token contributes its
+    pair once), i.e. exactly the quantity that filled 60 GB of shuffle
+    spill in the measured low-threshold template regime
+    (BASELINE §4.4h.2: 20k zipf docs at t=3/5, est ~133M pairs, killed;
+    the slow-but-completing 5k runs sit near 7M)."""
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
 
@@ -564,6 +576,26 @@ def _prefix_candidates(
     pref = ordered.select(
         "_jid", "_n",
         F.posexplode(F.slice("_ts", F.lit(1), p)).alias("_i", "_h"))
+    if max_candidate_pairs is not None:
+        est_row = (
+            pref.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.sum(F.col("_c").cast("double")
+                       * (F.col("_c") - F.lit(1)).cast("double")
+                       / F.lit(2.0)).alias("_e"))
+            .first()
+        )
+        est = int(est_row["_e"] or 0)
+        if est > max_candidate_pairs:
+            raise ValueError(
+                f"jaccard_join_prefix: estimated candidate volume "
+                f"{est:,} pairs exceeds max_candidate_pairs="
+                f"{max_candidate_pairs:,} — at threshold {t_num}/{t_den} "
+                "the prefix filter admits too many mid-df shingles for "
+                "this corpus (the measured 60 GB shuffle-spill regime, "
+                "BASELINE §4.4h.2).  Raise the threshold (>= 0.8 is the "
+                "dedup-realistic regime), use minhash_verified_pairs / "
+                "minhash_dedup_cc (the probabilistic scale default), or "
+                "pass max_candidate_pairs=None to force the join.")
     # Positional filter (PPJoin, Xiao et al. WWW'08): a shared prefix
     # token at 0-indexed positions (i, j) of the FULL sorted arrays
     # bounds the overlap: for the pair's FIRST shared token nothing
@@ -599,6 +631,7 @@ def jaccard_join_prefix(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    max_candidate_pairs: int | None = 25_000_000,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (AllPairs /
     PPJoin family): every pair ``a < b`` whose k-shingle Jaccard is
@@ -641,9 +674,16 @@ def jaccard_join_prefix(
     |corpus|^2 in tools/probe_prefix_join.py.  The verify stage re-reads
     the per-doc sets via the same melt/fold shape as `ngram_jaccard`
     (each side's array computed once).
+
+    ``max_candidate_pairs`` (default 25M) is the runaway guard: the
+    candidate volume estimate Σ C(df_prefix(h), 2) is computed from the
+    prefix postings BEFORE the join launches, and the operator raises —
+    naming the threshold/minhash escape routes — instead of entering
+    the measured 60 GB-spill regime (BASELINE §4.4h.2: low thresholds
+    on template-heavy text).  Pass None to force the join anyway.
     """
     cand, ordered = _prefix_candidates(docs, t_num, t_den, id_col,
-                                       text_col, k)
+                                       text_col, k, max_candidate_pairs)
     melted = cand.select(
         "a", "b",
         F.explode(F.array(

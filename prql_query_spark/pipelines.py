@@ -101,6 +101,11 @@ def curate_corpus(
         "stage_idx int, stage string, docs_in long, docs_out long, "
         "dropped long, seconds double",
     )
+    # `clean`'s cache is deliberately left live: it backs the returned
+    # lazy `out` (everything below it is unpersisted here, so dropping
+    # it too would force the caller's first action to replay the whole
+    # pipeline from the source).  Callers that materialize `out` and
+    # want the storage back call `out.unpersist()` / clear the session.
     for df in (cur, gated, exact, near):
         df.unpersist()
     return out, manifest

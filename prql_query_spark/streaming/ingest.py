@@ -85,11 +85,23 @@ def split_mtime_ts_batches(
     from pyspark.sql import Window
 
     total = df.count()
+    if total == 0:
+        raise ValueError(
+            "split_mtime_ts_batches: input DataFrame is empty — a file-"
+            "source fixture needs at least one row per batch")
+    if total < n_batches:
+        raise ValueError(
+            f"split_mtime_ts_batches: only {total} rows for {n_batches} "
+            "batches — an empty batch file cannot be staged; lower "
+            "n_batches to at most the row count")
     per = -(-total // n_batches)  # ceil
     w = Window.orderBy(ts_col, tiebreak)
+    # Integer division (`div`), not float `/`: float bucketing can land
+    # rows in the wrong batch at large row numbers and makes the
+    # empty-bucket failure mode (IndexError on glob(...)[0]) opaque.
     bucketed = df.withColumn(
         "_rn", F.row_number().over(w)).withColumn(
-        "_b", ((F.col("_rn") - 1) / per).cast("int")).drop("_rn")
+        "_b", F.expr(f"CAST((_rn - 1) DIV {per} AS INT)")).drop("_rn")
 
     stage_root = tempfile.mkdtemp(prefix="pq_stage_")
     try:
@@ -98,7 +110,13 @@ def split_mtime_ts_batches(
             stage = os.path.join(stage_root, f"stage{b}")
             bucketed.filter(F.col("_b") == b).drop("_b").coalesce(1) \
                 .write.mode("overwrite").parquet(stage)
-            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
+            if not parts:
+                raise ValueError(
+                    f"split_mtime_ts_batches: batch {b} of {n_batches} is "
+                    f"empty ({total} rows, ceil-size {per}) — the trailing "
+                    "bucket got no rows; lower n_batches")
+            part = parts[0]
             fno = start_batch + b
             dst = os.path.join(src_dir, f"f{fno}.parquet")
             _shutil.copy(part, dst)

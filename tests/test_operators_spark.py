@@ -4425,6 +4425,29 @@ def test_jaccard_prefix_equals_bruteforce(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_jaccard_prefix_runaway_guard(spark):
+    """The r8 'What's wrong 3' guard: a low-threshold template corpus
+    (every doc shares a long template, so prefix dfs ~ corpus size —
+    the measured 60 GB-spill regime of BASELINE §4.4h.2) must raise
+    BEFORE the candidate join launches, naming the escape routes; the
+    same call with max_candidate_pairs=None must complete."""
+    import pytest as _pytest
+
+    from prql_query_spark.operators.dedup import jaccard_join_prefix
+
+    template = "the quick brown fox jumps over the lazy dog again and "
+    docs = spark.createDataFrame(
+        [(i, template + f"tail {i:04d}") for i in range(60)],
+        "doc_id long, text string")
+    with _pytest.raises(ValueError, match="minhash_verified_pairs"):
+        jaccard_join_prefix(docs, 3, 5, max_candidate_pairs=1000).collect()
+    forced = jaccard_join_prefix(docs, 3, 5, max_candidate_pairs=None)
+    assert forced.count() > 0  # template docs really are near-dups
+    # and the default bound admits fixture-scale inputs (the gate row)
+    ok = jaccard_join_prefix(docs, 3, 5)
+    assert ok.count() == forced.count()
+
+
 def test_stream_sessions_available_now_sentinel_equals_batch(spark, tmp_path):
     """NoTimeout + sentinel + trigger(availableNow): the deterministic
     drive-to-completion shape (the x_stream_sessions gate row).  Three
