@@ -17,10 +17,12 @@ the data files raise a clear error instead of wrong rows (identity
 partitioning stores the columns in the files, which Spark reads
 directly).
 
-The writer (`write_iceberg`) is the inverse at the same subset: a v2
-create-only APPEND — Spark writes the parquet data files distributed,
-the driver assembles only the tiny metadata chain.  Appending to an
-existing table raises (deploy the connector jar for table service).
+The writer (`write_iceberg`) is the inverse at the same subset: v2
+create + append-to-existing snapshots — Spark writes the parquet data
+files distributed, the driver assembles only the tiny metadata chain
+(new manifest -> manifest-list carrying all prior manifests -> new
+metadata JSON with parent-snapshot-id).  Deletes/compaction/catalog
+commits remain connector-jar territory.
 """
 
 from __future__ import annotations
@@ -212,48 +214,36 @@ def _iceberg_type(t: DataType) -> object:
     return base
 
 
-def write_iceberg(df: DataFrame, path: str) -> None:
-    """Minimal jar-less Iceberg v2 APPEND writer — the inverse of
-    read_iceberg, same supported subset (parquet data files, unpartitioned,
-    no deletes).  Data files are written DISTRIBUTED by Spark's parquet
-    writer; only the metadata chain (manifest Avro -> manifest-list Avro ->
-    metadata JSON, all tiny) is assembled on the driver, mirroring how
-    deltalog.py splits data-plane vs control-plane work.  Layout follows
-    the public Iceberg table spec (iceberg table-spec: metadata/
-    v1.metadata.json + version-hint.text, snapshot -> manifest-list ->
-    manifest -> data files).  Single-snapshot create-only: appending to an
-    existing table raises (use the connector jar for full table service).
-    """
-    import glob
-    import json
+_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "data_file", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+            ]}},
+    ]}
+
+_ML_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ]}
+
+
+def _write_manifest(meta_dir: str, parts: list[str]) -> str:
+    """One manifest Avro naming the given parquet parts; returns its path."""
     import uuid
 
     import pyarrow.parquet as pq
 
     from prql_query_spark.engine.avro import encode_container
 
-    if os.path.isdir(os.path.join(path, "metadata")):
-        raise IcebergError(
-            f"{path} is already an iceberg table — the minimal writer is "
-            "create-only (no append/replace snapshots)")
-    data_dir = os.path.join(path, "data")
-    df.write.mode("errorifexists").parquet(data_dir)
-    parts = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
-
-    meta_dir = os.path.join(path, "metadata")
-    os.makedirs(meta_dir)
-    entry_schema = {
-        "type": "record", "name": "manifest_entry", "fields": [
-            {"name": "status", "type": "int"},
-            {"name": "data_file", "type": {
-                "type": "record", "name": "data_file", "fields": [
-                    {"name": "content", "type": "int"},
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "record_count", "type": "long"},
-                    {"name": "file_size_in_bytes", "type": "long"},
-                ]}},
-        ]}
     entries = []
     for p in parts:
         md = pq.read_metadata(p)
@@ -265,41 +255,150 @@ def write_iceberg(df: DataFrame, path: str) -> None:
             "file_size_in_bytes": os.path.getsize(p)}})
     man_path = os.path.join(meta_dir, f"man-{uuid.uuid4().hex}.avro")
     with open(man_path, "wb") as fh:
-        fh.write(encode_container(entry_schema, entries))
+        fh.write(encode_container(_ENTRY_SCHEMA, entries))
+    return man_path
 
-    ml_schema = {
-        "type": "record", "name": "manifest_file", "fields": [
-            {"name": "manifest_path", "type": "string"},
-            {"name": "manifest_length", "type": "long"},
-            {"name": "content", "type": "int"},
-            {"name": "added_snapshot_id", "type": "long"},
-        ]}
-    snap_id = 1
-    ml_path = os.path.join(meta_dir, f"snap-{snap_id}.avro")
-    with open(ml_path, "wb") as fh:
-        fh.write(encode_container(ml_schema, [{
-            "manifest_path": f"file://{man_path}",
-            "manifest_length": os.path.getsize(man_path),
-            "content": 0, "added_snapshot_id": snap_id}]))
 
-    fields = [
+def _schema_fields(df: DataFrame) -> list[dict]:
+    return [
         {"id": i + 1, "name": f.name, "required": not f.nullable,
          "type": _iceberg_type(f.dataType)}
         for i, f in enumerate(df.schema.fields)
     ]
-    meta = {
-        "format-version": 2, "table-uuid": str(uuid.uuid4()),
-        "location": f"file://{path}",
-        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
-        "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "default-spec-id": 0, "last-partition-id": 999,
-        "snapshots": [{"snapshot-id": snap_id, "timestamp-ms": 0,
-                       "manifest-list": f"file://{ml_path}",
-                       "summary": {"operation": "append"}}],
-        "current-snapshot-id": snap_id,
-    }
-    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+
+
+def write_iceberg(df: DataFrame, path: str, mode: str = "create") -> None:
+    """Minimal jar-less Iceberg v2 APPEND writer — the inverse of
+    read_iceberg, same supported subset (parquet data files, unpartitioned,
+    no deletes).  Data files are written DISTRIBUTED by Spark's parquet
+    writer; only the metadata chain (manifest Avro -> manifest-list Avro ->
+    metadata JSON, all tiny) is assembled on the driver, mirroring how
+    deltalog.py splits data-plane vs control-plane work.  Layout follows
+    the public Iceberg table spec (iceberg table-spec: metadata/
+    v{N}.metadata.json + version-hint.text, snapshot -> manifest-list ->
+    manifest -> data files).
+
+    ``mode``:
+      * ``create`` — the table must not exist (raises otherwise);
+      * ``append`` — add a snapshot to an existing table (creating it if
+        absent, the usual writer semantics): the new snapshot's
+        manifest-list carries every previous manifest PLUS one new
+        manifest for the appended files, its ``parent-snapshot-id``
+        names the previous head, and a new v{N+1}.metadata.json becomes
+        current.  Time travel to any earlier snapshot keeps reading
+        exactly the pre-append rows (read_iceberg(snapshot_id=...)).
+        Appended data files land under data/snap-<id>-<uuid>/ so
+        concurrent part names never collide.  Schema must match the
+        table's current schema (name + type, compared in iceberg terms);
+        mismatch raises instead of writing an unreadable snapshot.
+
+    Partition evolution, deletes, and catalog-level commits (atomic swap,
+    retries) remain connector-jar territory — this writer is the
+    single-writer lakehouse subset, matching the Delta side's lifecycle.
+    """
+    import glob
+    import json
+    import uuid
+
+    from prql_query_spark.engine.avro import encode_container
+
+    if mode not in ("create", "append"):
+        raise IcebergError(f"write_iceberg mode {mode!r}: create|append")
+    exists = os.path.isdir(os.path.join(path, "metadata"))
+    if exists and mode == "create":
+        raise IcebergError(
+            f"{path} is already an iceberg table — pass mode='append' to "
+            "add a snapshot")
+
+    meta_dir = os.path.join(path, "metadata")
+    if not exists:
+        data_dir = os.path.join(path, "data")
+        df.write.mode("errorifexists").parquet(data_dir)
+        parts = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
+        os.makedirs(meta_dir)
+        man_path = _write_manifest(meta_dir, parts)
+        snap_id = 1
+        ml_path = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+        with open(ml_path, "wb") as fh:
+            fh.write(encode_container(_ML_SCHEMA, [{
+                "manifest_path": f"file://{man_path}",
+                "manifest_length": os.path.getsize(man_path),
+                "content": 0, "added_snapshot_id": snap_id}]))
+        meta = {
+            "format-version": 2, "table-uuid": str(uuid.uuid4()),
+            "location": f"file://{path}",
+            "schemas": [{"schema-id": 0, "type": "struct",
+                         "fields": _schema_fields(df)}],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0, "last-partition-id": 999,
+            "snapshots": [{"snapshot-id": snap_id, "timestamp-ms": 0,
+                           "manifest-list": f"file://{ml_path}",
+                           "summary": {"operation": "append"}}],
+            "current-snapshot-id": snap_id,
+        }
+        with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+            json.dump(meta, fh)
+        with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+            fh.write("1")
+        return
+
+    # ---- append to an existing table ------------------------------------
+    meta_path = _latest_metadata(path)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    sid = meta.get("current-schema-id", 0)
+    cur_schema = next(
+        s for s in meta["schemas"] if s.get("schema-id", 0) == sid) \
+        if "schemas" in meta else meta["schema"]
+    want = [(f["name"], f["type"]) for f in cur_schema["fields"]]
+    got = [(f["name"], f["type"]) for f in _schema_fields(df)]
+    if want != got:
+        raise IcebergError(
+            f"append schema mismatch: table has {want}, DataFrame has "
+            f"{got} — schema evolution needs the connector jar")
+
+    snaps = meta.get("snapshots") or []
+    parent_id = meta.get("current-snapshot-id")
+    snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+
+    data_dir = os.path.join(path, "data", f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("errorifexists").parquet(data_dir)
+    parts = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
+    man_path = _write_manifest(meta_dir, parts)
+
+    # new manifest-list = previous head's manifests + the new one
+    prev_manifests: list[dict] = []
+    if parent_id is not None:
+        parent = next(
+            (s for s in snaps if s["snapshot-id"] == parent_id), None)
+        if parent is not None:
+            with open(_resolve(parent["manifest-list"], path), "rb") as fh:
+                _s, prev_manifests = decode_container(fh.read())
+    ml_path = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    with open(ml_path, "wb") as fh:
+        fh.write(encode_container(_ML_SCHEMA, [
+            {"manifest_path": m["manifest_path"],
+             "manifest_length": m["manifest_length"],
+             "content": m.get("content", 0),
+             "added_snapshot_id": m.get("added_snapshot_id", 0)}
+            for m in prev_manifests
+        ] + [{
+            "manifest_path": f"file://{man_path}",
+            "manifest_length": os.path.getsize(man_path),
+            "content": 0, "added_snapshot_id": snap_id}]))
+
+    new_snap = {"snapshot-id": snap_id, "timestamp-ms": snap_id,
+                "manifest-list": f"file://{ml_path}",
+                "summary": {"operation": "append"}}
+    if parent_id is not None:
+        new_snap["parent-snapshot-id"] = parent_id
+    meta["snapshots"] = snaps + [new_snap]
+    meta["current-snapshot-id"] = snap_id
+
+    m = re.search(r"v?(\d+)\.metadata\.json$", os.path.basename(meta_path))
+    next_v = (int(m.group(1)) if m else 0) + 1
+    with open(os.path.join(meta_dir, f"v{next_v}.metadata.json"), "w") as fh:
         json.dump(meta, fh)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write("1")
+        fh.write(str(next_v))

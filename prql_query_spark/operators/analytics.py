@@ -1230,9 +1230,9 @@ def roc_auc(
 
     Plan: ONE global rank window (a sort — same memory class as
     exact_percentiles' spilling window-sort: spills, never OOMs) plus
-    one aggregate.  For monitoring at 100 TB prefer a bucketed
-    approximation (histogram AUC over equidepth_histogram_approx cuts);
-    this operator is the exact evaluation path.
+    one aggregate.  For monitoring at 100 TB prefer `roc_auc_bucketed`
+    (histogram AUC over equidepth cuts, self-reported error bound, no
+    global sort); this operator is the exact evaluation path.
 
     ``by`` computes per-group AUC (the segment-drift / fairness slice
     view; the rank window partitions on the groups, so no group ever
@@ -1264,6 +1264,100 @@ def roc_auc(
             F.col("_p").alias("n_pos"), F.col("_n").alias("n_neg"),
             F.round(auc.cast("decimal(38,12)"), 6).cast("double")
             .alias("auc"))
+    )
+
+
+def roc_auc_bucketed(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+    buckets: int = 100,
+    cuts: list[float] | None = None,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The MONITORING-SCALE path of `roc_auc` (the bucketed
+    approximation its docstring routes 100 TB monitoring to): histogram
+    AUC over score cuts, with a SELF-REPORTED exact error bound — no
+    global sort anywhere in the plan.
+
+    Plan: (optional) one Greenwald-Khanna aggregate for equidepth cuts
+    (``cuts=None``; error <= 1/accuracy of rank), then a narrow
+    bucket-assign against the broadcast cut literals, one
+    map-side-combined groupBy over <= len(cuts)+1 buckets per group, and
+    a window over that TINY histogram.  Contrast with the exact path's
+    rank window: a single-task global sort when ungrouped.  With pinned
+    ``cuts`` the per-bucket (pos, neg) counts are SUM-mergeable across
+    days/partitions — the monitoring pattern is to fix the cuts once and
+    merge histograms forever, which also keeps day-over-day AUC
+    comparable.
+
+    Estimate = tie-aware Mann-Whitney AUC of the COARSENED scores
+    (bucket index as score): pairs across buckets are concordant in both
+    (bucket(x) > bucket(y) implies x > y since a cut separates them);
+    pairs within a bucket contribute 1/2 each.  The true within-bucket
+    contribution per (pos, neg) pair lies in [0, 1], so
+
+        |auc_exact - auc_bucketed| <= 0.5 * sum_b pos_b*neg_b / (P*N)
+
+    — returned as ``err_bound``, computed EXACTLY from the histogram
+    (valid for ANY cuts; equidepth merely makes it small: with balanced
+    classes and B equidepth buckets it is ~1/(2B)).  Pinned by pytest
+    against the exact rank path on the gate fixture.
+
+    All AUC/bound terms are integers and exact halves (< 2^53), so plain
+    SUMs are float64-exact and a SQL twin with literal ``cuts`` matches
+    bit-for-bit after the 6-decimal DECIMAL rounding.  ``by`` slices use
+    GLOBAL cuts (comparable across segments — the fairness-monitoring
+    convention); one-class groups are excluded like the exact path.
+    """
+    groups = list(by) if by else []
+    rows = df.select(
+        *groups,
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    ).filter(F.col("_s").isNotNull())
+    if cuts is None:
+        if buckets < 2:
+            raise ValueError("buckets must be >= 2")
+        fracs = [i / buckets for i in range(1, buckets)]
+        got = rows.agg(
+            F.percentile_approx("_s", fracs, accuracy).alias("c")
+        ).collect()[0]["c"] or []
+        seen: set = set()
+        cuts = [float(c) for c in got
+                if not (c in seen or seen.add(c))]  # dedup, order kept
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + F.when(F.col("_s") > float(c), 1).otherwise(0)
+    hist = (
+        rows.select(*groups, bucket.alias("_b"), "_y")
+        .groupBy(*groups, "_b")
+        .agg(F.sum(F.col("_y").cast("long")).alias("_pos"),
+             F.sum((~F.col("_y")).cast("long")).alias("_neg"))
+    )
+    w = Window.partitionBy(*groups).orderBy("_b") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    contrib = hist.select(
+        *groups, "_pos", "_neg",
+        (F.col("_pos") * F.coalesce(F.sum("_neg").over(w), F.lit(0))
+         + F.col("_pos") * F.col("_neg") / 2.0).alias("_u"),
+        (F.col("_pos") * F.col("_neg") / 2.0).alias("_e"))
+    aggs = [
+        F.sum("_pos").alias("_p"), F.sum("_neg").alias("_n"),
+        F.sum("_u").alias("_us"), F.sum("_e").alias("_es"),
+    ]
+    agg = contrib.groupBy(*groups).agg(*aggs) if groups \
+        else contrib.agg(*aggs)
+    r6 = lambda c: F.round(c.cast("decimal(38,12)"), 6).cast("double")  # noqa: E731
+    return (
+        agg.filter((F.col("_p") > 0) & (F.col("_n") > 0))
+        .select(
+            *groups,
+            F.col("_p").alias("n_pos"), F.col("_n").alias("n_neg"),
+            r6(F.col("_us") / (F.col("_p") * F.col("_n"))).alias("auc"),
+            r6(F.col("_es") / (F.col("_p") * F.col("_n")))
+            .alias("err_bound"))
     )
 
 

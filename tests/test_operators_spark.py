@@ -2908,8 +2908,57 @@ def test_iceberg_writer_roundtrip(spark, tmp_path):
     assert dict(back.dtypes) == {"id": "bigint", "v": "string", "x": "double"}
     assert sorted((r.id, r.v, r.x) for r in back.collect()) == [
         (1, "a", 1.5), (2, None, -0.25), (3, "c", None)]
-    with pytest.raises(IcebergError, match="create-only"):
+    with pytest.raises(IcebergError, match="mode='append'"):
         write_iceberg(df, d)
+
+
+def test_iceberg_append_snapshots_and_time_travel(spark, tmp_path):
+    """Appending adds a snapshot whose manifest-list carries the old
+    manifests + the new one: the current read sees both batches, time
+    travel to the pre-append snapshot still reads EXACTLY the original
+    rows, the chain survives a second append, and a schema-mismatched
+    append raises instead of writing an unreadable snapshot."""
+    import json as _json
+    import os
+
+    from prql_query_spark.engine.iceberg import (
+        IcebergError, read_iceberg, write_iceberg,
+    )
+
+    d = str(tmp_path / "ice_app")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c"), (4, None)], "id long, v string")
+    df3 = spark.createDataFrame([(5, "e")], "id long, v string")
+    write_iceberg(df1, d)
+    write_iceberg(df2, d, mode="append")
+    rows = lambda df: sorted((r.id, r.v) for r in df.collect())  # noqa: E731
+    assert rows(read_iceberg(spark, d)) == \
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)]
+    assert rows(read_iceberg(spark, d, snapshot_id=1)) == [(1, "a"), (2, "b")]
+
+    write_iceberg(df3, d, mode="append")
+    assert rows(read_iceberg(spark, d)) == \
+        [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, "e")]
+    assert rows(read_iceberg(spark, d, snapshot_id=2)) == \
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)]
+
+    meta_dir = os.path.join(d, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        assert fh.read().strip() == "3"
+    with open(os.path.join(meta_dir, "v3.metadata.json")) as fh:
+        meta = _json.load(fh)
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert snaps[2]["parent-snapshot-id"] == 1
+    assert snaps[3]["parent-snapshot-id"] == 2
+    assert meta["current-snapshot-id"] == 3
+
+    bad = spark.createDataFrame([(9, 9)], "id long, v long")
+    with pytest.raises(IcebergError, match="schema mismatch"):
+        write_iceberg(bad, d, mode="append")
+    # append also creates when the table is absent
+    d2 = str(tmp_path / "ice_app2")
+    write_iceberg(df1, d2, mode="append")
+    assert rows(read_iceberg(spark, d2)) == [(1, "a"), (2, "b")]
 
 
 def test_iceberg_unsupported_features_fail_loudly(spark, tmp_path):
@@ -4710,6 +4759,57 @@ def test_classifier_eval_tier(spark):
     cal2 = {r["bin"] for r in calibration_bins(
         df2, "score", "y", bins=5, lo=0.0, hi=1.0).collect()}
     assert cal2 == {0, 4}
+
+
+def test_roc_auc_bucketed_hand_checked(spark):
+    """Histogram AUC on the same crafted set as the exact tier, explicit
+    cuts [0.3, 0.7]: buckets (pos, neg) = (0,2), (2,1), (2,1) ->
+    U = 0 + (2*2 + 1) + (2*3 + 1) = 12, AUC = 12/16 = 0.75;
+    err_bound = 0.5*(0 + 2 + 2)/16 = 0.125 and indeed
+    |0.8125 - 0.75| = 0.0625 <= 0.125."""
+    from prql_query_spark.operators.analytics import roc_auc_bucketed
+
+    rows = [(0.9, True), (0.8, True), (0.8, False), (0.6, True),
+            (0.4, False), (0.4, True), (0.2, False), (0.1, False)]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    got = roc_auc_bucketed(df, "score", "y", cuts=[0.3, 0.7]).first()
+    assert (got["n_pos"], got["n_neg"]) == (4, 4)
+    assert got["auc"] == 0.75 and got["err_bound"] == 0.125
+
+
+def test_roc_auc_bucketed_bound_vs_exact(spark, sf_dir):
+    """The self-reported bound must HOLD against the exact rank path on
+    fixture-scale data, and tighten as buckets grow (equidepth makes it
+    ~1/(2B) for balanced classes).  Grouped path: global cuts, one-class
+    groups excluded exactly like `roc_auc`."""
+    from prql_query_spark.operators.analytics import (
+        roc_auc, roc_auc_bucketed)
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source",
+        ((F.col("doc_id") % 97) / 97.0
+         + F.col("text").contains("spark").cast("int") * 0.4
+         ).alias("score"),
+        F.col("text").contains("spark").alias("y"))
+    exact = roc_auc(docs, "score", "y").first()
+    prev_bound = None
+    for b in (10, 50):
+        got = roc_auc_bucketed(docs, "score", "y", buckets=b).first()
+        assert (got["n_pos"], got["n_neg"]) == \
+            (exact["n_pos"], exact["n_neg"])
+        assert abs(got["auc"] - exact["auc"]) <= got["err_bound"] + 1e-9
+        if prev_bound is not None:
+            assert got["err_bound"] < prev_bound
+        prev_bound = got["err_bound"]
+
+    ex_by = {r["source"]: r for r in
+             roc_auc(docs, "score", "y", by=["source"]).collect()}
+    got_by = {r["source"]: r for r in
+              roc_auc_bucketed(docs, "score", "y", by=["source"],
+                               buckets=20).collect()}
+    assert set(got_by) == set(ex_by)  # same one-class exclusions
+    for src, r in got_by.items():
+        assert abs(r["auc"] - ex_by[src]["auc"]) <= r["err_bound"] + 1e-9
 
 
 def test_ir_metrics_hand_checked(spark):
