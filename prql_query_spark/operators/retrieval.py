@@ -37,6 +37,7 @@ the ordering.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, functions as F
@@ -486,6 +487,7 @@ def dfcap_surviving_terms(
     stats: DataFrame,
     terms: list[str],
     df_cap_frac: float,
+    use_stats_cache: bool = True,
 ) -> list[str]:
     """The WAND-style term-drop rule, factored so probe and measurement
     tools share it: query terms whose corpus document frequency is
@@ -503,27 +505,100 @@ def dfcap_surviving_terms(
     floor at 500k docs — tools/probe_bm25_dfcap.py).  The collect is
     the gated-action pattern (the decision must exist BEFORE the
     posting scan is planned — that is the entire IO saving)."""
-    dfs, n = _collect_query_dfs(term_stats, stats, terms)
+    dfs, n = _collect_query_dfs(term_stats, stats, terms,
+                                use_cache=use_stats_cache)
     return _apply_drop_rule(dfs, terms, df_cap_frac * n)
+
+
+# Driver-side memo of df-cap decision reads, keyed on the BYTE IDENTITY
+# of the sidecar files (path, mtime_ns, size of every input file of both
+# term_stats and stats).  An append-only sidecar grows by adding files,
+# so any index maintenance changes the key and the stale entry ages out;
+# in-memory (non-file-backed) sidecars never cache.  Values accumulate
+# {term: df-or-None(absent)} per key so repeat probes — the serving
+# pattern §4.4g.2 prices at ~107 ms of pure job floor per probe — skip
+# the Spark job entirely once their terms have been seen.
+from collections import OrderedDict as _OrderedDict
+
+_STATS_CACHE: "_OrderedDict[tuple, tuple[dict, int]]" = _OrderedDict()
+_STATS_CACHE_MAX = 8
+
+
+def _sidecar_cache_key(term_stats: DataFrame,
+                       stats: DataFrame) -> tuple | None:
+    """Version key for the decision cache, or None when either side is
+    not file-backed (then every probe reads live — the safe default).
+    Local-path stat() matches the gate/serving harness; on a cluster
+    whose driver cannot stat the store, inputFiles still carry etag-like
+    uniqueness only via path, so we require a successful stat."""
+    import re as _re
+
+    def sig(df):
+        try:
+            files = sorted(df.inputFiles())
+        except Exception:
+            return None
+        if not files:
+            return None
+        out = []
+        for f in files:
+            p = _re.sub(r"^file:(//)?", "", f)
+            try:
+                st = os.stat(p)
+            except OSError:
+                return None
+            out.append((f, st.st_mtime_ns, st.st_size))
+        return tuple(out)
+
+    ts, ss = sig(term_stats), sig(stats)
+    if ts is None or ss is None:
+        return None
+    return (ts, ss)
 
 
 def _collect_query_dfs(
     term_stats: DataFrame,
     stats: DataFrame,
     terms: list[str],
+    use_cache: bool = True,
 ) -> tuple[dict, int]:
     """One driver-side job: ({term: df} for the query's terms present
     in the index, corpus N) — the sidecar read both dfcap entry points
-    share."""
+    share.  With ``use_cache`` (default), repeat reads against an
+    unchanged file-backed sidecar are served from the driver memo and
+    cost ZERO Spark jobs; only never-seen terms trigger a (pruned)
+    read.  Decisions are IDENTICAL either way (pytest-pinned): the memo
+    stores exactly what the job would return, keyed on file identity."""
+    key = _sidecar_cache_key(term_stats, stats) if use_cache else None
+    entry = _STATS_CACHE.get(key) if key is not None else None
+    known, n_known = entry if entry is not None else ({}, 0)
+    missing = [t for t in terms if t not in known]
+    if entry is not None and not missing:
+        _STATS_CACHE.move_to_end(key)
+        return ({t: known[t] for t in terms if known[t] is not None},
+                n_known)
+    to_read = missing if entry is not None else list(terms)
     rows = (
-        term_stats.filter(F.col("term").isin(terms))
+        term_stats.filter(F.col("term").isin(to_read))
         .groupBy("term").agg(F.sum("df_partial").alias("df"))
         .crossJoin(F.broadcast(stats.groupBy().agg(
             F.sum("n").alias("_n"))))
         .collect()
     )
-    return ({r["term"]: r["df"] for r in rows},
-            rows[0]["_n"] if rows else 0)
+    got = {r["term"]: r["df"] for r in rows}
+    n = rows[0]["_n"] if rows else n_known
+    if key is not None:
+        merged = dict(known)
+        for t in to_read:
+            merged[t] = got.get(t)  # None records "absent from index"
+        _STATS_CACHE[key] = (merged, n)
+        _STATS_CACHE.move_to_end(key)
+        while len(_STATS_CACHE) > _STATS_CACHE_MAX:
+            _STATS_CACHE.popitem(last=False)
+    dfs = {t: known[t] for t in terms
+           if t in known and known[t] is not None}
+    dfs.update({t: v for t, v in got.items() if v is not None})
+    return dfs, n
 
 
 def _apply_drop_rule(dfs: dict, terms: list[str], cap: float) -> list[str]:
@@ -552,6 +627,7 @@ def probe_bm25_index_dfcap(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    use_stats_cache: bool = True,
 ) -> DataFrame:
     """df-capped (WAND-style) BM25 probe: drop stopword-grade query
     terms BEFORE the posting scan, so probe IO is proportional to the
@@ -579,12 +655,19 @@ def probe_bm25_index_dfcap(
     All-stopword queries keep the minimum-df term(s) rather than
     returning nothing (see dfcap_surviving_terms).  Queries with no
     indexed term return an empty frame, matching probe_bm25_index.
+
+    ``use_stats_cache`` (default on): repeat probes against an
+    unchanged FILE-BACKED sidecar serve the drop decision from a
+    driver memo keyed on the sidecar files' (path, mtime_ns, size) —
+    zero Spark jobs, the metadata-lookup posture §4.4g.2 predicted;
+    decisions are identical either way (pytest-pinned) and any index
+    maintenance invalidates the key by construction.
     """
     terms = _query_terms(query)
     if not terms:
         raise ValueError("probe_bm25_index_dfcap: query has no terms")
     surviving = dfcap_surviving_terms(term_stats, stats, terms,
-                                      df_cap_frac)
+                                      df_cap_frac, use_stats_cache)
     # no query term exists in the index: scan nothing, return the empty
     # top-k (same result the uncapped probe would produce)
     return _score_pruned_postings(

@@ -3932,6 +3932,69 @@ def test_probe_bm25_dfcap_rules(spark, sf_dir):
         df_cap_frac=0.5).count() == 0
 
 
+def test_dfcap_stats_cache_hits_and_invalidates(spark, sf_dir, tmp_path):
+    """The serving-path decision cache (r8 verdict 6): identical
+    decisions cached vs uncached; a repeat probe against an unchanged
+    file-backed sidecar reads the driver memo (proved by poisoning the
+    memo and observing the poisoned decision); touching the sidecar
+    files invalidates the key and the next read is live again.
+    Non-file-backed sidecars never cache."""
+    from prql_query_spark.operators import retrieval as R
+    from prql_query_spark.operators.retrieval import (
+        build_bm25_index, dfcap_surviving_terms, term_stats_from_postings,
+    )
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    postings, stats = build_bm25_index(docs)
+    pd_, sd, td = (str(tmp_path / x) for x in ("post", "stats", "ts"))
+    postings.write.parquet(pd_)
+    stats.write.parquet(sd)
+    term_stats_from_postings(postings).write.parquet(td)
+    stats_f = spark.read.parquet(sd)
+    ts_f = spark.read.parquet(td)
+
+    R._STATS_CACHE.clear()
+    terms = ["dup", "data", "join"]
+    live = dfcap_surviving_terms(ts_f, stats_f, terms, 0.2)
+    nocache = R._collect_query_dfs(ts_f, stats_f, terms, use_cache=False)
+    cached = R._collect_query_dfs(ts_f, stats_f, terms)
+    assert cached == nocache and live == ["dup"]
+    assert len(R._STATS_CACHE) == 1
+
+    # poison the memo: if the repeat probe really reads the cache, the
+    # poisoned df drives the decision (no Spark job ran)
+    key = next(iter(R._STATS_CACHE))
+    known, n = R._STATS_CACHE[key]
+    poisoned = dict(known)
+    poisoned["dup"] = n  # pretend 'dup' has df = N (ultra-stopword)
+    R._STATS_CACHE[key] = (poisoned, n)
+    got_poisoned = dfcap_surviving_terms(ts_f, stats_f, terms, 0.2)
+    # all terms now over the cap -> min-df fallback picks data/join,
+    # NOT 'dup' — only possible if the memo (not a live job) was read
+    assert "dup" not in got_poisoned
+    assert set(got_poisoned) <= {"data", "join"} and got_poisoned
+
+    # touching any sidecar file changes the key -> live read again
+    import glob as _glob
+    import os as _os
+    import time as _time
+    for f in _glob.glob(_os.path.join(td, "*.parquet")):
+        _os.utime(f, (_time.time() + 5, _time.time() + 5))
+    assert dfcap_surviving_terms(ts_f, stats_f, terms, 0.2) == ["dup"]
+
+    # unseen terms extend the memo without a full re-read
+    more = R._collect_query_dfs(ts_f, stats_f, ["dup", "spark"])
+    assert more[0]["dup"] == nocache[0]["dup"] and more[1] == nocache[1]
+
+    # non-file-backed frames bypass the cache entirely
+    R._STATS_CACHE.clear()
+    mem_ts = ts_f.localCheckpoint()
+    mem_stats = stats_f.localCheckpoint()
+    assert dfcap_surviving_terms(mem_ts, mem_stats, terms, 0.2) == ["dup"]
+    assert len(R._STATS_CACHE) == 0
+
+
 def test_ann_index_health_detects_drift(spark, sf_dir):
     """Cell-occupancy drift monitor: an undrifted batch (the index's own
     rows) reads PSI ~0 with no dead batch cells; a one-cluster batch

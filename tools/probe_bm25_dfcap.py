@@ -133,7 +133,8 @@ def main() -> None:
         ex(probe_bm25_index_dfcap(postings, stats, ts, q, k=15,
                                   df_cap_frac=frac))
         ex(bm25_topk(docs, q, k=15))
-        samples = {"uncapped": [], "dfcap": [], "direct": []}
+        samples = {"uncapped": [], "dfcap": [], "dfcap_nocache": [],
+                   "direct": []}
         for _ in range(RUNS):
             t0 = time.time()
             ex(probe_bm25_index(postings, stats, q, k=15))
@@ -142,6 +143,11 @@ def main() -> None:
             ex(probe_bm25_index_dfcap(postings, stats, ts, q, k=15,
                                       df_cap_frac=frac))
             samples["dfcap"].append(time.time() - t0)
+            t0 = time.time()
+            ex(probe_bm25_index_dfcap(postings, stats, ts, q, k=15,
+                                      df_cap_frac=frac,
+                                      use_stats_cache=False))
+            samples["dfcap_nocache"].append(time.time() - t0)
             t0 = time.time()
             ex(bm25_topk(docs, q, k=15))
             samples["direct"].append(time.time() - t0)
