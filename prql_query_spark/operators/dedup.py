@@ -552,8 +552,9 @@ def _prefix_candidates(
     on the join's row count (each shared prefix token contributes its
     pair once), i.e. exactly the quantity that filled 60 GB of shuffle
     spill in the measured low-threshold template regime
-    (BASELINE §4.4h.2: 20k zipf docs at t=3/5, est ~133M pairs, killed;
-    the slow-but-completing 5k runs sit near 7M)."""
+    (BASELINE §4.4h.2 / §4.4i.4: 20k zipf docs at t=3/5 estimates 248M
+    pairs — the killed run; the measured slow-but-completing regimes sit
+    at <= 61M, so the 100M default separates them with margin)."""
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
 
@@ -631,7 +632,7 @@ def jaccard_join_prefix(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
-    max_candidate_pairs: int | None = 25_000_000,
+    max_candidate_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (AllPairs /
     PPJoin family): every pair ``a < b`` whose k-shingle Jaccard is
@@ -675,7 +676,7 @@ def jaccard_join_prefix(
     the per-doc sets via the same melt/fold shape as `ngram_jaccard`
     (each side's array computed once).
 
-    ``max_candidate_pairs`` (default 25M) is the runaway guard: the
+    ``max_candidate_pairs`` (default 100M) is the runaway guard: the
     candidate volume estimate Σ C(df_prefix(h), 2) is computed from the
     prefix postings BEFORE the join launches, and the operator raises —
     naming the threshold/minhash escape routes — instead of entering
