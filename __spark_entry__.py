@@ -1645,7 +1645,10 @@ DRIVER_ORDER = [
     # driver-hashed in r4 (CORRECTNESS_r04 keys minus later windows).
     # Only 2 new rows were added this round ON PURPOSE so the backlog
     # shrinks (r8 verdict "Next round 1").
-    # Deferred to r10: the 2 remaining r4 rows (x_scrub_pii,
+    # Deferred to r10: the late-r9 addition x_stream_auc (the
+    # streaming monitoring-AUC maintainer — stream==batch invariant,
+    # parity-exact at both SFs in-repo, same late-add precedent as
+    # r8's eval variants), the 2 remaining r4 rows (x_scrub_pii,
     # x_url_canon — both pure string-kernel rows whose in-repo parity
     # runs every round), then everything last audited r5 (the
     # roundtrip/format tier: x_roundtrip_avro/csv/delta/iceberg/
@@ -6993,6 +6996,53 @@ FROM a"""
 
 EXTENSIONS["x_roc_auc_bucketed"] = _x_roc_auc_bucketed
 EXTENSION_ORACLES["x_roc_auc_bucketed"] = _roc_auc_bucketed_oracle()
+
+
+def _x_stream_auc(spark, sf_dir):
+    """The monitoring-AUC maintainer under the gate (late-r9 addition,
+    r10 window): the classifier's scored rows stream in as 3
+    mtime-pinned microbatches, each appending ONE tiny histogram
+    partial (<= len(cuts)+1 rows) as its `_batch_id` partition — flat
+    per-batch cost, earlier batches never re-read; serving merges the
+    sidecar per bucket and folds the Mann-Whitney identity
+    (auc_from_histograms).  Pinned-cut histograms merge EXACTLY, so the
+    streamed AUC equals the one-pass x_roc_auc_bucketed bit-for-bit —
+    the oracle IS that row's twin.  A SECOND stream with a fresh
+    checkpoint replays all 3 batches against the same sink: dynamic
+    `_batch_id` overwrite must rewrite, not duplicate — a duplicated
+    batch would double its counts and shift the AUC, hash-mismatching.
+    Gate-harness caveats (local tempdir source/sink): COVERAGE.md
+    'Gate harness assumptions'."""
+    import shutil
+
+    from prql_query_spark.operators.analytics import auc_from_histograms
+    from prql_query_spark.streaming.ingest import (
+        split_mtime_ordered_batches, stream_auc_histograms)
+
+    root = _rt_dir("pq_rt_streamauc_")
+    scored = _nb_scored_labeled(spark, sf_dir).select(
+        "doc_id", "score", F.col("_y").alias("y"))
+    src = os.path.join(root, "src")
+    split_mtime_ordered_batches(scored, src, 3)
+    hist = os.path.join(root, "hist")
+    for ckpt in ("/ck1", "/ck2"):  # second pass = full replay, rewritten
+        q = stream_auc_histograms(
+            spark, src, hist, checkpoint=root + ckpt, cuts=_AUC_CUTS,
+            max_files_per_trigger=1, queryName="pq_gate_stream_auc")
+        try:
+            q.processAllAvailable()
+            if q.exception() is not None:
+                raise q.exception()
+        finally:
+            q.stop()
+    res = auc_from_histograms(spark.read.parquet(hist))
+    rows = res.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, res.schema)
+
+
+EXTENSIONS["x_stream_auc"] = _x_stream_auc
+EXTENSION_ORACLES["x_stream_auc"] = _roc_auc_bucketed_oracle()
 
 
 def _x_ir_metrics(spark, sf_dir):

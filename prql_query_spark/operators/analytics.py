@@ -1327,24 +1327,67 @@ def roc_auc_bucketed(
         seen: set = set()
         cuts = [float(c) for c in got
                 if not (c in seen or seen.add(c))]  # dedup, order kept
+    hist = score_histogram(rows, "_s", "_y", cuts, by=groups)
+    return auc_from_histograms(hist, by=groups)
+
+
+def score_histogram(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    cuts: list[float],
+    by: list[str] | None = None,
+) -> DataFrame:
+    """(by..., bucket, pos, neg) counts of a labeled score table under
+    PINNED cuts — the SUM-mergeable building block of monitoring-scale
+    AUC: histograms from disjoint slices (days, batches, partitions)
+    merge by summing per-bucket counts, so AUC over any union of slices
+    never rescans scores (`auc_from_histograms`).  One narrow
+    bucket-assign against the broadcast cut literals + one
+    map-side-combined aggregate over <= len(cuts)+1 buckets per group."""
+    groups = list(by) if by else []
     bucket = F.lit(1)
     for c in cuts:
-        bucket = bucket + F.when(F.col("_s") > float(c), 1).otherwise(0)
-    hist = (
-        rows.select(*groups, bucket.alias("_b"), "_y")
-        .groupBy(*groups, "_b")
-        .agg(F.sum(F.col("_y").cast("long")).alias("_pos"),
-             F.sum((~F.col("_y")).cast("long")).alias("_neg"))
+        bucket = bucket + F.when(
+            F.col(score_col) > float(c), 1).otherwise(0)
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .select(*groups, bucket.alias("bucket"),
+                F.col(label_col).cast("boolean").alias("_y"))
+        .groupBy(*groups, "bucket")
+        .agg(F.sum(F.col("_y").cast("long")).alias("pos"),
+             F.sum((~F.col("_y")).cast("long")).alias("neg"))
     )
-    w = Window.partitionBy(*groups).orderBy("_b") \
+
+
+def auc_from_histograms(
+    hist: DataFrame,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Histogram AUC + exact error bound from (bucket, pos, neg) rows —
+    the serve half of `roc_auc_bucketed`, usable directly over a
+    PERSISTED sidecar of per-slice histogram partials (the streaming
+    maintainer `streaming.ingest.stream_auc_histograms` appends one
+    partial set per microbatch): partials for the same bucket are
+    first SUMMED (mergeability is exact under pinned cuts — the merged
+    histogram IS the one-pass histogram, so the streamed AUC equals the
+    batch AUC bit-for-bit, pytest-pinned), then folded through the
+    tie-aware Mann-Whitney identity over the <= buckets-sized table.
+    All terms are integers + exact halves, so the DECIMAL-6-rounded
+    output is engine-exact.  One-class groups are excluded, matching
+    `roc_auc`."""
+    groups = list(by) if by else []
+    hist = hist.groupBy(*groups, "bucket").agg(
+        F.sum("pos").alias("pos"), F.sum("neg").alias("neg"))
+    w = Window.partitionBy(*groups).orderBy("bucket") \
         .rowsBetween(Window.unboundedPreceding, -1)
     contrib = hist.select(
-        *groups, "_pos", "_neg",
-        (F.col("_pos") * F.coalesce(F.sum("_neg").over(w), F.lit(0))
-         + F.col("_pos") * F.col("_neg") / 2.0).alias("_u"),
-        (F.col("_pos") * F.col("_neg") / 2.0).alias("_e"))
+        *groups, "pos", "neg",
+        (F.col("pos") * F.coalesce(F.sum("neg").over(w), F.lit(0))
+         + F.col("pos") * F.col("neg") / 2.0).alias("_u"),
+        (F.col("pos") * F.col("neg") / 2.0).alias("_e"))
     aggs = [
-        F.sum("_pos").alias("_p"), F.sum("_neg").alias("_n"),
+        F.sum("pos").alias("_p"), F.sum("neg").alias("_n"),
         F.sum("_u").alias("_us"), F.sum("_e").alias("_es"),
     ]
     agg = contrib.groupBy(*groups).agg(*aggs) if groups \

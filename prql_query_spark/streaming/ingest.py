@@ -750,6 +750,70 @@ def repair_dedup_index(
     return rebuilt
 
 
+def stream_auc_histograms(
+    spark: SparkSession,
+    scores_path: str,
+    hist_dir: str,
+    checkpoint: str,
+    cuts: list[float],
+    score_col: str = "score",
+    label_col: str = "y",
+    queryName: str = "pq_stream_auc",
+    max_files_per_trigger: int | None = 64,
+):
+    """Continuously maintain the monitoring-AUC histogram sidecar from a
+    stream of (score, label) rows — the streaming half of
+    `analytics.roc_auc_bucketed`, and the operator that makes its
+    mergeability claim OPERATIONAL: classifier scores land as files
+    (the production monitoring shape: each scoring job drops its
+    day's/hour's scores), each microbatch runs ONE bucket-assign +
+    <= len(cuts)+1-row aggregate over its own rows
+    (`analytics.score_histogram` under the PINNED cuts), and appends
+    the tiny partial as its `_batch_id` partition.  Per-batch cost is
+    FLAT — earlier batches are never re-read — and the sidecar grows by
+    <= len(cuts)+1 rows per batch, orders of magnitude under the score
+    volume.
+
+    Serving is `analytics.auc_from_histograms(spark.read.parquet(
+    hist_dir))`: partials SUM-merge per bucket, and because pinned-cut
+    histograms are exactly mergeable, the streamed AUC equals the
+    one-pass batch `roc_auc_bucketed` BIT-FOR-BIT on the accumulated
+    rows (pinned by tests::test_stream_auc_matches_batch) — AUC over
+    any accumulated window without ever rescanning scores, the 100 TB
+    monitoring contract BASELINE §4.4i.3 names.
+
+    `_batch_id` dynamic-partition overwrite keeps crash replays
+    idempotent (the repo's standard exactly-once sink contract): a
+    replayed batch REWRITES its own partition; a duplicated one would
+    double that batch's counts and shift the AUC, which is what the
+    gate row's in-row fresh-checkpoint replay would catch."""
+    from prql_query_spark.operators.analytics import score_histogram
+
+    schema = spark.read.parquet(scores_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(scores_path)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            score_histogram(batch_df, score_col, label_col, cuts)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(hist_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(queryName)
+        .start()
+    )
+
+
 def stream_bm25_index(
     spark: SparkSession,
     docs_path: str,

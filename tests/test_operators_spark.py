@@ -4682,6 +4682,47 @@ def test_stream_heavy_hitters_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_auc_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed per-batch AUC histogram partials (3 microbatches),
+    merged at serve time, must equal the one-pass roc_auc_bucketed
+    BIT-FOR-BIT on the accumulated rows (pinned-cut histograms merge
+    exactly); a replay with a fresh checkpoint must REWRITE partitions,
+    not duplicate them (doubled counts would shift the AUC)."""
+    from prql_query_spark.operators.analytics import (
+        auc_from_histograms, roc_auc_bucketed)
+    from prql_query_spark.streaming.ingest import (
+        split_mtime_ordered_batches, stream_auc_histograms)
+
+    cuts = [0.2, 0.4, 0.6, 0.8]
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id",
+        ((F.col("doc_id") % 89) / 89.0
+         + F.col("text").contains("data").cast("int") * 0.3).alias("score"),
+        F.col("text").contains("data").alias("y"))
+    src = str(tmp_path / "src")
+    split_mtime_ordered_batches(scored, src, 3)
+    hist = str(tmp_path / "hist")
+    for ck in ("ck1", "ck2"):
+        q = stream_auc_histograms(
+            spark, src, hist, checkpoint=str(tmp_path / ck), cuts=cuts,
+            max_files_per_trigger=1, queryName="t_stream_auc")
+        try:
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+    sidecar = spark.read.parquet(hist)
+    # 3 batch partitions after the replay, not 6 (idempotent rewrite)
+    assert sidecar.select("_batch_id").distinct().count() == 3
+    streamed = auc_from_histograms(sidecar).first()
+    batch = roc_auc_bucketed(scored, "score", "y", cuts=cuts).first()
+    assert streamed.asDict() == batch.asDict()
+    assert streamed["n_pos"] > 0 and streamed["n_neg"] > 0
+    # the sidecar is tiny by construction: <= (len(cuts)+1) x batches
+    assert sidecar.count() <= (len(cuts) + 1) * 3
+
+
 def test_compact_mg_summaries_preserves_serving_output(spark, sf_dir, tmp_path):
     """Compacting B x partitions MG summaries down to <= capacity
     candidates + 1 sentinel must leave heavy_hitters_verify output
