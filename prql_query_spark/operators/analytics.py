@@ -459,9 +459,11 @@ def equidepth_histogram_approx(
     cuts = v.agg(
         F.percentile_approx("_v", fracs, accuracy).alias("c")
     ).collect()[0]["c"]
-    bucket = F.lit(1)
-    for c in cuts:
-        bucket = bucket + F.when(F.col("_v") > float(c), 1).otherwise(0)
+    # one HOF expression, not a buckets-deep WHEN chain (codegen method
+    # limits — see score_histogram; identical values)
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    bucket = F.lit(1) + F.size(
+        F.filter(arr, lambda c: F.col("_v") > c))
     return (
         v.select("_v", bucket.alias("bucket"))
         .groupBy("bucket")
@@ -1344,12 +1346,18 @@ def score_histogram(
     merge by summing per-bucket counts, so AUC over any union of slices
     never rescans scores (`auc_from_histograms`).  One narrow
     bucket-assign against the broadcast cut literals + one
-    map-side-combined aggregate over <= len(cuts)+1 buckets per group."""
+    map-side-combined aggregate over <= len(cuts)+1 buckets per group.
+
+    Bucket assignment is ONE higher-order expression —
+    ``1 + size(filter(cuts_array, c -> score > c))`` — not a
+    len(cuts)-deep WHEN chain: the deep chain exceeds codegen method
+    limits and falls back to interpreted evaluation (measured 8.4×
+    slower at 99 cuts × 6M rows, 6,207 → 738 ms; outputs identical —
+    the filter count IS the chain's sum, BASELINE §4.4i.6)."""
     groups = list(by) if by else []
-    bucket = F.lit(1)
-    for c in cuts:
-        bucket = bucket + F.when(
-            F.col(score_col) > float(c), 1).otherwise(0)
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    bucket = F.lit(1) + F.size(
+        F.filter(arr, lambda c: F.col(score_col) > c))
     return (
         df.filter(F.col(score_col).isNotNull())
         .select(*groups, bucket.alias("bucket"),
