@@ -87,6 +87,17 @@ for master in ("local[1]", "local-cluster[2,2,1024]"):
     out["mean0_5"] = [round(float(x), 10) for x in mean[:5]]
     out["cov_trace"] = round(float(cov.trace()), 8)
 
+    # bucketed AUC (round 9): broadcast literal cuts array inside an HOF
+    # lambda + a tiny-window tail — the closure crosses executors, the
+    # histogram shuffles over real blocks
+    from prql_query_spark.operators.analytics import roc_auc_bucketed
+    scored = docs.select(
+        ((docs.doc_id %% 97) / 97.0).alias("score"),
+        (docs.doc_id %% 3 == 0).alias("y"))
+    out["aucb"] = [tuple(r) for r in
+                   roc_auc_bucketed(scored, "score", "y",
+                                    cuts=[0.25, 0.5, 0.75]).collect()]
+
     RESULTS[master] = out
     spark.stop()
 
@@ -96,6 +107,7 @@ print("BM25_EQ", a["bm25"] == b["bm25"], len(a["bm25"]))
 print("DFCAP_EQ", a["dfcap"] == b["dfcap"], len(a["dfcap"]))
 print("MOMENTS_EQ", a["mean0_5"] == b["mean0_5"]
       and a["cov_trace"] == b["cov_trace"])
+print("AUCB_EQ", a["aucb"] == b["aucb"], len(a["aucb"]))
 """
 
 
@@ -113,3 +125,4 @@ def test_local_cluster_matches_local():
     assert "BM25_EQ True" in proc.stdout, tail
     assert "DFCAP_EQ True" in proc.stdout, tail
     assert "MOMENTS_EQ True" in proc.stdout, tail
+    assert "AUCB_EQ True" in proc.stdout, tail
