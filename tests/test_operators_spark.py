@@ -4916,6 +4916,31 @@ def test_roc_auc_bucketed_bound_vs_exact(spark, sf_dir):
         assert abs(r["auc"] - ex_by[src]["auc"]) <= r["err_bound"] + 1e-9
 
 
+def test_roc_auc_bucketed_exact_at_distinct_cuts(spark):
+    """Identity pin between the two AUC implementations: with cuts at
+    EVERY distinct score, each bucket holds exactly one score value, so
+    within-bucket pairs are exactly the tied pairs — each contributing
+    1/2 in the histogram formula AND in the tie-averaged rank formula.
+    Bucketed AUC must therefore equal exact AUC bit-for-bit, on several
+    deterministic pseudo-random sets WITH ties."""
+    from prql_query_spark.operators.analytics import (
+        roc_auc, roc_auc_bucketed)
+
+    for seed in (1, 2, 3):
+        df = spark.range(400).select(
+            (F.pmod(F.xxhash64(F.col("id") + seed * 1000), F.lit(23))
+             / 23.0).alias("score"),   # 23 distinct values -> many ties
+            (F.pmod(F.xxhash64(F.col("id") + seed * 7777), F.lit(5))
+             < 2).alias("y"))
+        distinct = sorted(r["score"] for r in
+                          df.select("score").distinct().collect())
+        got = roc_auc_bucketed(df, "score", "y", cuts=distinct).first()
+        want = roc_auc(df, "score", "y").first()
+        assert (got["n_pos"], got["n_neg"], got["auc"]) == \
+            (want["n_pos"], want["n_neg"], want["auc"])
+        assert got["err_bound"] > 0  # ties exist, bound is honest
+
+
 def test_ir_metrics_hand_checked(spark):
     """Hand-computed recall/MRR/nDCG on a crafted ranked list, including
     a query with zero hits in the top-k (metrics 0.0, not NULL) and a
