@@ -660,12 +660,17 @@ def heavy_hitters(
     items = df.select(F.col(item_col).cast("string").alias("_item")) \
         .filter(F.col("_item").isNotNull())
     summary = mg_candidate_summary(items, k)
-    # Materialize the summary ONCE on the driver instead of cache():
-    # verify references it twice (totals + candidates), and a cached
-    # copy would otherwise linger in executor storage for the session
-    # (unpersist has no safe point — the return is lazy).  The volume is
-    # the operator's documented exchange bound: <= capacity x partitions
-    # candidates + one sentinel per partition.
+    # Fold the capacity x partitions per-partition summaries down to ONE
+    # <= capacity+1-row summary DISTRIBUTED (compact_mg_summaries — the
+    # mergeable-summaries decrement preserves the recall contract, and
+    # verify recounts exactly, so output is identical; pytest pins the
+    # serving equality), then materialize that tiny summary on the
+    # driver instead of cache(): verify references it twice (totals +
+    # candidates), a cached copy would linger in executor storage for
+    # the session (unpersist has no safe point — the return is lazy),
+    # and at 16k cluster partitions the uncompacted summary would be
+    # millions of rows where this is <= capacity + 1.
+    summary = compact_mg_summaries(summary, k)
     local = summary.collect()
     summary = df.sparkSession.createDataFrame(local, summary.schema)
     return heavy_hitters_verify(items, summary, phi_num, phi_den) \
