@@ -659,17 +659,22 @@ def heavy_hitters(
 
     items = df.select(F.col(item_col).cast("string").alias("_item")) \
         .filter(F.col("_item").isNotNull())
-    summary = mg_candidate_summary(items, k)
-    # Fold the capacity x partitions per-partition summaries down to ONE
-    # <= capacity+1-row summary DISTRIBUTED (compact_mg_summaries — the
-    # mergeable-summaries decrement preserves the recall contract, and
-    # verify recounts exactly, so output is identical; pytest pins the
-    # serving equality), then materialize that tiny summary on the
-    # driver instead of cache(): verify references it twice (totals +
-    # candidates), a cached copy would linger in executor storage for
-    # the session (unpersist has no safe point — the return is lazy),
-    # and at 16k cluster partitions the uncompacted summary would be
-    # millions of rows where this is <= capacity + 1.
+    # Materialize the per-partition summaries ONCE executor-side
+    # (localCheckpoint, NOT cache: RDD-level blocks are ContextCleaner-
+    # GC'd when the reference drops at return, unlike plan-keyed
+    # CacheManager entries — the r8 leak), because BOTH downstream
+    # consumers (compaction's candidates+sentinel branches) would
+    # otherwise re-run the corpus MG pass (measured 3.2 -> 15.3 s at
+    # 30M tokens when this materialization was briefly dropped).
+    summary = mg_candidate_summary(items, k).localCheckpoint()
+    # Fold the capacity x partitions rows down to ONE <= capacity+1-row
+    # summary DISTRIBUTED (compact_mg_summaries — the mergeable-
+    # summaries decrement preserves the recall contract, verify
+    # recounts exactly, so output is identical; pytest pins the serving
+    # equality), then materialize that TINY summary on the driver:
+    # verify references it twice, and at 16k cluster partitions the
+    # uncompacted summary would be millions of rows where this is
+    # <= capacity + 1.
     summary = compact_mg_summaries(summary, k)
     local = summary.collect()
     summary = df.sparkSession.createDataFrame(local, summary.schema)
