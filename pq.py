@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DDL schema for csv/ndjson sources (\"a INT, b STRING\") "
                         "instead of inference; applies to every csv/ndjson "
                         "source listed (reference TODO.md:38)")
+    p.add_argument("--append", action="store_true",
+                   help="append to an existing sink instead of "
+                        "create/overwrite (delta/iceberg snapshots, "
+                        "dataset dirs); forces the backend writer")
     p.add_argument("--sql", action="store_true",
                    help="pass a SQL query rather than a PRQL one")
     p.add_argument("--explain", action="store_true",
@@ -201,13 +205,19 @@ def main(argv: list[str] | None = None) -> int:
             return 1
     else:
         if fmt == "avro":
+            if args.append:
+                print("Error (args): --append is not supported by the "
+                      "single-file avro sink", file=sys.stderr)
+                return 1
             from prql_query_spark.engine.avro import write_avro
 
             write_avro(df, to)  # pure-Python single-file sink
-        elif writer == "arrow" and fmt not in ("orc", "xml", "delta", "iceberg"):
+        elif (writer == "arrow" and not args.append
+              and fmt not in ("orc", "xml", "delta", "iceberg")):
             write_single_file(df, to, fmt)
-        else:  # orc/xml/delta/iceberg: no arrow single-file writer — executors write
-            write_distributed(df, to, fmt)
+        else:  # orc/xml/delta/iceberg or --append: executors write
+            write_distributed(df, to, fmt,
+                              mode="append" if args.append else "overwrite")
     return 0
 
 

@@ -86,12 +86,14 @@ def write_distributed(df: DataFrame, path: str, fmt: str, mode: str = "overwrite
 
             write_delta(df, path, mode=mode)
     elif fmt == "iceberg":
-        # jar-less v2 create-only table (engine/iceberg.py); with the
-        # connector deployed, `--to catalog.table` via Spark SQL is the
-        # full-service path — this sink covers the path-based case
+        # jar-less v2 table (engine/iceberg.py): create, or append a
+        # snapshot when mode="append"; with the connector deployed,
+        # `--to catalog.table` via Spark SQL is the full-service path —
+        # this sink covers the path-based case
         from prql_query_spark.engine.iceberg import write_iceberg
 
-        write_iceberg(df, path)
+        write_iceberg(df, path,
+                      mode="append" if mode == "append" else "create")
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

@@ -353,6 +353,31 @@ def test_cli_iceberg_sink_roundtrip(spark, tmp_path, sf_dir):
     assert got == want
 
 
+def test_cli_iceberg_append_flag(spark, tmp_path, sf_dir):
+    """`--to out.iceberg --append` adds a snapshot to the existing
+    table: the read-back sees both writes, and re-running WITHOUT
+    --append errors cleanly (create-on-existing)."""
+    import pq
+    from prql_query_spark.engine.sources import read_source
+
+    out = str(tmp_path / "out.iceberg")
+    base = ["-f", f"r={sf_dir}/region.parquet"]
+    assert pq.main(base + [
+        "-t", out, "from r | filter r_regionkey <= 2 "
+        "| select [r_regionkey, r_name]"]) == 0
+    assert pq.main(base + [
+        "-t", out, "--append", "from r | filter r_regionkey > 2 "
+        "| select [r_regionkey, r_name]"]) == 0
+    got = sorted(r.r_regionkey for r in read_source(spark, out).collect())
+    want = sorted(r.r_regionkey for r in
+                  spark.read.parquet(f"{sf_dir}/region.parquet").collect())
+    assert got == want
+    # create-on-existing without --append raises the routed error
+    # (pq._main turns it into a one-line exit-1 message for users)
+    with pytest.raises(Exception, match="already an iceberg table"):
+        pq.main(base + ["-t", out, "from r | select [r_regionkey, r_name]"])
+
+
 def test_cli_avro_roundtrip(spark, tmp_path, sf_dir):
     """`--to out.avro` then `-f out.avro` both work jar-less: the CLI
     writes with the pure-Python container encoder and scans it back
