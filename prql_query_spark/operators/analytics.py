@@ -739,7 +739,10 @@ def heavy_hitters_by(
     by groups x capacity, the operator's stated memory envelope (use
     the ungrouped variant + a pre-filter when ``by`` is
     high-cardinality).  The candidate exchange is groups x capacity x
-    partitions rows; the verify exchange carries candidate keys only.
+    partitions rows, compacted group-wise to <= groups x (capacity + 1)
+    before the driver materialization (the mergeable-summaries
+    decrement applies per group); the verify exchange carries candidate
+    keys only.
     """
     import math
 
@@ -785,11 +788,43 @@ def heavy_hitters_by(
         yield pd.DataFrame(
             {c: list(v) for c, v in zip(by + ["_item", "_w"], cols)})
 
-    summary = items.mapInPandas(mg, summary_schema)
-    # Driver-materialized like `heavy_hitters` (no lingering cache);
-    # bound = groups x capacity x partitions — the docstring's stated
-    # memory envelope (pre-filter high-cardinality `by` first).
-    local = summary.collect()
+    # Materialize the per-partition summaries once (localCheckpoint —
+    # RDD blocks, GC'd at return; see heavy_hitters), then compact PER
+    # GROUP distributed before the driver materialization: the
+    # mergeable-summaries decrement applies group-wise (same pigeonhole
+    # recall proof per group), so the collect is <= groups x
+    # (capacity + 1) rows instead of scaling with partition count.
+    summary = items.mapInPandas(mg, summary_schema).localCheckpoint()
+    merged = (
+        summary.filter(F.col("_item").isNotNull())
+        .groupBy(*by, "_item").agg(F.sum("_w").alias("_w"))
+    )
+    totals_rows = (
+        summary.filter(F.col("_item").isNull())
+        .groupBy(*by).agg(F.sum("_w").alias("_w"))
+        .select(*by, F.lit(None).cast("string").alias("_item"), "_w")
+    )
+
+    def foldg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for keys, sub in pdf.groupby(by, sort=False, dropna=False):
+                kt = keys if isinstance(keys, tuple) else (keys,)
+                counters[kt] = counters.get(
+                    kt, pd.Series(dtype="int64")).add(
+                    sub.set_index("_item")["_w"], fill_value=0)
+        rows = []
+        for kt, s in counters.items():
+            if len(s) > k:
+                kth = s.nlargest(k + 1).iloc[-1]
+                s = s[s > kth] - kth
+            rows += [kt + (it, int(w)) for it, w in s.items()]
+        cols = list(zip(*rows)) if rows else [[] for _ in range(len(by) + 2)]
+        yield pd.DataFrame(
+            {c: list(v) for c, v in zip(by + ["_item", "_w"], cols)})
+
+    folded = merged.coalesce(1).mapInPandas(foldg, summary_schema)
+    local = folded.unionByName(totals_rows).collect()
     summary = df.sparkSession.createDataFrame(local, summary_schema)
     totals = summary.filter(F.col("_item").isNull()) \
         .groupBy(*by).agg(F.sum("_w").alias("n_total"))
