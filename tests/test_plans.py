@@ -1017,3 +1017,40 @@ def test_jaccard_prefix_no_allpairs_join(spark, sf_dir):
     docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
     plan = _plan(spark, jaccard_join_prefix(docs, 3, 5), "simple")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_roc_auc_bucketed_no_input_sized_single_task(spark, sf_dir):
+    """The bucketed AUC's structural claim (r9): NO input-sized rows
+    ever pass through a single task.  In the bucketed plan, every
+    region below an `Exchange SinglePartition` must already be
+    aggregated — a map-side partial HashAggregate and a hash exchange
+    sit between it and the scan, so the single-task window sees
+    <= buckets rows.  The exact rank path (measured 3-4x slower at 6M
+    rows and non-scalable by shape) is the contrast: its SinglePartition
+    exchange sits DIRECTLY over the scan with no aggregate below."""
+    from pyspark.sql import functions as F
+
+    from prql_query_spark.operators.analytics import (
+        roc_auc, roc_auc_bucketed)
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        ((F.col("doc_id") % 97) / 97.0).alias("score"),
+        (F.col("doc_id") % 3 == 0).alias("y"))
+
+    plan_b = _plan(spark, roc_auc_bucketed(
+        scored, "score", "y", cuts=[0.25, 0.5, 0.75]), "simple")
+    lines = plan_b.splitlines()
+    sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert len(sp) == 1, plan_b
+    below = "\n".join(lines[sp[0]:])  # plan prints root-first: below = later
+    assert "partial_sum" in below and "Exchange hashpartitioning" in below, \
+        plan_b  # the single-task region only receives aggregated rows
+
+    plan_e = _plan(spark, roc_auc(scored, "score", "y"), "simple")
+    lines_e = plan_e.splitlines()
+    sp_e = [i for i, ln in enumerate(lines_e)
+            if "Exchange SinglePartition" in ln]
+    assert len(sp_e) == 1
+    below_e = "\n".join(lines_e[sp_e[0]:])
+    assert "HashAggregate" not in below_e, plan_e  # scan feeds it raw
