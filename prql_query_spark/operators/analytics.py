@@ -23,7 +23,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -736,13 +736,19 @@ def heavy_hitters_by(
     survives that slice's per-group summary), and the verify aggregate
     recounts candidates exactly.  Per-partition kernel state is
     ``capacity`` counters per group present in the partition — bounded
-    by groups x capacity, the operator's stated memory envelope (use
-    the ungrouped variant + a pre-filter when ``by`` is
-    high-cardinality).  The candidate exchange is groups x capacity x
-    partitions rows, compacted group-wise to <= groups x (capacity + 1)
-    before the driver materialization (the mergeable-summaries
-    decrement applies per group); the verify exchange carries candidate
-    keys only.
+    by groups x capacity, the operator's stated memory envelope.  The
+    candidate exchange is groups x capacity x partitions rows,
+    compacted group-wise to <= groups x (capacity + 1); the verify
+    exchange carries candidate keys only.
+
+    High-cardinality ``by`` scales OUT, not up (r10): the group-wise
+    compaction repartitions on the ``by`` keys so each task folds only
+    its own groups (the MG decrement is per-group independent — same
+    pigeonhole recall proof), the fold kernel decrements incrementally
+    per arrow batch so per-group state never exceeds ``capacity``
+    counters, and the compacted summary stays DISTRIBUTED (one
+    localCheckpoint; NO driver collect anywhere in the plan) — no
+    single task ever receives all groups (plan-pinned).
     """
     import math
 
@@ -790,42 +796,14 @@ def heavy_hitters_by(
 
     # Materialize the per-partition summaries once (localCheckpoint —
     # RDD blocks, GC'd at return; see heavy_hitters), then compact PER
-    # GROUP distributed before the driver materialization: the
-    # mergeable-summaries decrement applies group-wise (same pigeonhole
-    # recall proof per group), so the collect is <= groups x
-    # (capacity + 1) rows instead of scaling with partition count.
+    # GROUP (compact_mg_summaries_by — fold repartitioned on the group
+    # keys, no single task receives all groups), and materialize the
+    # tiny compacted summary ONCE, distributed: both downstream branches
+    # (totals, candidates) read the RDD blocks; no driver collect
+    # anywhere, so high-cardinality `by` never builds a groups-sized
+    # local list
     summary = items.mapInPandas(mg, summary_schema).localCheckpoint()
-    merged = (
-        summary.filter(F.col("_item").isNotNull())
-        .groupBy(*by, "_item").agg(F.sum("_w").alias("_w"))
-    )
-    totals_rows = (
-        summary.filter(F.col("_item").isNull())
-        .groupBy(*by).agg(F.sum("_w").alias("_w"))
-        .select(*by, F.lit(None).cast("string").alias("_item"), "_w")
-    )
-
-    def foldg(batches):
-        counters: dict = {}
-        for pdf in batches:
-            for keys, sub in pdf.groupby(by, sort=False, dropna=False):
-                kt = keys if isinstance(keys, tuple) else (keys,)
-                counters[kt] = counters.get(
-                    kt, pd.Series(dtype="int64")).add(
-                    sub.set_index("_item")["_w"], fill_value=0)
-        rows = []
-        for kt, s in counters.items():
-            if len(s) > k:
-                kth = s.nlargest(k + 1).iloc[-1]
-                s = s[s > kth] - kth
-            rows += [kt + (it, int(w)) for it, w in s.items()]
-        cols = list(zip(*rows)) if rows else [[] for _ in range(len(by) + 2)]
-        yield pd.DataFrame(
-            {c: list(v) for c, v in zip(by + ["_item", "_w"], cols)})
-
-    folded = merged.coalesce(1).mapInPandas(foldg, summary_schema)
-    local = folded.unionByName(totals_rows).collect()
-    summary = df.sparkSession.createDataFrame(local, summary_schema)
+    summary = compact_mg_summaries_by(summary, by, k).localCheckpoint()
     totals = summary.filter(F.col("_item").isNull()) \
         .groupBy(*by).agg(F.sum("_w").alias("n_total"))
     cands = summary.filter(F.col("_item").isNotNull()) \
@@ -895,6 +873,65 @@ def compact_mg_summaries(summary: DataFrame, capacity: int) -> DataFrame:
         total.select(F.lit(None).cast("string").alias("_item"), "_w"))
 
 
+def compact_mg_summaries_by(
+    summary: DataFrame,
+    by: list[str],
+    capacity: int,
+) -> DataFrame:
+    """Group-wise `compact_mg_summaries`: fold per-slice Misra-Gries
+    summaries carrying group key columns down to <= ``capacity``
+    candidates + 1 sentinel PER GROUP — the compaction inside
+    `heavy_hitters_by`.
+
+    The decrement is per-group independent (each group's counters are
+    an MG summary of that group's slice of the corpus, so the
+    mergeable-summaries rule applies within the group — same pigeonhole
+    recall proof), which is what lets the fold PARALLELIZE: the input
+    is repartitioned on the ``by`` keys so each task receives all of —
+    and only — its own groups' rows, no single task ever sees all
+    groups (plan-pinned: the fold's mapInPandas sits over an
+    `Exchange hashpartitioning(by)`, never a Coalesce-1), and the
+    kernel decrements incrementally per arrow batch so per-group state
+    stays <= capacity counters during the fold.  Lazy — callers decide
+    whether to materialize (heavy_hitters_by localCheckpoints the
+    <= groups x (capacity + 1)-row result, which is why it no longer
+    needs the old "pre-filter high-cardinality by" contract)."""
+    import pandas as pd
+
+    by = list(by)
+    merged = (
+        summary.filter(F.col("_item").isNotNull())
+        .groupBy(*by, "_item").agg(F.sum("_w").alias("_w"))
+    )
+    totals_rows = (
+        summary.filter(F.col("_item").isNull())
+        .groupBy(*by).agg(F.sum("_w").alias("_w"))
+        .select(*by, F.lit(None).cast("string").alias("_item"), "_w")
+    )
+    k = capacity
+
+    def foldg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for keys, sub in pdf.groupby(by, sort=False, dropna=False):
+                kt = keys if isinstance(keys, tuple) else (keys,)
+                s = counters.get(kt, pd.Series(dtype="int64")).add(
+                    sub.set_index("_item")["_w"], fill_value=0)
+                if len(s) > k:
+                    kth = s.nlargest(k + 1).iloc[-1]
+                    s = s[s > kth] - kth
+                counters[kt] = s
+        rows = []
+        for kt, s in counters.items():
+            rows += [kt + (it, int(w)) for it, w in s.items()]
+        cols = list(zip(*rows)) if rows else [[] for _ in range(len(by) + 2)]
+        yield pd.DataFrame(
+            {c: list(v) for c, v in zip(by + ["_item", "_w"], cols)})
+
+    folded = merged.repartition(*by).mapInPandas(foldg, summary.schema)
+    return folded.unionByName(totals_rows)
+
+
 def heavy_hitters_verify(
     items: DataFrame,
     summary: DataFrame,
@@ -921,6 +958,106 @@ def heavy_hitters_verify(
         .filter(F.col("cnt") * phi_den > phi_num * F.col("n_total"))
         .select("_item", "cnt", "n_total")
     )
+
+
+def heavy_hitters_summarize(
+    df: DataFrame,
+    item_col: str,
+    capacity: int,
+    path: str,
+) -> None:
+    """Persist the compacted Misra-Gries candidate summary of a corpus
+    as a parquet sidecar (<= capacity candidates + 1 sentinel row) —
+    the batch mirror of the streaming maintainer
+    (`streaming.ingest.stream_heavy_hitter_summaries`), so REPEAT batch
+    callers stop re-paying the corpus MG pass on every call: build the
+    summary once, then `heavy_hitters_serve` any phi coarser than the
+    summary's guarantee at verify-only cost (one broadcast-filtered
+    exact recount — the MG `mapInPandas` pass over the corpus is
+    skipped entirely).
+
+    The sidecar records its ``capacity`` in ``_mg.json`` (underscore
+    prefix = invisible to Spark's parquet reader, the `_SUCCESS` /
+    `_cuts.json` convention); serve ENFORCES capacity >=
+    phi_den/phi_num against it, because a phi finer than the summary's
+    recall guarantee could silently miss a true heavy hitter.  Rewrite
+    (mode=overwrite) is the maintenance model — for continuous corpora
+    use the streaming maintainer."""
+    import json
+    import os
+
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    items = df.select(F.col(item_col).cast("string").alias("_item")) \
+        .filter(F.col("_item").isNotNull())
+    summary = mg_candidate_summary(items, capacity).localCheckpoint()
+    # <= capacity + 1 rows: one file is the right layout
+    compact_mg_summaries(summary, capacity) \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_mg.json"), "w") as f:
+        json.dump({"capacity": int(capacity)}, f)
+
+
+def heavy_hitters_serve(
+    df: DataFrame,
+    item_col: str,
+    path: str,
+    phi_num: int = 1,
+    phi_den: int = 100,
+    verify_total: bool = True,
+) -> DataFrame:
+    """Exact phi-heavy hitters from a `heavy_hitters_summarize` sidecar:
+    output-identical to `heavy_hitters(df, item_col, phi_num, phi_den)`
+    (pytest-pinned) at verify-only cost — the candidate set comes from
+    the persisted summary (<= capacity + 1 rows, broadcast), so the
+    only corpus work is the exact recount scan that verify always
+    needs; the MG candidate pass is never re-run.
+
+    Contracts enforced, not documented: ``capacity >= phi_den/phi_num``
+    (read from the sidecar's ``_mg.json`` — a finer phi than the
+    summary's recall guarantee could drop a true heavy hitter, so it
+    raises), and — by default — the corpus is THE corpus the summary
+    was built over (``verify_total``: one narrow count aggregate
+    compared against the sidecar's sentinel; a drifted corpus breaks
+    the recall proof silently, so it raises; disable only when the
+    caller owns that proof).  For corpora that grow, use the streaming
+    maintainer instead of disabling the check."""
+    import json
+    import os
+
+    meta_p = os.path.join(path, "_mg.json")
+    if not os.path.exists(meta_p):
+        raise ValueError(
+            f"{path!r} has no _mg.json: not a heavy_hitters_summarize "
+            "sidecar (the capacity record is required to prove the "
+            "recall guarantee for the requested phi)")
+    with open(meta_p) as f:
+        capacity = int(json.load(f)["capacity"])
+    if phi_num <= 0 or phi_den <= 0:
+        raise ValueError("phi must be positive")
+    if capacity < phi_den / phi_num:
+        raise ValueError(
+            f"sidecar capacity={capacity} < 1/phi={phi_den}/{phi_num}: "
+            "the persisted summary's Misra-Gries recall guarantee is "
+            "too coarse for this phi — re-summarize with capacity >= "
+            f"{phi_den}/{phi_num}")
+    spark = df.sparkSession
+    summary = spark.read.parquet(path)
+    items = df.select(F.col(item_col).cast("string").alias("_item")) \
+        .filter(F.col("_item").isNotNull())
+    if verify_total:
+        sentinel = summary.filter(F.col("_item").isNull()) \
+            .agg(F.sum("_w")).collect()[0][0] or 0
+        n_items = items.count()
+        if n_items != sentinel:
+            raise ValueError(
+                f"corpus drift: sidecar was summarized over {sentinel} "
+                f"items but the DataFrame holds {n_items} — the recall "
+                "guarantee only covers the summarized corpus "
+                "(re-summarize, or use the streaming maintainer for "
+                "growing corpora)")
+    return heavy_hitters_verify(items, summary, phi_num, phi_den) \
+        .withColumnRenamed("_item", item_col)
 
 
 def chi2_independence(
@@ -1302,8 +1439,11 @@ def roc_auc(
         F.sum(F.when(F.col("_y"), F.col("_ar")).otherwise(0.0)).alias("_rs"),
     ]
     agg = ranked.groupBy(*groups).agg(*aggs) if groups else ranked.agg(*aggs)
-    auc = ((F.col("_rs") - F.col("_p") * (F.col("_p") + 1) / 2.0)
-           / (F.col("_p") * F.col("_n")))
+    # products in float64: _p*(_p+1) and _p*_n as int64 wrap at ~3e9
+    # positives (same hazard class as auc_from_histograms'); float64 is
+    # bit-identical below 2^53 (all evaluation scales) and never wraps
+    pd_, nd_ = F.col("_p").cast("double"), F.col("_n").cast("double")
+    auc = (F.col("_rs") - pd_ * (pd_ + 1) / 2.0) / (pd_ * nd_)
     return (
         agg.filter((F.col("_p") > 0) & (F.col("_n") > 0))
         .select(
@@ -1374,6 +1514,13 @@ def roc_auc_bucketed(
         seen: set = set()
         cuts = [float(c) for c in got
                 if not (c in seen or seen.add(c))]  # dedup, order kept
+        if not cuts:
+            # GK returns no cuts only when there are zero non-null
+            # scores, so the result is empty whatever the cuts; pin ONE
+            # literal cut so the bucket-assign array stays typed (a
+            # zero-argument F.array() is NullType and the `score > c`
+            # comparison can fail analysis instead of returning empty).
+            cuts = [0.0]
     hist = score_histogram(rows, "_s", "_y", cuts, by=groups)
     return auc_from_histograms(hist, by=groups)
 
@@ -1399,6 +1546,12 @@ def score_histogram(
     limits and falls back to interpreted evaluation (measured 8.4×
     slower at 99 cuts × 6M rows, 6,207 → 738 ms; outputs identical —
     the filter count IS the chain's sum, BASELINE §4.4i.6)."""
+    if not cuts:
+        raise ValueError(
+            "cuts must be non-empty: a zero-cut histogram has one "
+            "bucket (AUC is undefined) and the empty literal array is "
+            "untyped — pass at least one cut (roc_auc_bucketed "
+            "substitutes [0.0] on empty input)")
     groups = list(by) if by else []
     arr = F.array(*[F.lit(float(c)) for c in cuts])
     bucket = F.lit(1) + F.size(
@@ -1413,9 +1566,63 @@ def score_histogram(
     )
 
 
+def write_cuts_fingerprint(hist_dir: str, cuts: list[float]) -> None:
+    """Pin a histogram sidecar's cuts: write ``_cuts.json`` (the literal
+    cuts plus a sha256 of their canonical JSON) into ``hist_dir``.  The
+    underscore prefix makes the file invisible to Spark's parquet
+    reader (the `_SUCCESS` convention), so the sidecar keeps reading
+    back clean.  If a fingerprint already exists it must MATCH —
+    re-pinning different cuts over live partials is exactly the silent
+    corruption this file exists to prevent, so it raises."""
+    import hashlib
+    import json
+    import os
+
+    canon = json.dumps([float(c) for c in cuts])
+    existing = read_cuts_fingerprint(hist_dir)
+    if existing is not None:
+        if existing != json.loads(canon):
+            raise ValueError(
+                f"cuts mismatch: {hist_dir!r} is already pinned to "
+                f"{len(existing)} different cuts — appending partials "
+                "under new cuts would silently corrupt the served AUC "
+                "(start a fresh sidecar directory instead)")
+        return
+    os.makedirs(hist_dir, exist_ok=True)
+    payload = {"cuts": json.loads(canon),
+               "sha256": hashlib.sha256(canon.encode()).hexdigest()}
+    with open(os.path.join(hist_dir, "_cuts.json"), "w") as f:
+        json.dump(payload, f)
+
+
+def read_cuts_fingerprint(hist_dir: str) -> list[float] | None:
+    """The pinned cuts of a histogram sidecar, or None if the directory
+    has no ``_cuts.json`` (pre-fingerprint sidecar or not a sidecar).
+    Raises on a corrupt fingerprint (hash not matching the cuts) — a
+    half-written or hand-edited pin is as dangerous as a missing one."""
+    import hashlib
+    import json
+    import os
+
+    p = os.path.join(hist_dir, "_cuts.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        payload = json.load(f)
+    cuts = [float(c) for c in payload["cuts"]]
+    canon = json.dumps(cuts)
+    if hashlib.sha256(canon.encode()).hexdigest() != payload.get("sha256"):
+        raise ValueError(
+            f"corrupt cuts fingerprint in {p!r}: sha256 does not match "
+            "the cuts list — refusing to serve from an unverifiable "
+            "sidecar")
+    return cuts
+
+
 def auc_from_histograms(
-    hist: DataFrame,
+    hist: DataFrame | str,
     by: list[str] | None = None,
+    cuts: list[float] | None = None,
 ) -> DataFrame:
     """Histogram AUC + exact error bound from (bucket, pos, neg) rows —
     the serve half of `roc_auc_bucketed`, usable directly over a
@@ -1426,19 +1633,56 @@ def auc_from_histograms(
     histogram IS the one-pass histogram, so the streamed AUC equals the
     batch AUC bit-for-bit, pytest-pinned), then folded through the
     tie-aware Mann-Whitney identity over the <= buckets-sized table.
-    All terms are integers + exact halves, so the DECIMAL-6-rounded
-    output is engine-exact.  One-class groups are excluded, matching
-    `roc_auc`."""
+
+    Arithmetic contract: the products (pos x cumulative-neg, pos x neg)
+    are computed in FLOAT64, not int64 — the bucket counts themselves
+    fit int64 at any realistic scale (int64 holds 9.2e18 rows), but
+    their PRODUCTS cross int64 max at ~1e10-row buckets over ~1e9
+    cumulative negatives, i.e. exactly the 100 TB monitoring regime
+    this operator exists for, and a non-ANSI int64 product silently
+    wraps.  Float64 products never wrap; they are bit-exact below 2^53
+    (every evaluation/test scale — the DECIMAL-6-rounded output is
+    engine-exact there, parity-pinned), and above 2^53 carry ~1e-16
+    relative error — noise against the operator's own err_bound
+    (~1/(2*buckets)).  One-class groups are excluded, matching
+    `roc_auc`.
+
+    When ``hist`` is a path (str), the sidecar's pinned-cuts
+    fingerprint (`_cuts.json`, written by
+    `streaming.ingest.stream_auc_histograms`) is REQUIRED and — if the
+    caller passes ``cuts`` — verified against the caller's cuts:
+    merging partials produced under different cuts is the one way this
+    operator can silently lie (bucket indices from different cuts are
+    not comparable), so a missing or mismatched fingerprint raises
+    instead of serving a wrong-but-plausible AUC."""
     groups = list(by) if by else []
+    if isinstance(hist, str):
+        spark = SparkSession.getActiveSession()
+        sidecar_cuts = read_cuts_fingerprint(hist)
+        if sidecar_cuts is None:
+            raise ValueError(
+                f"histogram sidecar {hist!r} has no _cuts.json "
+                "fingerprint: cannot prove its partials share pinned "
+                "cuts (write it with stream_auc_histograms, or pass a "
+                "DataFrame if you accept responsibility for cut "
+                "consistency)")
+        if cuts is not None and [float(c) for c in cuts] != sidecar_cuts:
+            raise ValueError(
+                f"cuts mismatch: sidecar {hist!r} was built under "
+                f"{len(sidecar_cuts)} pinned cuts that differ from the "
+                f"{len(cuts)} cuts passed — AUC over mixed-cut "
+                "histograms is undefined")
+        hist = spark.read.parquet(hist)
     hist = hist.groupBy(*groups, "bucket").agg(
         F.sum("pos").alias("pos"), F.sum("neg").alias("neg"))
     w = Window.partitionBy(*groups).orderBy("bucket") \
         .rowsBetween(Window.unboundedPreceding, -1)
+    posd, negd = F.col("pos").cast("double"), F.col("neg").cast("double")
     contrib = hist.select(
         *groups, "pos", "neg",
-        (F.col("pos") * F.coalesce(F.sum("neg").over(w), F.lit(0))
-         + F.col("pos") * F.col("neg") / 2.0).alias("_u"),
-        (F.col("pos") * F.col("neg") / 2.0).alias("_e"))
+        (posd * F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("double")
+         + posd * negd / 2.0).alias("_u"),
+        (posd * negd / 2.0).alias("_e"))
     aggs = [
         F.sum("pos").alias("_p"), F.sum("neg").alias("_n"),
         F.sum("_u").alias("_us"), F.sum("_e").alias("_es"),
@@ -1446,14 +1690,14 @@ def auc_from_histograms(
     agg = contrib.groupBy(*groups).agg(*aggs) if groups \
         else contrib.agg(*aggs)
     r6 = lambda c: F.round(c.cast("decimal(38,12)"), 6).cast("double")  # noqa: E731
+    pn = F.col("_p").cast("double") * F.col("_n").cast("double")
     return (
         agg.filter((F.col("_p") > 0) & (F.col("_n") > 0))
         .select(
             *groups,
             F.col("_p").alias("n_pos"), F.col("_n").alias("n_neg"),
-            r6(F.col("_us") / (F.col("_p") * F.col("_n"))).alias("auc"),
-            r6(F.col("_es") / (F.col("_p") * F.col("_n")))
-            .alias("err_bound"))
+            r6(F.col("_us") / pn).alias("auc"),
+            r6(F.col("_es") / pn).alias("err_bound"))
     )
 
 

@@ -786,8 +786,21 @@ def stream_auc_histograms(
     idempotent (the repo's standard exactly-once sink contract): a
     replayed batch REWRITES its own partition; a duplicated one would
     double that batch's counts and shift the AUC, which is what the
-    gate row's in-row fresh-checkpoint replay would catch."""
-    from prql_query_spark.operators.analytics import score_histogram
+    gate row's in-row fresh-checkpoint replay would catch.
+
+    The pinned-cuts contract is ENFORCED, not just documented: before
+    the stream starts, the cuts are fingerprinted into the sidecar
+    (`_cuts.json`, `analytics.write_cuts_fingerprint`).  A restart with
+    the SAME cuts resumes; a restart with DIFFERENT cuts raises before
+    a single batch runs — appending partials under new cuts would merge
+    incompatible bucket indices into a wrong-but-plausible AUC, the one
+    silent-corruption path this operator had.  Path-serving
+    (`auc_from_histograms(hist_dir, cuts=...)`) verifies the same
+    fingerprint on the read side."""
+    from prql_query_spark.operators.analytics import (
+        score_histogram, write_cuts_fingerprint)
+
+    write_cuts_fingerprint(hist_dir, cuts)
 
     schema = spark.read.parquet(scores_path).schema
     reader = spark.readStream.schema(schema)

@@ -5005,3 +5005,150 @@ def test_auc_by_group_and_average_precision(spark):
     ap2 = average_precision(tied, "score", "y", tie_col="id").first()
     # order: id 1(+), 2(-), 3(+): AP = (1/1 + 2/3)/2 = 0.833333
     assert ap2["avg_precision"] == 0.833333
+
+
+def test_auc_cuts_fingerprint_contract(spark, sf_dir, tmp_path):
+    """The pinned-cuts contract is ENFORCED (r10): a maintainer restart
+    with different cuts raises BEFORE any batch runs; path-serving
+    verifies the sidecar fingerprint (missing, mismatched, or corrupt
+    all raise); a fingerprint-verified path serve equals the DataFrame
+    serve bit-for-bit."""
+    import json
+    import os
+
+    import pytest
+
+    from prql_query_spark.operators.analytics import auc_from_histograms
+    from prql_query_spark.streaming.ingest import (
+        split_mtime_ordered_batches, stream_auc_histograms)
+
+    cuts = [0.25, 0.5, 0.75]
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id", ((F.col("doc_id") % 53) / 53.0).alias("score"),
+        (F.col("doc_id") % 4 == 0).alias("y"))
+    src = str(tmp_path / "src")
+    split_mtime_ordered_batches(scored, src, 2)
+    hist = str(tmp_path / "hist")
+    q = stream_auc_histograms(
+        spark, src, hist, checkpoint=str(tmp_path / "ck1"), cuts=cuts,
+        max_files_per_trigger=1, queryName="t_cuts_fp")
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    # restart with DIFFERENT cuts: refuses before a single batch
+    before = sorted(os.listdir(hist))
+    with pytest.raises(ValueError, match="cuts mismatch"):
+        stream_auc_histograms(
+            spark, src, hist, checkpoint=str(tmp_path / "ck2"),
+            cuts=[0.1, 0.9], queryName="t_cuts_fp_bad")
+    assert sorted(os.listdir(hist)) == before  # nothing appended
+    # path serve with matching cuts == DataFrame serve
+    via_path = auc_from_histograms(hist, cuts=cuts).first().asDict()
+    via_df = auc_from_histograms(spark.read.parquet(hist)).first().asDict()
+    assert via_path == via_df
+    # path serve verifies: mismatched cuts raise
+    with pytest.raises(ValueError, match="cuts mismatch"):
+        auc_from_histograms(hist, cuts=[0.5])
+    # unfingerprinted sidecar: path serve refuses
+    bare = str(tmp_path / "bare")
+    spark.read.parquet(hist).write.parquet(bare)
+    with pytest.raises(ValueError, match="no _cuts.json"):
+        auc_from_histograms(bare)
+    # corrupt fingerprint (hash not matching the cuts): refuses
+    with open(os.path.join(hist, "_cuts.json")) as f:
+        payload = json.load(f)
+    payload["cuts"] = [0.1, 0.2]
+    with open(os.path.join(bare, "_cuts.json"), "w") as f:
+        json.dump(payload, f)
+    with pytest.raises(ValueError, match="corrupt cuts fingerprint"):
+        auc_from_histograms(bare)
+
+
+def test_auc_from_histograms_counts_beyond_int64_products(spark):
+    """The monitoring-scale arithmetic contract (r10 ADVICE): per-bucket
+    counts of ~4e9 make pos x cumulative-neg exceed int64 max (1.6e19 >
+    9.2e18) — the products must be computed in float64 (never wraps;
+    here still exact: the terms are powers of 2 x small ints), not
+    int64."""
+    from prql_query_spark.operators.analytics import auc_from_histograms
+
+    big = 4_000_000_000  # 2^5 x 1.25e8; products exceed int64 max
+    hist = spark.createDataFrame(
+        [(1, 0, big), (2, big, 0)], "bucket int, pos long, neg long")
+    got = auc_from_histograms(hist).first()
+    # all positives strictly above all negatives: AUC exactly 1
+    assert got["n_pos"] == big and got["n_neg"] == big
+    assert got["auc"] == 1.0 and got["err_bound"] == 0.0
+    # mixed: one shared bucket contributes exactly half its pair mass
+    hist2 = spark.createDataFrame(
+        [(1, 0, big), (2, big, big)], "bucket int, pos long, neg long")
+    got2 = auc_from_histograms(hist2).first()
+    # U = big*big (above bucket 1) + big*big/2 (within bucket 2)
+    # AUC = U / (big * 2*big) = 0.75; bound = (big*big/2) / (2*big^2) = 0.25
+    assert got2["auc"] == 0.75 and got2["err_bound"] == 0.25
+
+
+def test_roc_auc_bucketed_empty_and_all_null_scores(spark):
+    """cuts=None over zero non-null scores: GK returns no cuts — the
+    operator must return the EMPTY result with the output schema (r10
+    ADVICE: the old zero-argument F.array() was NullType and could fail
+    analysis), and score_histogram must refuse an explicit empty cuts
+    list loudly."""
+    import pytest
+
+    from prql_query_spark.operators.analytics import (
+        roc_auc_bucketed, score_histogram)
+
+    empty = spark.createDataFrame([], "score double, y boolean")
+    got = roc_auc_bucketed(empty, "score", "y")
+    assert got.columns == ["n_pos", "n_neg", "auc", "err_bound"]
+    assert got.count() == 0
+    nulls = spark.createDataFrame(
+        [(None, True), (None, False)], "score double, y boolean")
+    assert roc_auc_bucketed(nulls, "score", "y").count() == 0
+    with pytest.raises(ValueError, match="cuts must be non-empty"):
+        score_histogram(nulls, "score", "y", [])
+
+
+def test_heavy_hitters_summarize_serve(spark, sf_dir, tmp_path):
+    """The persisted batch MG summary (r10): summarize once, serve any
+    coarser phi at verify-only cost with output IDENTICAL to the
+    one-shot heavy_hitters; the sidecar's recorded capacity gates phi
+    (finer than the recall guarantee raises), and corpus drift is
+    caught by the sentinel total."""
+    import pytest
+
+    from prql_query_spark.operators.analytics import (
+        heavy_hitters, heavy_hitters_serve, heavy_hitters_summarize)
+    from prql_query_spark.operators.text import tokens
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    items = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    side = str(tmp_path / "mg")
+    heavy_hitters_summarize(items, "term", capacity=100, path=side)
+    # sidecar is tiny by construction
+    assert spark.read.parquet(side).count() <= 101
+    for num, den in [(1, 100), (1, 50), (3, 100)]:
+        want = {(r["term"], r["cnt"], r["n_total"])
+                for r in heavy_hitters(items, "term", num, den).collect()}
+        got = {(r["term"], r["cnt"], r["n_total"])
+               for r in heavy_hitters_serve(
+                   items, "term", side, num, den).collect()}
+        assert got == want, (num, den)
+    # phi finer than the summary's guarantee: refuses
+    with pytest.raises(ValueError, match="recall guarantee"):
+        heavy_hitters_serve(items, "term", side, 1, 200)
+    # corpus drift: sentinel mismatch refuses (and opt-out serves)
+    grown = items.unionAll(items.limit(7))
+    with pytest.raises(ValueError, match="corpus drift"):
+        heavy_hitters_serve(grown, "term", side, 1, 100)
+    assert heavy_hitters_serve(
+        grown, "term", side, 1, 100, verify_total=False).count() > 0
+    # not a summarize sidecar: refuses
+    bare = str(tmp_path / "bare")
+    spark.read.parquet(side).write.parquet(bare)
+    with pytest.raises(ValueError, match="no _mg.json"):
+        heavy_hitters_serve(items, "term", bare, 1, 100)

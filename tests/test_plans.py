@@ -1054,3 +1054,27 @@ def test_roc_auc_bucketed_no_input_sized_single_task(spark, sf_dir):
     assert len(sp_e) == 1
     below_e = "\n".join(lines_e[sp_e[0]:])
     assert "HashAggregate" not in below_e, plan_e  # scan feeds it raw
+
+
+def test_heavy_hitters_by_fold_not_single_task(spark):
+    """heavy_hitters_by's group-wise compaction (r10): the fold's
+    mapInPandas must sit over an `Exchange hashpartitioning(by)` — each
+    task folds only its own groups — never a Coalesce-1/SinglePartition
+    funnel (the r9 shape, where one task received every group and its
+    memory scaled with partition count).  The flat compaction's
+    Coalesce-1 is NOT covered by this pin: its input is
+    <= capacity x partitions rows regardless of data size and a global
+    decrement genuinely needs one view."""
+    from prql_query_spark.operators.analytics import compact_mg_summaries_by
+
+    summary = spark.createDataFrame(
+        [("a", "x", 3), ("a", None, 10), ("b", "y", 2), ("b", None, 5)],
+        "g string, _item string, _w long")
+    plan = _plan(spark, compact_mg_summaries_by(summary, ["g"], 10),
+                 "simple")
+    assert "Coalesce 1" not in plan and "SinglePartition" not in plan, plan
+    lines = plan.splitlines()
+    fold = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+    assert fold, plan
+    below_fold = "\n".join(lines[fold[0]:])  # root-first: below = input
+    assert re.search(r"Exchange hashpartitioning\(g#", below_fold), plan
