@@ -5550,6 +5550,56 @@ def _x_iceberg_append(spark, sf_dir):
     )
 
 
+def _x_iceberg_overwrite(spark, sf_dir):
+    """Iceberg v2 OVERWRITE + snapshot-expiry lifecycle (r9 verdict
+    "Next round 5", closing the Delta/Iceberg asymmetry): create with
+    the even-key half (snap 1), append the odd half (snap 2 = full
+    table), OVERWRITE with the key%3==0 subset (snap 3 —
+    delete-by-replace: head reads exactly the subset, snap 2 stays
+    time-travelable), then expire_snapshots(keep_last=2) — snap 1 must
+    be expired (read raises, asserted in-row) while snaps 2/3 keep
+    reading bit-identical THROUGH the expiry's physical file deletes.
+    The result joins the post-expiry head aggregates to the snap-2
+    time-travel aggregates; the oracle reproduces both sides as
+    CASE-filtered aggregates over the same key partition, so an
+    overwrite leak (old rows at head), a time-travel leak (head subset
+    at snap 2), or an over-eager expiry delete all hash-mismatch."""
+    from prql_query_spark.engine.iceberg import (
+        IcebergError, expire_snapshots, read_iceberg, write_iceberg)
+
+    d = _rt_dir("pq_rt_iceow_") + "/part"
+    src = _tbl(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice")
+    write_iceberg(src.filter(F.col("p_partkey") % 2 == 0), d)
+    write_iceberg(src.filter(F.col("p_partkey") % 2 == 1), d,
+                  mode="append")
+    write_iceberg(src.filter(F.col("p_partkey") % 3 == 0), d,
+                  mode="overwrite")
+    res = expire_snapshots(d, keep_last=2)
+    if res["expired"] != [1]:
+        raise AssertionError(f"expected snapshot 1 expired, got {res}")
+    try:
+        read_iceberg(spark, d, snapshot_id=1)
+        raise AssertionError("snapshot 1 still readable after expiry")
+    except IcebergError:
+        pass
+    full = read_iceberg(spark, d, snapshot_id=2).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_full"),
+        F.sum("p_partkey").cast("bigint").alias("key_sum_full"))
+    head = read_iceberg(spark, d).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("_nh"),
+        F.sum("p_partkey").cast("bigint").alias("_kh"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").alias("_ph"))
+    return (
+        full.join(head, "p_brand", "left")
+        .select("p_brand", "n_full", "key_sum_full",
+                F.coalesce("_nh", F.lit(0)).alias("n_head"),
+                F.coalesce("_kh", F.lit(0)).alias("key_sum_head"),
+                F.coalesce("_ph", F.lit(0)).alias("price_cents_head"))
+    )
+
+
 def _x_roundtrip_webdataset(spark, sf_dir):
     """documents -> WebDataset tar shards (each executor tars its own
     range partition) -> one-task-per-shard untar read -> aggregate.
@@ -5619,6 +5669,7 @@ EXTENSIONS["x_roundtrip_delta"] = _x_roundtrip_delta
 EXTENSIONS["x_roundtrip_csv"] = _x_roundtrip_csv
 EXTENSIONS["x_roundtrip_iceberg"] = _x_roundtrip_iceberg
 EXTENSIONS["x_iceberg_append"] = _x_iceberg_append
+EXTENSIONS["x_iceberg_overwrite"] = _x_iceberg_overwrite
 EXTENSIONS["x_roundtrip_webdataset"] = _x_roundtrip_webdataset
 def _x_stream_tumbling(spark, sf_dir):
     """The STREAMING tier driven to completion inside the gate: a real
@@ -6450,6 +6501,15 @@ SELECT p_brand, COUNT(*) AS n,
        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
        CAST(SUM(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_snap1,
        CAST(SUM(CASE WHEN p_partkey % 2 = 0 THEN p_partkey ELSE 0 END) AS BIGINT) AS key_sum_snap1
+FROM part GROUP BY p_brand
+"""
+
+EXTENSION_ORACLES["x_iceberg_overwrite"] = """
+SELECT p_brand, COUNT(*) AS n_full,
+       CAST(SUM(p_partkey) AS BIGINT) AS key_sum_full,
+       CAST(SUM(CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+       CAST(SUM(CASE WHEN p_partkey % 3 = 0 THEN p_partkey ELSE 0 END) AS BIGINT) AS key_sum_head,
+       CAST(SUM(CASE WHEN p_partkey % 3 = 0 THEN CAST(p_retailprice AS DECIMAL(18,2)) * 100 ELSE 0 END) AS BIGINT) AS price_cents_head
 FROM part GROUP BY p_brand
 """
 

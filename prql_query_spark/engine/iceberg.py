@@ -267,7 +267,12 @@ def _schema_fields(df: DataFrame) -> list[dict]:
     ]
 
 
-def write_iceberg(df: DataFrame, path: str, mode: str = "create") -> None:
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    mode: str = "create",
+    properties: dict | None = None,
+) -> None:
     """Minimal jar-less Iceberg v2 APPEND writer — the inverse of
     read_iceberg, same supported subset (parquet data files, unpartitioned,
     no deletes).  Data files are written DISTRIBUTED by Spark's parquet
@@ -291,10 +296,27 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "create") -> None:
         concurrent part names never collide.  Schema must match the
         table's current schema (name + type, compared in iceberg terms);
         mismatch raises instead of writing an unreadable snapshot.
+      * ``overwrite`` — replace the table contents with a new snapshot
+        (creating the table if absent): the spec's delete-by-replace —
+        the new snapshot's manifest-list carries ONLY the new manifest,
+        so reads at head see exactly the new rows, while
+        ``parent-snapshot-id`` still names the previous head and every
+        earlier snapshot stays time-travelable (prior manifests and
+        data files remain on disk until `expire_snapshots` reclaims
+        them).  Same schema-match contract as append.
 
-    Partition evolution, deletes, and catalog-level commits (atomic swap,
-    retries) remain connector-jar territory — this writer is the
-    single-writer lakehouse subset, matching the Delta side's lifecycle.
+    ``properties`` (optional) merges string key/values into the table
+    metadata's spec-standard ``properties`` map as part of the same
+    commit — the primitive the exactly-once streaming sink
+    (`streaming.ingest.stream_to_iceberg`) uses to record its
+    per-``app_id`` batch high-water mark: unlike snapshot summaries,
+    table properties survive `expire_snapshots`, so replay detection
+    keeps working after maintenance.
+
+    Partition evolution, row-level deletes, and catalog-level commits
+    (atomic swap, retries) remain connector-jar territory — this writer
+    is the single-writer lakehouse subset, matching the Delta side's
+    lifecycle; `expire_snapshots` is the maintenance half.
     """
     import glob
     import json
@@ -302,8 +324,9 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "create") -> None:
 
     from prql_query_spark.engine.avro import encode_container
 
-    if mode not in ("create", "append"):
-        raise IcebergError(f"write_iceberg mode {mode!r}: create|append")
+    if mode not in ("create", "append", "overwrite"):
+        raise IcebergError(
+            f"write_iceberg mode {mode!r}: create|append|overwrite")
     exists = os.path.isdir(os.path.join(path, "metadata"))
     if exists and mode == "create":
         raise IcebergError(
@@ -336,6 +359,8 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "create") -> None:
                            "manifest-list": f"file://{ml_path}",
                            "summary": {"operation": "append"}}],
             "current-snapshot-id": snap_id,
+            "properties": {str(k): str(v)
+                           for k, v in (properties or {}).items()},
         }
         with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
             json.dump(meta, fh)
@@ -343,7 +368,7 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "create") -> None:
             fh.write("1")
         return
 
-    # ---- append to an existing table ------------------------------------
+    # ---- append/overwrite: commit a snapshot onto an existing table -----
     meta_path = _latest_metadata(path)
     with open(meta_path) as fh:
         meta = json.load(fh)
@@ -367,14 +392,31 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "create") -> None:
     parts = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
     man_path = _write_manifest(meta_dir, parts)
 
-    # new manifest-list = previous head's manifests + the new one
+    # new manifest-list = previous head's manifests + the new one.
+    # A dangling current-snapshot-id (no matching snapshot entry, or an
+    # unresolvable manifest-list) means corrupt metadata: proceeding
+    # would write a head snapshot that silently DROPS every pre-append
+    # data file — fail loud instead (the module's contract everywhere).
     prev_manifests: list[dict] = []
     if parent_id is not None:
         parent = next(
             (s for s in snaps if s["snapshot-id"] == parent_id), None)
-        if parent is not None:
-            with open(_resolve(parent["manifest-list"], path), "rb") as fh:
-                _s, prev_manifests = decode_container(fh.read())
+        if parent is None:
+            raise IcebergError(
+                f"corrupt metadata: current-snapshot-id {parent_id} has "
+                f"no snapshot entry in {meta_path} — committing on top of "
+                "it would silently drop all prior data files")
+        if mode == "append":
+            try:
+                with open(_resolve(parent["manifest-list"], path), "rb") as fh:
+                    _s, prev_manifests = decode_container(fh.read())
+            except IcebergError as e:
+                raise IcebergError(
+                    f"corrupt metadata: parent snapshot {parent_id}'s "
+                    f"manifest-list cannot be resolved ({e}) — appending "
+                    "would silently drop all prior data files") from e
+        # mode == "overwrite": delete-by-replace — the new manifest-list
+        # deliberately carries no prior manifests
     ml_path = os.path.join(meta_dir, f"snap-{snap_id}.avro")
     with open(ml_path, "wb") as fh:
         fh.write(encode_container(_ML_SCHEMA, [
@@ -390,11 +432,16 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "create") -> None:
 
     new_snap = {"snapshot-id": snap_id, "timestamp-ms": snap_id,
                 "manifest-list": f"file://{ml_path}",
-                "summary": {"operation": "append"}}
+                "summary": {"operation": mode if mode == "overwrite"
+                            else "append"}}
     if parent_id is not None:
         new_snap["parent-snapshot-id"] = parent_id
     meta["snapshots"] = snaps + [new_snap]
     meta["current-snapshot-id"] = snap_id
+    if properties:
+        props = dict(meta.get("properties") or {})
+        props.update({str(k): str(v) for k, v in properties.items()})
+        meta["properties"] = props
 
     m = re.search(r"v?(\d+)\.metadata\.json$", os.path.basename(meta_path))
     next_v = (int(m.group(1)) if m else 0) + 1
@@ -402,3 +449,129 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "create") -> None:
         json.dump(meta, fh)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(next_v))
+
+
+def compact_iceberg(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> None:
+    """OPTIMIZE-style data compaction for the jar-less writer — the
+    Iceberg twin of `deltalog.compact_delta`: read the CURRENT snapshot,
+    rewrite it as ``target_files`` coalesced data files, and commit the
+    result as a delete-by-replace snapshot (same rows, fewer files; the
+    small-file problem of many streaming appends).  Prior snapshots
+    stay time-travelable until `expire_snapshots` reclaims them —
+    compaction never mutates or deletes existing files, it only commits
+    new ones (the spec's copy-on-write discipline).  Executors do the
+    rewrite; the driver only assembles the tiny metadata chain."""
+    snapshot = read_iceberg(spark, path)
+    write_iceberg(snapshot.coalesce(target_files), path, mode="overwrite")
+
+
+def last_committed_batch(path: str, app_id: str) -> int | None:
+    """The exactly-once high-water mark for a streaming writer: the last
+    batch id `stream_to_iceberg` committed for ``app_id``, read from the
+    table metadata's ``properties`` map (key
+    ``pq.stream.<app_id>.batch-id`` — written atomically with each
+    snapshot commit, and — unlike snapshot summaries — untouched by
+    `expire_snapshots`, so replay detection survives maintenance).
+    None when the table does not exist or the app never committed —
+    mirrors `deltalog.last_txn_version`."""
+    if not os.path.isdir(os.path.join(path, "metadata")):
+        return None
+    with open(_latest_metadata(path)) as fh:
+        meta = json.load(fh)
+    v = (meta.get("properties") or {}).get(f"pq.stream.{app_id}.batch-id")
+    return int(v) if v is not None else None
+
+
+def _snapshot_files(snap: dict, path: str) -> tuple[set[str], set[str]]:
+    """(manifest paths, data-file paths) a snapshot references, resolved
+    to local paths.  Raises IcebergError if the chain is unreadable —
+    expiry must never guess at what a snapshot owns."""
+    manifests: set[str] = set()
+    data: set[str] = set()
+    with open(_resolve(snap["manifest-list"], path), "rb") as fh:
+        _s, entries = decode_container(fh.read())
+    for m in entries:
+        mp = _resolve(m["manifest_path"], path)
+        manifests.add(mp)
+        with open(mp, "rb") as fh:
+            _s2, files = decode_container(fh.read())
+        for e in files:
+            data.add(_resolve(e["data_file"]["file_path"], path))
+    return manifests, data
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Iceberg maintenance: retire all but the newest ``keep_last``
+    snapshots and physically delete every file only they referenced —
+    the reclaim half of `write_iceberg(mode="overwrite")`'s promise that
+    replaced data stays time-travelable *until expiry*.
+
+    Semantics follow the spec's expire-snapshots action: retained
+    snapshots keep reading bit-identical (their manifest chains are
+    never touched); expired snapshot ids disappear from the metadata
+    (time travel to them now raises); manifest-list/manifest/data files
+    still referenced by ANY retained snapshot survive (append chains
+    share manifests), the rest are deleted.  The current snapshot can
+    never be expired: ``keep_last < 1`` raises, and corrupt metadata
+    where the head is not among the newest ``keep_last`` raises rather
+    than deleting the head's files.  Driver-only metadata work — file
+    sets are KB-scale manifests, never data scans.
+
+    Returns ``{"expired": [ids...], "deleted_files": N}``."""
+    if keep_last < 1:
+        raise IcebergError(
+            f"keep_last={keep_last}: must be >= 1 — the current snapshot "
+            "can never be expired")
+    meta_path = _latest_metadata(path)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    snaps = meta.get("snapshots") or []
+    ordered = sorted(snaps, key=lambda s: s["snapshot-id"])
+    kept, expired = ordered[-keep_last:], ordered[:-keep_last]
+    cur = meta.get("current-snapshot-id")
+    if cur is not None and cur not in {s["snapshot-id"] for s in kept}:
+        raise IcebergError(
+            f"current-snapshot-id {cur} is not among the newest "
+            f"{keep_last} snapshots — refusing to expire the head")
+    if not expired:
+        return {"expired": [], "deleted_files": 0}
+
+    retained_m: set[str] = set()
+    retained_d: set[str] = set()
+    for s in kept:
+        ms, ds = _snapshot_files(s, path)
+        retained_m |= ms
+        retained_d |= ds
+
+    # resolve EVERY expired reference before deleting anything: expired
+    # snapshots share manifests with each other, and _snapshot_files
+    # must still find them on disk
+    expired_files: set[str] = set()
+    for s in expired:
+        ms, ds = _snapshot_files(s, path)
+        expired_files |= (ms - retained_m) | (ds - retained_d)
+        expired_files.add(_resolve(s["manifest-list"], path))
+    deleted = 0
+    for f in sorted(expired_files):
+        os.remove(f)
+        deleted += 1
+
+    meta["snapshots"] = [
+        s for s in snaps
+        if s["snapshot-id"] in {x["snapshot-id"] for x in kept}]
+    # a kept snapshot's parent may now be expired; drop dangling lineage
+    kept_ids = {s["snapshot-id"] for s in meta["snapshots"]}
+    for s in meta["snapshots"]:
+        if s.get("parent-snapshot-id") not in kept_ids:
+            s.pop("parent-snapshot-id", None)
+    m = re.search(r"v?(\d+)\.metadata\.json$", os.path.basename(meta_path))
+    next_v = (int(m.group(1)) if m else 0) + 1
+    mdir = os.path.join(path, "metadata")
+    with open(os.path.join(mdir, f"v{next_v}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(next_v))
+    return {"expired": [s["snapshot-id"] for s in expired],
+            "deleted_files": deleted}

@@ -86,14 +86,17 @@ def write_distributed(df: DataFrame, path: str, fmt: str, mode: str = "overwrite
 
             write_delta(df, path, mode=mode)
     elif fmt == "iceberg":
-        # jar-less v2 table (engine/iceberg.py): create, or append a
-        # snapshot when mode="append"; with the connector deployed,
-        # `--to catalog.table` via Spark SQL is the full-service path —
-        # this sink covers the path-based case
+        # jar-less v2 table (engine/iceberg.py): overwrite commits a
+        # delete-by-replace snapshot (creating the table when absent —
+        # so a re-run of the same sink replaces content with the prior
+        # snapshot still time-travelable, matching the delta sink's
+        # semantics); mode="append" adds a snapshot.  With the
+        # connector deployed, `--to catalog.table` via Spark SQL is the
+        # full-service path — this sink covers the path-based case
         from prql_query_spark.engine.iceberg import write_iceberg
 
         write_iceberg(df, path,
-                      mode="append" if mode == "append" else "create")
+                      mode="append" if mode == "append" else "overwrite")
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

@@ -760,13 +760,38 @@ def heavy_hitters_by(
             f"capacity={k} < 1/phi={phi_den}/{phi_num}: the Misra-Gries "
             "recall guarantee needs capacity >= phi_den/phi_num")
 
-    import pandas as pd
-    from pyspark.sql import types as T
-
     items = df.select(
         *by, F.col(item_col).cast("string").alias("_item")) \
         .filter(F.col("_item").isNotNull())
+    # Materialize the per-partition summaries once (localCheckpoint —
+    # RDD blocks, GC'd at return; see heavy_hitters), then compact PER
+    # GROUP (compact_mg_summaries_by — fold repartitioned on the group
+    # keys, no single task receives all groups), and materialize the
+    # tiny compacted summary ONCE, distributed: both downstream branches
+    # (totals, candidates) read the RDD blocks; no driver collect
+    # anywhere, so high-cardinality `by` never builds a groups-sized
+    # local list
+    summary = mg_candidate_summary_by(items, by, k).localCheckpoint()
+    summary = compact_mg_summaries_by(summary, by, k).localCheckpoint()
+    return heavy_hitters_verify_by(items, summary, by, phi_num, phi_den) \
+        .withColumnRenamed("_item", item_col)
 
+
+def mg_candidate_summary_by(
+    items: DataFrame, by: list[str], capacity: int
+) -> DataFrame:
+    """Per-partition GROUP-WISE Misra-Gries summaries of a non-null
+    `_item` stream carrying group key columns — the grouped twin of
+    `mg_candidate_summary`: <= ``capacity`` candidate rows per group per
+    partition plus one per-group row-count sentinel (``_item`` NULL,
+    ``_w`` = the group's rows in the partition).  Kernel state is
+    ``capacity`` counters per group PRESENT IN THE PARTITION.  Same
+    union-mergeability as the flat summary, applied per group."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    by = list(by)
+    k = capacity
     summary_schema = T.StructType(
         [items.schema[c] for c in by]
         + [T.StructField("_item", T.StringType()),
@@ -794,16 +819,23 @@ def heavy_hitters_by(
         yield pd.DataFrame(
             {c: list(v) for c, v in zip(by + ["_item", "_w"], cols)})
 
-    # Materialize the per-partition summaries once (localCheckpoint —
-    # RDD blocks, GC'd at return; see heavy_hitters), then compact PER
-    # GROUP (compact_mg_summaries_by — fold repartitioned on the group
-    # keys, no single task receives all groups), and materialize the
-    # tiny compacted summary ONCE, distributed: both downstream branches
-    # (totals, candidates) read the RDD blocks; no driver collect
-    # anywhere, so high-cardinality `by` never builds a groups-sized
-    # local list
-    summary = items.mapInPandas(mg, summary_schema).localCheckpoint()
-    summary = compact_mg_summaries_by(summary, by, k).localCheckpoint()
+    return items.mapInPandas(mg, summary_schema)
+
+
+def heavy_hitters_verify_by(
+    items: DataFrame,
+    summary: DataFrame,
+    by: list[str],
+    phi_num: int,
+    phi_den: int,
+) -> DataFrame:
+    """The exact-verify half of `heavy_hitters_by` — grouped twin of
+    `heavy_hitters_verify`: given any group-wise candidate summary whose
+    per-group candidate sets are SUPERSETS of the true per-group
+    phi-heavy items (and whose per-group sentinels sum to the group
+    totals), produce the exact per-group phi-heavy sets with exact
+    counts.  Output columns: (by..., _item, cnt, n_total)."""
+    by = list(by)
     totals = summary.filter(F.col("_item").isNull()) \
         .groupBy(*by).agg(F.sum("_w").alias("n_total"))
     cands = summary.filter(F.col("_item").isNotNull()) \
@@ -813,9 +845,9 @@ def heavy_hitters_by(
         .groupBy(*by, "_item").agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
-        exact.join(totals, list(by))
+        exact.join(totals, by)
         .filter(F.col("cnt") * phi_den > phi_num * F.col("n_total"))
-        .select(*by, F.col("_item").alias(item_col), "cnt", "n_total")
+        .select(*by, "_item", "cnt", "n_total")
     )
 
 
@@ -1057,6 +1089,99 @@ def heavy_hitters_serve(
                 "(re-summarize, or use the streaming maintainer for "
                 "growing corpora)")
     return heavy_hitters_verify(items, summary, phi_num, phi_den) \
+        .withColumnRenamed("_item", item_col)
+
+
+def heavy_hitters_summarize_by(
+    df: DataFrame,
+    by: list[str],
+    item_col: str,
+    capacity: int,
+    path: str,
+) -> None:
+    """Grouped `heavy_hitters_summarize`: persist the group-wise
+    compacted MG summary (<= groups x (capacity + 1) rows, written
+    DISTRIBUTED — the fold's hash partitioning on the group keys is the
+    layout; no coalesce, no driver collect) plus ``_mg.json`` recording
+    capacity AND the group columns, so `heavy_hitters_serve_by` can
+    enforce both the recall guarantee and that the caller's ``by``
+    matches the summarized grouping."""
+    import json
+    import os
+
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    by = list(by)
+    items = df.select(
+        *by, F.col(item_col).cast("string").alias("_item")) \
+        .filter(F.col("_item").isNotNull())
+    summary = mg_candidate_summary_by(items, by, capacity).localCheckpoint()
+    compact_mg_summaries_by(summary, by, capacity) \
+        .write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_mg.json"), "w") as f:
+        json.dump({"capacity": int(capacity), "by": by}, f)
+
+
+def heavy_hitters_serve_by(
+    df: DataFrame,
+    by: list[str],
+    item_col: str,
+    path: str,
+    phi_num: int = 1,
+    phi_den: int = 100,
+    verify_total: bool = True,
+) -> DataFrame:
+    """Per-group exact phi-heavy hitters from a
+    `heavy_hitters_summarize_by` sidecar — output-identical to
+    `heavy_hitters_by` at verify-only cost (the grouped MG pass never
+    re-runs).  Enforces: capacity >= phi_den/phi_num, the caller's
+    ``by`` equals the summarized grouping, and — by default — corpus
+    identity per group (``verify_total``: one distributed groupBy count
+    full-outer-joined against the sidecar sentinels; ANY group whose
+    total drifted raises — the check is distributed, so
+    high-cardinality ``by`` stays scale-out like everything else on
+    this path)."""
+    import json
+    import os
+
+    meta_p = os.path.join(path, "_mg.json")
+    if not os.path.exists(meta_p):
+        raise ValueError(
+            f"{path!r} has no _mg.json: not a heavy_hitters_summarize_by "
+            "sidecar")
+    with open(meta_p) as f:
+        meta = json.load(f)
+    capacity, by = int(meta["capacity"]), list(by)
+    if meta.get("by") != by:
+        raise ValueError(
+            f"grouping mismatch: sidecar was summarized by "
+            f"{meta.get('by')}, caller asked for {by} — per-group recall "
+            "only holds for the summarized grouping")
+    if phi_num <= 0 or phi_den <= 0:
+        raise ValueError("phi must be positive")
+    if capacity < phi_den / phi_num:
+        raise ValueError(
+            f"sidecar capacity={capacity} < 1/phi={phi_den}/{phi_num}: "
+            "re-summarize with capacity >= phi_den/phi_num")
+    spark = df.sparkSession
+    summary = spark.read.parquet(path)
+    items = df.select(
+        *by, F.col(item_col).cast("string").alias("_item")) \
+        .filter(F.col("_item").isNotNull())
+    if verify_total:
+        sent = summary.filter(F.col("_item").isNull()) \
+            .groupBy(*by).agg(F.sum("_w").alias("_s"))
+        now = items.groupBy(*by).agg(F.count(F.lit(1)).alias("_c"))
+        drifted = sent.join(now, by, "full").filter(
+            F.coalesce("_s", F.lit(-1)) != F.coalesce("_c", F.lit(-2))
+        ).count()
+        if drifted:
+            raise ValueError(
+                f"corpus drift: {drifted} group(s) changed size since "
+                "the sidecar was summarized — the per-group recall "
+                "guarantee only covers the summarized corpus "
+                "(re-summarize, or use the streaming maintainer)")
+    return heavy_hitters_verify_by(items, summary, by, phi_num, phi_den) \
         .withColumnRenamed("_item", item_col)
 
 

@@ -512,9 +512,12 @@ def dfcap_surviving_terms(
 
 # Driver-side memo of df-cap decision reads, keyed on the BYTE IDENTITY
 # of the sidecar files (path, mtime_ns, size of every input file of both
-# term_stats and stats).  An append-only sidecar grows by adding files,
-# so any index maintenance changes the key and the stale entry ages out;
-# in-memory (non-file-backed) sidecars never cache.  Values accumulate
+# term_stats and stats) PLUS each frame's logical-plan signature
+# (semanticHash — r9 ADVICE: a filtered/transformed frame over the same
+# files must not serve the raw tables' memo).  An append-only sidecar
+# grows by adding files, so any index maintenance changes the key and
+# the stale entry ages out; in-memory (non-file-backed) sidecars never
+# cache.  Values accumulate
 # {term: df-or-None(absent)} per key so repeat probes — the serving
 # pattern §4.4g.2 prices at ~107 ms of pure job floor per probe — skip
 # the Spark job entirely once their terms have been seen.
@@ -530,12 +533,23 @@ def _sidecar_cache_key(term_stats: DataFrame,
     not file-backed (then every probe reads live — the safe default).
     Local-path stat() matches the gate/serving harness; on a cluster
     whose driver cannot stat the store, inputFiles still carry etag-like
-    uniqueness only via path, so we require a successful stat."""
+    uniqueness only via path, so we require a successful stat.
+
+    The key folds in each DataFrame's LOGICAL-PLAN signature
+    (semanticHash of the canonicalized analyzed plan) alongside the
+    file identity (r9 ADVICE): a caller passing a FILTERED or otherwise
+    transformed term_stats/stats frame over the same files must never
+    hit the memo built from the raw sidecar reads — same files,
+    different plan, different dfs — and an in-place rewrite that
+    happens to preserve (mtime_ns, size) still shares the file triple
+    but is exactly the case the docstring contract already excludes
+    (sidecars are append-only by construction)."""
     import re as _re
 
     def sig(df):
         try:
             files = sorted(df.inputFiles())
+            plan_sig = df.semanticHash()
         except Exception:
             return None
         if not files:
@@ -548,7 +562,7 @@ def _sidecar_cache_key(term_stats: DataFrame,
             except OSError:
                 return None
             out.append((f, st.st_mtime_ns, st.st_size))
-        return tuple(out)
+        return (plan_sig, tuple(out))
 
     ts, ss = sig(term_stats), sig(stats)
     if ts is None or ss is None:

@@ -418,6 +418,58 @@ def stream_to_delta(
     )
 
 
+def stream_to_iceberg(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    checkpoint: str,
+    app_id: str = "pq_stream_to_iceberg",
+    transform=None,
+    queryName: str = "pq_stream_to_iceberg",
+    max_files_per_trigger: int | None = 64,
+):
+    """Exactly-once streaming sink into an Iceberg table — the Iceberg
+    twin of `stream_to_delta`, from the jar-less v2 writer.
+
+    Each microbatch commits one APPEND snapshot whose metadata commit
+    also records ``pq.stream.<app_id>.batch-id = batch_id`` in the
+    table properties (one atomic metadata-JSON write).  On
+    restart/replay, batches at or below the table's recorded high-water
+    mark for this ``app_id`` are SKIPPED, so a batch lands in the table
+    exactly once even when Spark's checkpoint replays it — the same
+    idempotence contract the Iceberg connector's streaming sink
+    implements (it stores the batch id in snapshot summaries; this
+    writer uses table properties so the mark SURVIVES
+    `expire_snapshots`).  ``transform`` optionally maps each microbatch
+    DataFrame before the append.  Single-writer contract like the rest
+    of the jar-less writer: one stream per table."""
+    from prql_query_spark.engine.iceberg import (
+        last_committed_batch, write_iceberg)
+
+    schema = spark.read.parquet(source_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        done = last_committed_batch(table_path, app_id)
+        if done is not None and batch_id <= done:
+            return  # replayed batch: already committed
+        out = transform(batch_df) if transform is not None else batch_df
+        write_iceberg(
+            out, table_path, mode="append",
+            properties={f"pq.stream.{app_id}.batch-id": str(batch_id)})
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(queryName)
+        .start()
+    )
+
+
 def stream_dedup_growing(
     spark: SparkSession,
     docs_path: str,

@@ -355,9 +355,12 @@ def test_cli_iceberg_sink_roundtrip(spark, tmp_path, sf_dir):
 
 def test_cli_iceberg_append_flag(spark, tmp_path, sf_dir):
     """`--to out.iceberg --append` adds a snapshot to the existing
-    table: the read-back sees both writes, and re-running WITHOUT
-    --append errors cleanly (create-on-existing)."""
+    table (read-back sees both writes); re-running WITHOUT --append
+    OVERWRITES (r10 — delete-by-replace snapshot, matching the delta
+    sink): head reads only the re-run's rows while the pre-overwrite
+    snapshot stays time-travelable."""
     import pq
+    from prql_query_spark.engine.iceberg import read_iceberg
     from prql_query_spark.engine.sources import read_source
 
     out = str(tmp_path / "out.iceberg")
@@ -372,10 +375,15 @@ def test_cli_iceberg_append_flag(spark, tmp_path, sf_dir):
     want = sorted(r.r_regionkey for r in
                   spark.read.parquet(f"{sf_dir}/region.parquet").collect())
     assert got == want
-    # create-on-existing without --append raises the routed error
-    # (pq._main turns it into a one-line exit-1 message for users)
-    with pytest.raises(Exception, match="already an iceberg table"):
-        pq.main(base + ["-t", out, "from r | select [r_regionkey, r_name]"])
+    # re-run without --append: overwrite snapshot replaces the contents
+    assert pq.main(base + [
+        "-t", out, "from r | filter r_regionkey == 0 "
+        "| select [r_regionkey, r_name]"]) == 0
+    assert [r.r_regionkey
+            for r in read_source(spark, out).collect()] == [0]
+    # ...and the full pre-overwrite table is still one time travel away
+    assert sorted(r.r_regionkey for r in
+                  read_iceberg(spark, out, snapshot_id=2).collect()) == want
 
 
 def test_cli_avro_roundtrip(spark, tmp_path, sf_dir):

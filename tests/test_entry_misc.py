@@ -22,14 +22,18 @@ def test_rt_dir_honors_pq_rt_dir(tmp_path, monkeypatch):
 
 
 def test_driver_window_composition():
-    """The audit window contract: 50 unique names, all resolvable to
-    queries() entries, every one oracled, and the window leads the dict
-    order the driver consumes."""
+    """The audit window contract: the driver consumes the FIRST 50
+    queries() entries, which must equal DRIVER_ORDER's head — unique
+    names, all resolvable, every one oracled.  DRIVER_ORDER may carry
+    rows past index 50 (next-window queue, e.g. r10's
+    x_iceberg_overwrite staged first for the r11 window); those must
+    follow immediately in dict order and be oracled too."""
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert len(entrymod.DRIVER_ORDER) == 50
-    assert len(set(entrymod.DRIVER_ORDER)) == 50
+    n = len(entrymod.DRIVER_ORDER)
+    assert n >= 50
+    assert len(set(entrymod.DRIVER_ORDER)) == n
     names = list(qs)
-    assert names[:50] == entrymod.DRIVER_ORDER
-    missing = [n for n in entrymod.DRIVER_ORDER if n not in oracles]
+    assert names[:n] == entrymod.DRIVER_ORDER
+    missing = [x for x in entrymod.DRIVER_ORDER if x not in oracles]
     assert not missing, f"window rows without oracle: {missing}"

@@ -3994,6 +3994,21 @@ def test_dfcap_stats_cache_hits_and_invalidates(spark, sf_dir, tmp_path):
     assert dfcap_surviving_terms(mem_ts, mem_stats, terms, 0.2) == ["dup"]
     assert len(R._STATS_CACHE) == 0
 
+    # a TRANSFORMED frame over the same files must not hit the raw
+    # frames' memo (r10, r9 ADVICE): same file triples, different plan
+    # signature -> different key -> live read of the filtered stats
+    R._STATS_CACHE.clear()
+    base = R._collect_query_dfs(ts_f, stats_f, terms)
+    ts_cut = ts_f.filter(F.col("term") != "dup")  # 'dup' absent now
+    cut = R._collect_query_dfs(ts_cut, stats_f, terms)
+    assert "dup" in base[0] and "dup" not in cut[0]
+    assert len(R._STATS_CACHE) == 2  # distinct keys, not one poisoned
+    # and a FRESH read of the same sidecar path shares the raw key (the
+    # serving pattern re-reads the directory between probes)
+    assert R._sidecar_cache_key(spark.read.parquet(td),
+                                spark.read.parquet(sd)) \
+        == R._sidecar_cache_key(ts_f, stats_f)
+
 
 def test_ann_index_health_detects_drift(spark, sf_dir):
     """Cell-occupancy drift monitor: an undrifted batch (the index's own
@@ -5152,3 +5167,234 @@ def test_heavy_hitters_summarize_serve(spark, sf_dir, tmp_path):
     spark.read.parquet(side).write.parquet(bare)
     with pytest.raises(ValueError, match="no _mg.json"):
         heavy_hitters_serve(items, "term", bare, 1, 100)
+
+def test_iceberg_overwrite_and_expire_snapshots(spark, tmp_path):
+    """overwrite = delete-by-replace (r10): head reads exactly the new
+    rows, every earlier snapshot stays time-travelable until
+    expire_snapshots reclaims it; expiry refuses to drop the current
+    snapshot, deletes only files no retained snapshot references, and
+    leaves retained reads bit-identical."""
+    import json as _json
+    import os
+
+    from prql_query_spark.engine.iceberg import (
+        IcebergError, expire_snapshots, read_iceberg, write_iceberg,
+    )
+
+    d = str(tmp_path / "ice_ow")
+    rows = lambda df: sorted((r.id, r.v) for r in df.collect())  # noqa: E731
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    df3 = spark.createDataFrame([(7, "z"), (8, "y")], "id long, v string")
+    write_iceberg(df1, d)                     # snap 1
+    write_iceberg(df2, d, mode="append")      # snap 2 = df1+df2
+    write_iceberg(df3, d, mode="overwrite")   # snap 3 = df3 only
+    assert rows(read_iceberg(spark, d)) == [(7, "z"), (8, "y")]
+    # pre-overwrite snapshots still time-travel exactly
+    assert rows(read_iceberg(spark, d, snapshot_id=2)) == \
+        [(1, "a"), (2, "b"), (3, "c")]
+    assert rows(read_iceberg(spark, d, snapshot_id=1)) == [(1, "a"), (2, "b")]
+    meta_dir = os.path.join(d, "metadata")
+    with open(os.path.join(meta_dir, "v3.metadata.json")) as fh:
+        meta = _json.load(fh)
+    snap3 = next(s for s in meta["snapshots"] if s["snapshot-id"] == 3)
+    assert snap3["parent-snapshot-id"] == 2
+    assert snap3["summary"]["operation"] == "overwrite"
+
+    # expiry: the current snapshot can never be expired
+    with pytest.raises(IcebergError, match="never be expired"):
+        expire_snapshots(d, keep_last=0)
+    res = expire_snapshots(d, keep_last=1)
+    assert res["expired"] == [1, 2] and res["deleted_files"] > 0
+    # retained head reads bit-identical; expired ids are gone
+    assert rows(read_iceberg(spark, d)) == [(7, "z"), (8, "y")]
+    with pytest.raises(IcebergError, match="not in"):
+        read_iceberg(spark, d, snapshot_id=1)
+    # idempotent: nothing left to expire
+    assert expire_snapshots(d, keep_last=1) == \
+        {"expired": [], "deleted_files": 0}
+    # the expired snapshots' data files are physically gone: every
+    # row-carrying parquet left under data/ belongs to snap 3 (zero-row
+    # part files were never in any manifest — orphan cleanup is a
+    # separate maintenance action in the spec, not expiry's job)
+    import pyarrow.parquet as _pq
+    data_files = [os.path.join(r, f) for r, _, fs in
+                  os.walk(os.path.join(d, "data")) for f in fs
+                  if f.endswith(".parquet")]
+    leftovers = [p for p in data_files if "snap-3-" not in p]
+    assert all(_pq.read_metadata(p).num_rows == 0 for p in leftovers), \
+        leftovers
+    # appends continue cleanly after expiry
+    write_iceberg(df2, d, mode="append")
+    assert rows(read_iceberg(spark, d)) == [(3, "c"), (7, "z"), (8, "y")]
+    # overwrite also creates when the table is absent
+    d2 = str(tmp_path / "ice_ow2")
+    write_iceberg(df1, d2, mode="overwrite")
+    assert rows(read_iceberg(spark, d2)) == [(1, "a"), (2, "b")]
+
+
+def test_iceberg_append_dangling_parent_raises(spark, tmp_path):
+    """Corrupt metadata (r10 ADVICE): if current-snapshot-id has no
+    snapshot entry, or the parent's manifest-list is unresolvable, an
+    append must raise instead of silently writing a head snapshot that
+    drops every pre-append data file."""
+    import json as _json
+    import os
+
+    from prql_query_spark.engine.iceberg import (
+        IcebergError, read_iceberg, write_iceberg,
+    )
+
+    d = str(tmp_path / "ice_dang")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    write_iceberg(df1, d)
+    meta_p = os.path.join(d, "metadata", "v1.metadata.json")
+    with open(meta_p) as fh:
+        meta = _json.load(fh)
+    # (a) head id points at no snapshot entry
+    meta["current-snapshot-id"] = 999
+    with open(meta_p, "w") as fh:
+        _json.dump(meta, fh)
+    with pytest.raises(IcebergError, match="no snapshot entry"):
+        write_iceberg(df1, d, mode="append")
+    # (b) head resolves but its manifest-list file is missing
+    meta["current-snapshot-id"] = 1
+    with open(meta_p, "w") as fh:
+        _json.dump(meta, fh)
+    ml = meta["snapshots"][0]["manifest-list"].replace("file://", "")
+    os.rename(ml, ml + ".gone")
+    with pytest.raises(IcebergError, match="manifest-list cannot be"):
+        write_iceberg(df1, d, mode="append")
+    os.rename(ml + ".gone", ml)  # restored table appends fine
+    write_iceberg(df1, d, mode="append")
+    assert read_iceberg(spark, d).count() == 2
+
+def test_stream_to_iceberg_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming into an Iceberg table through the jar-less v2 writer
+    (r10 — the Iceberg twin of stream_to_delta): stream == batch rows;
+    a FULL replay with a fresh checkpoint is a no-op (the per-app batch
+    high-water mark in table properties skips committed ids); the mark
+    survives expire_snapshots, so replay detection outlives
+    maintenance."""
+    from prql_query_spark.engine.iceberg import (
+        expire_snapshots, last_committed_batch, read_iceberg,
+    )
+    from prql_query_spark.streaming.ingest import stream_to_iceberg
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    in_dir = str(tmp_path / "in")
+    docs.repartition(3).write.parquet(in_dir)
+    table = str(tmp_path / "t.iceberg")
+
+    for ck in ("ck1", "ck2"):  # second pass = full checkpoint replay
+        q = stream_to_iceberg(
+            spark, in_dir, table, checkpoint=str(tmp_path / ck),
+            queryName="t_ice_sink", max_files_per_trigger=1,
+            transform=lambda df: df.select("doc_id", "source"),
+        )
+        try:
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+
+    got = sorted(r.doc_id for r in read_iceberg(spark, table).collect())
+    want = sorted(r.doc_id for r in docs.collect())
+    assert got == want  # no duplicates from the replay
+    done = last_committed_batch(table, "pq_stream_to_iceberg")
+    assert done is not None and done >= 1
+
+    # one snapshot per committed batch; time travel to the first batch
+    # reads a strict prefix of the rows
+    import json as _json
+    import os as _os
+    with open(_os.path.join(table, "metadata", "version-hint.text")) as fh:
+        v = fh.read().strip()
+    with open(_os.path.join(
+            table, "metadata", f"v{v}.metadata.json")) as fh:
+        meta = _json.load(fh)
+    assert len(meta["snapshots"]) == done + 1
+    first = read_iceberg(spark, table, snapshot_id=1).count()
+    assert 0 < first < len(want)
+
+    # the high-water mark SURVIVES snapshot expiry (table properties,
+    # not snapshot summaries), so a replay after maintenance still skips
+    res = expire_snapshots(table, keep_last=1)
+    assert res["expired"] and \
+        last_committed_batch(table, "pq_stream_to_iceberg") == done
+    assert read_iceberg(spark, table).count() == len(want)
+
+def test_compact_iceberg_same_rows_fewer_files(spark, sf_dir, tmp_path):
+    """compact_iceberg (r10): many small appended files -> one replace
+    snapshot with target_files data files and IDENTICAL rows; the
+    pre-compaction snapshot still time-travels; expiry then reclaims
+    the small files while the compacted head keeps reading."""
+    import os as _os
+
+    from prql_query_spark.engine.iceberg import (
+        compact_iceberg, expire_snapshots, read_iceberg, write_iceberg,
+    )
+
+    table = str(tmp_path / "t.iceberg")
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source")
+    for i in range(4):  # 4 appends x 3 parts = many small files
+        write_iceberg(docs.filter(F.col("doc_id") % 4 == i).repartition(3),
+                      table, mode="append")
+    want = sorted(r.doc_id for r in read_iceberg(spark, table).collect())
+
+    def n_files():
+        return len(read_iceberg(spark, table).inputFiles())
+
+    before = n_files()
+    assert before >= 8
+    compact_iceberg(spark, table, target_files=1)
+    assert n_files() == 1
+    assert sorted(r.doc_id
+                  for r in read_iceberg(spark, table).collect()) == want
+    # pre-compaction snapshot (id 4 = the last append) still reads
+    assert sorted(r.doc_id for r in read_iceberg(
+        spark, table, snapshot_id=4).collect()) == want
+    # expiry reclaims the small files; the compacted head is untouched
+    res = expire_snapshots(table, keep_last=1)
+    assert res["expired"] == [1, 2, 3, 4] and res["deleted_files"] > 0
+    assert sorted(r.doc_id
+                  for r in read_iceberg(spark, table).collect()) == want
+    data_files = [f for r, _, fs in _os.walk(_os.path.join(table, "data"))
+                  for f in fs if f.endswith(".parquet")]
+    assert len(data_files) <= before  # small files physically reclaimed
+
+def test_heavy_hitters_summarize_serve_by(spark, sf_dir, tmp_path):
+    """Grouped persisted MG summary (r10): serve_by == heavy_hitters_by
+    exactly; grouping mismatch, finer phi, and per-group corpus drift
+    all refuse loudly."""
+    import pytest
+
+    from prql_query_spark.operators.analytics import (
+        heavy_hitters_by, heavy_hitters_serve_by,
+        heavy_hitters_summarize_by)
+    from prql_query_spark.operators.text import tokens
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    items = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term"))
+    side = str(tmp_path / "mgby")
+    heavy_hitters_summarize_by(items, ["source"], "term", 100, side)
+    for num, den in [(1, 100), (1, 50)]:
+        want = {(r["source"], r["term"], r["cnt"], r["n_total"])
+                for r in heavy_hitters_by(
+                    items, ["source"], "term", num, den).collect()}
+        got = {(r["source"], r["term"], r["cnt"], r["n_total"])
+               for r in heavy_hitters_serve_by(
+                   items, ["source"], "term", side, num, den).collect()}
+        assert got == want and want, (num, den)
+    with pytest.raises(ValueError, match="grouping mismatch"):
+        heavy_hitters_serve_by(items, ["term"], "term", side, 1, 100)
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters_serve_by(items, ["source"], "term", side, 1, 500)
+    grown = items.unionAll(items.filter(F.col("source") == "src0").limit(3))
+    with pytest.raises(ValueError, match="corpus drift"):
+        heavy_hitters_serve_by(grown, ["source"], "term", side, 1, 100)
+    assert heavy_hitters_serve_by(
+        grown, ["source"], "term", side, 1, 100,
+        verify_total=False).count() > 0

@@ -1078,3 +1078,24 @@ def test_heavy_hitters_by_fold_not_single_task(spark):
     assert fold, plan
     below_fold = "\n".join(lines[fold[0]:])  # root-first: below = input
     assert re.search(r"Exchange hashpartitioning\(g#", below_fold), plan
+
+
+def test_heavy_hitters_serve_is_verify_only(spark, sf_dir, tmp_path):
+    """heavy_hitters_serve's structural claim (r10): the served plan
+    contains NO Python stage at all — the MG candidate pass
+    (mapInPandas) never re-runs; the persisted candidate set enters as
+    a broadcast build side and the only corpus work is the exact
+    recount scan.  Contrast: heavy_hitters' own plan would carry the
+    MapInPandas kernel."""
+    from prql_query_spark.operators.analytics import (
+        heavy_hitters_serve, heavy_hitters_summarize)
+    from prql_query_spark.operators.text import tokens as _tok
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    items = docs.select(F.explode(_tok(F.col("text"))).alias("term"))
+    side = str(tmp_path / "mg")
+    heavy_hitters_summarize(items, "term", capacity=100, path=side)
+    plan = _plan(spark, heavy_hitters_serve(
+        items, "term", side, 1, 100, verify_total=False), "simple")
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
