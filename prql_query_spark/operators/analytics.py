@@ -834,20 +834,33 @@ def heavy_hitters_verify_by(
     per-group candidate sets are SUPERSETS of the true per-group
     phi-heavy items (and whose per-group sentinels sum to the group
     totals), produce the exact per-group phi-heavy sets with exact
-    counts.  Output columns: (by..., _item, cnt, n_total)."""
+    counts.  Output columns: (by..., _item, cnt, n_total).
+
+    Group-key joins are null-SAFE (r10): a NULL group key is a real
+    group — SQL GROUP BY semantics, and what the MG kernel summarizes
+    (dropna=False) — so plain equi-joins would silently drop that
+    group's results."""
     by = list(by)
     totals = summary.filter(F.col("_item").isNull()) \
         .groupBy(*by).agg(F.sum("_w").alias("n_total"))
     cands = summary.filter(F.col("_item").isNotNull()) \
         .select(*by, "_item").distinct()
+    i, c = items.alias("i"), cands.alias("c")
+    cond = [F.col(f"i.{b}").eqNullSafe(F.col(f"c.{b}")) for b in by] \
+        + [F.col("i._item") == F.col("c._item")]  # _item non-null by contract
     exact = (
-        items.join(cands, [*by, "_item"])
+        i.join(c, cond)
+        .select(*[F.col(f"i.{b}").alias(b) for b in by],
+                F.col("i._item").alias("_item"))
         .groupBy(*by, "_item").agg(F.count(F.lit(1)).alias("cnt"))
     )
+    e, t = exact.alias("e"), totals.alias("t")
+    cond2 = [F.col(f"e.{b}").eqNullSafe(F.col(f"t.{b}")) for b in by]
     return (
-        exact.join(totals, by)
+        e.join(t, cond2)
         .filter(F.col("cnt") * phi_den > phi_num * F.col("n_total"))
-        .select(*by, "_item", "cnt", "n_total")
+        .select(*[F.col(f"e.{b}").alias(b) for b in by],
+                "_item", "cnt", "n_total")
     )
 
 
@@ -1172,7 +1185,11 @@ def heavy_hitters_serve_by(
         sent = summary.filter(F.col("_item").isNull()) \
             .groupBy(*by).agg(F.sum("_w").alias("_s"))
         now = items.groupBy(*by).agg(F.count(F.lit(1)).alias("_c"))
-        drifted = sent.join(now, by, "full").filter(
+        # null-SAFE key equality: a NULL group key is a real group in
+        # both the sentinels and the recount; a plain join would leave
+        # it unmatched on both sides and report phantom drift
+        cond = [sent[c].eqNullSafe(now[c]) for c in by]
+        drifted = sent.join(now, cond, "full").filter(
             F.coalesce("_s", F.lit(-1)) != F.coalesce("_c", F.lit(-2))
         ).count()
         if drifted:

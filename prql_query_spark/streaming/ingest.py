@@ -194,6 +194,71 @@ def stream_heavy_hitter_summaries(
     )
 
 
+def stream_heavy_hitter_summaries_by(
+    spark: SparkSession,
+    docs_path: str,
+    summary_dir: str,
+    checkpoint: str,
+    by: list[str],
+    phi_num: int = 1,
+    phi_den: int = 100,
+    text_col: str = "text",
+    queryName: str = "pq_stream_hh_by",
+    max_files_per_trigger: int | None = 64,
+):
+    """Grouped `stream_heavy_hitter_summaries` ("trending terms per
+    source", continuously maintained): each micro-batch runs ONE
+    group-wise Misra-Gries pass over its own tokens
+    (`analytics.mg_candidate_summary_by`) and appends the bounded
+    summary (<= groups-present x capacity rows per partition + one
+    per-group sentinel per partition) as its `_batch_id` partition —
+    flat per-batch cost, earlier batches never re-read, same contract
+    as the flat maintainer.
+
+    Recall stays total per group across any batch split (an item
+    phi-heavy in group g over the accumulated corpus is phi-heavy in
+    g's slice of at least one (batch, partition) — pigeonhole), so
+    serving is `analytics.heavy_hitters_verify_by` over the read-back
+    sidecar (optionally `compact_mg_summaries_by` first to fold the
+    B-batch pile down to <= groups x (capacity+1) rows, output
+    identical); results equal `heavy_hitters_by` on everything ingested
+    (pytest-pinned).  `_batch_id` dynamic-partition overwrite keeps
+    crash replays idempotent, as everywhere."""
+    import math
+
+    from prql_query_spark.operators.analytics import mg_candidate_summary_by
+    from prql_query_spark.operators.text import tokens
+
+    by = list(by)
+    k = math.ceil(phi_den / phi_num)
+    schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_path)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        items = batch_df.select(
+            *by, F.explode(tokens(F.col(text_col))).alias("_item")) \
+            .filter(F.col("_item").isNotNull())
+        (
+            mg_candidate_summary_by(items, by, k)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(summary_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(queryName)
+        .start()
+    )
+
+
 def stream_dedup_against_corpus(
     spark: SparkSession,
     docs_path: str,

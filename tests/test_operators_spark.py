@@ -5398,3 +5398,78 @@ def test_heavy_hitters_summarize_serve_by(spark, sf_dir, tmp_path):
     assert heavy_hitters_serve_by(
         grown, ["source"], "term", side, 1, 100,
         verify_total=False).count() > 0
+
+def test_stream_heavy_hitters_by_matches_batch(spark, sf_dir, tmp_path):
+    """Grouped streamed MG summaries (r10): 3 microbatches of per-group
+    candidates + exact group-wise verify must equal the inline
+    heavy_hitters_by exactly — raw sidecar AND after group-wise
+    compaction; a fresh-checkpoint replay must rewrite, not duplicate
+    (a doubled per-group sentinel would shift that group's threshold)."""
+    from prql_query_spark.operators.analytics import (
+        compact_mg_summaries_by, heavy_hitters_by, heavy_hitters_verify_by)
+    from prql_query_spark.operators.text import tokens
+    from prql_query_spark.streaming.ingest import (
+        split_mtime_ordered_batches, stream_heavy_hitter_summaries_by)
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "src")
+    split_mtime_ordered_batches(docs, src, 3)
+    sums = str(tmp_path / "sums")
+    for ck in ("ck1", "ck2"):  # second pass = full replay, rewritten
+        q = stream_heavy_hitter_summaries_by(
+            spark, src, sums, checkpoint=str(tmp_path / ck),
+            by=["source"], phi_num=1, phi_den=100,
+            max_files_per_trigger=1, queryName="t_stream_hh_by")
+        try:
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+    sidecar = spark.read.parquet(sums).drop("_batch_id")
+    items = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("_item")) \
+        .filter(F.col("_item").isNotNull())
+    want = {(r["source"], r["_item"], r["cnt"], r["n_total"])
+            for r in heavy_hitters_verify_by(
+                items, sidecar, ["source"], 1, 100).collect()}
+    batch = {(r["source"], r["term"], r["cnt"], r["n_total"])
+             for r in heavy_hitters_by(
+                 docs.select("source",
+                             F.explode(tokens(F.col("text")))
+                             .alias("term")),
+                 ["source"], "term", 1, 100).collect()}
+    assert want == batch and want
+    # compaction folds the 3-batch pile; serving output identical
+    compacted = compact_mg_summaries_by(sidecar, ["source"], 100)
+    got_c = {(r["source"], r["_item"], r["cnt"], r["n_total"])
+             for r in heavy_hitters_verify_by(
+                 items, compacted, ["source"], 1, 100).collect()}
+    assert got_c == batch
+    # replay idempotence: 3 batch partitions, not 6
+    assert spark.read.parquet(sums) \
+        .select("_batch_id").distinct().count() == 3
+
+def test_heavy_hitters_by_null_group_key_is_a_group(spark, tmp_path):
+    """SQL GROUP BY semantics for NULL group keys (r10): the MG kernel
+    summarizes NULL-key groups (dropna=False) and the verify joins are
+    null-SAFE, so a NULL group's heavy hitters are served like any
+    other group's — inline, from a persisted summary, and through the
+    drift check (no phantom drift from unmatched NULL keys)."""
+    import os as _os
+
+    from prql_query_spark.operators.analytics import (
+        heavy_hitters_by, heavy_hitters_serve_by, heavy_hitters_summarize_by)
+
+    rows = [("a", "hot")] * 30 + [(None, "hot")] * 20 + [(None, "cold")] * 2
+    df = spark.createDataFrame(rows, "g string, term string").repartition(4)
+    want = {(r.g, r.term, r.cnt, r.n_total)
+            for r in heavy_hitters_by(df, ["g"], "term", 1, 4).collect()}
+    # threshold 1/4: group a total 30 -> hot(30); group NULL total 22 ->
+    # hot(20) passes, cold(2) fails
+    assert want == {("a", "hot", 30, 30), (None, "hot", 20, 22)}
+    side = str(tmp_path / "mg")
+    heavy_hitters_summarize_by(df, ["g"], "term", 25, side)
+    got = {(r.g, r.term, r.cnt, r.n_total)
+           for r in heavy_hitters_serve_by(
+               df, ["g"], "term", side, 1, 4).collect()}
+    assert got == want
