@@ -467,6 +467,34 @@ def compact_iceberg(
     write_iceberg(snapshot.coalesce(target_files), path, mode="overwrite")
 
 
+def remove_orphan_files(path: str) -> dict:
+    """The spec's third maintenance action (after expiry and
+    compaction): physically delete parquet files under ``data/`` that
+    NO snapshot references — zero-row part files the manifest writer
+    skipped, leftovers of aborted/failed writes, or files stranded by
+    manual surgery.  Never touches metadata (no new version — nothing a
+    reader can see changes) and resolves every retained snapshot's full
+    manifest chain first, so a corrupt chain raises before anything is
+    deleted (the fail-loud contract: expiry and orphan cleanup must
+    never guess).  Returns ``{"deleted_files": N}``."""
+    meta_path = _latest_metadata(path)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    referenced: set[str] = set()
+    for s in meta.get("snapshots") or []:
+        _ms, ds = _snapshot_files(s, path)
+        referenced |= ds
+    data_dir = os.path.join(path, "data")
+    deleted = 0
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            if f.endswith(".parquet") and p not in referenced:
+                os.remove(p)
+                deleted += 1
+    return {"deleted_files": deleted}
+
+
 def last_committed_batch(path: str, app_id: str) -> int | None:
     """The exactly-once high-water mark for a streaming writer: the last
     batch id `stream_to_iceberg` committed for ``app_id``, read from the

@@ -875,6 +875,7 @@ def stream_auc_histograms(
     cuts: list[float],
     score_col: str = "score",
     label_col: str = "y",
+    by: list[str] | None = None,
     queryName: str = "pq_stream_auc",
     max_files_per_trigger: int | None = 64,
 ):
@@ -913,10 +914,19 @@ def stream_auc_histograms(
     incompatible bucket indices into a wrong-but-plausible AUC, the one
     silent-corruption path this operator had.  Path-serving
     (`auc_from_histograms(hist_dir, cuts=...)`) verifies the same
-    fingerprint on the read side."""
+    fingerprint on the read side.
+
+    ``by`` (r10) maintains PER-SEGMENT histograms (the fairness /
+    drift-slice monitoring shape — per-source, per-model-version, …):
+    each partial carries the group columns, serving passes the same
+    ``by`` to `auc_from_histograms`, and the pinned GLOBAL cuts keep
+    segments comparable (the same convention as `roc_auc_bucketed`'s
+    grouped path).  Per-batch cost stays flat: the partial is
+    <= groups-present-in-batch x (len(cuts)+1) rows."""
     from prql_query_spark.operators.analytics import (
         score_histogram, write_cuts_fingerprint)
 
+    by = list(by) if by else []
     write_cuts_fingerprint(hist_dir, cuts)
 
     schema = spark.read.parquet(scores_path).schema
@@ -927,7 +937,7 @@ def stream_auc_histograms(
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            score_histogram(batch_df, score_col, label_col, cuts)
+            score_histogram(batch_df, score_col, label_col, cuts, by=by)
             .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

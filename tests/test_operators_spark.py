@@ -5473,3 +5473,73 @@ def test_heavy_hitters_by_null_group_key_is_a_group(spark, tmp_path):
            for r in heavy_hitters_serve_by(
                df, ["g"], "term", side, 1, 4).collect()}
     assert got == want
+
+def test_iceberg_remove_orphan_files(spark, tmp_path):
+    """Orphan cleanup (r10): zero-row part files (never manifested) and
+    planted stray parquet are deleted; every referenced file survives
+    and all snapshots keep reading bit-identical; idempotent."""
+    import os as _os
+
+    from prql_query_spark.engine.iceberg import (
+        read_iceberg, remove_orphan_files, write_iceberg,
+    )
+
+    table = str(tmp_path / "t.iceberg")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+        .repartition(8)  # 8 parts for 2 rows -> >= 6 zero-row orphans
+    write_iceberg(df, table)
+    write_iceberg(df, table, mode="append")
+    stray = _os.path.join(table, "data", "stray-abandoned-write.parquet")
+    spark.createDataFrame([(9, "z")], "id long, v string") \
+        .coalesce(1).write.parquet(str(tmp_path / "stray_src"))
+    import glob as _glob
+    import shutil as _shutil
+    _shutil.copy(_glob.glob(str(tmp_path / "stray_src" / "part-*.parquet"))[0],
+                 stray)
+    rows = lambda s=None: sorted(  # noqa: E731
+        (r.id, r.v) for r in read_iceberg(spark, table, snapshot_id=s)
+        .collect())
+    want_head, want_s1 = rows(), rows(1)
+    res = remove_orphan_files(table)
+    # at least the stray + the zero-row parts the writer did emit
+    assert res["deleted_files"] >= 2
+    assert not _os.path.exists(stray)
+    assert rows() == want_head and rows(1) == want_s1  # reads untouched
+    assert remove_orphan_files(table) == {"deleted_files": 0}
+
+def test_stream_auc_grouped_segments_match_batch(spark, sf_dir, tmp_path):
+    """Per-segment streaming AUC maintainer (r10, by=[...]): streamed
+    per-group histogram partials merged at serve time must equal the
+    one-pass grouped roc_auc_bucketed bit-for-bit under the same pinned
+    global cuts, per segment."""
+    from prql_query_spark.operators.analytics import (
+        auc_from_histograms, roc_auc_bucketed)
+    from prql_query_spark.streaming.ingest import (
+        split_mtime_ordered_batches, stream_auc_histograms)
+
+    cuts = [0.2, 0.4, 0.6, 0.8]
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id", "source",
+        ((F.col("doc_id") % 89) / 89.0
+         + F.col("text").contains("data").cast("int") * 0.3).alias("score"),
+        F.col("text").contains("data").alias("y"))
+    src = str(tmp_path / "src")
+    split_mtime_ordered_batches(scored, src, 3)
+    hist = str(tmp_path / "hist")
+    q = stream_auc_histograms(
+        spark, src, hist, checkpoint=str(tmp_path / "ck"), cuts=cuts,
+        by=["source"], max_files_per_trigger=1, queryName="t_stream_auc_by")
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    streamed = {r["source"]: (r["n_pos"], r["n_neg"], r["auc"],
+                              r["err_bound"])
+                for r in auc_from_histograms(
+                    hist, by=["source"], cuts=cuts).collect()}
+    batch = {r["source"]: (r["n_pos"], r["n_neg"], r["auc"], r["err_bound"])
+             for r in roc_auc_bucketed(
+                 scored, "score", "y", by=["source"], cuts=cuts).collect()}
+    assert streamed == batch and len(streamed) >= 2
