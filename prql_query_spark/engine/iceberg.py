@@ -32,6 +32,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, BooleanType, DataType, DateType, DoubleType,
     FloatType, IntegerType, LongType, StringType, StructField, StructType,
@@ -163,30 +164,128 @@ def read_iceberg(
     with open(_resolve(snap["manifest-list"], path), "rb") as fh:
         _s, manifests = decode_container(fh.read())
 
-    data_files: list[str] = []
+    def entry_seq(e: dict, m: dict):
+        """Sequence number of a manifest entry: explicit
+        data_sequence_number / sequence_number, else inherited from the
+        manifest-list entry (the spec's inheritance rule for entries
+        added in the manifest's own snapshot)."""
+        for k in ("data_sequence_number", "sequence_number"):
+            if e.get(k) is not None:
+                return e[k]
+        return m.get("sequence_number")
+
+    data_files: list[tuple[str, object]] = []   # (resolved path, seq)
+    pos_deletes: list[tuple[str, object]] = []  # (resolved path, seq)
     for m in manifests:
-        if m.get("content", 0) not in (0, None):
-            raise IcebergError(
-                "delete manifests (v2 row-level deletes) are not supported "
-                "by the pure-Python reader — deploy the Iceberg connector"
-            )
+        is_delete_manifest = m.get("content", 0) == 1
         with open(_resolve(m["manifest_path"], path), "rb") as fh:
             _s2, entries = decode_container(fh.read())
         for e in entries:
             if e.get("status") == 2:  # DELETED entry
                 continue
             df_info = e["data_file"]
-            if df_info.get("content", 0) not in (0, None):
-                raise IcebergError("delete files are not supported")
+            content = df_info.get("content", 0) or 0
             fmt = (df_info.get("file_format") or "PARQUET").upper()
             if fmt != "PARQUET":
                 raise IcebergError(
-                    f"data file format {fmt} not supported (parquet only)")
-            data_files.append(_resolve(df_info["file_path"], path))
+                    f"file format {fmt} not supported (parquet only)")
+            if is_delete_manifest or content in (1, 2):
+                if content == 2:
+                    raise IcebergError(
+                        "equality delete files are not supported by the "
+                        "pure-Python reader — deploy the Iceberg connector")
+                if content != 1:
+                    raise IcebergError(
+                        "malformed delete manifest: entry carries a "
+                        "non-delete data file (content=0) — refusing to "
+                        "guess which rows it removes")
+                pos_deletes.append(
+                    (_resolve(df_info["file_path"], path), entry_seq(e, m)))
+            else:
+                data_files.append(
+                    (_resolve(df_info["file_path"], path), entry_seq(e, m)))
 
     if not data_files:
         return spark.createDataFrame([], spark_schema)
-    return spark.read.schema(spark_schema).parquet(*sorted(set(data_files)))
+    paths = sorted({p for p, _ in data_files})
+    base = spark.read.schema(spark_schema).parquet(*paths)
+    if not pos_deletes:
+        return base
+    return _apply_position_deletes(
+        spark, base, spark_schema, path, data_files, pos_deletes)
+
+
+def _apply_position_deletes(
+    spark: SparkSession,
+    base: DataFrame,
+    spark_schema: StructType,
+    table_path: str,
+    data_files: list,
+    pos_deletes: list,
+) -> DataFrame:
+    """v2 merge-on-read: drop the (file, pos) rows named by positional
+    delete files.  Positions match via Spark's ``_metadata.row_index``
+    — the per-file row ordinal, the same definition as the spec's
+    ``pos`` — so no connector jar is needed.
+
+    Scoping follows the spec: a positional delete applies to rows of
+    data files whose data sequence number is <= the delete file's
+    sequence number.  Sequence numbers are REQUIRED once any delete
+    file exists (explicit on the entry, or inherited from the
+    manifest-list entry); a table carrying deletes without them raises
+    — unscoped application could delete rows a later rewrite
+    resurrected, the silent-wrong-rows outcome this module never
+    permits.  Delete-file ``file_path`` values are re-anchored through
+    the same `_resolve` as every other reference, so relocated/copied
+    tables still read; the distinct delete-target list is
+    metadata-scale (<= the table's data-file count), the only
+    driver-side materialization here.  The anti-join is a plain
+    shuffle join — delete sets can rival data size at 100 TB, so no
+    forced broadcast (AQE picks one when they are small)."""
+    if any(s is None for _, s in data_files) \
+            or any(s is None for _, s in pos_deletes):
+        raise IcebergError(
+            "table carries positional delete files but sequence numbers "
+            "are missing from its manifests — cannot scope which deletes "
+            "apply to which data files; deploy the Iceberg connector")
+
+    def norm(p: str) -> str:
+        return re.sub(r"^file:(//)?", "", p)
+
+    seqs: dict[str, int] = {}
+    for p, s in data_files:
+        seqs[norm(p)] = max(int(s), seqs.get(norm(p), -1))
+    seq_df = spark.createDataFrame(
+        [(k, v) for k, v in seqs.items()], "_rfp string, _dseq long")
+
+    dels = None
+    for dp, dseq in pos_deletes:
+        d = spark.read.parquet(dp).select(
+            F.col("file_path").alias("_dfp"),
+            F.col("pos").cast("long").alias("_pos"),
+            F.lit(int(dseq)).alias("_sseq"))
+        dels = d if dels is None else dels.unionByName(d)
+    targets = [r["_dfp"] for r in dels.select("_dfp").distinct().collect()]
+    mapping = []
+    for fp in targets:
+        try:
+            mapping.append((fp, norm(_resolve(fp, table_path))))
+        except IcebergError:
+            mapping.append((fp, norm(fp)))  # names no live file: inert
+    map_df = spark.createDataFrame(mapping, "_dfp string, _rfp string")
+    dels = (
+        dels.join(F.broadcast(map_df), "_dfp")
+        .join(F.broadcast(seq_df), "_rfp")
+        .filter(F.col("_sseq") >= F.col("_dseq"))
+        .select("_rfp", "_pos").distinct()
+    )
+    cols = [f.name for f in spark_schema.fields]
+    out = base.select(
+        *cols,
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+        .alias("_rfp"),
+        F.col("_metadata.row_index").alias("_pos"))
+    return out.join(dels, ["_rfp", "_pos"], "left_anti").select(*cols)
 
 
 def _iceberg_type(t: DataType) -> object:

@@ -2981,13 +2981,15 @@ def test_iceberg_unsupported_features_fail_loudly(spark, tmp_path):
     _fabricate_iceberg(spark, root3, tmp_path, {"f1": [(1, "a")]})
     mp = root3 / "metadata" / "v1.metadata.json"
     meta = _json.loads(mp.read_text())
-    # rewrite the manifest list to claim a DELETE manifest
+    # rewrite the manifest list to claim a DELETE manifest whose entries
+    # still carry content-0 data files: malformed, must refuse (r10 —
+    # positional deletes themselves now READ, test below)
     from prql_query_spark.engine.avro import decode_container, encode_container
     ml_path = meta["snapshots"][0]["manifest-list"].replace("file://", "")
     s, recs = decode_container(open(ml_path, "rb").read())
     recs[0]["content"] = 1
     open(ml_path, "wb").write(encode_container(s, recs))
-    with pytest.raises(IcebergError, match="delete manifests"):
+    with pytest.raises(IcebergError, match="malformed delete manifest"):
         read_iceberg(spark, str(root3))
 
 
@@ -5543,3 +5545,135 @@ def test_stream_auc_grouped_segments_match_batch(spark, sf_dir, tmp_path):
              for r in roc_auc_bucketed(
                  scored, "score", "y", by=["source"], cuts=cuts).collect()}
     assert streamed == batch and len(streamed) >= 2
+
+def _fabricate_iceberg_with_pos_deletes(spark, root, tmp, *,
+                                        delete_seq=2, with_seqs=True):
+    """Spec-conformant v2 MoR table: data file f1 (ids 1-4, seq 1) +
+    f2 (ids 5-8, seq 3), one positional delete file at ``delete_seq``
+    targeting f1 pos {0, 2} and f2 pos {1}.  Under the spec's scoping
+    (delete applies to data seq <= delete seq), delete_seq=2 removes
+    ids 1 and 3 (f1) but NOT id 6 (f2, seq 3 > 2)."""
+    import glob as _glob
+    import json as _json
+    import shutil as _shutil
+
+    from prql_query_spark.engine.avro import encode_container
+
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+
+    def stage(name, df):
+        df.coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp / "stage" / name))
+        src = _glob.glob(str(tmp / "stage" / name / "part-*.parquet"))[0]
+        dst = root / "data" / f"{name}.parquet"
+        _shutil.copy(src, str(dst))
+        return f"file://{dst}"
+
+    f1 = stage("f1", spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, v string"))
+    f2 = stage("f2", spark.createDataFrame(
+        [(5, "e"), (6, "f"), (7, "g"), (8, "h")], "id long, v string"))
+    dfile = stage("del1", spark.createDataFrame(
+        [(f1, 0), (f1, 2), (f2, 1)], "file_path string, pos long"))
+
+    entry_fields = [
+        {"name": "status", "type": "int"},
+        {"name": "data_file", "type": {"type": "record", "name": "r2",
+                                       "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "record_count", "type": "long"},
+        ]}},
+    ]
+    if with_seqs:
+        entry_fields.insert(1, {"name": "data_sequence_number",
+                                "type": "long"})
+    man_schema = {"type": "record", "name": "manifest_entry",
+                  "fields": entry_fields}
+
+    def entry(path, content, seq):
+        e = {"status": 1, "data_file": {
+            "content": content, "file_path": path,
+            "file_format": "PARQUET", "record_count": 4}}
+        if with_seqs:
+            e["data_sequence_number"] = seq
+        return e
+
+    man_d = root / "metadata" / "man-data.avro"
+    man_d.write_bytes(encode_container(
+        man_schema, [entry(f1, 0, 1), entry(f2, 0, 3)]))
+    man_x = root / "metadata" / "man-del.avro"
+    man_x.write_bytes(encode_container(
+        man_schema, [entry(dfile, 1, delete_seq)]))
+
+    ml_schema = {"type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ]}
+    ml = root / "metadata" / "snap-1.avro"
+    ml.write_bytes(encode_container(ml_schema, [
+        {"manifest_path": f"file://{man_d}", "content": 0,
+         "added_snapshot_id": 1},
+        {"manifest_path": f"file://{man_x}", "content": 1,
+         "added_snapshot_id": 1},
+    ]))
+    meta = {
+        "format-version": 2, "table-uuid": "t",
+        "location": f"file://{root}",
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+        ]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+                       "manifest-list": f"file://{ml}"}],
+        "current-snapshot-id": 1,
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(_json.dumps(meta))
+    (root / "metadata" / "version-hint.text").write_text("1")
+
+
+def test_iceberg_positional_deletes_merge_on_read(spark, tmp_path):
+    """v2 positional deletes READ jar-less (r10): (file, pos) targets
+    drop via _metadata.row_index, and sequence scoping holds — a
+    delete at seq 2 removes rows from the seq-1 data file but NOT the
+    seq-3 one (spec: applies where data seq <= delete seq); a
+    high-seq delete removes from both; deletes without sequence
+    numbers refuse; equality deletes still refuse."""
+    from prql_query_spark.engine.avro import encode_container
+    from prql_query_spark.engine.iceberg import IcebergError, read_iceberg
+
+    root = tmp_path / "mor"
+    _fabricate_iceberg_with_pos_deletes(spark, root, tmp_path)
+    got = sorted(r.id for r in read_iceberg(spark, str(root)).collect())
+    # f1 (seq 1) loses pos 0 (id 1) and pos 2 (id 3); f2 (seq 3) keeps
+    # id 6 because the delete's seq 2 < 3
+    assert got == [2, 4, 5, 6, 7, 8], got
+
+    root2 = tmp_path / "mor_hi"
+    _fabricate_iceberg_with_pos_deletes(spark, root2, tmp_path,
+                                        delete_seq=9)
+    got2 = sorted(r.id for r in read_iceberg(spark, str(root2)).collect())
+    assert got2 == [2, 4, 5, 7, 8], got2  # id 6 now removed too
+
+    root3 = tmp_path / "mor_noseq"
+    _fabricate_iceberg_with_pos_deletes(spark, root3, tmp_path,
+                                        with_seqs=False)
+    with pytest.raises(IcebergError, match="sequence numbers"):
+        read_iceberg(spark, str(root3))
+
+    # equality delete file (content=2): still a loud refusal
+    root4 = tmp_path / "mor_eq"
+    _fabricate_iceberg_with_pos_deletes(spark, root4, tmp_path)
+    from prql_query_spark.engine.avro import decode_container
+    man_x = root4 / "metadata" / "man-del.avro"
+    s, recs = decode_container(man_x.read_bytes())
+    recs[0]["data_file"]["content"] = 2
+    man_x.write_bytes(encode_container(s, recs))
+    with pytest.raises(IcebergError, match="equality delete"):
+        read_iceberg(spark, str(root4))
