@@ -240,3 +240,40 @@ def test_canonicalizers_idempotent(spark, urls):
         bad = tdf.select(one.alias("c1"), fn(one).alias("c2")) \
             .filter("c1 <> c2")
         assert bad.count() == 0, (fn.__name__, bad.limit(3).collect())
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    scores=st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False,
+                  allow_infinity=False),
+        min_size=4, max_size=40),
+    labels=st.lists(st.booleans(), min_size=4, max_size=40),
+    cuts=st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False,
+                  allow_infinity=False),
+        min_size=1, max_size=9),
+)
+def test_roc_auc_bucketed_bound_property(spark, scores, labels, cuts):
+    """Adversarial check of the bucketed AUC's self-reported bound: for
+    ANY scores, labels, and cut list (unsorted, duplicated, off-grid —
+    the docstring claims validity for ANY cuts), the exact rank-path
+    AUC lies within err_bound of the bucketed estimate (plus the 1e-6
+    DECIMAL-6 rounding slack each side carries)."""
+    from prql_query_spark.operators.analytics import (
+        roc_auc, roc_auc_bucketed)
+
+    n = min(len(scores), len(labels))
+    rows = [(float(s), bool(y))
+            for s, y in zip(scores[:n], labels[:n])]
+    # both classes must be present, else both paths return empty
+    if len({y for _, y in rows}) < 2:
+        rows += [(0.0, True), (0.0, False)]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    exact = roc_auc(df, "score", "y").first()
+    buck = roc_auc_bucketed(df, "score", "y", cuts=list(cuts)).first()
+    assert (exact["n_pos"], exact["n_neg"]) == \
+        (buck["n_pos"], buck["n_neg"])
+    assert abs(exact["auc"] - buck["auc"]) <= buck["err_bound"] + 3e-6, \
+        (rows, list(cuts), exact, buck)
