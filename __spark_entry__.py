@@ -1633,50 +1633,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # splits/sampling).  Everything after index 50 still runs under the
 # in-repo parity harness (tools/check_parity.py) every round.
 DRIVER_ORDER = [
-    # Round-10 rotation (window = 50, maintenance discipline since r6):
-    # EXACTLY the composition the r9 verdict ordered ("Next round 1"),
+    # Round-11 rotation (window = 50, maintenance discipline since r6):
+    # EXACTLY the composition the r10 verdict ordered ("Next round 1"),
     # with ZERO new rows: (a) the 7-query stable regression core
-    # (unchanged since r6), (b) x_stream_auc — the late-r9 streaming
-    # monitoring-AUC maintainer, never driver-audited (judge-exact in
-    # the r9 session), (c) the 2 remaining r4 strays (x_scrub_pii,
-    # x_url_canon — judge-exact in the r9 session), then (d) 40 of the
-    # 43 rows last driver-hashed in r5 (CORRECTNESS_r05 keys minus
-    # later windows; the roundtrip/format tier, the TPC-H
-    # q8/q9/q15/q16/q17/q21 family, x_stats_family, ...).  7+1+2+40=50.
-    # Deferred to r11 (oldest-first, same discipline): the 3 r5 rows
-    # that did not fit (x_upsert_latest, x_weighted_sample,
-    # x_winsorize — alphabetical tail), then the 42-row r6 cohort, plus
-    # the ONE round-10-new gate row x_iceberg_overwrite (r9 verdict
-    # "Next round 5" — implemented+oracled this round, placed at
-    # position 51 so the r10 window keeps the verdict's zero-new-rows
-    # order; in-repo parity covers it at both SFs now).  The in-repo
-    # Arrow-typed parity harness (tools/check_parity.py) still
-    # value-checks all entries at both gate SFs every round.
+    # (unchanged since r6), (b) x_iceberg_overwrite — the r10 gate row
+    # staged at position 51 last round, the one never-driver-audited
+    # entry, (c) the 3 r5 leftovers deferred from the r10 window
+    # (x_upsert_latest, x_weighted_sample, x_winsorize — judge-exact at
+    # both SFs in the r10 session), then (d) 39 of the 42 rows last
+    # driver-hashed in r6 (CORRECTNESS_r06 keys minus the r7-r10
+    # windows; alphabetical).  7+1+3+39=50.  Deferred to r12
+    # (oldest-first, same discipline): the 3 r6 rows that did not fit
+    # (x_union_evolve, x_video_fingerprint, x_vocab_jaccard —
+    # alphabetical tail, staged at positions 51-53 so they lead the r12
+    # window), then the 43-row r7 cohort.  The in-repo Arrow-typed
+    # parity harness (tools/check_parity.py) still value-checks all
+    # entries at both gate SFs every round.
     # — stable regression core (7) —
     "q_agg_q1", "q_join_agg_q5", "q_flagship_monthly",
     "q_priority_lines_q12", "x_constraint_audit",
     "x_normalize_text", "x_pack_sequences",
-    # — never-driver-audited late-r9 addition (1) —
-    "x_stream_auc",
-    # — r4 strays (2) —
-    "x_scrub_pii", "x_url_canon",
-    # — r5-stale re-audit (40 of 43; alphabetical) —
-    "q_market_share_q8", "q_parts_suppliers_q16", "q_product_profit_q9",
-    "q_small_qty_revenue_q17", "q_top_supplier_q15",
-    "q_waiting_suppliers_q21", "x_autocorrelation", "x_bigram_top",
-    "x_dup_tokens", "x_embed_centroid", "x_equidepth",
-    "x_events_sliding", "x_events_tumbling", "x_histogram",
-    "x_impute_mean", "x_json_props", "x_levenshtein",
-    "x_multimodal_frames", "x_period_change", "x_profile_orders",
-    "x_retention_cohort", "x_rolling_distinct", "x_roundtrip_avro",
-    "x_roundtrip_csv", "x_roundtrip_delta", "x_roundtrip_iceberg",
-    "x_roundtrip_webdataset", "x_salted_agg", "x_scd2_history",
-    "x_sentiment", "x_sessionize", "x_stats_family",
-    "x_stratified_sample", "x_strip_html", "x_text_profile",
-    "x_tfidf_top", "x_time_rollup", "x_token_count",
-    "x_unigram_logprob", "x_unpivot_part",
-    # — position 51: round-10-new gate row, FIRST in the r11 window —
+    # — never-driver-audited r10 gate row (1) —
     "x_iceberg_overwrite",
+    # — r5 leftovers (3) —
+    "x_upsert_latest", "x_weighted_sample", "x_winsorize",
+    # — r6-stale re-audit (39 of 42; alphabetical) —
+    "x_audio_fingerprint", "x_benford", "x_bloom_prefilter",
+    "x_bm25_batch", "x_bm25_incremental", "x_bm25_index",
+    "x_bm25_search", "x_bootstrap_ci", "x_corr_matrix",
+    "x_dedup_best", "x_dup_substrings", "x_eager_rollup",
+    "x_ewma", "x_gini_mix", "x_hybrid_search",
+    "x_image_neardup", "x_ivfpq_topk", "x_json_struct",
+    "x_ks_drift", "x_mannwhitney", "x_multimodal_av",
+    "x_punct_ratio", "x_random_projection", "x_roundtrip_orc",
+    "x_roundtrip_xml", "x_scale_minmax", "x_seasonal_decompose",
+    "x_semantic_dedup", "x_skew_report", "x_spearman",
+    "x_stream_delta", "x_stream_tumbling", "x_table_diff",
+    "x_temperature_mix", "x_token_budget", "x_token_length_summary",
+    "x_top_ngrams", "x_transitions", "x_twa",
+    # — positions 51-53: deferred r6 tail, FIRST into the r12 window —
+    "x_union_evolve", "x_video_fingerprint", "x_vocab_jaccard",
 ]
 
 
