@@ -1673,6 +1673,10 @@ DRIVER_ORDER = [
     "x_top_ngrams", "x_transitions", "x_twa",
     # — positions 51-53: deferred r6 tail, FIRST into the r12 window —
     "x_union_evolve", "x_video_fingerprint", "x_vocab_jaccard",
+    # — position 54: round-11-new gate row (delete_iceberg), queued
+    #   behind the r6 tail for the r12 window; in-repo parity covers it
+    #   at both SFs now —
+    "x_iceberg_delete",
 ]
 
 
@@ -5596,6 +5600,51 @@ def _x_iceberg_overwrite(spark, sf_dir):
     )
 
 
+def _x_iceberg_delete(spark, sf_dir):
+    """Iceberg v2 row-level DELETE via positional delete files (r11 —
+    the r10 verdict's last CRUD asymmetry vs Delta): create the part
+    table (snap 1), DELETE `p_partkey % 3 = 0` (snap 2 — merge-on-read
+    delete files, zero data files rewritten), DELETE `p_size < 10` on
+    the survivors (snap 3 — deletes stack), then re-run the FIRST
+    predicate and assert in-row it matches 0 rows and commits no
+    snapshot (idempotence — a double-application bug would shift
+    deleted_rows).  The result joins the head aggregates (rows where
+    key%3 != 0 AND size >= 10) to a snapshot-1 time-travel read (the
+    FULL table — deletes must be invisible before their snapshot); the
+    oracle reproduces both sides as CASE-filtered aggregates, so an
+    under-delete, over-delete, time-travel leak, or double-apply all
+    hash-mismatch."""
+    from prql_query_spark.engine.iceberg import (
+        delete_iceberg, read_iceberg, write_iceberg)
+
+    d = _rt_dir("pq_rt_icedel_") + "/part"
+    src = _tbl(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice")
+    write_iceberg(src.repartition(4), d)                 # snap 1
+    r1 = delete_iceberg(spark, d, "p_partkey % 3 = 0")   # snap 2
+    r2 = delete_iceberg(spark, d, "p_size < 10")         # snap 3
+    r3 = delete_iceberg(spark, d, "p_partkey % 3 = 0")   # no-op re-run
+    if r3["deleted_rows"] != 0 or r3["snapshot_id"] != r2["snapshot_id"]:
+        raise AssertionError(
+            f"re-running a delete predicate must be a no-op, got {r3} "
+            f"after {r1} and {r2}")
+    full = read_iceberg(spark, d, snapshot_id=1).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_full"),
+        F.sum("p_partkey").cast("bigint").alias("key_sum_full"))
+    head = read_iceberg(spark, d).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("_nh"),
+        F.sum("p_partkey").cast("bigint").alias("_kh"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").alias("_ph"))
+    return (
+        full.join(head, "p_brand", "left")
+        .select("p_brand", "n_full", "key_sum_full",
+                F.coalesce("_nh", F.lit(0)).alias("n_head"),
+                F.coalesce("_kh", F.lit(0)).alias("key_sum_head"),
+                F.coalesce("_ph", F.lit(0)).alias("price_cents_head"))
+    )
+
+
 def _x_roundtrip_webdataset(spark, sf_dir):
     """documents -> WebDataset tar shards (each executor tars its own
     range partition) -> one-task-per-shard untar read -> aggregate.
@@ -5666,6 +5715,7 @@ EXTENSIONS["x_roundtrip_csv"] = _x_roundtrip_csv
 EXTENSIONS["x_roundtrip_iceberg"] = _x_roundtrip_iceberg
 EXTENSIONS["x_iceberg_append"] = _x_iceberg_append
 EXTENSIONS["x_iceberg_overwrite"] = _x_iceberg_overwrite
+EXTENSIONS["x_iceberg_delete"] = _x_iceberg_delete
 EXTENSIONS["x_roundtrip_webdataset"] = _x_roundtrip_webdataset
 def _x_stream_tumbling(spark, sf_dir):
     """The STREAMING tier driven to completion inside the gate: a real
@@ -6506,6 +6556,15 @@ SELECT p_brand, COUNT(*) AS n_full,
        CAST(SUM(CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
        CAST(SUM(CASE WHEN p_partkey % 3 = 0 THEN p_partkey ELSE 0 END) AS BIGINT) AS key_sum_head,
        CAST(SUM(CASE WHEN p_partkey % 3 = 0 THEN CAST(p_retailprice AS DECIMAL(18,2)) * 100 ELSE 0 END) AS BIGINT) AS price_cents_head
+FROM part GROUP BY p_brand
+"""
+
+EXTENSION_ORACLES["x_iceberg_delete"] = """
+SELECT p_brand, COUNT(*) AS n_full,
+       CAST(SUM(p_partkey) AS BIGINT) AS key_sum_full,
+       CAST(SUM(CASE WHEN p_partkey % 3 <> 0 AND p_size >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+       CAST(SUM(CASE WHEN p_partkey % 3 <> 0 AND p_size >= 10 THEN p_partkey ELSE 0 END) AS BIGINT) AS key_sum_head,
+       CAST(SUM(CASE WHEN p_partkey % 3 <> 0 AND p_size >= 10 THEN CAST(p_retailprice AS DECIMAL(18,2)) * 100 ELSE 0 END) AS BIGINT) AS price_cents_head
 FROM part GROUP BY p_brand
 """
 

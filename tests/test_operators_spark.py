@@ -5477,10 +5477,15 @@ def test_heavy_hitters_by_null_group_key_is_a_group(spark, tmp_path):
     assert got == want
 
 def test_iceberg_remove_orphan_files(spark, tmp_path):
-    """Orphan cleanup (r10): zero-row part files (never manifested) and
-    planted stray parquet are deleted; every referenced file survives
-    and all snapshots keep reading bit-identical; idempotent."""
+    """Orphan cleanup (r10 + r11 age guard): a FRESH unreferenced file
+    survives the default sweep (it may belong to an in-flight commit —
+    the writer stages data before metadata) and is reclaimed once its
+    mtime is past the threshold; zero-row part files (never manifested)
+    and planted stray parquet go with it; every referenced file
+    survives and all snapshots keep reading bit-identical;
+    idempotent."""
     import os as _os
+    import time as _time
 
     from prql_query_spark.engine.iceberg import (
         read_iceberg, remove_orphan_files, write_iceberg,
@@ -5502,12 +5507,22 @@ def test_iceberg_remove_orphan_files(spark, tmp_path):
         (r.id, r.v) for r in read_iceberg(spark, table, snapshot_id=s)
         .collect())
     want_head, want_s1 = rows(), rows(1)
-    res = remove_orphan_files(table)
-    # at least the stray + the zero-row parts the writer did emit
-    assert res["deleted_files"] >= 2
-    assert not _os.path.exists(stray)
-    assert rows() == want_head and rows(1) == want_s1  # reads untouched
+    # everything here is seconds old: the default (3-day) sweep must
+    # delete NOTHING — the exact race guard for an in-flight commit
     assert remove_orphan_files(table) == {"deleted_files": 0}
+    assert _os.path.exists(stray)
+    # age the stray past the threshold: the default sweep reclaims it
+    # (and only it — the zero-row parts are still fresh)
+    old = _time.time() - 4 * 24 * 3600
+    _os.utime(stray, (old, old))
+    res = remove_orphan_files(table)
+    assert res["deleted_files"] == 1 and not _os.path.exists(stray)
+    # explicit older_than_ms=0 = "no writer in flight": reclaim the rest
+    res = remove_orphan_files(table, older_than_ms=0)
+    assert res["deleted_files"] >= 2  # the zero-row parts
+    assert rows() == want_head and rows(1) == want_s1  # reads untouched
+    assert remove_orphan_files(table, older_than_ms=0) == \
+        {"deleted_files": 0}
 
 def test_stream_auc_grouped_segments_match_batch(spark, sf_dir, tmp_path):
     """Per-segment streaming AUC maintainer (r10, by=[...]): streamed
@@ -5677,3 +5692,202 @@ def test_iceberg_positional_deletes_merge_on_read(spark, tmp_path):
     man_x.write_bytes(encode_container(s, recs))
     with pytest.raises(IcebergError, match="equality delete"):
         read_iceberg(spark, str(root4))
+
+    # EXISTING (status=0) entries may NOT inherit the manifest seq (r10
+    # ADVICE): flip the data entries to status 0 with no explicit seq —
+    # inheriting would inflate their seq past the delete and resurrect
+    # rows; the reader must refuse instead
+    root5 = tmp_path / "mor_st0"
+    _fabricate_iceberg_with_pos_deletes(spark, root5, tmp_path,
+                                        with_seqs=False)
+    man_d = root5 / "metadata" / "man-data.avro"
+    s5, recs5 = decode_container(man_d.read_bytes())
+    for r in recs5:
+        r["status"] = 0
+    man_d.write_bytes(encode_container(s5, recs5))
+    # give the manifest-LIST entries a seq so status-1 entries would
+    # inherit fine — only the status-0 data entries are left without
+    ml = root5 / "metadata" / "snap-1.avro"
+    sml, recs_ml = decode_container(ml.read_bytes())
+    sml["fields"].append({"name": "sequence_number", "type": "long"})
+    for r in recs_ml:
+        r["sequence_number"] = 5
+    ml.write_bytes(encode_container(sml, recs_ml))
+    with pytest.raises(IcebergError, match="sequence numbers"):
+        read_iceberg(spark, str(root5))
+
+
+def test_iceberg_expire_commits_metadata_before_deleting(spark, tmp_path):
+    """Crash-safe expiry (r10 verdict): the new metadata version lands
+    BEFORE any file is unlinked, so (a) the old wedge state — old
+    version-hint restored with expired files already gone — recovers on
+    re-run instead of raising, and (b) files hand-deleted mid-state
+    leave expire_snapshots and remove_orphan_files completing, with a
+    post-crash orphan sweep reclaiming what the deletion pass left."""
+    import json as _json
+    import os as _os
+
+    from prql_query_spark.engine.iceberg import (
+        expire_snapshots, read_iceberg, remove_orphan_files, write_iceberg,
+    )
+
+    d = str(tmp_path / "ice_crash")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    df3 = spark.createDataFrame([(7, "z")], "id long, v string")
+    write_iceberg(df1, d)
+    write_iceberg(df2, d, mode="append")
+    write_iceberg(df3, d, mode="overwrite")
+    mdir = _os.path.join(d, "metadata")
+
+    # snapshot the set of on-disk files an expiry would delete
+    res = expire_snapshots(d, keep_last=1)
+    assert res["expired"] == [1, 2] and res["deleted_files"] > 0
+
+    # (a) simulate the CRASH-BEFORE-HINT-FLIP wedge: restore the old
+    # version-hint so the pre-expiry metadata (which still lists the
+    # expired snapshots, whose files are now gone) is current again —
+    # exactly the state that wedged every maintenance call pre-r11
+    with open(_os.path.join(mdir, "version-hint.text")) as fh:
+        new_v = int(fh.read().strip())
+    with open(_os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(new_v - 1))
+    res2 = expire_snapshots(d, keep_last=1)  # recovers, no raise
+    assert res2["expired"] == [1, 2] and res2["deleted_files"] == 0
+    assert sorted((r.id, r.v) for r in read_iceberg(spark, d).collect()) \
+        == [(7, "z")]
+    # maintenance keeps working after recovery
+    assert expire_snapshots(d, keep_last=1) == \
+        {"expired": [], "deleted_files": 0}
+    remove_orphan_files(d)  # completes (fresh files guarded, no raise)
+
+    # (b) crash MID-DELETION: build a second table, expire with the
+    # deletion pass "crashing" — emulated by hand-deleting a subset of
+    # the expired files under the NEW metadata, then re-running both
+    # maintenance actions
+    d2 = str(tmp_path / "ice_crash2")
+    write_iceberg(df1, d2)
+    write_iceberg(df2, d2, mode="append")
+    write_iceberg(df3, d2, mode="overwrite")
+    meta_p = _os.path.join(d2, "metadata", "v3.metadata.json")
+    with open(meta_p) as fh:
+        doomed_mls = [
+            s["manifest-list"].replace("file://", "")
+            for s in _json.load(fh)["snapshots"] if s["snapshot-id"] != 3]
+    _os.remove(doomed_mls[0])  # half-reclaimed expired chain
+    res3 = expire_snapshots(d2, keep_last=1)  # lenient on expired side
+    assert res3["expired"] == [1, 2]
+    assert sorted((r.id, r.v) for r in read_iceberg(spark, d2).collect()) \
+        == [(7, "z")]
+    assert remove_orphan_files(d2, older_than_ms=0)["deleted_files"] >= 0
+
+
+def test_iceberg_expire_orders_by_timestamp_not_id(spark, tmp_path):
+    """External Iceberg writers use RANDOM 64-bit snapshot ids (r10
+    ADVICE): expiry must rank snapshots by timestamp-ms, not id, or it
+    can retain an old snapshot and expire recent ones."""
+    import json as _json
+    import os as _os
+
+    from prql_query_spark.engine.iceberg import (
+        expire_snapshots, read_iceberg, write_iceberg,
+    )
+
+    d = str(tmp_path / "ice_randid")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    df3 = spark.createDataFrame([(3, "c")], "id long, v string")
+    write_iceberg(df1, d)
+    write_iceberg(df2, d, mode="append")
+    write_iceberg(df3, d, mode="overwrite")
+    # remap sequential ids {1,2,3} -> external-style {900, 50, 7}:
+    # id order now CONTRADICTS age order (timestamps preserved)
+    remap = {1: 900, 2: 50, 3: 7}
+    mdir = _os.path.join(d, "metadata")
+    meta_p = _os.path.join(mdir, "v3.metadata.json")
+    with open(meta_p) as fh:
+        meta = _json.load(fh)
+    for s in meta["snapshots"]:
+        s["snapshot-id"] = remap[s["snapshot-id"]]
+        if "parent-snapshot-id" in s:
+            s["parent-snapshot-id"] = remap[s["parent-snapshot-id"]]
+    meta["current-snapshot-id"] = remap[meta["current-snapshot-id"]]
+    with open(meta_p, "w") as fh:
+        _json.dump(meta, fh)
+
+    # the head (id 7) is the NEWEST by timestamp but the SMALLEST id:
+    # id-sorted expiry would try to retain id 900 and expire the head
+    res = expire_snapshots(d, keep_last=1)
+    assert sorted(res["expired"]) == [50, 900]
+    assert sorted(r.id for r in read_iceberg(spark, d).collect()) == [3]
+
+
+def test_iceberg_delete_positional_write_path(spark, tmp_path):
+    """delete_iceberg (r11 — the r10 verdict's last CRUD asymmetry):
+    a predicate DELETE commits v2 positional delete files that
+    read_iceberg merges, without rewriting any data file.  Gate-row-
+    shaped leak checks: head reads exactly the surviving rows; the
+    pre-delete snapshot still time-travels to ALL rows; a second
+    delete stacks; re-running a predicate is a 0-row no-op with NO new
+    snapshot; compaction physically purges the delete files; expiry
+    then reclaims them; appended-after-delete rows are untouched."""
+    import os as _os
+
+    from prql_query_spark.engine.iceberg import (
+        compact_iceberg, delete_iceberg, expire_snapshots, read_iceberg,
+        write_iceberg,
+    )
+
+    d = str(tmp_path / "ice_del")
+    rows = lambda s=None: sorted(  # noqa: E731
+        (r.id, r.v)
+        for r in read_iceberg(spark, d, snapshot_id=s).collect())
+    df1 = spark.createDataFrame(
+        [(i, c) for i, c in enumerate("abcdef", 1)], "id long, v string") \
+        .repartition(2)
+    df2 = spark.createDataFrame([(7, "g"), (8, "h")], "id long, v string")
+    write_iceberg(df1, d)                 # snap 1: ids 1-6 over 2 files
+    write_iceberg(df2, d, mode="append")  # snap 2: + ids 7-8
+    all_rows = rows()
+    assert len(all_rows) == 8
+
+    res = delete_iceberg(spark, d, "id % 2 = 0")  # drop 2,4,6,8
+    assert res == {"deleted_rows": 4, "snapshot_id": 3}
+    assert [i for i, _ in rows()] == [1, 3, 5, 7]
+    assert rows(2) == all_rows  # pre-delete snapshot unharmed
+    # no data file was rewritten: the head scans exactly the same data
+    # parquet as the pre-delete snapshot (plus only delete-file scans)
+    head_data = {f for f in read_iceberg(spark, d).inputFiles()
+                 if "-deletes" not in f}
+    assert head_data == set(
+        read_iceberg(spark, d, snapshot_id=2).inputFiles()) and head_data
+
+    # idempotent: same predicate again matches nothing, commits nothing
+    res2 = delete_iceberg(spark, d, "id % 2 = 0")
+    assert res2 == {"deleted_rows": 0, "snapshot_id": 3}
+    assert [i for i, _ in rows()] == [1, 3, 5, 7]
+
+    # deletes STACK, and appends after a delete are untouched by it
+    write_iceberg(spark.createDataFrame([(9, "i")], "id long, v string"),
+                  d, mode="append")       # snap 4
+    res3 = delete_iceberg(spark, d, "v = 'c'")  # drop id 3
+    assert res3["deleted_rows"] == 1 and res3["snapshot_id"] == 5
+    assert [i for i, _ in rows()] == [1, 5, 7, 9]
+    assert rows(3) != rows(2) and [i for i, _ in rows(3)] == [1, 3, 5, 7]
+
+    # compaction physically applies + purges the delete files; expiry
+    # reclaims them; the head keeps reading bit-identical
+    want = rows()
+    compact_iceberg(spark, d, target_files=1)
+    assert rows() == want
+    expire_snapshots(d, keep_last=1)
+    assert rows() == want
+    leftover_deletes = [
+        f for r, _, fs in _os.walk(_os.path.join(d, "data")) for f in fs
+        if "-deletes" in r and f.endswith(".parquet")]
+    assert leftover_deletes == []  # expiry reclaimed the delete files
+
+    # empty table / no-snapshot edge
+    d2 = str(tmp_path / "ice_del_empty")
+    write_iceberg(spark.createDataFrame([], "id long, v string"), d2)
+    assert delete_iceberg(spark, d2, "id = 1")["deleted_rows"] == 0
