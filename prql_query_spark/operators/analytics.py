@@ -944,6 +944,10 @@ def compact_mg_summaries_by(
     import pandas as pd
 
     by = list(by)
+    # project to the summary triple up front: streamed sidecars carry
+    # extra columns (e.g. the exactly-once sink's _batch_id partition
+    # column), which must not leak into the fold's output schema
+    summary = summary.select(*by, "_item", "_w")
     merged = (
         summary.filter(F.col("_item").isNotNull())
         .groupBy(*by, "_item").agg(F.sum("_w").alias("_w"))

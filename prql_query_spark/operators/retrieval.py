@@ -535,21 +535,27 @@ def _sidecar_cache_key(term_stats: DataFrame,
     whose driver cannot stat the store, inputFiles still carry etag-like
     uniqueness only via path, so we require a successful stat.
 
-    The key folds in each DataFrame's LOGICAL-PLAN signature
-    (semanticHash of the canonicalized analyzed plan) alongside the
-    file identity (r9 ADVICE): a caller passing a FILTERED or otherwise
-    transformed term_stats/stats frame over the same files must never
-    hit the memo built from the raw sidecar reads — same files,
-    different plan, different dfs — and an in-place rewrite that
+    The key folds in each DataFrame's LOGICAL-PLAN signature alongside
+    the file identity (r9 ADVICE): a caller passing a FILTERED or
+    otherwise transformed term_stats/stats frame over the same files
+    must never hit the memo built from the raw sidecar reads — same
+    files, different plan, different dfs — and an in-place rewrite that
     happens to preserve (mtime_ns, size) still shares the file triple
     but is exactly the case the docstring contract already excludes
-    (sidecars are append-only by construction)."""
+    (sidecars are append-only by construction).  semanticHash alone is
+    a 32-bit hash — collidable on a correctness-bearing cache — so the
+    signature pairs it with an md5 of the canonicalized analyzed plan
+    string (r10 ADVICE); any JVM-access failure (e.g. Spark Connect)
+    degrades to None = no caching, the safe default."""
+    import hashlib as _hashlib
     import re as _re
 
     def sig(df):
         try:
             files = sorted(df.inputFiles())
-            plan_sig = df.semanticHash()
+            canon = df._jdf.queryExecution().analyzed().canonicalized()
+            plan_sig = (df.semanticHash(),
+                        _hashlib.md5(canon.toString().encode()).hexdigest())
         except Exception:
             return None
         if not files:

@@ -221,7 +221,8 @@ def stream_heavy_hitter_summaries_by(
     serving is `analytics.heavy_hitters_verify_by` over the read-back
     sidecar (optionally `compact_mg_summaries_by` first to fold the
     B-batch pile down to <= groups x (capacity+1) rows, output
-    identical); results equal `heavy_hitters_by` on everything ingested
+    identical — the compactor projects to (by, _item, _w) itself, so
+    the sidecar's `_batch_id` partition column needs no pre-drop); results equal `heavy_hitters_by` on everything ingested
     (pytest-pinned).  `_batch_id` dynamic-partition overwrite keeps
     crash replays idempotent, as everywhere."""
     import math

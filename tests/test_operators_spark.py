@@ -5427,7 +5427,8 @@ def test_stream_heavy_hitters_by_matches_batch(spark, sf_dir, tmp_path):
             assert q.exception() is None
         finally:
             q.stop()
-    sidecar = spark.read.parquet(sums).drop("_batch_id")
+    raw_sidecar = spark.read.parquet(sums)
+    sidecar = raw_sidecar.drop("_batch_id")
     items = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("_item")) \
         .filter(F.col("_item").isNotNull())
@@ -5441,8 +5442,10 @@ def test_stream_heavy_hitters_by_matches_batch(spark, sf_dir, tmp_path):
                              .alias("term")),
                  ["source"], "term", 1, 100).collect()}
     assert want == batch and want
-    # compaction folds the 3-batch pile; serving output identical
-    compacted = compact_mg_summaries_by(sidecar, ["source"], 100)
+    # compaction folds the 3-batch pile; serving output identical.
+    # Fed the RAW sidecar: the documented call path (r10 ADVICE) — the
+    # compactor must project away the sink's _batch_id column itself
+    compacted = compact_mg_summaries_by(raw_sidecar, ["source"], 100)
     got_c = {(r["source"], r["_item"], r["cnt"], r["n_total"])
              for r in heavy_hitters_verify_by(
                  items, compacted, ["source"], 1, 100).collect()}
