@@ -177,6 +177,35 @@ take 10
         results[name] = time_df(lambda s=sql: spark.sql(s))
         note(f"bench {name}: {results[name]}s")
 
+    # In-run calibration probes (round 11, VERDICT r10 item 4): two
+    # plan-free floors measured inside the same session, so headline
+    # drift across rounds decomposes machine-readably — if these moved
+    # by a comparable factor, the drift is environment/floor-level; if
+    # they held while query walls moved, it is plan-level.  Probe (a)
+    # is the empty-job floor (no scan, no shuffle, no Python — the
+    # profile_floor no-scan control: scheduler + py4j + commit
+    # protocol); probe (b) adds one bare mapInPandas identity stage
+    # (the Arrow/Python-worker session floor the ext tier pays).
+    def _probe(make_df, runs: int = 9) -> float:
+        execute(make_df())
+        execute(make_df())
+        samples = []
+        for _ in range(runs):
+            t = time.time()
+            execute(make_df())
+            samples.append(time.time() - t)
+        return round(statistics.median(samples) * 1000, 1)
+
+    def _py_identity():
+        df = spark.range(1000)
+        return df.mapInPandas(lambda it: it, df.schema)
+
+    calibration = {
+        "floor_empty_job_ms": _probe(lambda: spark.range(1000)),
+        "floor_py_identity_ms": _probe(_py_identity),
+    }
+    note(f"calibration probes: {calibration}")
+
     for name in extension_names:
         fn = bench_overrides[name] if name in bench_overrides else all_queries[name]
         results[name] = time_df(lambda f=fn: f(spark, sf_dir))
@@ -397,6 +426,7 @@ take 10
         "sf": sf,
         "startup_sec": round(startup, 2),
         "warmup_sec": round(warmup, 2),
+        "calibration": calibration,
     }
     if duck:
         out["queries_duckdb_samerun"] = duck
