@@ -1673,10 +1673,10 @@ DRIVER_ORDER = [
     "x_top_ngrams", "x_transitions", "x_twa",
     # — positions 51-53: deferred r6 tail, FIRST into the r12 window —
     "x_union_evolve", "x_video_fingerprint", "x_vocab_jaccard",
-    # — position 54: round-11-new gate row (delete_iceberg), queued
-    #   behind the r6 tail for the r12 window; in-repo parity covers it
-    #   at both SFs now —
-    "x_iceberg_delete",
+    # — positions 54-55: round-11-new gate rows (delete_iceberg,
+    #   merge_iceberg), queued behind the r6 tail for the r12 window;
+    #   in-repo parity covers them at both SFs now —
+    "x_iceberg_delete", "x_iceberg_merge",
 ]
 
 
@@ -5645,6 +5645,60 @@ def _x_iceberg_delete(spark, sf_dir):
     )
 
 
+def _x_iceberg_merge(spark, sf_dir):
+    """Iceberg MERGE/upsert via positional deletes + same-snapshot
+    append (r11, completing the row-level CRUD tier): create the part
+    table (snap 1), then merge a source that UPDATES every
+    `p_partkey % 3 = 0` row (p_size bumped +100) and INSERTS a fresh
+    row (key +10M, p_size +1000) for every `p_partkey % 5 = 0` key —
+    one snapshot, zero data files rewritten.  In-row contract: the
+    reported matched/appended counts must equal the predicate
+    cardinalities.  The result joins snapshot-1 aggregates (pre-merge
+    rows — updates must be invisible there) to head aggregates; the
+    oracle rebuilds the post-merge table as a UNION ALL of the three
+    row classes, so a lost update, double-apply, dropped insert, or
+    time-travel leak all hash-mismatch."""
+    from prql_query_spark.engine.iceberg import (
+        merge_iceberg, read_iceberg, write_iceberg)
+
+    d = _rt_dir("pq_rt_icemrg_") + "/part"
+    src = _tbl(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice")
+    write_iceberg(src.repartition(4), d)                     # snap 1
+    updates = src.filter(F.col("p_partkey") % 3 == 0) \
+        .withColumn("p_size", F.col("p_size") + F.lit(100))
+    inserts = src.filter(F.col("p_partkey") % 5 == 0).select(
+        (F.col("p_partkey") + F.lit(10_000_000)).alias("p_partkey"),
+        "p_brand",
+        (F.col("p_size") + F.lit(1000)).alias("p_size"),
+        "p_retailprice")
+    res = merge_iceberg(spark, d, updates.unionByName(inserts),
+                        on=["p_partkey"])
+    n_upd = updates.count()
+    n_ins = inserts.count()
+    if res["matched_deleted"] != n_upd or \
+            res["appended_rows"] != n_upd + n_ins:
+        raise AssertionError(
+            f"merge counts off: {res} vs {n_upd} updates + {n_ins} inserts")
+    full = read_iceberg(spark, d, snapshot_id=1).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_snap1"),
+        F.sum("p_size").cast("bigint").alias("size_sum_snap1"))
+    head = read_iceberg(spark, d).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("_nh"),
+        F.sum("p_partkey").cast("bigint").alias("_kh"),
+        F.sum("p_size").cast("bigint").alias("_sh"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").alias("_ph"))
+    return (
+        full.join(head, "p_brand", "left")
+        .select("p_brand", "n_snap1", "size_sum_snap1",
+                F.coalesce("_nh", F.lit(0)).alias("n_head"),
+                F.coalesce("_kh", F.lit(0)).alias("key_sum_head"),
+                F.coalesce("_sh", F.lit(0)).alias("size_sum_head"),
+                F.coalesce("_ph", F.lit(0)).alias("price_cents_head"))
+    )
+
+
 def _x_roundtrip_webdataset(spark, sf_dir):
     """documents -> WebDataset tar shards (each executor tars its own
     range partition) -> one-task-per-shard untar read -> aggregate.
@@ -5716,6 +5770,7 @@ EXTENSIONS["x_roundtrip_iceberg"] = _x_roundtrip_iceberg
 EXTENSIONS["x_iceberg_append"] = _x_iceberg_append
 EXTENSIONS["x_iceberg_overwrite"] = _x_iceberg_overwrite
 EXTENSIONS["x_iceberg_delete"] = _x_iceberg_delete
+EXTENSIONS["x_iceberg_merge"] = _x_iceberg_merge
 EXTENSIONS["x_roundtrip_webdataset"] = _x_roundtrip_webdataset
 def _x_stream_tumbling(spark, sf_dir):
     """The STREAMING tier driven to completion inside the gate: a real
@@ -6566,6 +6621,37 @@ SELECT p_brand, COUNT(*) AS n_full,
        CAST(SUM(CASE WHEN p_partkey % 3 <> 0 AND p_size >= 10 THEN p_partkey ELSE 0 END) AS BIGINT) AS key_sum_head,
        CAST(SUM(CASE WHEN p_partkey % 3 <> 0 AND p_size >= 10 THEN CAST(p_retailprice AS DECIMAL(18,2)) * 100 ELSE 0 END) AS BIGINT) AS price_cents_head
 FROM part GROUP BY p_brand
+"""
+
+EXTENSION_ORACLES["x_iceberg_merge"] = """
+WITH head AS (
+    SELECT p_partkey, p_brand, p_size, p_retailprice
+    FROM part WHERE p_partkey % 3 <> 0
+    UNION ALL
+    SELECT p_partkey, p_brand, p_size + 100, p_retailprice
+    FROM part WHERE p_partkey % 3 = 0
+    UNION ALL
+    SELECT p_partkey + 10000000, p_brand, p_size + 1000, p_retailprice
+    FROM part WHERE p_partkey % 5 = 0
+),
+h AS (
+    SELECT p_brand, COUNT(*) AS n_head,
+           CAST(SUM(p_partkey) AS BIGINT) AS key_sum_head,
+           CAST(SUM(p_size) AS BIGINT) AS size_sum_head,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents_head
+    FROM head GROUP BY p_brand
+),
+o AS (
+    SELECT p_brand, COUNT(*) AS n_snap1,
+           CAST(SUM(p_size) AS BIGINT) AS size_sum_snap1
+    FROM part GROUP BY p_brand
+)
+SELECT o.p_brand, o.n_snap1, o.size_sum_snap1,
+       COALESCE(h.n_head, 0) AS n_head,
+       COALESCE(h.key_sum_head, 0) AS key_sum_head,
+       COALESCE(h.size_sum_head, 0) AS size_sum_head,
+       COALESCE(h.price_cents_head, 0) AS price_cents_head
+FROM o LEFT JOIN h ON o.p_brand = h.p_brand
 """
 
 EXTENSION_ORACLES["x_roundtrip_webdataset"] = """

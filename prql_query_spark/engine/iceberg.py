@@ -681,26 +681,73 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
     short-circuit.  Returns ``{"deleted_rows": N, "snapshot_id": id}``.
     """
     import shutil
-    import uuid
-
-    import pyarrow.parquet as pq
 
     meta_path = _latest_metadata(path)
     with open(meta_path) as fh:
         meta = json.load(fh)
+    snap = _head_snapshot(meta, meta_path, "deletes")
+    if snap is None:
+        return {"deleted_rows": 0, "snapshot_id": None}
+    cur = snap["snapshot-id"]
+    wide = _live_rows_with_pos(spark, path, meta, snap)
+    if wide is None:
+        return {"deleted_rows": 0, "snapshot_id": cur}
+
+    snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    del_dir, parts, n = _stage_delete_files(
+        spark, path, wide.filter(predicate), snap_id)
+    if n == 0:
+        shutil.rmtree(del_dir)  # nothing matched: no snapshot to commit
+        return {"deleted_rows": 0, "snapshot_id": cur}
+
+    man_path = _write_manifest(
+        os.path.join(path, "metadata"), parts, content=1)
+    _commit_snapshot(path, meta_path, meta, snap_id,
+                     _head_manifests(snap, path, "deletes"),
+                     [(man_path, 1)], operation="delete")
+    return {"deleted_rows": n, "snapshot_id": snap_id}
+
+
+def _head_snapshot(meta: dict, meta_path: str, verb: str) -> dict | None:
+    """The current snapshot entry, None for an empty table, or a loud
+    raise when current-snapshot-id dangles (corrupt metadata)."""
     snaps = meta.get("snapshots") or []
     cur = meta.get("current-snapshot-id")
     if not snaps or cur is None:
-        return {"deleted_rows": 0, "snapshot_id": None}
+        return None
     snap = next((s for s in snaps if s["snapshot-id"] == cur), None)
     if snap is None:
         raise IcebergError(
             f"corrupt metadata: current-snapshot-id {cur} has no snapshot "
-            f"entry in {meta_path} — refusing to commit deletes on top")
+            f"entry in {meta_path} — refusing to commit {verb} on top")
+    return snap
+
+
+def _head_manifests(snap: dict, path: str, verb: str) -> list[dict]:
+    """Decode the head snapshot's manifest-list entries for carry-
+    forward, failing loud on a broken chain (committing on top would
+    silently drop all data files)."""
+    try:
+        with open(_resolve(snap["manifest-list"], path), "rb") as fh:
+            _s, prev_manifests = decode_container(fh.read())
+        return prev_manifests
+    except IcebergError as e:
+        raise IcebergError(
+            f"corrupt metadata: head snapshot {snap['snapshot-id']}'s "
+            f"manifest-list cannot be resolved ({e}) — committing {verb} "
+            "on top would silently drop all data files") from e
+
+
+def _live_rows_with_pos(
+    spark: SparkSession, path: str, meta: dict, snap: dict
+) -> DataFrame | None:
+    """The snapshot's LIVE rows (existing positional deletes applied)
+    with ``_rfp``/``_pos`` file-ordinal columns appended — the scan
+    both row-level write paths (delete, merge) start from.  None when
+    the snapshot has no data files."""
     data_files, pos_deletes = _walk_manifests(snap, path)
     if not data_files:
-        return {"deleted_rows": 0, "snapshot_id": cur}
-
+        return None
     schema = _table_schema(meta)
     cols = [f.name for f in schema.fields]
     base = spark.read.schema(schema).parquet(
@@ -714,37 +761,147 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:
         wide = wide.join(
             _deletes_set(spark, path, data_files, pos_deletes),
             ["_rfp", "_pos"], "left_anti")
+    return wide
+
+
+def _stage_delete_files(
+    spark: SparkSession, path: str, doomed: DataFrame, snap_id: int
+) -> tuple[str, list[str], int]:
+    """Write ``doomed`` rows (must carry ``_rfp``/``_pos``) as
+    spec-shaped positional-delete parquet: partitioned by target file,
+    sorted by (file_path, pos) within partitions — one bounded shuffle
+    of the DELETE SET only.  Returns (dir, part files, row count —
+    counted from the parquet footers, no extra job)."""
+    import glob
+    import uuid
+
+    import pyarrow.parquet as pq
+
     targets = (
-        wide.filter(predicate)
+        doomed
         .select(F.concat(F.lit("file://"), F.col("_rfp")).alias("file_path"),
                 F.col("_pos").cast("long").alias("pos"))
         .repartition(F.col("file_path"))
         .sortWithinPartitions("file_path", "pos"))
-
-    snap_id = max(s["snapshot-id"] for s in snaps) + 1
     del_dir = os.path.join(
         path, "data", f"snap-{snap_id}-{uuid.uuid4().hex[:8]}-deletes")
     targets.write.mode("errorifexists").parquet(del_dir)
-    import glob
     parts = sorted(glob.glob(os.path.join(del_dir, "part-*.parquet")))
-    n = sum(pq.read_metadata(p).num_rows for p in parts)
-    if n == 0:
-        shutil.rmtree(del_dir)  # nothing matched: no snapshot to commit
-        return {"deleted_rows": 0, "snapshot_id": cur}
+    return del_dir, parts, sum(pq.read_metadata(p).num_rows for p in parts)
 
-    meta_dir = os.path.join(path, "metadata")
-    man_path = _write_manifest(meta_dir, parts, content=1)
-    try:
-        with open(_resolve(snap["manifest-list"], path), "rb") as fh:
-            _s, prev_manifests = decode_container(fh.read())
-    except IcebergError as e:
+
+def merge_iceberg(
+    spark: SparkSession, path: str, source: DataFrame, on: list[str]
+) -> dict:
+    """Key-based MERGE (upsert): ``WHEN MATCHED THEN UPDATE ALL /
+    WHEN NOT MATCHED THEN INSERT ALL`` in ONE snapshot — target rows
+    whose ``on`` key appears in ``source`` are removed via v2
+    positional delete files and EVERY source row is appended as new
+    data files, both manifests committed under the same sequence
+    number (spec-legal: a merge-on-read commit's delete files name
+    only pre-existing (file, pos) targets, so same-seq new data files
+    are untouched).  Zero existing data files are rewritten; at 100 TB
+    an upsert of a 0.1% source costs one target scan + one semi-join
+    shuffle + one delete-set shuffle, not a snapshot rewrite.
+
+    Semantics and contracts:
+      * schema of ``source`` must match the table's current schema
+        (same name+type check as ``mode="append"``; mismatch raises);
+      * ``on`` columns must exist (raises otherwise); NULL keys never
+        match (SQL join semantics) so null-keyed source rows insert;
+      * duplicate keys in ``source`` append every copy (this writer
+        has no "multiple matches" error — document-shaped sources
+        dedup upstream, e.g. `dedup.dedup_keep_best`);
+      * an EMPTY-table / no-snapshot target degrades to a plain append
+        (creating the table if absent) — merge-into-nothing is insert;
+      * prior snapshots keep time-traveling to pre-merge rows;
+        `compact_iceberg` physically folds the delete files as usual.
+
+    Returns ``{"matched_deleted": N, "appended_rows": M,
+    "snapshot_id": id}``."""
+    import glob
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    on = list(on)
+    if not on:
+        raise IcebergError("merge_iceberg needs at least one key column")
+    missing = [c for c in on if c not in source.columns]
+    if missing:
         raise IcebergError(
-            f"corrupt metadata: head snapshot {cur}'s manifest-list cannot "
-            f"be resolved ({e}) — committing deletes on top would silently "
-            "drop all data files") from e
-    _commit_snapshot(path, meta_path, meta, snap_id, prev_manifests,
-                     [(man_path, 1)], operation="delete")
-    return {"deleted_rows": n, "snapshot_id": snap_id}
+            f"merge key columns {missing} not in source {source.columns}")
+
+    exists = os.path.isdir(os.path.join(path, "metadata"))
+    if not exists:
+        write_iceberg(source, path, mode="append")
+        with open(_latest_metadata(path)) as fh:
+            meta = json.load(fh)
+        return {"matched_deleted": 0,
+                "appended_rows": source.count(),
+                "snapshot_id": meta.get("current-snapshot-id")}
+
+    meta_path = _latest_metadata(path)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    sid = meta.get("current-schema-id", 0)
+    cur_schema = next(
+        s for s in meta["schemas"] if s.get("schema-id", 0) == sid) \
+        if "schemas" in meta else meta["schema"]
+    want = [(f["name"], f["type"]) for f in cur_schema["fields"]]
+    got = [(f["name"], f["type"]) for f in _schema_fields(source)]
+    if want != got:
+        raise IcebergError(
+            f"merge schema mismatch: table has {want}, source has {got} — "
+            "schema evolution needs the connector jar")
+
+    snap = _head_snapshot(meta, meta_path, "a merge")
+    if snap is None:  # metadata dir exists but no snapshot yet
+        write_iceberg(source, path, mode="append")
+        with open(_latest_metadata(path)) as fh:
+            meta2 = json.load(fh)
+        return {"matched_deleted": 0,
+                "appended_rows": source.count(),
+                "snapshot_id": meta2.get("current-snapshot-id")}
+
+    snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    meta_dir = os.path.join(path, "metadata")
+    new_manifests: list[tuple[str, int]] = []
+
+    # matched target rows -> positional delete files (one semi-join on
+    # the keys; the source side is whatever Catalyst picks — broadcast
+    # when small, shuffle when source rivals the table)
+    n_deleted = 0
+    wide = _live_rows_with_pos(spark, path, meta, snap)
+    if wide is not None:
+        doomed = wide.join(source.select(*on).distinct(), on, "left_semi")
+        del_dir, del_parts, n_deleted = _stage_delete_files(
+            spark, path, doomed, snap_id)
+        if n_deleted == 0:
+            shutil.rmtree(del_dir)
+        else:
+            new_manifests.append(
+                (_write_manifest(meta_dir, del_parts, content=1), 1))
+
+    # every source row appends (updates = delete old + insert new)
+    data_dir = os.path.join(
+        path, "data", f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
+    source.write.mode("errorifexists").parquet(data_dir)
+    data_parts = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
+    n_appended = sum(pq.read_metadata(p).num_rows for p in data_parts)
+    if n_deleted == 0 and n_appended == 0:  # empty source, no matches
+        shutil.rmtree(data_dir)
+        return {"matched_deleted": 0, "appended_rows": 0,
+                "snapshot_id": snap["snapshot-id"]}
+    new_manifests.append(
+        (_write_manifest(meta_dir, data_parts, content=0), 0))
+
+    _commit_snapshot(path, meta_path, meta, snap_id,
+                     _head_manifests(snap, path, "a merge"),
+                     new_manifests, operation="overwrite")
+    return {"matched_deleted": n_deleted, "appended_rows": n_appended,
+            "snapshot_id": snap_id}
 
 
 DEFAULT_ORPHAN_AGE_MS = 3 * 24 * 3600 * 1000  # real Iceberg's 3-day default

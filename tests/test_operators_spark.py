@@ -5894,3 +5894,68 @@ def test_iceberg_delete_positional_write_path(spark, tmp_path):
     d2 = str(tmp_path / "ice_del_empty")
     write_iceberg(spark.createDataFrame([], "id long, v string"), d2)
     assert delete_iceberg(spark, d2, "id = 1")["deleted_rows"] == 0
+
+
+def test_iceberg_merge_upsert(spark, tmp_path):
+    """merge_iceberg (r11): key-based upsert in ONE snapshot — matched
+    target rows replaced via positional deletes, unmatched source rows
+    inserted, zero data files rewritten; pre-merge snapshot still time
+    travels; merges stack with deletes; schema/key contracts raise;
+    merge into an absent table degrades to create; compaction +
+    expiry fold everything away."""
+    import pytest as _pytest
+
+    from prql_query_spark.engine.iceberg import (
+        IcebergError, compact_iceberg, delete_iceberg, expire_snapshots,
+        merge_iceberg, read_iceberg, write_iceberg,
+    )
+
+    d = str(tmp_path / "ice_merge")
+    rows = lambda s=None: sorted(  # noqa: E731
+        (r.id, r.v)
+        for r in read_iceberg(spark, d, snapshot_id=s).collect())
+    write_iceberg(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, v string")
+        .repartition(2), d)                                    # snap 1
+    src = spark.createDataFrame(
+        [(2, "B"), (4, "D"), (9, "i")], "id long, v string")
+    res = merge_iceberg(spark, d, src, on=["id"])
+    assert res == {"matched_deleted": 2, "appended_rows": 3,
+                   "snapshot_id": 2}
+    assert rows() == [(1, "a"), (2, "B"), (3, "c"), (4, "D"), (9, "i")]
+    assert rows(1) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+    # merge stacks on top of a DELETE; delete sees merged values
+    delete_iceberg(spark, d, "v = 'B'")                        # snap 3
+    res2 = merge_iceberg(spark, d, spark.createDataFrame(
+        [(9, "I2"), (2, "b2")], "id long, v string"), on=["id"])
+    # id 9 matched (update); id 2 was deleted, so it INSERTS fresh
+    assert res2["matched_deleted"] == 1 and res2["appended_rows"] == 2
+    assert rows() == [(1, "a"), (2, "b2"), (3, "c"), (4, "D"), (9, "I2")]
+
+    # no-op merge: empty source commits nothing
+    head = res2["snapshot_id"]
+    res3 = merge_iceberg(spark, d, spark.createDataFrame(
+        [], "id long, v string"), on=["id"])
+    assert res3 == {"matched_deleted": 0, "appended_rows": 0,
+                    "snapshot_id": head}
+
+    # contracts: bad key column / schema mismatch raise before writing
+    with _pytest.raises(IcebergError, match="key columns"):
+        merge_iceberg(spark, d, src, on=["nope"])
+    with _pytest.raises(IcebergError, match="schema mismatch"):
+        merge_iceberg(spark, d, spark.createDataFrame(
+            [(1,)], "id long"), on=["id"])
+
+    # lifecycle: compaction folds the delete files, expiry reclaims
+    want = rows()
+    compact_iceberg(spark, d, target_files=1)
+    expire_snapshots(d, keep_last=1)
+    assert rows() == want
+
+    # merge into an absent table = create
+    d2 = str(tmp_path / "ice_merge_new")
+    res4 = merge_iceberg(spark, d2, src, on=["id"])
+    assert res4["matched_deleted"] == 0 and res4["appended_rows"] == 3
+    assert sorted(r.id for r in read_iceberg(spark, d2).collect()) \
+        == [2, 4, 9]
