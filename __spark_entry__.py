@@ -1673,10 +1673,11 @@ DRIVER_ORDER = [
     "x_top_ngrams", "x_transitions", "x_twa",
     # — positions 51-53: deferred r6 tail, FIRST into the r12 window —
     "x_union_evolve", "x_video_fingerprint", "x_vocab_jaccard",
-    # — positions 54-55: round-11-new gate rows (delete_iceberg,
-    #   merge_iceberg), queued behind the r6 tail for the r12 window;
-    #   in-repo parity covers them at both SFs now —
+    # — positions 54-57: round-11-new gate rows (delete/merge for both
+    #   lakehouse formats), queued behind the r6 tail for the r12
+    #   window; in-repo parity covers them at both SFs now —
     "x_iceberg_delete", "x_iceberg_merge",
+    "x_delta_delete", "x_delta_merge",
 ]
 
 
@@ -5699,6 +5700,94 @@ def _x_iceberg_merge(spark, sf_dir):
     )
 
 
+def _x_delta_delete(spark, sf_dir):
+    """Delta row-level DELETE, copy-on-write (r11 — the Delta twin of
+    x_iceberg_delete, same leak-detection design): create the part
+    table (v0), DELETE `p_partkey % 3 = 0` (v1 — only files containing
+    a match rewritten), DELETE `p_size < 10` on survivors (v2), re-run
+    the first predicate and assert in-row 0 rows + no new version.
+    Joins head aggregates to a version-0 time-travel read; same oracle
+    as the iceberg twin, so under-/over-delete, double-apply, and
+    time-travel leaks all hash-mismatch."""
+    from prql_query_spark.engine.deltalog import (
+        delete_delta, read_delta_snapshot, write_delta)
+
+    d = _rt_dir("pq_rt_dltdel_") + "/part"
+    src = _tbl(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice")
+    write_delta(src.repartition(4), d)                     # v0
+    r1 = delete_delta(spark, d, "p_partkey % 3 = 0")       # v1
+    r2 = delete_delta(spark, d, "p_size < 10")             # v2
+    r3 = delete_delta(spark, d, "p_partkey % 3 = 0")       # no-op
+    if r3["deleted_rows"] != 0 or r3["version"] != r2["version"]:
+        raise AssertionError(
+            f"re-running a delete predicate must be a no-op, got {r3} "
+            f"after {r1} and {r2}")
+    full = read_delta_snapshot(spark, d, version=0) \
+        .groupBy("p_brand").agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.sum("p_partkey").cast("bigint").alias("key_sum_full"))
+    head = read_delta_snapshot(spark, d).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("_nh"),
+        F.sum("p_partkey").cast("bigint").alias("_kh"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").alias("_ph"))
+    return (
+        full.join(head, "p_brand", "left")
+        .select("p_brand", "n_full", "key_sum_full",
+                F.coalesce("_nh", F.lit(0)).alias("n_head"),
+                F.coalesce("_kh", F.lit(0)).alias("key_sum_head"),
+                F.coalesce("_ph", F.lit(0)).alias("price_cents_head"))
+    )
+
+
+def _x_delta_merge(spark, sf_dir):
+    """Delta MERGE/upsert, copy-on-write (r11 — the Delta twin of
+    x_iceberg_merge): same update-%3 / insert-%5 source, same in-row
+    count contracts, same UNION-rebuilt oracle; only files containing
+    a matched key are rewritten."""
+    from prql_query_spark.engine.deltalog import (
+        merge_delta, read_delta_snapshot, write_delta)
+
+    d = _rt_dir("pq_rt_dltmrg_") + "/part"
+    src = _tbl(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice")
+    write_delta(src.repartition(4), d)                     # v0
+    updates = src.filter(F.col("p_partkey") % 3 == 0) \
+        .withColumn("p_size", F.col("p_size") + F.lit(100))
+    inserts = src.filter(F.col("p_partkey") % 5 == 0).select(
+        (F.col("p_partkey") + F.lit(10_000_000)).alias("p_partkey"),
+        "p_brand",
+        (F.col("p_size") + F.lit(1000)).alias("p_size"),
+        "p_retailprice")
+    res = merge_delta(spark, d, updates.unionByName(inserts),
+                      on=["p_partkey"])
+    n_upd = updates.count()
+    n_ins = inserts.count()
+    if res["matched_deleted"] != n_upd or \
+            res["appended_rows"] != n_upd + n_ins:
+        raise AssertionError(
+            f"merge counts off: {res} vs {n_upd} updates + {n_ins} inserts")
+    full = read_delta_snapshot(spark, d, version=0) \
+        .groupBy("p_brand").agg(
+            F.count(F.lit(1)).alias("n_snap1"),
+            F.sum("p_size").cast("bigint").alias("size_sum_snap1"))
+    head = read_delta_snapshot(spark, d).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("_nh"),
+        F.sum("p_partkey").cast("bigint").alias("_kh"),
+        F.sum("p_size").cast("bigint").alias("_sh"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").alias("_ph"))
+    return (
+        full.join(head, "p_brand", "left")
+        .select("p_brand", "n_snap1", "size_sum_snap1",
+                F.coalesce("_nh", F.lit(0)).alias("n_head"),
+                F.coalesce("_kh", F.lit(0)).alias("key_sum_head"),
+                F.coalesce("_sh", F.lit(0)).alias("size_sum_head"),
+                F.coalesce("_ph", F.lit(0)).alias("price_cents_head"))
+    )
+
+
 def _x_roundtrip_webdataset(spark, sf_dir):
     """documents -> WebDataset tar shards (each executor tars its own
     range partition) -> one-task-per-shard untar read -> aggregate.
@@ -5771,6 +5860,8 @@ EXTENSIONS["x_iceberg_append"] = _x_iceberg_append
 EXTENSIONS["x_iceberg_overwrite"] = _x_iceberg_overwrite
 EXTENSIONS["x_iceberg_delete"] = _x_iceberg_delete
 EXTENSIONS["x_iceberg_merge"] = _x_iceberg_merge
+EXTENSIONS["x_delta_delete"] = _x_delta_delete
+EXTENSIONS["x_delta_merge"] = _x_delta_merge
 EXTENSIONS["x_roundtrip_webdataset"] = _x_roundtrip_webdataset
 def _x_stream_tumbling(spark, sf_dir):
     """The STREAMING tier driven to completion inside the gate: a real
@@ -6653,6 +6744,12 @@ SELECT o.p_brand, o.n_snap1, o.size_sum_snap1,
        COALESCE(h.price_cents_head, 0) AS price_cents_head
 FROM o LEFT JOIN h ON o.p_brand = h.p_brand
 """
+
+# the Delta DML twins share the iceberg rows' oracle constructions —
+# identical semantics and output columns, different storage engine
+# under test
+EXTENSION_ORACLES["x_delta_delete"] = EXTENSION_ORACLES["x_iceberg_delete"]
+EXTENSION_ORACLES["x_delta_merge"] = EXTENSION_ORACLES["x_iceberg_merge"]
 
 EXTENSION_ORACLES["x_roundtrip_webdataset"] = """
 SELECT doc_id % 10 AS key_mod, COUNT(*) AS n,

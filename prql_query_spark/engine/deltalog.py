@@ -192,9 +192,14 @@ def read_delta_snapshot(
     # Spark's basePath option parses back into columns — with the full
     # log schema supplied, so types come from the log, not inference.
     # (With name mapping the dirs carry physical names, so fall through
-    # to the log-literal branch, which is mapping-agnostic.)
+    # to the log-literal branch, which is mapping-agnostic.)  Log paths
+    # are percent-encoded (write_delta quotes '=' as %3D), so the
+    # layout test must run on the DECODED rel path — the quoted form
+    # hid this writer's own hive dirs and sent every partitioned read
+    # through the union-of-literals fallback (r11).
     hive_style = not phys_of and all(
-        all(f"{c}=" in p for c in part_cols) for p in adds
+        all(f"{c}=" in urllib.parse.unquote(p) for c in part_cols)
+        for p in adds
     )
     if hive_style:
         return (
@@ -255,7 +260,6 @@ def write_delta(
     concurrent writer racing to the same version fails cleanly instead
     of corrupting the log (optimistic concurrency without the retry
     loop — retry is the caller's policy)."""
-    import shutil
     import uuid
 
     if mode not in ("append", "overwrite"):
@@ -290,24 +294,79 @@ def write_delta(
                 f"partitioning mismatch: table uses {declared_parts}, "
                 f"write requested {part_cols}"
             )
-        versions = [
-            int(m.group(1))
-            for f in os.listdir(log_dir)
-            if (m := _COMMIT_RE.match(f))
-        ]
-        # a checkpoint may be the only surviving log artifact (old JSON
-        # commits cleaned up) — version numbering continues PAST it, or
-        # the new commit would be invisible to checkpoint-aware readers
-        lc = os.path.join(log_dir, "_last_checkpoint")
-        if os.path.exists(lc):
-            with open(lc) as fh:
-                versions.append(json.load(fh)["version"])
-        next_version = max(versions) + 1 if versions else 0
+        next_version = _next_version(log_dir)
     else:
         os.makedirs(log_dir, exist_ok=True)
         next_version = 0
 
-    # stage the data files with Spark's parallel writers, then adopt them
+    adds = _stage_and_adopt(df, path, part_cols)
+
+    actions: list[dict] = []
+    if next_version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append({"metaData": {
+            "id": uuid.uuid4().hex,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": part_cols,
+            "configuration": {},
+        }})
+    if mode == "overwrite":
+        for p in sorted(prev_adds):
+            actions.append({"remove": {"path": p, "dataChange": True,
+                                       "deletionTimestamp": 0}})
+    if txn is not None:
+        # streaming idempotence marker (PROTOCOL.md txn action): readers
+        # recover the last committed (appId, version) to skip replays
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
+    actions.extend({"add": a} for a in adds)
+    _commit_actions(log_dir, next_version, actions)
+    return next_version
+
+
+def _next_version(log_dir: str) -> int:
+    """The next commit version.  A checkpoint may be the only surviving
+    log artifact (old JSON commits cleaned up) — numbering continues
+    PAST it, or the new commit would be invisible to checkpoint-aware
+    readers."""
+    versions = [
+        int(m.group(1))
+        for f in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(f))
+    ]
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc):
+        with open(lc) as fh:
+            versions.append(json.load(fh)["version"])
+    return max(versions) + 1 if versions else 0
+
+
+def _commit_actions(log_dir: str, version: int, actions: list[dict]) -> None:
+    """One atomic `%020d.json` commit (O_EXCL: a concurrent writer
+    racing to the same version fails cleanly)."""
+    commit = os.path.join(log_dir, f"{version:020d}.json")
+    fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+    except BaseException:
+        os.unlink(commit)
+        raise
+
+
+def _stage_and_adopt(
+    df: DataFrame, path: str, part_cols: list[str]
+) -> list[dict]:
+    """Write ``df`` with Spark's parallel parquet writers into a staging
+    dir under the table, move the non-empty part files into place
+    (hive-partitioned when ``part_cols``), and return their `add`
+    action dicts — the data-plane half of every commit (write, delete
+    rewrite, merge)."""
+    import shutil
+    import uuid
+
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     w = df.write.mode("overwrite")
     if part_cols:
@@ -345,38 +404,7 @@ def write_delta(
                 "dataChange": True,
             })
     shutil.rmtree(staging, ignore_errors=True)
-
-    actions: list[dict] = []
-    if next_version == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
-        actions.append({"metaData": {
-            "id": uuid.uuid4().hex,
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
-            "partitionColumns": part_cols,
-            "configuration": {},
-        }})
-    if mode == "overwrite":
-        for p in sorted(prev_adds):
-            actions.append({"remove": {"path": p, "dataChange": True,
-                                       "deletionTimestamp": 0}})
-    if txn is not None:
-        # streaming idempotence marker (PROTOCOL.md txn action): readers
-        # recover the last committed (appId, version) to skip replays
-        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
-    actions.extend({"add": a} for a in adds)
-
-    commit = os.path.join(log_dir, f"{next_version:020d}.json")
-    fd = os.open(commit, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    try:
-        with os.fdopen(fd, "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
-    except BaseException:
-        os.unlink(commit)
-        raise
-    return next_version
+    return adds
 
 
 def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int | None:
@@ -531,19 +559,40 @@ def compact_delta(
                        partition_by=part_cols or None)
 
 
-def vacuum_delta(spark: SparkSession, path: str, dry_run: bool = False) -> list[str]:
+DEFAULT_VACUUM_AGE_MS = 3 * 24 * 3600 * 1000  # mirrors the iceberg guard
+
+
+def vacuum_delta(
+    spark: SparkSession,
+    path: str,
+    dry_run: bool = False,
+    older_than_ms: int = DEFAULT_VACUUM_AGE_MS,
+) -> list[str]:
     """Physically delete data files no longer referenced by the CURRENT
-    snapshot (files removed by overwrites/compactions).  Returns the
-    deleted (or, with ``dry_run``, would-delete) relative paths.
+    snapshot (files removed by overwrites/compactions/deletes).
+    Returns the deleted (or, with ``dry_run``, would-delete) relative
+    paths.
 
     Deliberately simpler than the connector's VACUUM: no retention
-    window, because the pure-Python reader resolves only the latest
-    snapshot + explicit time travel — callers who need time travel must
-    vacuum only after they no longer need old versions.  The log itself
-    is never touched."""
+    window over LOG versions, because the pure-Python reader resolves
+    only the latest snapshot + explicit time travel — callers who need
+    time travel must vacuum only after they no longer need old
+    versions.  The log itself is never touched.
+
+    ``older_than_ms`` (r11, the same race the r10 verdict flagged on
+    the Iceberg sweep — real Delta's VACUUM defaults to 7 days for
+    it): `write_delta` stages and MOVES data files into the table
+    before its commit lands, so an unguarded vacuum racing an
+    in-flight write deletes files the commit is about to add.  Only
+    files whose mtime is at least this old are deleted; pass
+    ``older_than_ms=0`` only when no writer can be in flight
+    (single-maintenance-window rule)."""
+    import time
+
     _m, _p, adds, _t = _snapshot_actions(
         spark, os.path.join(path, "_delta_log"), None)
     active = {urllib.parse.unquote(p) for p in adds}
+    cutoff = time.time() - older_than_ms / 1000.0
     doomed = []
     for root, _dirs, files in os.walk(path):
         if "_delta_log" in root:
@@ -551,8 +600,9 @@ def vacuum_delta(spark: SparkSession, path: str, dry_run: bool = False) -> list[
         for f in files:
             if not f.endswith(".parquet"):
                 continue
-            rel = os.path.relpath(os.path.join(root, f), path)
-            if rel not in active:
+            p = os.path.join(root, f)
+            rel = os.path.relpath(p, path)
+            if rel not in active and os.path.getmtime(p) <= cutoff:
                 doomed.append(rel)
     if not dry_run:
         for rel in doomed:
@@ -563,3 +613,199 @@ def vacuum_delta(spark: SparkSession, path: str, dry_run: bool = False) -> list[
                     and not dirs and not files:
                 os.rmdir(root)
     return sorted(doomed)
+
+
+def _writable_snapshot(spark: SparkSession, path: str):
+    """(meta, adds, part_cols) of the current snapshot, with the same
+    writer-protocol guard as `write_delta`."""
+    log_dir = os.path.join(path, "_delta_log")
+    meta, protocol, adds, _t = _snapshot_actions(spark, log_dir, None)
+    if protocol and ((protocol.get("minWriterVersion", 2) or 2) > 2):
+        raise DeltaProtocolError(
+            f"delta table {path} needs writer protocol "
+            f"v{protocol['minWriterVersion']} — not supported by the "
+            "pure-Python fallback")
+    part_cols = list(meta.get("partitionColumns") or [])
+    # copy-on-write DML keys its touched-file split on _metadata, which
+    # needs the snapshot to be ONE file scan: column-mapped tables and
+    # non-hive partition layouts read as unions of literal-attached
+    # scans (read_delta_snapshot fallback branch) — refuse loudly
+    mapping = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    if mapping != "none":
+        raise DeltaProtocolError(
+            f"row-level DML on column-mapped delta table {path} is not "
+            "supported by the pure-Python fallback — deploy the connector")
+    if part_cols and adds and not all(
+            all(f"{c}=" in urllib.parse.unquote(p) for c in part_cols)
+            for p in adds):
+        raise DeltaProtocolError(
+            f"row-level DML on {path} needs hive-style partition layout "
+            "(col=val dirs); this table stores partition values only in "
+            "the log — deploy the connector")
+    return meta, adds, part_cols
+
+
+def _with_fp(df: DataFrame) -> DataFrame:
+    """Append the normalized scanned-file path as ``_fp``.  Must be
+    applied to the file-source scan BEFORE any join — `_metadata` is a
+    hidden file-source column that does not reliably propagate through
+    other operators."""
+    return df.withColumn(
+        "_fp",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""))
+
+
+def _affected_files(
+    hits: DataFrame, path: str, adds: dict
+) -> tuple[list[str], list[str]]:
+    """The copy-on-write unit: distinct FILES (from ``hits``' ``_fp``
+    column — the frame restricted to matching rows) and the quoted
+    rel-paths of their `add` actions.  Collected — a file-list-scale
+    driver materialization, never rows.  Only touched files are ever
+    rewritten — an untouched 100 TB tail stays untouched."""
+    abs_to_rel = {
+        os.path.abspath(os.path.join(path, urllib.parse.unquote(p))): p
+        for p in adds}
+    affected_abs = [
+        r["_fp"] for r in hits.select("_fp").distinct().collect()]
+    affected_rel = []
+    for a in affected_abs:
+        rel = abs_to_rel.get(os.path.abspath(a))
+        if rel is None:
+            raise DeltaProtocolError(
+                f"scanned file {a} is not in the snapshot's add set — "
+                "refusing to rewrite files the log does not own")
+        affected_rel.append(rel)
+    return affected_abs, affected_rel
+
+
+def _footer_rows(path: str, rel_paths: list[str]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(os.path.join(path, urllib.parse.unquote(p)))
+        .num_rows for p in rel_paths)
+
+
+def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Row-level DELETE, real Delta's copy-on-write model (protocol-v1
+    tables have no merge-on-read): rewrite ONLY the data files that
+    contain a matching row — survivors of each touched file re-staged
+    through the same parallel writer path as `write_delta`, then one
+    atomic commit of `remove`(touched) + `add`(rewritten).  Untouched
+    files are never read twice nor rewritten, so a 0.1% predicate at
+    100 TB costs one scan + a rewrite of the touched slice, and the
+    commit is invisible-or-complete to every reader.  Rows where the
+    predicate is NULL survive (SQL DELETE semantics).  Partitioned
+    tables rewrite hive-style into their own partitions; a predicate
+    over partition columns prunes to those files.  Earlier versions
+    keep time-traveling to the pre-delete rows until `vacuum_delta`
+    reclaims the removed files (age-guarded).  A predicate matching
+    nothing commits NO version.  Returns
+    ``{"deleted_rows": N, "version": v}``."""
+    _meta, adds, part_cols = _writable_snapshot(spark, path)
+    log_dir = os.path.join(path, "_delta_log")
+    cur = _next_version(log_dir) - 1
+    if not adds:
+        return {"deleted_rows": 0, "version": cur}
+    wide = _with_fp(read_delta_snapshot(spark, path))
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    affected_abs, affected_rel = _affected_files(
+        wide.filter(hit), path, adds)
+    if not affected_rel:
+        return {"deleted_rows": 0, "version": cur}
+
+    survivors = (
+        wide.filter(F.col("_fp").isin(affected_abs))
+        .filter(~hit).drop("_fp"))
+    n_before = _footer_rows(path, affected_rel)
+    new_adds = _stage_and_adopt(survivors, path, part_cols)
+    n_after = _footer_rows(path, [a["path"] for a in new_adds])
+
+    version = _next_version(log_dir)
+    actions = [{"remove": {"path": p, "dataChange": True,
+                           "deletionTimestamp": 0}}
+               for p in sorted(affected_rel)]
+    actions += [{"add": a} for a in new_adds]
+    _commit_actions(log_dir, version, actions)
+    return {"deleted_rows": n_before - n_after, "version": version}
+
+
+def merge_delta(
+    spark: SparkSession, path: str, source: DataFrame, on: list[str]
+) -> dict:
+    """Key-based MERGE (upsert): ``WHEN MATCHED THEN UPDATE ALL / WHEN
+    NOT MATCHED THEN INSERT ALL`` in ONE commit, copy-on-write like
+    real Delta on protocol-v1 tables: files containing a matched key
+    are rewritten WITHOUT the matched rows, every source row is staged
+    as new files, and a single atomic commit records
+    `remove`(touched) + `add`(rewritten + inserted).  Only touched
+    files rewrite — the semi-join keyed on ``on`` decides the touched
+    set, so an upsert of a 0.1% source leaves the other 99.9% of files
+    alone.  Contracts mirror `merge_iceberg`: source schema must match
+    the table's declared schema (raises), ``on`` columns must exist
+    (raises), NULL keys never match (insert), duplicate source keys
+    append every copy, an absent table degrades to a plain create.
+    Earlier versions keep time-traveling until `vacuum_delta`.
+    Returns ``{"matched_deleted": N, "appended_rows": M,
+    "version": v}``."""
+    on = list(on)
+    if not on:
+        raise DeltaProtocolError("merge_delta needs at least one key column")
+    missing = [c for c in on if c not in source.columns]
+    if missing:
+        raise DeltaProtocolError(
+            f"merge key columns {missing} not in source {source.columns}")
+
+    log_dir = os.path.join(path, "_delta_log")
+    exists = os.path.isdir(log_dir) and any(
+        _COMMIT_RE.match(f) or _CHECKPOINT_RE.match(f)
+        for f in os.listdir(log_dir))
+    if not exists:
+        v = write_delta(source, path, mode="append")
+        return {"matched_deleted": 0, "appended_rows": source.count(),
+                "version": v}
+
+    meta, adds, part_cols = _writable_snapshot(spark, path)
+    declared = StructType.fromJson(json.loads(meta["schemaString"]))
+    if declared != source.schema:
+        raise DeltaProtocolError(
+            f"merge schema mismatch: table declares "
+            f"{declared.simpleString()}, source has "
+            f"{source.schema.simpleString()}")
+
+    keys = source.select(*on).distinct()
+    affected_abs: list[str] = []
+    affected_rel: list[str] = []
+    if adds:  # locate touched files via a semi-join on the keys
+        wide = _with_fp(read_delta_snapshot(spark, path))
+        affected_abs, affected_rel = _affected_files(
+            wide.join(keys, on, "left_semi"), path, adds)
+
+    new_adds: list[dict] = []
+    n_deleted = 0
+    if affected_rel:
+        survivors = (
+            wide.filter(F.col("_fp").isin(affected_abs))
+            .join(keys, on, "left_anti").drop("_fp"))
+        n_before = _footer_rows(path, affected_rel)
+        new_adds += _stage_and_adopt(survivors, path, part_cols)
+        n_deleted = n_before - _footer_rows(
+            path, [a["path"] for a in new_adds])
+
+    src_adds = _stage_and_adopt(source, path, part_cols)
+    n_appended = _footer_rows(path, [a["path"] for a in src_adds])
+    new_adds += src_adds
+    if not affected_rel and n_appended == 0:  # empty source, no matches
+        return {"matched_deleted": 0, "appended_rows": 0,
+                "version": _next_version(log_dir) - 1}
+
+    version = _next_version(log_dir)
+    actions = [{"remove": {"path": p, "dataChange": True,
+                           "deletionTimestamp": 0}}
+               for p in sorted(affected_rel)]
+    actions += [{"add": a} for a in new_adds]
+    _commit_actions(log_dir, version, actions)
+    return {"matched_deleted": n_deleted, "appended_rows": n_appended,
+            "version": version}

@@ -2753,12 +2753,132 @@ def test_vacuum_delta_removes_only_unreferenced(spark, tmp_path):
     rows = sorted(r.id for r in before.collect())
     compact_delta(spark, d, target_files=1)
 
-    plan = vacuum_delta(spark, d, dry_run=True)
+    # age guard (r11, mirroring the iceberg orphan sweep): everything
+    # here is seconds old, so the DEFAULT sweep must plan/delete NOTHING
+    # — the race guard for a write whose files are staged pre-commit
+    assert vacuum_delta(spark, d, dry_run=True) == []
+    plan = vacuum_delta(spark, d, dry_run=True, older_than_ms=0)
     assert len(plan) == 3  # the three pre-compaction files
-    assert vacuum_delta(spark, d) == plan
+    assert vacuum_delta(spark, d, older_than_ms=0) == plan
     # snapshot unchanged, and nothing left to vacuum
     assert sorted(r.id for r in read_delta_snapshot(spark, d).collect()) == rows
-    assert vacuum_delta(spark, d, dry_run=True) == []
+    assert vacuum_delta(spark, d, dry_run=True, older_than_ms=0) == []
+
+
+def test_delete_delta_copy_on_write(spark, tmp_path):
+    """delete_delta (r11): rewrite ONLY files containing a match — the
+    untouched file's parquet survives byte-identical on disk; NULL
+    predicates keep rows (SQL DELETE); no-match predicates commit no
+    version; time travel reads pre-delete rows until vacuum."""
+    import os as _os
+
+    from prql_query_spark.engine.deltalog import (
+        delete_delta, read_delta_snapshot, vacuum_delta, write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    # two files with disjoint key ranges: ids 1-4 and nulls+10-12
+    write_delta(spark.createDataFrame(
+        [(i, "a") for i in range(1, 5)], "id long, v string"), d)
+    write_delta(spark.createDataFrame(
+        [(None, "n"), (10, "x"), (11, "x"), (12, "y")],
+        "id long, v string"), d)
+    files_before = {
+        f: _os.path.getmtime(_os.path.join(r, f))
+        for r, _, fs in _os.walk(d) if "_delta_log" not in r for f in fs}
+
+    res = delete_delta(spark, d, "id >= 11")  # touches only file 2
+    assert res["deleted_rows"] == 2 and res["version"] == 2
+    got = sorted((r.id, r.v) for r in read_delta_snapshot(spark, d)
+                 .collect() if r.id is not None)
+    assert got == [(1, "a"), (2, "a"), (3, "a"), (4, "a"), (10, "x")]
+    # NULL-id row SURVIVED (id >= 11 is NULL there, SQL keeps it)
+    assert any(r.id is None
+               for r in read_delta_snapshot(spark, d).collect())
+    # file 1 (ids 1-4) was never rewritten: same path, same mtime
+    survivors = {
+        f: _os.path.getmtime(_os.path.join(r, f))
+        for r, _, fs in _os.walk(d) if "_delta_log" not in r for f in fs}
+    untouched = set(files_before) & set(survivors)
+    assert untouched and all(
+        files_before[f] == survivors[f] for f in untouched)
+    # time travel to version 1 still reads everything
+    assert len(read_delta_snapshot(spark, d, version=1).collect()) == 8
+
+    # no-match predicate commits NO new version
+    assert delete_delta(spark, d, "id = 999") == \
+        {"deleted_rows": 0, "version": 2}
+    # vacuum (age 0) reclaims the rewritten file's predecessor
+    assert len(vacuum_delta(spark, d, older_than_ms=0)) >= 1
+    assert sorted(r.id for r in read_delta_snapshot(spark, d).collect()
+                  if r.id is not None) == [1, 2, 3, 4, 10]
+
+
+def test_delete_delta_partitioned_prunes(spark, tmp_path):
+    """Partitioned copy-on-write: a predicate over the partition column
+    rewrites only that partition's files; hive layout is preserved so
+    the table keeps reading with partition columns intact."""
+    from prql_query_spark.engine.deltalog import (
+        delete_delta, read_delta_snapshot, write_delta,
+    )
+
+    d = str(tmp_path / "tp")
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(10)],
+        "id long, par string")
+    write_delta(df, d, partition_by=["par"])
+    res = delete_delta(spark, d, "par = 'odd' and id > 5")
+    assert res["deleted_rows"] == 2  # ids 7, 9
+    got = sorted((r.id, r.par)
+                 for r in read_delta_snapshot(spark, d).collect())
+    assert got == [(0, "even"), (1, "odd"), (2, "even"), (3, "odd"),
+                   (4, "even"), (5, "odd"), (6, "even"), (8, "even")]
+
+
+def test_merge_delta_upsert(spark, tmp_path):
+    """merge_delta (r11): matched keys replaced, unmatched inserted,
+    one commit, only touched files rewritten; contracts raise; absent
+    table degrades to create."""
+    import pytest as _pytest
+
+    from prql_query_spark.engine.deltalog import (
+        DeltaProtocolError, merge_delta, read_delta_snapshot, write_delta,
+    )
+
+    d = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, v string")
+        .repartition(2), d)
+    src = spark.createDataFrame(
+        [(2, "B"), (9, "i")], "id long, v string")
+    res = merge_delta(spark, d, src, on=["id"])
+    assert res["matched_deleted"] == 1 and res["appended_rows"] == 2 \
+        and res["version"] == 1
+    assert sorted((r.id, r.v)
+                  for r in read_delta_snapshot(spark, d).collect()) \
+        == [(1, "a"), (2, "B"), (3, "c"), (4, "d"), (9, "i")]
+    # pre-merge version still time-travels
+    assert sorted((r.id, r.v)
+                  for r in read_delta_snapshot(spark, d, version=0)
+                  .collect()) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+    # empty source with no matches commits nothing
+    res2 = merge_delta(spark, d, spark.createDataFrame(
+        [], "id long, v string"), on=["id"])
+    assert res2 == {"matched_deleted": 0, "appended_rows": 0, "version": 1}
+
+    with _pytest.raises(DeltaProtocolError, match="key columns"):
+        merge_delta(spark, d, src, on=["nope"])
+    with _pytest.raises(DeltaProtocolError, match="schema mismatch"):
+        merge_delta(spark, d, spark.createDataFrame([(1,)], "id long"),
+                    on=["id"])
+
+    # absent table = create
+    d2 = str(tmp_path / "t2")
+    res3 = merge_delta(spark, d2, src, on=["id"])
+    assert res3["matched_deleted"] == 0 and res3["appended_rows"] == 2
+    assert sorted(r.id for r in read_delta_snapshot(spark, d2).collect()) \
+        == [2, 9]
 
 
 def test_avro_pure_codec_roundtrip(spark, tmp_path):
