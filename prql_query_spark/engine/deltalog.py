@@ -680,6 +680,22 @@ def _affected_files(
     return affected_abs, affected_rel
 
 
+def _scan_affected(
+    spark: SparkSession, path: str, meta: dict, affected_abs: list[str]
+) -> DataFrame:
+    """Direct scan of ONLY the touched files for the rewrite pass —
+    never a filtered full-table scan (a `_fp IN (...)` filter over a
+    derived `_metadata` column does not prune at the source, so at
+    100 TB it would re-read the whole table to rewrite 0.1% of it).
+    Partitioned tables scan with basePath so partition columns
+    reappear; the declared log schema is supplied, never inference."""
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    r = spark.read.schema(schema)
+    if meta.get("partitionColumns"):
+        r = r.option("basePath", path)
+    return r.parquet(*sorted(affected_abs))
+
+
 def _footer_rows(path: str, rel_paths: list[str]) -> int:
     import pyarrow.parquet as pq
 
@@ -716,9 +732,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
     if not affected_rel:
         return {"deleted_rows": 0, "version": cur}
 
-    survivors = (
-        wide.filter(F.col("_fp").isin(affected_abs))
-        .filter(~hit).drop("_fp"))
+    survivors = _scan_affected(spark, path, _meta, affected_abs).filter(~hit)
     n_before = _footer_rows(path, affected_rel)
     new_adds = _stage_and_adopt(survivors, path, part_cols)
     n_after = _footer_rows(path, [a["path"] for a in new_adds])
@@ -786,9 +800,8 @@ def merge_delta(
     new_adds: list[dict] = []
     n_deleted = 0
     if affected_rel:
-        survivors = (
-            wide.filter(F.col("_fp").isin(affected_abs))
-            .join(keys, on, "left_anti").drop("_fp"))
+        survivors = _scan_affected(spark, path, meta, affected_abs) \
+            .join(keys, on, "left_anti")
         n_before = _footer_rows(path, affected_rel)
         new_adds += _stage_and_adopt(survivors, path, part_cols)
         n_deleted = n_before - _footer_rows(
