@@ -747,7 +747,11 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
 
 
 def merge_delta(
-    spark: SparkSession, path: str, source: DataFrame, on: list[str]
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Key-based MERGE (upsert): ``WHEN MATCHED THEN UPDATE ALL / WHEN
     NOT MATCHED THEN INSERT ALL`` in ONE commit, copy-on-write like
@@ -762,8 +766,10 @@ def merge_delta(
     (raises), NULL keys never match (insert), duplicate source keys
     append every copy, an absent table degrades to a plain create.
     Earlier versions keep time-traveling until `vacuum_delta`.
-    Returns ``{"matched_deleted": N, "appended_rows": M,
-    "version": v}``."""
+    ``txn`` records the protocol's streaming-idempotence marker in the
+    same commit (see `write_delta`) — the hook
+    `streaming.ingest.stream_upsert_to_delta` builds on.  Returns
+    ``{"matched_deleted": N, "appended_rows": M, "version": v}``."""
     on = list(on)
     if not on:
         raise DeltaProtocolError("merge_delta needs at least one key column")
@@ -777,7 +783,7 @@ def merge_delta(
         _COMMIT_RE.match(f) or _CHECKPOINT_RE.match(f)
         for f in os.listdir(log_dir))
     if not exists:
-        v = write_delta(source, path, mode="append")
+        v = write_delta(source, path, mode="append", txn=txn)
         return {"matched_deleted": 0, "appended_rows": source.count(),
                 "version": v}
 
@@ -818,6 +824,8 @@ def merge_delta(
     actions = [{"remove": {"path": p, "dataChange": True,
                            "deletionTimestamp": 0}}
                for p in sorted(affected_rel)]
+    if txn is not None:  # streaming idempotence marker, as in write_delta
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
     actions += [{"add": a} for a in new_adds]
     _commit_actions(log_dir, version, actions)
     return {"matched_deleted": n_deleted, "appended_rows": n_appended,

@@ -484,6 +484,64 @@ def stream_to_delta(
     )
 
 
+def stream_upsert_to_delta(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    on: list[str],
+    checkpoint: str,
+    app_id: str = "pq_stream_upsert_to_delta",
+    transform=None,
+    queryName: str = "pq_stream_upsert_to_delta",
+    max_files_per_trigger: int | None = 64,
+):
+    """Exactly-once streaming UPSERT into a Delta table (r11) — the CDC
+    shape of `stream_to_delta`: each microbatch MERGES on the ``on``
+    keys (`deltalog.merge_delta`, copy-on-write: only files containing
+    a matched key rewrite) instead of blind-appending, so a stream of
+    document revisions maintains a latest-version table — the
+    continuously-maintained twin of the batch `upsert_latest` pattern.
+
+    Exactly-once via the same protocol `txn` marker as the append
+    sink, recorded atomically inside each merge commit: on
+    restart/replay, batches at or below the table's last committed txn
+    version for ``app_id`` are SKIPPED.  (A replayed upsert of
+    identical rows would also be value-idempotent — matched keys
+    replace — but the guard prevents wasted rewrites and protects
+    against nondeterministic ``transform`` output.)  Batches whose
+    merge short-circuits (empty after ``transform``, no matches)
+    commit nothing and stay replayable no-ops.  Single-writer contract
+    like everything in the jar-less committer: one stream per table.
+
+    Keys duplicated WITHIN one microbatch append every copy (the merge
+    contract); dedup per batch in ``transform`` (e.g. keep the
+    max-timestamp revision) when the source can emit several revisions
+    of a key per batch."""
+    from prql_query_spark.engine.deltalog import (
+        last_txn_version, merge_delta)
+
+    schema = spark.read.parquet(source_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        done = last_txn_version(spark, table_path, app_id)
+        if done is not None and batch_id <= done:
+            return  # replayed batch: already merged
+        out = transform(batch_df) if transform is not None else batch_df
+        merge_delta(spark, table_path, out, on, txn=(app_id, batch_id))
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(queryName)
+        .start()
+    )
+
+
 def stream_to_iceberg(
     spark: SparkSession,
     source_path: str,

@@ -2699,6 +2699,60 @@ def test_stream_to_delta_exactly_once(spark, sf_dir, tmp_path):
     assert last_txn_version(spark, table, "pq_stream_to_delta") == done + 1
 
 
+def test_stream_upsert_to_delta_exactly_once(spark, tmp_path):
+    """Streaming UPSERT sink (r11): a stream of revision batches
+    maintains a latest-version table via per-batch merge_delta; a FULL
+    replay with a fresh checkpoint is a no-op (txn high-water mark —
+    the commit count proves no batch merged twice)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from prql_query_spark.engine.deltalog import read_delta_snapshot
+    from prql_query_spark.streaming.ingest import stream_upsert_to_delta
+
+    # revision batches with pinned increasing mtimes = batch order:
+    # batch 0 creates keys 1-4 at v='a', batch 1 revises 3-4 and adds
+    # 5-6 at v='b'
+    b0 = spark.createDataFrame(
+        [(i, "a") for i in range(1, 5)], "id long, v string")
+    b1 = spark.createDataFrame(
+        [(i, "b") for i in range(3, 7)], "id long, v string")
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = _time.time() - 100
+    for i, b in enumerate([b0, b1]):
+        stage = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        dst = str(src / f"b{i}.parquet")
+        _shutil.copy(_glob.glob(_os.path.join(stage, "part-*.parquet"))[0],
+                     dst)
+        _os.utime(dst, (t0 + i, t0 + i))
+
+    table = str(tmp_path / "t.delta")
+    for ck in ("ck1", "ck2"):  # second pass = full checkpoint replay
+        q = stream_upsert_to_delta(
+            spark, str(src), table, ["id"],
+            checkpoint=str(tmp_path / ck),
+            queryName="t_upsert_sink", max_files_per_trigger=1)
+        try:
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+
+    got = sorted((r.id, r.v)
+                 for r in read_delta_snapshot(spark, table).collect())
+    assert got == [(1, "a"), (2, "a"), (3, "b"), (4, "b"),
+                   (5, "b"), (6, "b")]
+    # exactly-once: the replay pass added ZERO commits — one create +
+    # one merge, nothing else
+    commits = [f for f in _os.listdir(_os.path.join(table, "_delta_log"))
+               if f.endswith(".json")]
+    assert len(commits) == 2
+
+
 def test_checkpoint_and_compact_delta(spark, tmp_path):
     """Lifecycle: many small appends -> checkpoint_delta compacts the LOG
     (readers resolve from the checkpoint even with all JSON commits
