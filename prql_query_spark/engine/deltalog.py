@@ -795,7 +795,12 @@ def merge_delta(
             f"{declared.simpleString()}, source has "
             f"{source.schema.simpleString()}")
 
-    keys = source.select(*on).distinct()
+    # the key set drives TWO joins (locate + anti); localCheckpoint so
+    # an expensive source pipeline is not recomputed per join (RDD
+    # blocks are ContextCleaner-reclaimed at return — leak-safe).  The
+    # full source is still evaluated once more by the staging write;
+    # checkpoint expensive sources upstream.
+    keys = source.select(*on).distinct().localCheckpoint()
     affected_abs: list[str] = []
     affected_rel: list[str] = []
     if adds:  # locate touched files via a semi-join on the keys
