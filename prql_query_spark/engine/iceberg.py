@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, BooleanType, DataType, DateType, DoubleType,
     FloatType, IntegerType, LongType, StringType, StructField, StructType,
-    TimestampType,
+    TimestampNTZType, TimestampType,
 )
 
 from prql_query_spark.engine.avro import decode_container
@@ -114,7 +114,10 @@ def _spark_type(t) -> DataType:
             "boolean": BooleanType(), "int": IntegerType(),
             "long": LongType(), "float": FloatType(),
             "double": DoubleType(), "date": DateType(),
-            "timestamp": TimestampType(), "timestamptz": TimestampType(),
+            # spec: "timestamp" is WITHOUT zone, "timestamptz" with —
+            # mapping both to TimestampType silently shifted ntz values
+            # through the session zone (r11)
+            "timestamp": TimestampNTZType(), "timestamptz": TimestampType(),
             "string": StringType(), "binary": BinaryType(),
             "uuid": StringType(),
         }.get(t)
@@ -344,7 +347,8 @@ def _iceberg_type(t: DataType) -> object:
     base = {
         BooleanType(): "boolean", IntegerType(): "int", LongType(): "long",
         FloatType(): "float", DoubleType(): "double", DateType(): "date",
-        TimestampType(): "timestamptz", StringType(): "string",
+        TimestampType(): "timestamptz", TimestampNTZType(): "timestamp",
+        StringType(): "string",
         BinaryType(): "binary",
     }.get(t)
     if base is None:

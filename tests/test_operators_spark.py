@@ -6070,6 +6070,29 @@ def test_iceberg_delete_positional_write_path(spark, tmp_path):
     assert delete_iceberg(spark, d2, "id = 1")["deleted_rows"] == 0
 
 
+def test_iceberg_timestamp_ntz_roundtrip(spark, sf_dir, tmp_path):
+    """Spec type mapping (r11): iceberg `timestamp` is WITHOUT zone —
+    write/read must round-trip Spark's TimestampNTZType (the testdata
+    ns-timestamp load type) bit-identically, and DML works on ntz
+    tables; previously the writer raised on NTZ and the reader mapped
+    `timestamp` to the zoned type (silent session-zone shift)."""
+    from prql_query_spark.engine.iceberg import (
+        delete_iceberg, read_iceberg, write_iceberg,
+    )
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet") \
+        .select("event_id", "ts", "value")
+    d = str(tmp_path / "t.iceberg")
+    write_iceberg(ev, d)
+    back = read_iceberg(spark, d)
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+    want = sorted((r.event_id, r.ts) for r in ev.collect())
+    assert sorted((r.event_id, r.ts) for r in back.collect()) == want
+    res = delete_iceberg(spark, d, "event_id % 7 = 0")
+    assert res["deleted_rows"] == sum(1 for k, _ in want if k % 7 == 0)
+    assert read_iceberg(spark, d).count() == len(want) - res["deleted_rows"]
+
+
 def test_iceberg_merge_upsert(spark, tmp_path):
     """merge_iceberg (r11): key-based upsert in ONE snapshot — matched
     target rows replaced via positional deletes, unmatched source rows
