@@ -746,9 +746,17 @@ def _live_rows_with_pos(
     spark: SparkSession, path: str, meta: dict, snap: dict
 ) -> DataFrame | None:
     """The snapshot's LIVE rows (existing positional deletes applied)
-    with ``_rfp``/``_pos`` file-ordinal columns appended — the scan
+    with ``_fp_raw``/``_pos`` file-ordinal columns appended — the scan
     both row-level write paths (delete, merge) start from.  None when
-    the snapshot has no data files."""
+    the snapshot has no data files.
+
+    ``_fp_raw`` is `_metadata.file_path` VERBATIM — a per-row
+    regexp_replace over millions of rows measured ~25% of the scan
+    wall (tools/probe_dml.py A/B), and the raw URI is already the spec
+    shape a delete file's ``file_path`` column wants, so the staged
+    delete set needs no string work at all.  Normalization happens
+    only where the existing-deletes anti-join needs the `_rfp` key,
+    and only when the table actually carries deletes."""
     data_files, pos_deletes = _walk_manifests(snap, path)
     if not data_files:
         return None
@@ -758,24 +766,29 @@ def _live_rows_with_pos(
         *sorted({p for p, _ in data_files}))
     wide = base.select(
         *cols,
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
-        .alias("_rfp"),
+        F.col("_metadata.file_path").alias("_fp_raw"),
         F.col("_metadata.row_index").alias("_pos"))
     if pos_deletes:
-        wide = wide.join(
-            _deletes_set(spark, path, data_files, pos_deletes),
-            ["_rfp", "_pos"], "left_anti")
+        wide = (
+            wide.withColumn(
+                "_rfp",
+                F.regexp_replace(F.col("_fp_raw"), "^file:(//)?", ""))
+            .join(_deletes_set(spark, path, data_files, pos_deletes),
+                  ["_rfp", "_pos"], "left_anti")
+            .drop("_rfp"))
     return wide
 
 
 def _stage_delete_files(
     spark: SparkSession, path: str, doomed: DataFrame, snap_id: int
 ) -> tuple[str, list[str], int]:
-    """Write ``doomed`` rows (must carry ``_rfp``/``_pos``) as
+    """Write ``doomed`` rows (must carry ``_fp_raw``/``_pos``) as
     spec-shaped positional-delete parquet: partitioned by target file,
     sorted by (file_path, pos) within partitions — one bounded shuffle
-    of the DELETE SET only.  Returns (dir, part files, row count —
-    counted from the parquet footers, no extra job)."""
+    of the DELETE SET only.  ``file_path`` is the scan's raw URI
+    verbatim (the reader's target mapping resolves any file:-prefix
+    form driver-side).  Returns (dir, part files, row count — counted
+    from the parquet footers, no extra job)."""
     import glob
     import uuid
 
@@ -783,7 +796,7 @@ def _stage_delete_files(
 
     targets = (
         doomed
-        .select(F.concat(F.lit("file://"), F.col("_rfp")).alias("file_path"),
+        .select(F.col("_fp_raw").alias("file_path"),
                 F.col("_pos").cast("long").alias("pos"))
         .repartition(F.col("file_path"))
         .sortWithinPartitions("file_path", "pos"))

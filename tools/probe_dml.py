@@ -47,11 +47,17 @@ def main() -> None:
     from prql_query_spark.engine.session import get_spark
     from prql_query_spark.engine.sources import load_parquet
 
+    scale = int(os.environ.get("PQ_DML_SCALE", "1"))
+
     spark = get_spark("pq-probe-dml")
     spark.sparkContext.setLogLevel("ERROR")
-    src = load_parquet(spark, os.path.join(sf_dir, "lineitem.parquet")) \
-        .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate") \
-        .repartition(8)
+    base = load_parquet(spark, os.path.join(sf_dir, "lineitem.parquet")) \
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+    src = base
+    for i in range(1, scale):  # key-shifted copies: unique keys, k x rows
+        src = src.unionByName(base.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000)))
+    src = src.repartition(8 * scale)
     src = src.localCheckpoint()  # build input once, off the parquet scan
     n_rows = src.count()
 
@@ -65,14 +71,22 @@ def main() -> None:
     results: dict[str, float] = {}
 
     def timed(name, build, op, runs=3):
-        samples = []
+        samples, builds = [], []
         for i in range(runs):
             d = os.path.join(root, f"{name}_{i}")
+            tb = time.time()
             build(d)
+            builds.append(time.time() - tb)
             t = time.time()
             op(d)
             samples.append(time.time() - t)
         results[name] = round(statistics.median(samples) * 1000, 1)
+        # the full-table write cost — the term a rewrite pays in
+        # proportion to TABLE size while DML pays it only for the
+        # matched slice; this is the crossover denominator
+        results.setdefault(
+            "full_table_write_" + name.split("_")[0],
+            round(statistics.median(builds) * 1000, 1))
         print(f"probe {name}: {results[name]} ms", file=sys.stderr)
 
     def build_ice(d):
