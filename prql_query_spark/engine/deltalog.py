@@ -647,13 +647,14 @@ def _writable_snapshot(spark: SparkSession, path: str):
 
 
 def _with_fp(df: DataFrame) -> DataFrame:
-    """Append the normalized scanned-file path as ``_fp``.  Must be
+    """Append the scanned-file path VERBATIM as ``_fp``.  Must be
     applied to the file-source scan BEFORE any join — `_metadata` is a
     hidden file-source column that does not reliably propagate through
-    other operators."""
-    return df.withColumn(
-        "_fp",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""))
+    other operators.  No per-row normalization: the collected distinct
+    set is file-list-scale, so any file:-prefix stripping happens
+    driver-side in `_affected_files` (a per-row regexp over the scan
+    measured ~25% of the wall in tools/probe_dml.py)."""
+    return df.withColumn("_fp", F.col("_metadata.file_path"))
 
 
 def _affected_files(
@@ -667,15 +668,16 @@ def _affected_files(
     abs_to_rel = {
         os.path.abspath(os.path.join(path, urllib.parse.unquote(p))): p
         for p in adds}
-    affected_abs = [
-        r["_fp"] for r in hits.select("_fp").distinct().collect()]
+    affected_abs = []
     affected_rel = []
-    for a in affected_abs:
+    for r in hits.select("_fp").distinct().collect():
+        a = re.sub(r"^file:(//)?", "", r["_fp"])  # driver-side, tiny set
         rel = abs_to_rel.get(os.path.abspath(a))
         if rel is None:
             raise DeltaProtocolError(
                 f"scanned file {a} is not in the snapshot's add set — "
                 "refusing to rewrite files the log does not own")
+        affected_abs.append(a)
         affected_rel.append(rel)
     return affected_abs, affected_rel
 
