@@ -808,7 +808,11 @@ def _stage_delete_files(
 
 
 def merge_iceberg(
-    spark: SparkSession, path: str, source: DataFrame, on: list[str]
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    properties: dict | None = None,
 ) -> dict:
     """Key-based MERGE (upsert): ``WHEN MATCHED THEN UPDATE ALL /
     WHEN NOT MATCHED THEN INSERT ALL`` in ONE snapshot — target rows
@@ -852,7 +856,7 @@ def merge_iceberg(
 
     exists = os.path.isdir(os.path.join(path, "metadata"))
     if not exists:
-        write_iceberg(source, path, mode="append")
+        write_iceberg(source, path, mode="append", properties=properties)
         with open(_latest_metadata(path)) as fh:
             meta = json.load(fh)
         return {"matched_deleted": 0,
@@ -875,7 +879,7 @@ def merge_iceberg(
 
     snap = _head_snapshot(meta, meta_path, "a merge")
     if snap is None:  # metadata dir exists but no snapshot yet
-        write_iceberg(source, path, mode="append")
+        write_iceberg(source, path, mode="append", properties=properties)
         with open(_latest_metadata(path)) as fh:
             meta2 = json.load(fh)
         return {"matched_deleted": 0,
@@ -916,7 +920,8 @@ def merge_iceberg(
 
     _commit_snapshot(path, meta_path, meta, snap_id,
                      _head_manifests(snap, path, "a merge"),
-                     new_manifests, operation="overwrite")
+                     new_manifests, operation="overwrite",
+                     properties=properties)
     return {"matched_deleted": n_deleted, "appended_rows": n_appended,
             "snapshot_id": snap_id}
 

@@ -594,6 +594,54 @@ def stream_to_iceberg(
     )
 
 
+def stream_upsert_to_iceberg(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    on: list[str],
+    checkpoint: str,
+    app_id: str = "pq_stream_upsert_to_iceberg",
+    transform=None,
+    queryName: str = "pq_stream_upsert_to_iceberg",
+    max_files_per_trigger: int | None = 64,
+):
+    """Exactly-once streaming UPSERT into an Iceberg table (r11) — the
+    Iceberg twin of `stream_upsert_to_delta`: each microbatch MERGES on
+    the ``on`` keys (`iceberg.merge_iceberg` — matched rows removed via
+    v2 positional delete files, source appended, one snapshot; zero
+    data files rewritten), so a stream of revisions maintains a
+    latest-version table merge-on-read, with `compact_iceberg` as the
+    periodic fold.  The per-app batch high-water mark lands in table
+    PROPERTIES inside the same merge commit (survives
+    `expire_snapshots`, like the append sink's); replayed batches are
+    skipped.  Single-writer contract: one stream per table."""
+    from prql_query_spark.engine.iceberg import (
+        last_committed_batch, merge_iceberg)
+
+    schema = spark.read.parquet(source_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        done = last_committed_batch(table_path, app_id)
+        if done is not None and batch_id <= done:
+            return  # replayed batch: already merged
+        out = transform(batch_df) if transform is not None else batch_df
+        merge_iceberg(
+            spark, table_path, out, on,
+            properties={f"pq.stream.{app_id}.batch-id": str(batch_id)})
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(queryName)
+        .start()
+    )
+
+
 def stream_dedup_growing(
     spark: SparkSession,
     docs_path: str,

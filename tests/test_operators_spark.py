@@ -2753,6 +2753,63 @@ def test_stream_upsert_to_delta_exactly_once(spark, tmp_path):
     assert len(commits) == 2
 
 
+def test_stream_upsert_to_iceberg_exactly_once(spark, tmp_path):
+    """Iceberg twin of the streaming upsert sink (r11): revision
+    batches merge-on-read into a latest-version table; the batch
+    high-water mark lives in table PROPERTIES inside each merge commit,
+    so a full fresh-checkpoint replay adds ZERO snapshots."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from prql_query_spark.engine.iceberg import read_iceberg
+    from prql_query_spark.streaming.ingest import stream_upsert_to_iceberg
+
+    b0 = spark.createDataFrame(
+        [(i, "a") for i in range(1, 5)], "id long, v string")
+    b1 = spark.createDataFrame(
+        [(i, "b") for i in range(3, 7)], "id long, v string")
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = _time.time() - 100
+    for i, b in enumerate([b0, b1]):
+        stage = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        dst = str(src / f"b{i}.parquet")
+        _shutil.copy(_glob.glob(_os.path.join(stage, "part-*.parquet"))[0],
+                     dst)
+        _os.utime(dst, (t0 + i, t0 + i))
+
+    table = str(tmp_path / "t.iceberg")
+    for ck in ("ck1", "ck2"):  # second pass = full checkpoint replay
+        q = stream_upsert_to_iceberg(
+            spark, str(src), table, ["id"],
+            checkpoint=str(tmp_path / ck),
+            queryName="t_ice_upsert", max_files_per_trigger=1)
+        try:
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+
+    got = sorted((r.id, r.v)
+                 for r in read_iceberg(spark, table).collect())
+    assert got == [(1, "a"), (2, "a"), (3, "b"), (4, "b"),
+                   (5, "b"), (6, "b")]
+    with open(_os.path.join(table, "metadata", "version-hint.text")) as fh:
+        v = fh.read().strip()
+    with open(_os.path.join(
+            table, "metadata", f"v{v}.metadata.json")) as fh:
+        meta = _json.load(fh)
+    assert len(meta["snapshots"]) == 2  # create + merge; replay added 0
+    # pre-merge snapshot still time-travels to the initial revision
+    assert sorted((r.id, r.v) for r in read_iceberg(
+        spark, table, snapshot_id=1).collect()) == \
+        [(1, "a"), (2, "a"), (3, "a"), (4, "a")]
+
+
 def test_checkpoint_and_compact_delta(spark, tmp_path):
     """Lifecycle: many small appends -> checkpoint_delta compacts the LOG
     (readers resolve from the checkpoint even with all JSON commits
