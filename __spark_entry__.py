@@ -1673,11 +1673,12 @@ DRIVER_ORDER = [
     "x_top_ngrams", "x_transitions", "x_twa",
     # — positions 51-53: deferred r6 tail, FIRST into the r12 window —
     "x_union_evolve", "x_video_fingerprint", "x_vocab_jaccard",
-    # — positions 54-57: round-11-new gate rows (delete/merge for both
-    #   lakehouse formats), queued behind the r6 tail for the r12
-    #   window; in-repo parity covers them at both SFs now —
+    # — positions 54-58: round-11-new gate rows (delete/merge for both
+    #   lakehouse formats + the streaming CDC upsert), queued behind
+    #   the r6 tail for the r12 window; in-repo parity covers them at
+    #   both SFs now —
     "x_iceberg_delete", "x_iceberg_merge",
-    "x_delta_delete", "x_delta_merge",
+    "x_delta_delete", "x_delta_merge", "x_stream_upsert",
 ]
 
 
@@ -5936,6 +5937,69 @@ def _x_stream_delta(spark, sf_dir):
     )
 
 
+def _x_stream_upsert(spark, sf_dir):
+    """The streaming CDC-upsert sink under the driver gate (r11): a
+    real readStream file source of OVERLAPPING revision batches ->
+    per-microbatch `merge_iceberg` (merge-on-read: matched keys removed
+    via v2 positional delete files) -> read back through the
+    positional-delete-merging reader -> value oracle.
+
+    Revision scheme (deterministic, oracle-expressible): batch i
+    (i=0,1,2) carries every part key with `p_partkey % 3 >= i`, with
+    revision payload `rev = p_size + i*1000` — so key k is revised
+    (k % 3 + 1) times and its LATEST revision is
+    `p_size + (k % 3)*1000`.  Batch files are written with pinned
+    increasing mtimes (file-source oldest-first order IS the batch
+    order — upsert is order-dependent by contract).  A SECOND stream
+    then replays all three batches with a fresh checkpoint and the
+    SAME app_id: the table-properties high-water mark must skip every
+    one — a double-merge would double-count keys (extra appends) and
+    hash-mismatch the SUM/COUNT oracle.  Exactly-once, batch ordering,
+    merge semantics, and the MoR read path are all value-checked by
+    one row."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from prql_query_spark.engine.iceberg import read_iceberg
+    from prql_query_spark.streaming.ingest import stream_upsert_to_iceberg
+
+    root = _rt_dir("pq_rt_streamupsert_")
+    src = root + "/src"
+    _os.makedirs(src)
+    part = _tbl(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    t0 = _time.time() - 100
+    for i in range(3):
+        batch = part.filter(F.col("p_partkey") % 3 >= i).select(
+            "p_partkey", "p_brand",
+            (F.col("p_size") + F.lit(i * 1000)).alias("rev"))
+        stage = root + f"/stage{i}"
+        batch.coalesce(1).write.parquet(stage)
+        dst = _os.path.join(src, f"b{i}.parquet")
+        _shutil.copy(
+            _glob.glob(_os.path.join(stage, "part-*.parquet"))[0], dst)
+        _os.utime(dst, (t0 + i, t0 + i))
+
+    table = root + "/t"
+    for ckpt in ("/ckpt1", "/ckpt2"):  # second pass = full replay
+        q = stream_upsert_to_iceberg(
+            spark, src, table, ["p_partkey"], checkpoint=root + ckpt,
+            app_id="pq_gate_stream_upsert", max_files_per_trigger=1)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    back = read_iceberg(spark, table)
+    return (
+        back.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("p_partkey").cast("bigint").alias("key_sum"),
+             F.sum("rev").cast("bigint").alias("rev_sum"))
+    )
+
+
 def _x_stream_dedup(spark, sf_dir):
     """The growing-index streaming dedup under the driver gate (round-6
     VERDICT item 6): the hardest streaming contract in the repo —
@@ -6651,7 +6715,15 @@ EXTENSIONS["x_roundtrip_orc"] = _x_roundtrip_orc
 EXTENSIONS["x_roundtrip_xml"] = _x_roundtrip_xml
 EXTENSIONS["x_stream_tumbling"] = _x_stream_tumbling
 EXTENSIONS["x_stream_delta"] = _x_stream_delta
+EXTENSIONS["x_stream_upsert"] = _x_stream_upsert
 EXTENSIONS["x_bloom_prefilter"] = _x_bloom_prefilter
+
+EXTENSION_ORACLES["x_stream_upsert"] = """
+SELECT p_brand, COUNT(*) AS n,
+       CAST(SUM(p_partkey) AS BIGINT) AS key_sum,
+       CAST(SUM(p_size + (p_partkey % 3) * 1000) AS BIGINT) AS rev_sum
+FROM part GROUP BY p_brand
+"""
 
 EXTENSION_ORACLES["x_stream_delta"] = """
 SELECT event_type, COUNT(*) AS n,
