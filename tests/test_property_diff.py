@@ -277,3 +277,51 @@ def test_roc_auc_bucketed_bound_property(spark, scores, labels, cuts):
         (buck["n_pos"], buck["n_neg"])
     assert abs(exact["auc"] - buck["auc"]) <= buck["err_bound"] + 3e-6, \
         (rows, list(cuts), exact, buck)
+
+
+# ---------------------------------------------------------------------------
+# Row-level MERGE differential (r11): both engines' upserts must equal
+# the reference semantics computed in plain Python — final state =
+# (target rows whose key is NOT in the source key set) + every source
+# row verbatim; NULL keys never match (SQL join semantics), duplicate
+# target copies of a matched key all go, duplicate source copies all
+# land.  One randomized frame pair exercises empty targets, empty
+# sources, all-matched, none-matched, and null keys in one sweep.
+_key = st.one_of(st.none(), st.integers(min_value=0, max_value=12))
+_row = st.tuples(_key, st.text(alphabet="abc", min_size=0, max_size=3))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(target=st.lists(_row, max_size=10), source=st.lists(_row, max_size=6))
+def test_merge_upsert_matches_reference_semantics(spark, target, source):
+    import tempfile
+    from collections import Counter
+
+    from prql_query_spark.engine.deltalog import (
+        merge_delta, read_delta_snapshot, write_delta)
+    from prql_query_spark.engine.iceberg import (
+        merge_iceberg, read_iceberg, write_iceberg)
+
+    schema = "id long, v string"
+    src_keys = {k for k, _ in source if k is not None}
+    expected = Counter(
+        [t for t in target if t[0] is None or t[0] not in src_keys]
+        + source)
+
+    root = tempfile.mkdtemp(prefix="pq_prop_merge_")
+    t_df = spark.createDataFrame(target, schema)
+    s_df = spark.createDataFrame(source, schema)
+
+    ice = root + "/ice"
+    write_iceberg(t_df, ice)
+    merge_iceberg(spark, ice, s_df, on=["id"])
+    got_ice = Counter((r.id, r.v) for r in read_iceberg(spark, ice).collect())
+    assert got_ice == expected, (target, source, got_ice)
+
+    dlt = root + "/dlt"
+    write_delta(t_df, dlt)
+    merge_delta(spark, dlt, s_df, on=["id"])
+    got_dlt = Counter(
+        (r.id, r.v) for r in read_delta_snapshot(spark, dlt).collect())
+    assert got_dlt == expected, (target, source, got_dlt)
