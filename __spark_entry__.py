@@ -1679,6 +1679,12 @@ DRIVER_ORDER = [
     #   both SFs now —
     "x_iceberg_delete", "x_iceberg_merge",
     "x_delta_delete", "x_delta_merge", "x_stream_upsert",
+    # — positions 59-61: round-11 TPC-H completions (Q11 scalar-HAVING,
+    #   Q20 nested-IN chain — the last 2 of the 22 silhouettes) and the
+    #   partitioned-iceberg pruning gate row, queued with the other
+    #   round-11-new rows for the r12 window —
+    "q_important_stock_q11", "q_potential_promo_q20",
+    "x_iceberg_partition",
 ]
 
 
@@ -4063,6 +4069,114 @@ ORDER BY c_mktsegment
 """
 
 
+def _q_important_stock_q11(spark, sf_dir):
+    """TPC-H Q11 silhouette: parts whose stock value from one region's
+    suppliers exceeds a fraction of the total — the HAVING-over-scalar-
+    subquery shape as a broadcast 1-row cross join.  lineitem value
+    stands in for the missing partsupp table, and the threshold is
+    scale-free (2x the MEAN per-part value, vs Q11's 0.0001/SF literal)
+    so the row stays selective at every test SF.  The comparison runs in
+    exact integer cents (cents*n vs 2*total) so the cut cannot land on a
+    float summation-order boundary in either engine.  Cites reference
+    queries' decorrelated-HAVING coverage (prql-query tests run Q11-class
+    SQL through DataFusion/DuckDB verbatim)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    sup = _tbl(spark, sf_dir, "supplier")
+    nat = _tbl(spark, sf_dir, "nation")
+    region_sup = (sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+                     .filter(F.col("n_regionkey") == 0)
+                     .select(F.col("s_suppkey").alias("l_suppkey")))
+    pv = (li.join(F.broadcast(region_sup), "l_suppkey")
+            .groupBy("l_partkey")
+            .agg(F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                       .cast("long")).alias("cents")))
+    tot = pv.agg(F.sum("cents").alias("total_cents"),
+                 F.count(F.lit(1)).alias("n"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("cents") * F.col("n") > 2 * F.col("total_cents"))
+        .select("l_partkey",
+                (F.col("cents").cast("double") / 100).alias("stock_value"))
+        .orderBy(F.desc("stock_value"), "l_partkey")
+    )
+
+
+EXTENSIONS["q_important_stock_q11"] = _q_important_stock_q11
+EXTENSION_ORACLES["q_important_stock_q11"] = """
+WITH pv AS (
+    SELECT l_partkey,
+           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS cents
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 0
+    GROUP BY l_partkey
+), tot AS (
+    SELECT SUM(cents) AS total_cents, COUNT(*) AS n FROM pv
+)
+SELECT l_partkey, CAST(cents AS DOUBLE) / 100 AS stock_value
+FROM pv, tot
+WHERE cents * n > 2 * total_cents
+ORDER BY stock_value DESC, l_partkey
+"""
+
+
+def _q_potential_promo_q20(spark, sf_dir):
+    """TPC-H Q20 silhouette: suppliers of 'red' parts holding more than
+    twice what they shipped in the 1996-97 window — the nested
+    IN-subquery chain as broadcast leftsemi joins.  Per-(supplier, part)
+    lineitem quantity sums stand in for ps_availqty; all comparisons run
+    on exact BIGINT quantities.  The region filter replaces Q20's
+    single-nation filter so the result is non-empty at the smallest test
+    SF (10 suppliers total at sf0.001)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    part = _tbl(spark, sf_dir, "part")
+    sup = _tbl(spark, sf_dir, "supplier")
+    nat = _tbl(spark, sf_dir, "nation")
+    red = part.filter(F.col("p_name").like("red%")).select(
+        F.col("p_partkey").alias("l_partkey"))
+    in_win = ((F.col("l_shipdate") >= F.lit("1996-01-01")) &
+              (F.col("l_shipdate") < F.lit("1998-01-01")))
+    pq = (li.join(F.broadcast(red), "l_partkey", "leftsemi")
+            .groupBy("l_suppkey", "l_partkey")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_total"),
+                 F.sum(F.when(in_win, F.col("l_quantity").cast("long"))
+                        .otherwise(F.lit(0))).alias("qty_win")))
+    keep = (pq.filter((F.col("qty_total") > 2 * F.col("qty_win")) &
+                      (F.col("qty_win") > 0))
+              .select(F.col("l_suppkey").alias("s_suppkey")).distinct())
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .filter(F.col("n_regionkey") == 3)
+        .join(F.broadcast(keep), "s_suppkey", "leftsemi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+EXTENSIONS["q_potential_promo_q20"] = _q_potential_promo_q20
+EXTENSION_ORACLES["q_potential_promo_q20"] = """
+WITH pq AS (
+    SELECT l_suppkey, l_partkey,
+           SUM(CAST(l_quantity AS BIGINT)) AS qty_total,
+           SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate < TIMESTAMP '1998-01-01'
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_win
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    GROUP BY l_suppkey, l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey = 3
+  AND s_suppkey IN (SELECT DISTINCT l_suppkey FROM pq
+                    WHERE qty_total > 2 * qty_win AND qty_win > 0)
+ORDER BY s_name
+"""
+
+
 def _x_dup_substrings(spark, sf_dir):
     """Exact substring dedup summary: per document, the number of maximal
     duplicated spans (winnowed k=20/window=16 fingerprints shared by >= 2
@@ -5701,6 +5815,61 @@ def _x_iceberg_merge(spark, sf_dir):
     )
 
 
+def _x_iceberg_partition(spark, sf_dir):
+    """Identity-partitioned Iceberg + manifest-level pruning (r11): the
+    scan lever that makes lakehouse tables work at 100 TB.  Create the
+    orders table partitioned by o_orderpriority (each data file holds
+    one partition value, recorded in its manifest entry's `partition`
+    struct), row-level DELETE `o_orderkey % 7 = 0` (positional delete
+    files stack on the partitioned layout), then aggregate TWO reads:
+    the full post-delete head, and a `where=` read of the 1-URGENT
+    partition — whose file list is asserted in-row to be a STRICT
+    subset of the table's data files (`_prune_data_files`), so a
+    pruning regression (full scan) or over-pruning (wrong subset)
+    fails loudly.  The oracle recomputes both sides from raw orders
+    with the delete predicate inverted, so a partition-leak (rows in
+    the wrong partition), a delete miss under pruning, or metadata
+    drift all hash-mismatch."""
+    import json
+
+    from prql_query_spark.engine.iceberg import (
+        _latest_metadata, _prune_data_files, _walk_manifests,
+        delete_iceberg, read_iceberg, write_iceberg)
+
+    d = _rt_dir("pq_rt_icepart_") + "/orders"
+    src = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    write_iceberg(src, d, partition_by=["o_orderpriority"])   # snap 1
+    delete_iceberg(spark, d, "o_orderkey % 7 = 0")            # snap 2
+
+    meta = json.loads(open(_latest_metadata(d)).read())
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    dfs, _dels, parts = _walk_manifests(snap, d)
+    pruned = _prune_data_files(
+        spark, meta, dfs, parts, "o_orderpriority = '1-URGENT'")
+    if not (0 < len(pruned) < len(dfs)):
+        raise AssertionError(
+            f"manifest pruning regressed: {len(pruned)} of {len(dfs)} "
+            "files survive a single-partition predicate")
+
+    urgent = read_iceberg(
+        spark, d, where="o_orderpriority = '1-URGENT'").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urgent"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum_urgent"))
+    head = read_iceberg(spark, d).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").alias("price_cents"))
+    return (
+        head.crossJoin(F.broadcast(urgent))
+        .select("o_orderpriority", "n", "key_sum", "price_cents",
+                "n_urgent", "key_sum_urgent")
+        .orderBy("o_orderpriority")
+    )
+
+
 def _x_delta_delete(spark, sf_dir):
     """Delta row-level DELETE, copy-on-write (r11 — the Delta twin of
     x_iceberg_delete, same leak-detection design): create the part
@@ -5861,6 +6030,7 @@ EXTENSIONS["x_iceberg_append"] = _x_iceberg_append
 EXTENSIONS["x_iceberg_overwrite"] = _x_iceberg_overwrite
 EXTENSIONS["x_iceberg_delete"] = _x_iceberg_delete
 EXTENSIONS["x_iceberg_merge"] = _x_iceberg_merge
+EXTENSIONS["x_iceberg_partition"] = _x_iceberg_partition
 EXTENSIONS["x_delta_delete"] = _x_delta_delete
 EXTENSIONS["x_delta_merge"] = _x_delta_merge
 EXTENSIONS["x_roundtrip_webdataset"] = _x_roundtrip_webdataset
@@ -6822,6 +6992,26 @@ FROM o LEFT JOIN h ON o.p_brand = h.p_brand
 # under test
 EXTENSION_ORACLES["x_delta_delete"] = EXTENSION_ORACLES["x_iceberg_delete"]
 EXTENSION_ORACLES["x_delta_merge"] = EXTENSION_ORACLES["x_iceberg_merge"]
+
+EXTENSION_ORACLES["x_iceberg_partition"] = """
+WITH live AS (
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey % 7 <> 0
+), u AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_urgent,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum_urgent
+    FROM live WHERE o_orderpriority = '1-URGENT'
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS price_cents,
+       n_urgent, key_sum_urgent
+FROM live, u
+GROUP BY o_orderpriority, n_urgent, key_sum_urgent
+ORDER BY o_orderpriority
+"""
 
 EXTENSION_ORACLES["x_roundtrip_webdataset"] = """
 SELECT doc_id % 10 AS key_mod, COUNT(*) AS n,

@@ -145,9 +145,14 @@ def _table_schema(meta: dict) -> StructType:
 
 def _walk_manifests(
     snap: dict, path: str
-) -> tuple[list[tuple[str, object]], list[tuple[str, object]]]:
+) -> tuple[list[tuple[str, object]], list[tuple[str, object]], dict]:
     """Resolve a snapshot's manifest chain into
-    ``(data_files, pos_deletes)`` lists of ``(resolved path, seq)``.
+    ``(data_files, pos_deletes, partitions)`` — the first two lists of
+    ``(resolved path, seq)``, the third a ``{resolved path: partition
+    values dict}`` for manifest entries that carry the spec's
+    ``partition`` struct (absent for unpartitioned tables and external
+    manifests this codec cannot see partition data in — readers fall
+    back to scanning every file).
 
     Sequence-number inheritance follows the spec: an entry without an
     explicit data_sequence_number/sequence_number inherits the
@@ -169,6 +174,7 @@ def _walk_manifests(
 
     data_files: list[tuple[str, object]] = []   # (resolved path, seq)
     pos_deletes: list[tuple[str, object]] = []  # (resolved path, seq)
+    partitions: dict[str, dict] = {}            # resolved path -> values
     for m in manifests:
         is_delete_manifest = m.get("content", 0) == 1
         with open(_resolve(m["manifest_path"], path), "rb") as fh:
@@ -195,16 +201,112 @@ def _walk_manifests(
                 pos_deletes.append(
                     (_resolve(df_info["file_path"], path), entry_seq(e, m)))
             else:
-                data_files.append(
-                    (_resolve(df_info["file_path"], path), entry_seq(e, m)))
-    return data_files, pos_deletes
+                rp = _resolve(df_info["file_path"], path)
+                data_files.append((rp, entry_seq(e, m)))
+                pv = df_info.get("partition")
+                if isinstance(pv, dict):
+                    partitions[rp] = pv
+    return data_files, pos_deletes, partitions
+
+
+def _identity_part_fields(meta: dict) -> list[tuple[str, DataType]]:
+    """(source column name, spark type) for each identity field of the
+    table's DEFAULT partition spec, resolved through schema field ids.
+    Empty for unpartitioned tables; unresolvable source ids simply drop
+    out (pruning then falls back to scanning every file)."""
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        ice_schema = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == sid)
+    else:
+        ice_schema = meta.get("schema") or {"fields": []}
+    by_id = {f.get("id"): f for f in ice_schema["fields"]}
+    spec_id = meta.get("default-spec-id", 0)
+    spec = next(
+        (s for s in meta.get("partition-specs") or []
+         if s.get("spec-id", 0) == spec_id), None) or {"fields": []}
+    out = []
+    for f in spec.get("fields", []):
+        if f.get("transform", "identity") != "identity":
+            continue
+        src = by_id.get(f.get("source-id"))
+        if src is not None:
+            out.append((src["name"], _spark_type(src["type"])))
+    return out
+
+
+def _prune_data_files(
+    spark: SparkSession,
+    meta: dict,
+    data_files: list[tuple[str, object]],
+    partitions: dict,
+    where: str,
+) -> list[tuple[str, object]]:
+    """Manifest-level partition pruning — Iceberg's core scan lever at
+    scale: drop data files whose identity-partition values cannot
+    satisfy ``where`` BEFORE any parquet footer is opened.  Strictly an
+    optimization: the caller re-applies ``where`` as a row filter, so
+    falling back to the full file list is always correct.  Falls back
+    when the table has no identity partition fields, any data file
+    lacks partition metadata (external writers), a value type is not
+    prunable, or the predicate references non-partition columns (the
+    one-row-per-file evaluation frame fails analysis).  The evaluation
+    itself runs through Spark SQL on a metadata-scale local DataFrame
+    (one row per data file), so predicate semantics — null handling,
+    type coercion, collation — are exactly the engine's own."""
+    import datetime
+
+    fields = _identity_part_fields(meta)
+    if not fields:
+        return data_files
+
+    def conv(v, typ):
+        if v is None:
+            return None
+        if isinstance(typ, DateType):
+            # avro/iceberg date encoding: days since epoch
+            return datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
+        if isinstance(typ, (IntegerType, LongType)):
+            return int(v)
+        if isinstance(typ, StringType):
+            return str(v)
+        raise IcebergError(f"unprunable partition type {typ}")
+
+    rows = []
+    for p, _s in data_files:
+        pv = partitions.get(p)
+        if pv is None:
+            return data_files  # a file without partition metadata
+        try:
+            rows.append(tuple([p] + [conv(pv.get(c), t) for c, t in fields]))
+        except (IcebergError, ValueError, KeyError):
+            return data_files
+    frame_schema = StructType(
+        [StructField("_pq_file", StringType(), False)]
+        + [StructField(c, t, True) for c, t in fields])
+    pdf = spark.createDataFrame(rows, frame_schema)
+    try:
+        keep = {r["_pq_file"]
+                for r in pdf.filter(where).select("_pq_file").collect()}
+    except Exception:
+        return data_files  # predicate needs non-partition columns
+    return [t for t in data_files if t[0] in keep]
 
 
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession, path: str, snapshot_id: int | None = None,
+    where: str | None = None
 ) -> DataFrame:
     """Read an Iceberg table directory at its current (or a given)
-    snapshot without the connector jar."""
+    snapshot without the connector jar.
+
+    ``where`` (optional) is any Spark SQL boolean expression; it is
+    ALWAYS applied as a row filter, and when it constrains only the
+    table's identity partition columns it additionally prunes whole
+    data files at the manifest level — the metadata-only scan
+    elimination that makes partitioned Iceberg tables work at 100 TB
+    (a day-partitioned predicate reads one day's files, not the
+    table)."""
     meta_path = _latest_metadata(path)
     with open(meta_path) as fh:
         meta = json.load(fh)
@@ -230,16 +332,22 @@ def read_iceberg(
                     "Iceberg connector for hidden partitioning"
                 )
 
-    data_files, pos_deletes = _walk_manifests(snap, path)
+    data_files, pos_deletes, partitions = _walk_manifests(snap, path)
 
+    if where:
+        data_files = _prune_data_files(
+            spark, meta, data_files, partitions, where)
     if not data_files:
-        return spark.createDataFrame([], spark_schema)
+        out = spark.createDataFrame([], spark_schema)
+        return out.filter(where) if where else out
     paths = sorted({p for p, _ in data_files})
     base = spark.read.schema(spark_schema).parquet(*paths)
-    if not pos_deletes:
-        return base
-    return _apply_position_deletes(
-        spark, base, spark_schema, path, data_files, pos_deletes)
+    if pos_deletes:
+        # delete files referencing pruned-out data files are inert: the
+        # anti-join keys on the surviving files' paths only
+        base = _apply_position_deletes(
+            spark, base, spark_schema, path, data_files, pos_deletes)
+    return base.filter(where) if where else base
 
 
 def _norm_uri(p: str) -> str:
@@ -379,29 +487,139 @@ _ML_SCHEMA = {
     ]}
 
 
-def _write_manifest(meta_dir: str, parts: list[str], content: int = 0) -> str:
+_PART_AVRO_TYPE = {
+    IntegerType(): "int", LongType(): "long", StringType(): "string",
+    DateType(): "int",  # iceberg/avro date encoding: days since epoch
+}
+
+
+def _write_manifest(
+    meta_dir: str, parts: list, content: int = 0,
+    part_fields: list[tuple[str, DataType]] | None = None,
+) -> str:
     """One manifest Avro naming the given parquet parts (``content=0``
     data files, ``content=1`` positional delete files); returns its
-    path."""
+    path.  ``parts`` entries are paths, or ``(path, partition values
+    dict)`` pairs when ``part_fields`` names the table's identity
+    partition columns — the values are written as the spec's
+    ``partition`` struct on each data_file (spec names the record r102),
+    typed per the source column (nullable unions), which is what makes
+    manifest-level pruning possible on read."""
     import uuid
 
     import pyarrow.parquet as pq
 
     from prql_query_spark.engine.avro import encode_container
 
+    schema = _ENTRY_SCHEMA
+    if part_fields:
+        df_fields = list(_ENTRY_SCHEMA["fields"][1]["type"]["fields"]) + [{
+            "name": "partition", "type": ["null", {
+                "type": "record", "name": "r102", "fields": [
+                    {"name": c, "type": ["null", _PART_AVRO_TYPE[t]],
+                     "default": None}
+                    for c, t in part_fields
+                ]}], "default": None}]
+        schema = {
+            "type": "record", "name": "manifest_entry", "fields": [
+                _ENTRY_SCHEMA["fields"][0],
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "data_file",
+                    "fields": df_fields}},
+            ]}
+
     entries = []
-    for p in parts:
+    for item in parts:
+        p, pvals = item if isinstance(item, tuple) else (item, None)
         md = pq.read_metadata(p)
         if md.num_rows == 0:
             continue  # empty-partition part files carry no data (r3 lesson)
-        entries.append({"status": 1, "data_file": {
-            "content": content, "file_path": f"file://{p}",
-            "file_format": "PARQUET", "record_count": md.num_rows,
-            "file_size_in_bytes": os.path.getsize(p)}})
+        rec = {"content": content, "file_path": f"file://{p}",
+               "file_format": "PARQUET", "record_count": md.num_rows,
+               "file_size_in_bytes": os.path.getsize(p)}
+        if part_fields:
+            rec["partition"] = {
+                c: (pvals or {}).get(c) for c, _t in part_fields}
+        entries.append({"status": 1, "data_file": rec})
     man_path = os.path.join(meta_dir, f"man-{uuid.uuid4().hex}.avro")
     with open(man_path, "wb") as fh:
-        fh.write(encode_container(_ENTRY_SCHEMA, entries))
+        fh.write(encode_container(schema, entries))
     return man_path
+
+
+def _write_data_files(
+    df: DataFrame, data_dir: str,
+    part_fields: list[tuple[str, DataType]],
+) -> list[tuple[str, dict | None]]:
+    """Stage a DataFrame's parquet data files under ``data_dir`` and
+    return ``(path, partition values)`` pairs for the manifest.
+
+    Partitioned staging uses Spark's own ``partitionBy`` — fully
+    distributed, one job — but on ALIAS columns (``__pq_p<i>``)
+    holding a HEX encoding of each partition value, so the hive layout
+    carries the values in directory names while the ORIGINAL columns
+    stay inside every data file, which is both what real Iceberg
+    writers do for identity partitions and what this module's reader
+    requires.  Each resulting file holds exactly one partition tuple
+    (the spec's requirement for the manifest ``partition`` struct).
+
+    Hex, not raw values, because directory names become part of
+    ``_metadata.file_path``, and Spark reports that as a URI — a raw
+    value with a space would surface as ``%20`` on the scan side while
+    the manifest stores the filesystem path, silently de-keying the
+    positional-delete join (rows a DELETE removed would resurrect —
+    caught by the x_iceberg_partition oracle during r11).  Hex dir
+    names ([0-9a-f], 'x'-prefixed so an empty string stays distinct
+    from the null dir) make URI == filesystem path by construction,
+    so every downstream (file, pos) join key stays verbatim.  The
+    true values are decoded driver-side for the manifest —
+    metadata-scale work."""
+    import datetime
+    import glob
+
+    if not part_fields:
+        df.write.mode("errorifexists").parquet(data_dir)
+        return [(p, None) for p in sorted(
+            glob.glob(os.path.join(data_dir, "part-*.parquet")))]
+
+    staged = df
+    aliases = []
+    for i, (c, _t) in enumerate(part_fields):
+        a = f"__pq_p{i}"
+        staged = staged.withColumn(
+            a, F.concat(F.lit("x"), F.lower(
+                F.hex(F.encode(F.col(c).cast("string"), "UTF-8")))))
+        aliases.append(a)
+    staged.write.mode("errorifexists").partitionBy(*aliases).parquet(data_dir)
+
+    def parse(raw: str, typ: DataType):
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        v = bytes.fromhex(raw[1:]).decode("utf-8")
+        if isinstance(typ, DateType):
+            d = datetime.date.fromisoformat(v)
+            return (d - datetime.date(1970, 1, 1)).days
+        if isinstance(typ, (IntegerType, LongType)):
+            return int(v)
+        return v
+
+    out: list[tuple[str, dict | None]] = []
+    for root, _dirs, files in os.walk(data_dir):
+        for f in sorted(files):
+            if not (f.startswith("part-") and f.endswith(".parquet")):
+                continue
+            rel = os.path.relpath(root, data_dir)
+            comps = dict(
+                seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg)
+            pvals = {}
+            for i, (c, t) in enumerate(part_fields):
+                key = f"__pq_p{i}"
+                if key not in comps:
+                    raise IcebergError(
+                        f"staged file {f} missing partition dir for {c!r}")
+                pvals[c] = parse(comps[key], t)
+            out.append((os.path.join(root, f), pvals))
+    return sorted(out)
 
 
 def _schema_fields(df: DataFrame) -> list[dict]:
@@ -412,11 +630,54 @@ def _schema_fields(df: DataFrame) -> list[dict]:
     ]
 
 
+def _resolve_part_fields(
+    df: DataFrame, partition_by: list[str]
+) -> list[tuple[str, DataType]]:
+    """Validate requested identity partition columns against the
+    DataFrame schema: they must exist and be of a partition-able type
+    (int/long/string/date — timestamps are near-unique and belong under
+    a bucket/day transform, which needs the connector jar)."""
+    out = []
+    for c in partition_by:
+        f = next((f for f in df.schema.fields if f.name == c), None)
+        if f is None:
+            raise IcebergError(
+                f"partition column {c!r} not in schema "
+                f"{[x.name for x in df.schema.fields]}")
+        if f.dataType not in _PART_AVRO_TYPE:
+            raise IcebergError(
+                f"partition column {c!r} has type {f.dataType} — identity "
+                "partitioning supports int/long/string/date (timestamps "
+                "need a day/hour transform: connector-jar territory)")
+        out.append((c, f.dataType))
+    return out
+
+
+def _declared_part_fields(
+    meta: dict, meta_path: str
+) -> list[tuple[str, DataType]]:
+    """The table's declared identity partition fields, for writers to
+    inherit — raising if the default spec carries any non-identity
+    transform (this writer cannot produce those partition values)."""
+    spec_id = meta.get("default-spec-id", 0)
+    spec = next(
+        (s for s in meta.get("partition-specs") or []
+         if s.get("spec-id", 0) == spec_id), None) or {"fields": []}
+    bad = [f["transform"] for f in spec.get("fields", [])
+           if f.get("transform", "identity") not in ("identity", "void")]
+    if bad:
+        raise IcebergError(
+            f"table {meta_path} declares partition transforms {bad} — "
+            "this writer supports identity partitioning only")
+    return _identity_part_fields(meta)
+
+
 def write_iceberg(
     df: DataFrame,
     path: str,
     mode: str = "create",
     properties: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Minimal jar-less Iceberg v2 APPEND writer — the inverse of
     read_iceberg, same supported subset (parquet data files, unpartitioned,
@@ -458,12 +719,22 @@ def write_iceberg(
     table properties survive `expire_snapshots`, so replay detection
     keeps working after maintenance.
 
-    Partition evolution, row-level deletes, and catalog-level commits
-    (atomic swap, retries) remain connector-jar territory — this writer
-    is the single-writer lakehouse subset, matching the Delta side's
-    lifecycle; `expire_snapshots` is the maintenance half.
+    ``partition_by`` (optional) identity-partitions the table: data
+    files are staged hive-style (each file holds ONE partition tuple,
+    with the source columns still INSIDE the files, as real Iceberg
+    identity-partition writers do), the partition values land in every
+    manifest entry's ``partition`` struct, and the metadata declares
+    the identity spec — which is what `read_iceberg(where=...)` prunes
+    against.  On an EXISTING table the declared partitioning is
+    inherited automatically (append/overwrite keep the layout);
+    passing a ``partition_by`` that differs from the declared spec
+    raises — partition evolution needs the connector jar.
+
+    Row-level deletes beyond `delete_iceberg`, and catalog-level
+    commits (atomic swap, retries) remain connector-jar territory —
+    this writer is the single-writer lakehouse subset, matching the
+    Delta side's lifecycle; `expire_snapshots` is the maintenance half.
     """
-    import glob
     import json
     import uuid
 
@@ -480,11 +751,12 @@ def write_iceberg(
 
     meta_dir = os.path.join(path, "metadata")
     if not exists:
+        part_fields = _resolve_part_fields(df, list(partition_by or []))
         data_dir = os.path.join(path, "data")
-        df.write.mode("errorifexists").parquet(data_dir)
-        parts = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
+        parts = _write_data_files(df, data_dir, part_fields)
         os.makedirs(meta_dir)
-        man_path = _write_manifest(meta_dir, parts)
+        man_path = _write_manifest(
+            meta_dir, parts, part_fields=part_fields or None)
         snap_id = 1
         ml_path = os.path.join(meta_dir, f"snap-{snap_id}.avro")
         with open(ml_path, "wb") as fh:
@@ -493,14 +765,20 @@ def write_iceberg(
                 "manifest_length": os.path.getsize(man_path),
                 "content": 0, "added_snapshot_id": snap_id,
                 "sequence_number": 1}]))
+        col_pos = {f.name: i + 1 for i, f in enumerate(df.schema.fields)}
+        spec_fields = [
+            {"name": c, "transform": "identity",
+             "source-id": col_pos[c], "field-id": 1000 + i}
+            for i, (c, _t) in enumerate(part_fields)]
         meta = {
             "format-version": 2, "table-uuid": str(uuid.uuid4()),
             "location": f"file://{path}",
             "schemas": [{"schema-id": 0, "type": "struct",
                          "fields": _schema_fields(df)}],
             "current-schema-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "default-spec-id": 0, "last-partition-id": 999,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "default-spec-id": 0,
+            "last-partition-id": 999 + len(spec_fields),
             "last-sequence-number": 1,
             "snapshots": [{"snapshot-id": snap_id, "timestamp-ms": 0,
                            "sequence-number": 1,
@@ -531,14 +809,22 @@ def write_iceberg(
             f"append schema mismatch: table has {want}, DataFrame has "
             f"{got} — schema evolution needs the connector jar")
 
+    declared = _declared_part_fields(meta, meta_path)
+    if partition_by is not None and list(partition_by) != [
+            c for c, _t in declared]:
+        raise IcebergError(
+            f"partitioning mismatch: table declares "
+            f"{[c for c, _t in declared]}, write requested "
+            f"{list(partition_by)} — partition evolution needs the "
+            "connector jar")
+
     snaps = meta.get("snapshots") or []
     parent_id = meta.get("current-snapshot-id")
     snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
 
     data_dir = os.path.join(path, "data", f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
-    df.write.mode("errorifexists").parquet(data_dir)
-    parts = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
-    man_path = _write_manifest(meta_dir, parts)
+    parts = _write_data_files(df, data_dir, declared)
+    man_path = _write_manifest(meta_dir, parts, part_fields=declared or None)
 
     # new manifest-list = previous head's manifests + the new one.
     # A dangling current-snapshot-id (no matching snapshot entry, or an
@@ -757,7 +1043,7 @@ def _live_rows_with_pos(
     delete set needs no string work at all.  Normalization happens
     only where the existing-deletes anti-join needs the `_rfp` key,
     and only when the table actually carries deletes."""
-    data_files, pos_deletes = _walk_manifests(snap, path)
+    data_files, pos_deletes, _parts = _walk_manifests(snap, path)
     if not data_files:
         return None
     schema = _table_schema(meta)
@@ -840,7 +1126,6 @@ def merge_iceberg(
 
     Returns ``{"matched_deleted": N, "appended_rows": M,
     "snapshot_id": id}``."""
-    import glob
     import shutil
     import uuid
 
@@ -905,18 +1190,21 @@ def merge_iceberg(
             new_manifests.append(
                 (_write_manifest(meta_dir, del_parts, content=1), 1))
 
-    # every source row appends (updates = delete old + insert new)
+    # every source row appends (updates = delete old + insert new),
+    # inheriting the table's declared identity partitioning
+    declared = _declared_part_fields(meta, meta_path)
     data_dir = os.path.join(
         path, "data", f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
-    source.write.mode("errorifexists").parquet(data_dir)
-    data_parts = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
-    n_appended = sum(pq.read_metadata(p).num_rows for p in data_parts)
+    data_parts = _write_data_files(source, data_dir, declared)
+    n_appended = sum(
+        pq.read_metadata(p).num_rows for p, _pv in data_parts)
     if n_deleted == 0 and n_appended == 0:  # empty source, no matches
         shutil.rmtree(data_dir)
         return {"matched_deleted": 0, "appended_rows": 0,
                 "snapshot_id": snap["snapshot-id"]}
     new_manifests.append(
-        (_write_manifest(meta_dir, data_parts, content=0), 0))
+        (_write_manifest(meta_dir, data_parts, content=0,
+                         part_fields=declared or None), 0))
 
     _commit_snapshot(path, meta_path, meta, snap_id,
                      _head_manifests(snap, path, "a merge"),

@@ -6213,3 +6213,141 @@ def test_iceberg_merge_upsert(spark, tmp_path):
     assert res4["matched_deleted"] == 0 and res4["appended_rows"] == 3
     assert sorted(r.id for r in read_iceberg(spark, d2).collect()) \
         == [2, 4, 9]
+
+
+def test_iceberg_partitioned_write_and_manifest_pruning(spark, tmp_path):
+    """Identity-partitioned Iceberg (r11): `write_iceberg(partition_by=)`
+    stages hive-style so each data file holds ONE partition tuple with
+    the source columns still INSIDE the files, records the values in
+    every manifest entry's `partition` struct, and declares the
+    identity spec; `read_iceberg(where=)` then prunes whole data files
+    at the MANIFEST level (no parquet footer opened for pruned files)
+    while staying strictly an optimization — values always equal the
+    plain filtered read.  Appends inherit the declared layout;
+    evolution/type contracts raise."""
+    import json
+
+    import pytest as _pytest
+
+    from prql_query_spark.engine.iceberg import (
+        IcebergError, _latest_metadata, _prune_data_files, _walk_manifests,
+        read_iceberg, write_iceberg,
+    )
+
+    d = str(tmp_path / "ice_part")
+    src = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        F.date_add(F.lit("2024-01-01"),
+                   (F.col("id") % 2).cast("int")).alias("day"))
+    write_iceberg(src.repartition(4), d, partition_by=["bucket", "day"])
+
+    def head_files():
+        meta = json.load(open(_latest_metadata(d)))
+        snap = next(s for s in meta["snapshots"]
+                    if s["snapshot-id"] == meta["current-snapshot-id"])
+        return (meta,) + _walk_manifests(snap, d)
+
+    meta, dfs, dels, parts = head_files()
+    # every data file carries typed partition metadata; spec is identity
+    assert len(parts) == len(dfs) > 0
+    spec = meta["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("bucket", "identity"), ("day", "identity")]
+
+    # manifest-level pruning: a 1-of-3 bucket predicate drops ~2/3 of
+    # the files; date + composite predicates prune further; a predicate
+    # over a NON-partition column falls back to the full list
+    p1 = _prune_data_files(spark, meta, dfs, parts, "bucket = 1")
+    assert 0 < len(p1) < len(dfs)
+    p2 = _prune_data_files(
+        spark, meta, dfs, parts, "bucket = 1 AND day = DATE'2024-01-02'")
+    assert 0 < len(p2) < len(p1)
+    assert len(_prune_data_files(
+        spark, meta, dfs, parts, "id > 5")) == len(dfs)
+
+    # where-read == plain filtered read (pruning is only an optimization)
+    got = sorted(r.id for r in read_iceberg(
+        spark, d, where="bucket = 1 AND id < 50").collect())
+    want = sorted(r.id for r in src.filter(
+        "bucket = 1 AND id < 50").collect())
+    assert got == want and got
+
+    # append inherits the declared partitioning (new files partitioned)
+    extra = spark.range(300, 360).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("bucket"),
+        F.lit("2024-01-05").cast("date").alias("day"))
+    write_iceberg(extra, d, mode="append")
+    _m, dfs2, _d2, parts2 = head_files()
+    assert len(parts2) == len(dfs2) > len(dfs)
+    assert read_iceberg(spark, d, where="day = DATE'2024-01-05'") \
+        .count() == 60
+
+    # contracts: partition evolution, absent column, unsupported type
+    with _pytest.raises(IcebergError, match="partitioning mismatch"):
+        write_iceberg(extra, d, mode="append", partition_by=["bucket"])
+    d2 = str(tmp_path / "ice_part_bad")
+    with _pytest.raises(IcebergError, match="not in schema"):
+        write_iceberg(src, d2, partition_by=["nope"])
+    ts = src.withColumn("t", F.current_timestamp())
+    with _pytest.raises(IcebergError, match="identity partitioning"):
+        write_iceberg(ts, d2, partition_by=["t"])
+
+
+def test_iceberg_partitioned_dml_and_maintenance(spark, tmp_path):
+    """Row-level DML + maintenance on a PARTITIONED table (r11): delete
+    files apply under pruned reads (a delete targeting a pruned-in file
+    still filters it), merge-appended files inherit the declared layout
+    and carry partition metadata, and compact/expire preserve both the
+    rows and the spec — the full lifecycle composes with
+    partitioning."""
+    import json
+
+    from prql_query_spark.engine.iceberg import (
+        _latest_metadata, _walk_manifests, compact_iceberg, delete_iceberg,
+        expire_snapshots, merge_iceberg, read_iceberg, write_iceberg,
+    )
+
+    d = str(tmp_path / "ice_part_dml")
+    # partition values CONTAIN SPACES: `_metadata.file_path` is a URI
+    # (space -> %20), so raw-value dir names would de-key the
+    # positional-delete join and resurrect deleted rows — the r11 bug
+    # the hex dir staging exists to prevent
+    src = spark.range(0, 200).select(
+        F.col("id"),
+        F.concat(F.lit("grp "), (F.col("id") % 4).cast("string"))
+         .alias("g"),
+        (F.col("id") * 10).alias("v"))
+    write_iceberg(src, d, partition_by=["g"])
+
+    res = delete_iceberg(spark, d, "id % 5 = 0")
+    assert res["deleted_rows"] == 40
+    # the FULL read applies every partition's delete files (this is
+    # where raw-value dirs silently resurrected rows)
+    assert sorted(r.id for r in read_iceberg(spark, d).collect()) == \
+        sorted(i for i in range(0, 200) if i % 5 != 0)
+    # pruned read still applies the pruned-in partition's delete files
+    assert sorted(r.id for r in
+                  read_iceberg(spark, d, where="g = 'grp 0'").collect()) \
+        == sorted(i for i in range(0, 200) if i % 4 == 0 and i % 5 != 0)
+
+    up = spark.createDataFrame(
+        [(7, "grp 9", 700), (1000, "grp 9", 0)], "id long, g string, v long")
+    merge_iceberg(spark, d, up, on=["id"])
+    assert sorted(r.id for r in
+                  read_iceberg(spark, d, where="g = 'grp 9'").collect()) == \
+        [7, 1000]
+
+    want = sorted((r.id, r.g, r.v)
+                  for r in read_iceberg(spark, d).collect())
+    compact_iceberg(spark, d, target_files=1)
+    expire_snapshots(d, keep_last=1)
+    assert sorted((r.id, r.g, r.v)
+                  for r in read_iceberg(spark, d).collect()) == want
+    meta = json.load(open(_latest_metadata(d)))
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    dfs, dels, parts = _walk_manifests(snap, d)
+    assert len(parts) == len(dfs) > 0 and not dels
+    assert [f["name"] for f in meta["partition-specs"][0]["fields"]] \
+        == ["g"]
