@@ -671,7 +671,12 @@ def _affected_files(
     affected_abs = []
     affected_rel = []
     for r in hits.select("_fp").distinct().collect():
-        a = re.sub(r"^file:(//)?", "", r["_fp"])  # driver-side, tiny set
+        # driver-side, tiny set: strip the file: scheme AND percent-
+        # decode — `_metadata.file_path` is a URI, so a partition value
+        # with a space scans as %20 while the log (and the filesystem)
+        # hold the literal path; without the unquote, DML on such
+        # partitioned tables refused every touched file (r11)
+        a = urllib.parse.unquote(re.sub(r"^file:(//)?", "", r["_fp"]))
         rel = abs_to_rel.get(os.path.abspath(a))
         if rel is None:
             raise DeltaProtocolError(

@@ -2946,6 +2946,35 @@ def test_delete_delta_partitioned_prunes(spark, tmp_path):
                    (4, "even"), (5, "odd"), (6, "even"), (8, "even")]
 
 
+def test_delta_dml_uri_escaped_partition_values(spark, tmp_path):
+    """DML on a partitioned table whose partition VALUES contain spaces
+    (r11): `_metadata.file_path` is a URI (space -> %20) while the log
+    and the filesystem hold literal paths, so the locate pass must
+    percent-decode the scanned set — without it, every touched file was
+    refused as "not in the snapshot's add set"."""
+    from prql_query_spark.engine.deltalog import (
+        delete_delta, merge_delta, read_delta_snapshot, write_delta,
+    )
+
+    d = str(tmp_path / "tsp")
+    src = spark.createDataFrame(
+        [(i, f"grp {i % 4}", i * 10) for i in range(200)],
+        "id long, g string, v long")
+    write_delta(src, d, partition_by=["g"])
+    assert delete_delta(spark, d, "id % 5 = 0")["deleted_rows"] == 40
+    assert sorted(r.id for r in read_delta_snapshot(spark, d).collect()) \
+        == [i for i in range(200) if i % 5 != 0]
+    m = merge_delta(spark, d, spark.createDataFrame(
+        [(7, "grp 9", 700), (1000, "grp 9", 0)],
+        "id long, g string, v long"), on=["id"])
+    assert m["matched_deleted"] == 1 and m["appended_rows"] == 2
+    r = read_delta_snapshot(spark, d)
+    assert sorted(x.id for x in r.filter("g = 'grp 9'").collect()) \
+        == [7, 1000]
+    assert sorted(x.id for x in r.collect()) == sorted(
+        [i for i in range(200) if i % 5 != 0 and i != 7] + [7, 1000])
+
+
 def test_merge_delta_upsert(spark, tmp_path):
     """merge_delta (r11): matched keys replaced, unmatched inserted,
     one commit, only touched files rewritten; contracts raise; absent
