@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append to an existing sink instead of "
                         "create/overwrite (delta/iceberg snapshots, "
                         "dataset dirs); forces the backend writer")
+    p.add_argument("--partition-by", default=None, metavar="COLS",
+                   help="comma-separated columns to partition the sink by "
+                        "(hive layout for parquet/orc/csv/json datasets, "
+                        "partitionColumns for delta, identity partition "
+                        "spec for iceberg); forces the backend writer")
     p.add_argument("--sql", action="store_true",
                    help="pass a SQL query rather than a PRQL one")
     p.add_argument("--explain", action="store_true",
@@ -204,20 +209,30 @@ def main(argv: list[str] | None = None) -> int:
             print("Error: Cannot print parquet to stdout.", file=sys.stderr)
             return 1
     else:
+        part_cols = [c.strip() for c in args.partition_by.split(",")
+                     if c.strip()] if args.partition_by else None
+        if part_cols and fmt == "xml":
+            print("Error (args): --partition-by is not supported by the "
+                  "xml sink (single rowTag stream has no partition "
+                  "concept)", file=sys.stderr)
+            return 1
         if fmt == "avro":
-            if args.append:
-                print("Error (args): --append is not supported by the "
-                      "single-file avro sink", file=sys.stderr)
+            if args.append or part_cols:
+                print("Error (args): --append/--partition-by are not "
+                      "supported by the single-file avro sink",
+                      file=sys.stderr)
                 return 1
             from prql_query_spark.engine.avro import write_avro
 
             write_avro(df, to)  # pure-Python single-file sink
-        elif (writer == "arrow" and not args.append
+        elif (writer == "arrow" and not args.append and not part_cols
               and fmt not in ("orc", "xml", "delta", "iceberg")):
             write_single_file(df, to, fmt)
-        else:  # orc/xml/delta/iceberg or --append: executors write
+        else:  # orc/xml/delta/iceberg, --append, or --partition-by:
+            # executors write
             write_distributed(df, to, fmt,
-                              mode="append" if args.append else "overwrite")
+                              mode="append" if args.append else "overwrite",
+                              partition_by=part_cols)
     return 0
 
 

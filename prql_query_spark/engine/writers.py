@@ -64,8 +64,25 @@ def write_single_file(df: DataFrame, path: str, fmt: str) -> None:
         raise ValueError(f"unsupported single-file format {fmt!r}")
 
 
-def write_distributed(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
-    """Scale path: executors write in parallel, no driver materialization."""
+def write_distributed(
+    df: DataFrame, path: str, fmt: str, mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Scale path: executors write in parallel, no driver materialization.
+
+    ``partition_by`` partitions the sink: hive layout (via
+    `write_partitioned`'s one-writer-per-partition staging) for the
+    file formats, the Delta log's partitionColumns for delta, and the
+    identity partition spec + manifest partition values for iceberg
+    (which is what `read_iceberg(where=...)` prunes against).  Formats
+    without a partition concept (xml's single rowTag stream) refuse
+    loudly."""
+    if partition_by and fmt in ("csv", "json", "parquet", "orc"):
+        write_partitioned(df, path, list(partition_by), fmt, mode)
+        return
+    if partition_by and fmt not in ("delta", "iceberg"):
+        raise ValueError(
+            f"--partition-by is not supported for the {fmt!r} sink")
     w = df.write.mode(mode)
     if fmt == "csv":
         w.option("header", "true").csv(path)
@@ -80,11 +97,14 @@ def write_distributed(df: DataFrame, path: str, fmt: str, mode: str = "overwrite
     elif fmt == "delta":
         # transactional sink; works with or without the connector jar
         try:
+            if partition_by:
+                w = w.partitionBy(*partition_by)
             w.format("delta").save(path)
         except Exception:
             from prql_query_spark.engine.deltalog import write_delta
 
-            write_delta(df, path, mode=mode)
+            write_delta(df, path, mode=mode,
+                        partition_by=list(partition_by or []) or None)
     elif fmt == "iceberg":
         # jar-less v2 table (engine/iceberg.py): overwrite commits a
         # delete-by-replace snapshot (creating the table when absent —
@@ -92,11 +112,15 @@ def write_distributed(df: DataFrame, path: str, fmt: str, mode: str = "overwrite
         # snapshot still time-travelable, matching the delta sink's
         # semantics); mode="append" adds a snapshot.  With the
         # connector deployed, `--to catalog.table` via Spark SQL is the
-        # full-service path — this sink covers the path-based case
+        # full-service path — this sink covers the path-based case.
+        # An existing table's declared partitioning is inherited;
+        # partition_by on a fresh table declares the identity spec.
         from prql_query_spark.engine.iceberg import write_iceberg
 
         write_iceberg(df, path,
-                      mode="append" if mode == "append" else "overwrite")
+                      mode="append" if mode == "append" else "overwrite",
+                      partition_by=(list(partition_by)
+                                    if partition_by else None))
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

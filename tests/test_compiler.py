@@ -386,6 +386,46 @@ def test_cli_iceberg_append_flag(spark, tmp_path, sf_dir):
                   read_iceberg(spark, out, snapshot_id=2).collect()) == want
 
 
+def test_cli_partition_by_sinks(spark, tmp_path, sf_dir):
+    """`--partition-by` (r11): parquet sinks get hive layout (dirs
+    prune at plan time), iceberg sinks declare the identity spec and
+    serve pruned `where=` reads, appends inherit the layout, and
+    formats without a partition concept refuse loudly."""
+    import os
+
+    import pq
+    from prql_query_spark.engine.iceberg import read_iceberg
+    from prql_query_spark.engine.sources import read_source
+
+    base = ["-f", f"n={sf_dir}/nation.parquet"]
+    q = "from n | select [n_nationkey, n_name, n_regionkey]"
+
+    # hive-layout parquet dataset (format inferred from the suffix)
+    pqout = str(tmp_path / "n_part.parquet")
+    assert pq.main(base + ["-t", pqout, "--partition-by",
+                           "n_regionkey", q]) == 0
+    assert any(e.startswith("n_regionkey=") for e in os.listdir(pqout))
+    got = sorted(r.n_nationkey for r in
+                 spark.read.option("basePath", pqout)
+                 .parquet(pqout).collect())
+    assert got == list(range(25))
+
+    # iceberg identity spec + pruned read; --append inherits
+    iout = str(tmp_path / "n.iceberg")
+    assert pq.main(base + ["-t", iout, "--partition-by", "n_regionkey",
+                           q + " | filter n_regionkey <= 2"]) == 0
+    assert pq.main(base + ["-t", iout, "--append",
+                           q + " | filter n_regionkey > 2"]) == 0
+    assert sorted(r.n_nationkey for r in
+                  read_source(spark, iout).collect()) == list(range(25))
+    assert read_iceberg(spark, iout, where="n_regionkey = 4").count() \
+        == 5
+
+    # xml has no partition concept: loud one-line error, exit 1
+    assert pq.main(base + ["-t", str(tmp_path / "n.xml"),
+                           "--partition-by", "n_regionkey", q]) == 1
+
+
 def test_cli_avro_roundtrip(spark, tmp_path, sf_dir):
     """`--to out.avro` then `-f out.avro` both work jar-less: the CLI
     writes with the pure-Python container encoder and scans it back
