@@ -6380,3 +6380,51 @@ def test_iceberg_partitioned_dml_and_maintenance(spark, tmp_path):
     assert len(parts) == len(dfs) > 0 and not dels
     assert [f["name"] for f in meta["partition-specs"][0]["fields"]] \
         == ["g"]
+
+
+def test_iceberg_partition_values_adversarial_roundtrip(spark, tmp_path):
+    """Hex dir staging is an exact inverse for ANY string partition
+    value: URI-escapable chars (space, %, =), path separators, quotes,
+    newlines, unicode, the empty string, a literal
+    __HIVE_DEFAULT_PARTITION__, and NULL all round-trip through
+    dir-name -> manifest partition struct -> pruning frame, with null
+    kept distinct from empty."""
+    import json
+
+    from prql_query_spark.engine.iceberg import (
+        _latest_metadata, _prune_data_files, _walk_manifests, read_iceberg,
+        write_iceberg,
+    )
+
+    vals = ["plain", "has space", "a=b", "a/b", "100%", "naïve",
+            "emoji \U0001f9ea", "", "line\nbreak", "it's \"quoted\"",
+            "__HIVE_DEFAULT_PARTITION__", "x", None]
+    src = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, s string")
+    d = str(tmp_path / "ice_adv")
+    write_iceberg(src, d, partition_by=["s"])
+
+    got = sorted((r.id, r.s) for r in read_iceberg(spark, d).collect())
+    assert got == sorted((i, v) for i, v in enumerate(vals))
+
+    # manifest partition values decode to EXACTLY the original strings
+    meta = json.load(open(_latest_metadata(d)))
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    dfs, _dels, parts = _walk_manifests(snap, d)
+    assert len(parts) == len(dfs) == len(vals)
+    assert sorted((p["s"] for p in parts.values()),
+                  key=lambda x: (x is None, x)) == \
+        sorted(vals, key=lambda x: (x is None, x))
+
+    # pruning evaluates through Spark SQL semantics: IS NULL hits only
+    # the null dir; the empty string is NOT null; a nasty literal
+    # prunes to its own single file
+    assert len(_prune_data_files(spark, meta, dfs, parts,
+                                 "s IS NULL")) == 1
+    assert len(_prune_data_files(spark, meta, dfs, parts,
+                                 "s = ''")) == 1
+    assert len(_prune_data_files(spark, meta, dfs, parts,
+                                 "s = 'a=b'")) == 1
+    assert read_iceberg(spark, d, where="s IS NULL").count() == 1
+    assert read_iceberg(spark, d, where="s = ''").count() == 1
