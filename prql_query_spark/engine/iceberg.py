@@ -129,11 +129,35 @@ def _spark_type(t) -> DataType:
 
 def _table_schema(meta: dict) -> StructType:
     """Spark schema of the table's current iceberg schema: v2 keeps a
-    list + current-schema-id; v1 a single "schema"."""
+    list + current-schema-id; v1 a single "schema".
+
+    Rename-evolution guard: this reader resolves parquet columns BY
+    NAME against the current schema (real Iceberg resolves by field
+    id).  Add-column evolution is safe by name (files missing the new
+    column read nulls — the spec's semantics), but a RENAMED column
+    (same field id, new name across the metadata's schema history)
+    means older data files still carry the old parquet column name, so
+    a by-name read would silently return nulls where data exists — the
+    wrong-rows outcome this module never permits.  The history is in
+    the metadata JSON, so the check is driver-side and metadata-only:
+    any field id whose name differs across schemas raises."""
     if "schemas" in meta:
         sid = meta.get("current-schema-id", 0)
         ice_schema = next(
             s for s in meta["schemas"] if s.get("schema-id", 0) == sid)
+        names_by_id: dict[int, set[str]] = {}
+        for s in meta["schemas"]:
+            for f in s.get("fields", []):
+                if f.get("id") is not None:
+                    names_by_id.setdefault(f["id"], set()).add(f["name"])
+        renamed = sorted(
+            "/".join(sorted(v)) for v in names_by_id.values() if len(v) > 1)
+        if renamed:
+            raise IcebergError(
+                f"table schema history renames columns ({renamed}) — "
+                "this by-name reader would silently read nulls from "
+                "pre-rename data files; field-id resolution needs the "
+                "Iceberg connector")
     else:
         ice_schema = meta["schema"]
     return StructType([

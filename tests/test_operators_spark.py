@@ -6428,3 +6428,49 @@ def test_iceberg_partition_values_adversarial_roundtrip(spark, tmp_path):
                                  "s = 'a=b'")) == 1
     assert read_iceberg(spark, d, where="s IS NULL").count() == 1
     assert read_iceberg(spark, d, where="s = ''").count() == 1
+
+
+def test_iceberg_rename_evolution_refused(spark, tmp_path):
+    """An externally rename-evolved table (same field id, new name in a
+    later schema) must be REFUSED: this by-name reader would silently
+    return nulls from pre-rename data files.  Add-column evolution
+    (new field id) stays readable — nulls for old files are the spec's
+    own semantics."""
+    import json
+
+    import pytest as _pytest
+
+    from prql_query_spark.engine.iceberg import (
+        IcebergError, _latest_metadata, read_iceberg, write_iceberg,
+    )
+
+    d = str(tmp_path / "ice_ren")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a")], "id long, v string"), d)
+    mp = _latest_metadata(d)
+    meta = json.load(open(mp))
+
+    # simulate an external ADD-column evolution: new schema-id, new
+    # field id — still readable (missing column reads null)
+    cur = meta["schemas"][0]
+    meta["schemas"].append({
+        "schema-id": 1, "type": "struct",
+        "fields": cur["fields"] + [
+            {"id": 3, "name": "extra", "required": False,
+             "type": "string"}]})
+    meta["current-schema-id"] = 1
+    json.dump(meta, open(mp, "w"))
+    rows = read_iceberg(spark, d).collect()
+    assert [(r.id, r.v, r.extra) for r in rows] == [(1, "a", None)]
+
+    # simulate a RENAME: same field id 2, name v -> value
+    meta["schemas"].append({
+        "schema-id": 2, "type": "struct",
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "value", "required": False,
+             "type": "string"}]})
+    meta["current-schema-id"] = 2
+    json.dump(meta, open(mp, "w"))
+    with _pytest.raises(IcebergError, match="renames columns"):
+        read_iceberg(spark, d)
