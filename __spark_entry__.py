@@ -1684,7 +1684,7 @@ DRIVER_ORDER = [
     #   partitioned-iceberg pruning gate row, queued with the other
     #   round-11-new rows for the r12 window —
     "q_important_stock_q11", "q_potential_promo_q20",
-    "x_iceberg_partition",
+    "x_iceberg_partition", "x_schema_evolve",
 ]
 
 
@@ -5868,6 +5868,62 @@ def _x_iceberg_partition(spark, sf_dir):
                 "n_urgent", "key_sum_urgent")
         .orderBy("o_orderpriority")
     )
+
+
+def _x_schema_evolve(spark, sf_dir):
+    """ADD-column schema evolution (r11): create the part table with
+    only (p_partkey, p_brand) for even keys (snap 1), append the odd
+    keys WITH a new nullable p_size column under evolve_schema=True —
+    one snapshot that commits the new schema AND the data.  In-row
+    contracts: the same append WITHOUT the flag must raise (silent
+    evolution is never allowed), and a snapshot-1 time-travel read
+    must still serve rows (old files under the evolved schema read
+    p_size as null — the spec's semantics).  The head aggregates count
+    and sum p_size per brand, where only odd-key rows carry values;
+    the oracle reproduces that as CASE-filtered aggregates over part,
+    so a lost column, misaligned nulls, or an evolution leak into
+    snap-1 rows all hash-mismatch."""
+    from prql_query_spark.engine.iceberg import (
+        IcebergError, read_iceberg, write_iceberg)
+
+    d = _rt_dir("pq_rt_icevo_") + "/part"
+    src = _tbl(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    write_iceberg(
+        src.filter(F.col("p_partkey") % 2 == 0)
+        .select("p_partkey", "p_brand"), d)                    # snap 1
+    odd = src.filter(F.col("p_partkey") % 2 == 1)
+    try:
+        write_iceberg(odd, d, mode="append")
+        raise AssertionError("schema mismatch append did not raise")
+    except IcebergError:
+        pass
+    write_iceberg(odd, d, mode="append", evolve_schema=True)   # snap 2
+    if read_iceberg(spark, d, snapshot_id=1).count() == 0:
+        raise AssertionError("snapshot 1 unreadable after evolution")
+    return (
+        read_iceberg(spark, d).groupBy("p_brand").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("p_partkey").cast("bigint").alias("key_sum"),
+            F.sum("p_size").cast("bigint").alias("size_sum"),
+            F.count("p_size").cast("bigint").alias("n_sized"))
+        .orderBy("p_brand")
+    )
+
+
+EXTENSIONS["x_schema_evolve"] = _x_schema_evolve
+EXTENSION_ORACLES["x_schema_evolve"] = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(p_partkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CASE WHEN p_partkey % 2 = 1 THEN p_size END) AS BIGINT)
+         AS size_sum,
+       CAST(COUNT(CASE WHEN p_partkey % 2 = 1 THEN 1 END) AS BIGINT)
+         AS n_sized
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
 
 
 def _x_delta_delete(spark, sf_dir):

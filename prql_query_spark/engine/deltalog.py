@@ -237,12 +237,57 @@ def read_delta_snapshot(
     return out
 
 
+def _evolved_delta_schema(
+    declared: StructType, df: DataFrame, meta: dict, path: str
+) -> StructType:
+    """ADD-column evolution for the Delta writer (the mergeSchema
+    subset a log-schema reader serves correctly): every declared field
+    must keep its exact type, new fields must be nullable, drops and
+    type changes raise.  Returns the evolved schema to commit as a new
+    metaData action; old parquet files read the additions as null
+    because `read_delta_snapshot` always scans with the log-declared
+    schema.  Column-mapping tables are refused — new fields would need
+    physicalName metadata this writer does not mint."""
+    if (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none") != "none":
+        raise DeltaProtocolError(
+            f"schema evolution on {path}: column-mapping tables need "
+            "the Delta connector")
+    decl_by_name = {f.name: f for f in declared.fields}
+    added = []
+    for f in df.schema.fields:
+        old = decl_by_name.get(f.name)
+        if old is None:
+            if not f.nullable:
+                raise DeltaProtocolError(
+                    f"new column {f.name!r} must be nullable — existing "
+                    "rows have no value for it")
+            added.append(f.name)
+        elif old.dataType != f.dataType:
+            raise DeltaProtocolError(
+                f"schema evolution cannot change column {f.name!r} from "
+                f"{old.dataType.simpleString()} to "
+                f"{f.dataType.simpleString()}")
+    missing = [n for n in decl_by_name
+               if n not in {f.name for f in df.schema.fields}]
+    if missing:
+        raise DeltaProtocolError(
+            f"schema evolution cannot DROP columns ({missing}) — only "
+            "adding nullable columns is supported")
+    if not added:
+        raise DeltaProtocolError(
+            "schema evolution requested but the DataFrame adds no new "
+            "columns")
+    return df.schema
+
+
 def write_delta(
     df: DataFrame,
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Commit a DataFrame to a Delta table without the connector jar —
     the write side of the pure-Python fallback.  Returns the committed
@@ -273,6 +318,8 @@ def write_delta(
     part_cols = list(partition_by or [])
 
     prev_adds: dict[str, dict] = {}
+    evolved: StructType | None = None
+    prev_meta: dict | None = None
     if exists:
         meta, protocol, prev_adds, _txns = _snapshot_actions(spark, log_dir, None)
         if protocol and ((protocol.get("minWriterVersion", 2) or 2) > 2):
@@ -282,12 +329,16 @@ def write_delta(
                 "pure-Python fallback"
             )
         declared = StructType.fromJson(json.loads(meta["schemaString"]))
-        if declared != df.schema:
+        if declared != df.schema and evolve_schema:
+            evolved = _evolved_delta_schema(declared, df, meta, path)
+        elif declared != df.schema:
             raise DeltaProtocolError(
                 f"schema mismatch appending to {path}: table declares "
                 f"{declared.simpleString()}, DataFrame has "
-                f"{df.schema.simpleString()}"
+                f"{df.schema.simpleString()} — pass evolve_schema=True "
+                "to ADD nullable columns"
             )
+        prev_meta = meta
         declared_parts = meta.get("partitionColumns") or []
         if declared_parts != part_cols:
             raise DeltaProtocolError(
@@ -312,6 +363,13 @@ def write_delta(
             "partitionColumns": part_cols,
             "configuration": {},
         }})
+    elif evolved is not None:
+        # add-column evolution: re-commit the FULL metaData (readers
+        # replay the last one wholesale) with only schemaString changed,
+        # in the same commit as the data it describes
+        new_meta = dict(prev_meta or {})
+        new_meta["schemaString"] = evolved.json()
+        actions.append({"metaData": new_meta})
     if mode == "overwrite":
         for p in sorted(prev_adds):
             actions.append({"remove": {"path": p, "dataChange": True,

@@ -696,12 +696,76 @@ def _declared_part_fields(
     return _identity_part_fields(meta)
 
 
+def _evolve_schema(
+    meta: dict, meta_path: str, cur_schema: dict, df: DataFrame
+) -> None:
+    """ADD-column schema evolution, the one evolution a by-name reader
+    serves correctly (old data files read the new columns as null —
+    the spec's own semantics; renames/drops/type changes are refused,
+    see `_table_schema`'s rename guard).  The DataFrame must carry
+    every current column with its exact iceberg type, plus only NEW
+    nullable columns; the new schema entry keeps existing field ids,
+    assigns fresh ids past the table-wide max to the additions, and
+    becomes current in the SAME snapshot commit (mutates ``meta``,
+    which `_commit_snapshot` then writes)."""
+    cur_by_name = {f["name"]: f for f in cur_schema["fields"]}
+    new_fields: list[dict] = []
+    seen = set()
+    for f in df.schema.fields:
+        ice_t = _iceberg_type(f.dataType)
+        old = cur_by_name.get(f.name)
+        if old is not None:
+            if old["type"] != ice_t:
+                raise IcebergError(
+                    f"schema evolution cannot change column {f.name!r} "
+                    f"from {old['type']} to {ice_t} — type promotion "
+                    "needs the connector jar")
+            seen.add(f.name)
+        else:
+            if not f.nullable:
+                raise IcebergError(
+                    f"new column {f.name!r} must be nullable — existing "
+                    "rows have no value for it")
+            new_fields.append(f.name)
+    missing = [n for n in cur_by_name if n not in seen]
+    if missing:
+        raise IcebergError(
+            f"schema evolution cannot DROP columns ({missing}) — only "
+            "adding nullable columns is supported")
+    if not new_fields:
+        raise IcebergError(
+            "schema evolution requested but the DataFrame adds no new "
+            "columns (same names, different order is not an evolution)")
+
+    max_id = max(
+        (f["id"] for s in meta.get("schemas", [cur_schema])
+         for f in s.get("fields", []) if f.get("id") is not None),
+        default=len(cur_schema["fields"]))
+    fields = [dict(cur_by_name[f.name]) if f.name in cur_by_name else None
+              for f in df.schema.fields]
+    nid = max_id
+    for i, f in enumerate(df.schema.fields):
+        if fields[i] is None:
+            nid += 1
+            fields[i] = {"id": nid, "name": f.name, "required": False,
+                         "type": _iceberg_type(f.dataType)}
+    new_sid = max(
+        (s.get("schema-id", 0) for s in meta.get("schemas", [])),
+        default=0) + 1
+    meta.setdefault("schemas", [dict(cur_schema, **{"schema-id": 0})])
+    meta["schemas"].append(
+        {"schema-id": new_sid, "type": "struct", "fields": fields})
+    meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = nid
+
+
 def write_iceberg(
     df: DataFrame,
     path: str,
     mode: str = "create",
     properties: dict | None = None,
     partition_by: list[str] | None = None,
+    evolve_schema: bool = False,
 ) -> None:
     """Minimal jar-less Iceberg v2 APPEND writer — the inverse of
     read_iceberg, same supported subset (parquet data files, unpartitioned,
@@ -742,6 +806,14 @@ def write_iceberg(
     per-``app_id`` batch high-water mark: unlike snapshot summaries,
     table properties survive `expire_snapshots`, so replay detection
     keeps working after maintenance.
+
+    ``evolve_schema`` (append/overwrite) permits ADD-column evolution:
+    the DataFrame may carry new NULLABLE columns beyond the table's
+    current schema (drops, renames, and type changes still raise); a
+    new schema entry with fresh field ids becomes current in the same
+    snapshot commit, and older data files read the additions as null —
+    the spec's own semantics, and the one evolution a by-name reader
+    serves correctly (`_table_schema` refuses rename histories).
 
     ``partition_by`` (optional) identity-partitions the table: data
     files are staged hive-style (each file holds ONE partition tuple,
@@ -828,10 +900,13 @@ def write_iceberg(
         if "schemas" in meta else meta["schema"]
     want = [(f["name"], f["type"]) for f in cur_schema["fields"]]
     got = [(f["name"], f["type"]) for f in _schema_fields(df)]
-    if want != got:
+    if want != got and evolve_schema:
+        _evolve_schema(meta, meta_path, cur_schema, df)
+    elif want != got:
         raise IcebergError(
             f"append schema mismatch: table has {want}, DataFrame has "
-            f"{got} — schema evolution needs the connector jar")
+            f"{got} — pass evolve_schema=True to ADD nullable columns "
+            "(renames/drops/type changes need the connector jar)")
 
     declared = _declared_part_fields(meta, meta_path)
     if partition_by is not None and list(partition_by) != [

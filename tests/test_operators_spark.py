@@ -6474,3 +6474,59 @@ def test_iceberg_rename_evolution_refused(spark, tmp_path):
     json.dump(meta, open(mp, "w"))
     with _pytest.raises(IcebergError, match="renames columns"):
         read_iceberg(spark, d)
+
+
+def test_lakehouse_add_column_schema_evolution(spark, tmp_path):
+    """`evolve_schema=True` (r11): both writers accept appends that ADD
+    nullable columns — a new schema entry (iceberg) / metaData action
+    (delta) commits WITH the data, old files read the additions as
+    null, time travel keeps each version's own schema, and row-level
+    DML works across mixed-schema files.  Drops, type changes,
+    non-nullable additions, and (without the flag) any mismatch still
+    raise."""
+    import pytest as _pytest
+
+    from prql_query_spark.engine.deltalog import (
+        DeltaProtocolError, delete_delta, read_delta_snapshot, write_delta,
+    )
+    from prql_query_spark.engine.iceberg import (
+        IcebergError, delete_iceberg, read_iceberg, write_iceberg,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    ext = spark.createDataFrame(
+        [(3, "c", 30.0)], "id long, v string, score double")
+    want = [(1, "a", None), (2, "b", None), (3, "c", 30.0)]
+
+    di = str(tmp_path / "evo.iceberg")
+    write_iceberg(base, di)
+    with _pytest.raises(IcebergError, match="schema mismatch"):
+        write_iceberg(ext, di, mode="append")
+    write_iceberg(ext, di, mode="append", evolve_schema=True)
+    assert sorted((r.id, r.v, r.score)
+                  for r in read_iceberg(spark, di).collect()) == want
+    assert delete_iceberg(spark, di, "id = 1")["deleted_rows"] == 1
+    with _pytest.raises(IcebergError, match="DROP"):
+        write_iceberg(spark.createDataFrame([(9,)], "id long"), di,
+                      mode="append", evolve_schema=True)
+    with _pytest.raises(IcebergError, match="cannot change column"):
+        write_iceberg(spark.createDataFrame(
+            [(9, "z", 1)], "id long, v string, score long"), di,
+            mode="append", evolve_schema=True)
+
+    dd = str(tmp_path / "evo.delta")
+    write_delta(base, dd)
+    with _pytest.raises(DeltaProtocolError, match="schema mismatch"):
+        write_delta(ext, dd, mode="append")
+    write_delta(ext, dd, mode="append", evolve_schema=True)
+    assert sorted((r.id, r.v, r.score)
+                  for r in read_delta_snapshot(spark, dd).collect()) == want
+    # version 0 still reads the ORIGINAL 2-column schema
+    assert read_delta_snapshot(spark, dd, version=0).columns == ["id", "v"]
+    assert delete_delta(spark, dd, "id = 1")["deleted_rows"] == 1
+    assert sorted((r.id, r.score) for r in
+                  read_delta_snapshot(spark, dd).collect()) == \
+        [(2, None), (3, 30.0)]
+    with _pytest.raises(DeltaProtocolError, match="DROP"):
+        write_delta(spark.createDataFrame([(9,)], "id long"), dd,
+                    mode="append", evolve_schema=True)
