@@ -5845,7 +5845,7 @@ def _x_iceberg_partition(spark, sf_dir):
     meta = json.loads(open(_latest_metadata(d)).read())
     snap = next(s for s in meta["snapshots"]
                 if s["snapshot-id"] == meta["current-snapshot-id"])
-    dfs, _dels, parts = _walk_manifests(snap, d)
+    dfs, _dels, parts, _bounds = _walk_manifests(snap, d)
     pruned = _prune_data_files(
         spark, meta, dfs, parts, "o_orderpriority = '1-URGENT'")
     if not (0 < len(pruned) < len(dfs)):

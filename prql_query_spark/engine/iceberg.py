@@ -169,14 +169,15 @@ def _table_schema(meta: dict) -> StructType:
 
 def _walk_manifests(
     snap: dict, path: str
-) -> tuple[list[tuple[str, object]], list[tuple[str, object]], dict]:
+) -> tuple[list[tuple[str, object]], list[tuple[str, object]], dict, dict]:
     """Resolve a snapshot's manifest chain into
-    ``(data_files, pos_deletes, partitions)`` — the first two lists of
-    ``(resolved path, seq)``, the third a ``{resolved path: partition
-    values dict}`` for manifest entries that carry the spec's
-    ``partition`` struct (absent for unpartitioned tables and external
-    manifests this codec cannot see partition data in — readers fall
-    back to scanning every file).
+    ``(data_files, pos_deletes, partitions, bounds)`` — the first two
+    lists of ``(resolved path, seq)``, then ``{resolved path:
+    partition values dict}`` for manifest entries that carry the
+    spec's ``partition`` struct and ``{resolved path: (lower, upper)}``
+    per-column stats maps for entries that carry bounds (absent for
+    external manifests this codec cannot see metadata in — readers
+    fall back to scanning every file).
 
     Sequence-number inheritance follows the spec: an entry without an
     explicit data_sequence_number/sequence_number inherits the
@@ -199,6 +200,7 @@ def _walk_manifests(
     data_files: list[tuple[str, object]] = []   # (resolved path, seq)
     pos_deletes: list[tuple[str, object]] = []  # (resolved path, seq)
     partitions: dict[str, dict] = {}            # resolved path -> values
+    bounds: dict[str, tuple] = {}               # resolved path -> (lo, hi)
     for m in manifests:
         is_delete_manifest = m.get("content", 0) == 1
         with open(_resolve(m["manifest_path"], path), "rb") as fh:
@@ -230,7 +232,11 @@ def _walk_manifests(
                 pv = df_info.get("partition")
                 if isinstance(pv, dict):
                     partitions[rp] = pv
-    return data_files, pos_deletes, partitions
+                lo = df_info.get("lower_bounds")
+                hi = df_info.get("upper_bounds")
+                if isinstance(lo, dict) and isinstance(hi, dict):
+                    bounds[rp] = (lo, hi)
+    return data_files, pos_deletes, partitions, bounds
 
 
 def _identity_part_fields(meta: dict) -> list[tuple[str, DataType]]:
@@ -317,6 +323,95 @@ def _prune_data_files(
     return [t for t in data_files if t[0] in keep]
 
 
+_SIMPLE_CONJUNCT = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>)\s*"
+    r"(-?\d+(?:\.\d+)?|DATE\s*'[^']*')\s*$", re.IGNORECASE)
+
+
+def _prune_by_bounds(
+    spark: SparkSession,
+    meta: dict,
+    data_files: list[tuple[str, object]],
+    bounds: dict,
+    where: str,
+) -> list[tuple[str, object]]:
+    """File skipping on per-column min/max manifest stats — the second
+    manifest-level scan lever after partition pruning, and like it
+    strictly an optimization (the caller re-applies ``where`` as a row
+    filter, so keeping too many files is always correct, and this
+    function is built to only ever keep too many).
+
+    Conservative by construction: only top-level conjunctions of
+    ``col <op> literal`` comparisons participate (anything with
+    parentheses, OR, NOT, IS NULL, or non-numeric/date literals makes
+    the predicate unsplittable -> no skipping); a conjunct that does
+    not parse is IGNORED (ignoring a conjunct keeps more files); a
+    file without bounds for a referenced column passes that conjunct
+    (`min IS NULL OR ...` in the rewrite).  The interval tests
+    themselves are evaluated by Spark SQL over a one-row-per-file
+    typed frame, so literal coercion follows engine semantics
+    exactly."""
+    if re.search(r"[()]|\bor\b|\bnot\b|\bis\b", where, re.IGNORECASE):
+        return data_files
+    conjuncts = []
+    fields = {f.name: f.dataType for f in _table_schema(meta).fields}
+    bound_ok = (IntegerType, LongType, FloatType, DoubleType, DateType)
+    for raw in re.split(r"\band\b", where, flags=re.IGNORECASE):
+        m = _SIMPLE_CONJUNCT.match(raw)
+        if not m:
+            continue
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        if isinstance(fields.get(col), bound_ok):
+            conjuncts.append((col, op, lit))
+    if not conjuncts:
+        return data_files
+
+    import datetime
+
+    def de(v, typ):
+        if v is None:
+            return None
+        if isinstance(typ, DateType):
+            return datetime.date.fromisoformat(v)
+        if isinstance(typ, (IntegerType, LongType)):
+            return int(v)
+        return float(v)
+
+    cols = sorted({c for c, _o, _l in conjuncts})
+    rows = []
+    for p, _s in data_files:
+        lo, hi = bounds.get(p, (None, None))
+        vals = []
+        for c in cols:
+            try:
+                vals += [de((lo or {}).get(c), fields[c]),
+                         de((hi or {}).get(c), fields[c])]
+            except (ValueError, TypeError):
+                vals += [None, None]
+        rows.append(tuple([p] + vals))
+    frame_schema = StructType(
+        [StructField("_pq_file", StringType(), False)]
+        + [StructField(f"{c}__{b}", fields[c], True)
+           for c in cols for b in ("min", "max")])
+    tests = []
+    for c, op, lit in conjuncts:
+        if op in ("<", "<="):
+            tests.append(f"(`{c}__min` IS NULL OR `{c}__min` {op} {lit})")
+        elif op in (">", ">="):
+            tests.append(f"(`{c}__max` IS NULL OR `{c}__max` {op} {lit})")
+        else:  # =
+            tests.append(
+                f"(`{c}__min` IS NULL OR (`{c}__min` <= {lit} "
+                f"AND `{c}__max` >= {lit}))")
+    pdf = spark.createDataFrame(rows, frame_schema)
+    try:
+        keep = {r["_pq_file"] for r in
+                pdf.filter(" AND ".join(tests)).select("_pq_file").collect()}
+    except Exception:
+        return data_files
+    return [t for t in data_files if t[0] in keep]
+
+
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None,
     where: str | None = None
@@ -356,11 +451,14 @@ def read_iceberg(
                     "Iceberg connector for hidden partitioning"
                 )
 
-    data_files, pos_deletes, partitions = _walk_manifests(snap, path)
+    data_files, pos_deletes, partitions, bounds = _walk_manifests(snap, path)
 
     if where:
         data_files = _prune_data_files(
             spark, meta, data_files, partitions, where)
+        if bounds:
+            data_files = _prune_by_bounds(
+                spark, meta, data_files, bounds, where)
     if not data_files:
         out = spark.createDataFrame([], spark_schema)
         return out.filter(where) if where else out
@@ -488,6 +586,8 @@ def _iceberg_type(t: DataType) -> object:
     return base
 
 
+_BOUNDS_MAP = ["null", {"type": "map", "values": ["null", "string"]}]
+
 _ENTRY_SCHEMA = {
     "type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int"},
@@ -498,8 +598,65 @@ _ENTRY_SCHEMA = {
                 {"name": "file_format", "type": "string"},
                 {"name": "record_count", "type": "long"},
                 {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "lower_bounds", "type": _BOUNDS_MAP,
+                 "default": None},
+                {"name": "upper_bounds", "type": _BOUNDS_MAP,
+                 "default": None},
             ]}},
     ]}
+
+
+def _file_bounds(md) -> tuple[dict | None, dict | None]:
+    """Per-column min/max for one data file, from the parquet footer
+    already in hand (zero extra I/O) — the spec's lower_bounds /
+    upper_bounds idea, keyed by column name with string-serialized
+    values (this codec's own manifests are its only consumers).  A
+    column qualifies only when EVERY row group reports exact stats for
+    it, and only for types whose stats are exact and timezone-free
+    (int/long/float/double/date) — strings are excluded because
+    parquet may truncate their min/max, and timestamps because their
+    footer representation is zone-adjusted."""
+    import datetime
+
+    agg: dict[str, list] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dropped.add(name)
+                agg.pop(name, None)
+                continue
+            mn, mx = st.min, st.max
+            ok = (
+                (type(mn) in (int, float) and type(mx) in (int, float))
+                or (isinstance(mn, datetime.date)
+                    and not isinstance(mn, datetime.datetime)
+                    and isinstance(mx, datetime.date)
+                    and not isinstance(mx, datetime.datetime)))
+            if not ok:
+                dropped.add(name)
+                agg.pop(name, None)
+                continue
+            cur = agg.get(name)
+            if cur is None:
+                agg[name] = [mn, mx]
+            else:
+                cur[0] = min(cur[0], mn)
+                cur[1] = max(cur[1], mx)
+    if not agg:
+        return None, None
+
+    def ser(v):
+        return v.isoformat() if hasattr(v, "isoformat") else repr(v)
+
+    return ({k: ser(v[0]) for k, v in agg.items()},
+            {k: ser(v[1]) for k, v in agg.items()})
 
 _ML_SCHEMA = {
     "type": "record", "name": "manifest_file", "fields": [
@@ -560,7 +717,10 @@ def _write_manifest(
             continue  # empty-partition part files carry no data (r3 lesson)
         rec = {"content": content, "file_path": f"file://{p}",
                "file_format": "PARQUET", "record_count": md.num_rows,
-               "file_size_in_bytes": os.path.getsize(p)}
+               "file_size_in_bytes": os.path.getsize(p),
+               "lower_bounds": None, "upper_bounds": None}
+        if content == 0:
+            rec["lower_bounds"], rec["upper_bounds"] = _file_bounds(md)
         if part_fields:
             rec["partition"] = {
                 c: (pvals or {}).get(c) for c, _t in part_fields}
@@ -1142,7 +1302,7 @@ def _live_rows_with_pos(
     delete set needs no string work at all.  Normalization happens
     only where the existing-deletes anti-join needs the `_rfp` key,
     and only when the table actually carries deletes."""
-    data_files, pos_deletes, _parts = _walk_manifests(snap, path)
+    data_files, pos_deletes, _parts, _bounds = _walk_manifests(snap, path)
     if not data_files:
         return None
     schema = _table_schema(meta)

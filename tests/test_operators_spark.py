@@ -6277,7 +6277,7 @@ def test_iceberg_partitioned_write_and_manifest_pruning(spark, tmp_path):
                     if s["snapshot-id"] == meta["current-snapshot-id"])
         return (meta,) + _walk_manifests(snap, d)
 
-    meta, dfs, dels, parts = head_files()
+    meta, dfs, dels, parts, _b = head_files()
     # every data file carries typed partition metadata; spec is identity
     assert len(parts) == len(dfs) > 0
     spec = meta["partition-specs"][0]["fields"]
@@ -6307,7 +6307,7 @@ def test_iceberg_partitioned_write_and_manifest_pruning(spark, tmp_path):
         F.col("id"), (F.col("id") % 3).cast("int").alias("bucket"),
         F.lit("2024-01-05").cast("date").alias("day"))
     write_iceberg(extra, d, mode="append")
-    _m, dfs2, _d2, parts2 = head_files()
+    _m, dfs2, _d2, parts2, _b2 = head_files()
     assert len(parts2) == len(dfs2) > len(dfs)
     assert read_iceberg(spark, d, where="day = DATE'2024-01-05'") \
         .count() == 60
@@ -6376,7 +6376,7 @@ def test_iceberg_partitioned_dml_and_maintenance(spark, tmp_path):
     meta = json.load(open(_latest_metadata(d)))
     snap = next(s for s in meta["snapshots"]
                 if s["snapshot-id"] == meta["current-snapshot-id"])
-    dfs, dels, parts = _walk_manifests(snap, d)
+    dfs, dels, parts, _bounds = _walk_manifests(snap, d)
     assert len(parts) == len(dfs) > 0 and not dels
     assert [f["name"] for f in meta["partition-specs"][0]["fields"]] \
         == ["g"]
@@ -6411,7 +6411,7 @@ def test_iceberg_partition_values_adversarial_roundtrip(spark, tmp_path):
     meta = json.load(open(_latest_metadata(d)))
     snap = next(s for s in meta["snapshots"]
                 if s["snapshot-id"] == meta["current-snapshot-id"])
-    dfs, _dels, parts = _walk_manifests(snap, d)
+    dfs, _dels, parts, _bounds = _walk_manifests(snap, d)
     assert len(parts) == len(dfs) == len(vals)
     assert sorted((p["s"] for p in parts.values()),
                   key=lambda x: (x is None, x)) == \
@@ -6530,3 +6530,59 @@ def test_lakehouse_add_column_schema_evolution(spark, tmp_path):
     with _pytest.raises(DeltaProtocolError, match="DROP"):
         write_delta(spark.createDataFrame([(9,)], "id long"), dd,
                     mode="append", evolve_schema=True)
+
+
+def test_iceberg_bounds_file_skipping(spark, tmp_path):
+    """Manifest min/max bounds (r11): data files staged with disjoint
+    key ranges are SKIPPED for out-of-range predicates straight from
+    the manifest (the spec's lower/upper_bounds idea), conjuncts
+    compose with partition pruning, and everything non-conjunctive or
+    unparseable falls back conservatively — values always equal the
+    plain filtered read."""
+    import json
+
+    from prql_query_spark.engine.iceberg import (
+        _latest_metadata, _prune_by_bounds, _walk_manifests, read_iceberg,
+        write_iceberg,
+    )
+
+    d = str(tmp_path / "ice_bounds")
+    src = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("m"),
+        (F.col("id").cast("double") / 3).alias("x"))
+    # range-partition on id so each data file covers a disjoint id range
+    write_iceberg(src.repartitionByRange(8, "id"), d)
+
+    meta = json.load(open(_latest_metadata(d)))
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    dfs, _dels, _parts, bounds = _walk_manifests(snap, d)
+    assert len(dfs) == 8 and len(bounds) == 8
+    lo, hi = bounds[dfs[0][0]]
+    assert set(lo) >= {"id", "m", "x"}  # ints and doubles carry bounds
+
+    # a narrow id range keeps ~1 file; a half-open range keeps ~half
+    few = _prune_by_bounds(spark, meta, dfs, bounds, "id >= 9000")
+    assert 0 < len(few) <= 2
+    half = _prune_by_bounds(spark, meta, dfs, bounds,
+                            "id >= 5000 AND id < 6000")
+    assert 0 < len(half) <= 2
+    eq = _prune_by_bounds(spark, meta, dfs, bounds, "id = 4242")
+    assert len(eq) == 1
+    # conjuncts over non-bound predicates are ignored, never wrong
+    mixed = _prune_by_bounds(spark, meta, dfs, bounds,
+                             "id >= 9000 AND m = 3")
+    assert len(mixed) == len(few)
+    # OR / parens / IS NULL make the predicate unsplittable -> no skip
+    assert len(_prune_by_bounds(
+        spark, meta, dfs, bounds, "id >= 9000 OR m = 3")) == len(dfs)
+    assert len(_prune_by_bounds(
+        spark, meta, dfs, bounds, "(id >= 9000)")) == len(dfs)
+
+    # end to end: pruned read values == plain filtered read
+    for pred in ("id >= 9000", "id = 4242 AND m = 0",
+                 "x < 10.5", "id >= 9000 OR m = 3"):
+        got = sorted(r.id for r in
+                     read_iceberg(spark, d, where=pred).collect())
+        want = sorted(r.id for r in src.filter(pred).collect())
+        assert got == want, pred

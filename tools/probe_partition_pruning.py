@@ -52,7 +52,7 @@ def main() -> None:
     meta = json.load(open(_latest_metadata(d)))
     snap = next(s for s in meta["snapshots"]
                 if s["snapshot-id"] == meta["current-snapshot-id"])
-    dfs, _dels, parts = _walk_manifests(snap, d)
+    dfs, _dels, parts, _bounds = _walk_manifests(snap, d)
     pred = "ship_month = DATE'1997-03-01'"
     pruned_files = _prune_data_files(spark, meta, dfs, parts, pred)
 
