@@ -34,7 +34,8 @@ import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import (
+    DateType, IntegerType, LongType, StructField, StructType)
 
 
 class DeltaProtocolError(RuntimeError):
@@ -120,11 +121,77 @@ def _snapshot_actions(spark: SparkSession, log_dir: str, version: int | None):
     return meta, protocol, adds, txns
 
 
+def _skip_files_by_stats(
+    spark: SparkSession, schema: StructType, part_cols: list[str],
+    adds: dict, where: str,
+) -> dict:
+    """Drop `add` entries whose per-file ``stats`` (min/max) or
+    partition values cannot satisfy ``where`` — Delta's file-skipping,
+    driver-side on log metadata only.  Partition values participate as
+    point intervals (value = min = max), so a partition predicate
+    prunes here even before Spark's own PartitionFilters see the scan.
+    Conservative: files without stats always survive, and the caller
+    re-applies ``where`` as a row filter."""
+    import datetime
+
+    from prql_query_spark.engine.pruning import (
+        BOUND_TYPES, conjunctive_keep)
+
+    types = {f.name: f.dataType for f in schema.fields
+             if isinstance(f.dataType, BOUND_TYPES)}
+    if not types:
+        return adds
+
+    def de(v, typ):
+        if v is None:
+            return None
+        if isinstance(typ, DateType):
+            return datetime.date.fromisoformat(str(v)[:10])
+        if isinstance(typ, (IntegerType, LongType)):
+            return int(v)
+        return float(v)
+
+    fb = {}
+    for p, add in adds.items():
+        lo, hi = {}, {}
+        try:
+            st = json.loads(add["stats"]) if add.get("stats") else {}
+        except (ValueError, TypeError):
+            st = {}
+        for c, typ in types.items():
+            if c in part_cols:
+                try:
+                    v = de((add.get("partitionValues") or {}).get(c), typ)
+                except (ValueError, TypeError):
+                    v = None
+                lo[c] = hi[c] = v
+            else:
+                try:
+                    lo[c] = de((st.get("minValues") or {}).get(c), typ)
+                    hi[c] = de((st.get("maxValues") or {}).get(c), typ)
+                except (ValueError, TypeError):
+                    lo[c] = hi[c] = None
+        fb[p] = (lo, hi)
+    keep = conjunctive_keep(spark, types, fb, where)
+    if keep is None:
+        return adds
+    return {p: a for p, a in adds.items() if p in keep}
+
+
 def read_delta_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    where: str | None = None
 ) -> DataFrame:
     """Read a Delta table directory as a DataFrame at the latest (or a
-    time-travel ``version``) snapshot — no connector jar required."""
+    time-travel ``version``) snapshot — no connector jar required.
+
+    ``where`` (optional) is any Spark SQL boolean expression; it is
+    ALWAYS applied as a row filter, and when it constrains stats-
+    covered or partition columns it additionally SKIPS whole data
+    files driver-side from the log's per-file ``stats`` and partition
+    values — Delta's file-skipping, the scan lever that keeps a
+    selective predicate from opening every footer of a 100 TB
+    table."""
     log_dir = os.path.join(path, "_delta_log")
     meta, protocol, adds, _txns = _snapshot_actions(spark, log_dir, version)
 
@@ -152,8 +219,16 @@ def read_delta_snapshot(
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
+    if where and mapping_mode == "none":
+        # skipping keys on LOGICAL names; mapping-mode stats would key
+        # on physical names — fall through to the row filter alone
+        adds = _skip_files_by_stats(spark, schema, part_cols, adds, where)
+
+    def _done(df: DataFrame) -> DataFrame:
+        return df.filter(where) if where else df
+
     if not adds:
-        return spark.createDataFrame([], schema)
+        return _done(spark.createDataFrame([], schema))
 
     # name-mode column mapping: parquet files carry PHYSICAL names from
     # each field's delta.columnMapping.physicalName metadata; scan with
@@ -185,7 +260,7 @@ def read_delta_snapshot(
         os.path.join(path, urllib.parse.unquote(p)) for p in sorted(adds)
     ]
     if not part_cols:
-        return scan(files, schema)
+        return _done(scan(files, schema))
 
     # Partitioned: Delta stores partition values in the LOG, not the
     # files.  Delta's writers use hive-style `col=val/` layout, which
@@ -202,7 +277,7 @@ def read_delta_snapshot(
         for p in adds
     )
     if hive_style:
-        return (
+        return _done(
             spark.read.schema(schema)
             .option("basePath", path)
             .parquet(*files)
@@ -234,7 +309,7 @@ def read_delta_snapshot(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _done(out)
 
 
 def _evolved_delta_schema(
@@ -437,11 +512,24 @@ def _stage_and_adopt(
             if not f.endswith(".parquet"):
                 continue
             src = os.path.join(root, f)
+            stats_json = None
             try:  # skip zero-row part files (empty input partitions)
                 import pyarrow.parquet as _pq
 
-                if _pq.ParquetFile(src).metadata.num_rows == 0:
+                md = _pq.ParquetFile(src).metadata
+                if md.num_rows == 0:
                     continue
+                # spec-shaped per-file stats from the footer already in
+                # hand (zero extra I/O): numRecords always; min/max for
+                # the exact, timezone-free types engine.pruning vouches
+                # for.  Real Delta readers (and read_delta_snapshot's
+                # where=) skip whole files on these.
+                from prql_query_spark.engine.pruning import footer_bounds
+
+                lo, hi, nulls = footer_bounds(md)
+                stats_json = json.dumps(
+                    {"numRecords": md.num_rows, "minValues": lo,
+                     "maxValues": hi, "nullCount": nulls}, default=str)
             except Exception:
                 pass
             rel = os.path.relpath(src, staging)
@@ -454,13 +542,16 @@ def _stage_and_adopt(
                     k, _, v = piece.partition("=")
                     pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
                         else urllib.parse.unquote(v)
-            adds.append({
+            add = {
                 "path": urllib.parse.quote(rel.replace(os.sep, "/")),
                 "partitionValues": pv,
                 "size": os.path.getsize(dst),
                 "modificationTime": int(os.path.getmtime(dst) * 1000),
                 "dataChange": True,
-            })
+            }
+            if stats_json is not None:
+                add["stats"] = stats_json
+            adds.append(add)
     shutil.rmtree(staging, ignore_errors=True)
     return adds
 

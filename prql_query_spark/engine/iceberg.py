@@ -323,11 +323,6 @@ def _prune_data_files(
     return [t for t in data_files if t[0] in keep]
 
 
-_SIMPLE_CONJUNCT = re.compile(
-    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>)\s*"
-    r"(-?\d+(?:\.\d+)?|DATE\s*'[^']*')\s*$", re.IGNORECASE)
-
-
 def _prune_by_bounds(
     spark: SparkSession,
     meta: dict,
@@ -338,35 +333,15 @@ def _prune_by_bounds(
     """File skipping on per-column min/max manifest stats — the second
     manifest-level scan lever after partition pruning, and like it
     strictly an optimization (the caller re-applies ``where`` as a row
-    filter, so keeping too many files is always correct, and this
-    function is built to only ever keep too many).
-
-    Conservative by construction: only top-level conjunctions of
-    ``col <op> literal`` comparisons participate (anything with
-    parentheses, OR, NOT, IS NULL, or non-numeric/date literals makes
-    the predicate unsplittable -> no skipping); a conjunct that does
-    not parse is IGNORED (ignoring a conjunct keeps more files); a
-    file without bounds for a referenced column passes that conjunct
-    (`min IS NULL OR ...` in the rewrite).  The interval tests
-    themselves are evaluated by Spark SQL over a one-row-per-file
-    typed frame, so literal coercion follows engine semantics
-    exactly."""
-    if re.search(r"[()]|\bor\b|\bnot\b|\bis\b", where, re.IGNORECASE):
-        return data_files
-    conjuncts = []
-    fields = {f.name: f.dataType for f in _table_schema(meta).fields}
-    bound_ok = (IntegerType, LongType, FloatType, DoubleType, DateType)
-    for raw in re.split(r"\band\b", where, flags=re.IGNORECASE):
-        m = _SIMPLE_CONJUNCT.match(raw)
-        if not m:
-            continue
-        col, op, lit = m.group(1), m.group(2), m.group(3)
-        if isinstance(fields.get(col), bound_ok):
-            conjuncts.append((col, op, lit))
-    if not conjuncts:
-        return data_files
-
+    filter).  The conservative conjunct analysis and the typed
+    interval evaluation live in `engine.pruning.conjunctive_keep`
+    (shared with the Delta reader); this wrapper only deserializes the
+    manifests' string-encoded bounds against the table schema."""
     import datetime
+
+    from prql_query_spark.engine.pruning import conjunctive_keep
+
+    fields = {f.name: f.dataType for f in _table_schema(meta).fields}
 
     def de(v, typ):
         if v is None:
@@ -377,37 +352,19 @@ def _prune_by_bounds(
             return int(v)
         return float(v)
 
-    cols = sorted({c for c, _o, _l in conjuncts})
-    rows = []
+    fb = {}
     for p, _s in data_files:
         lo, hi = bounds.get(p, (None, None))
-        vals = []
-        for c in cols:
+        dlo, dhi = {}, {}
+        for c, typ in fields.items():
             try:
-                vals += [de((lo or {}).get(c), fields[c]),
-                         de((hi or {}).get(c), fields[c])]
+                dlo[c] = de((lo or {}).get(c), typ)
+                dhi[c] = de((hi or {}).get(c), typ)
             except (ValueError, TypeError):
-                vals += [None, None]
-        rows.append(tuple([p] + vals))
-    frame_schema = StructType(
-        [StructField("_pq_file", StringType(), False)]
-        + [StructField(f"{c}__{b}", fields[c], True)
-           for c in cols for b in ("min", "max")])
-    tests = []
-    for c, op, lit in conjuncts:
-        if op in ("<", "<="):
-            tests.append(f"(`{c}__min` IS NULL OR `{c}__min` {op} {lit})")
-        elif op in (">", ">="):
-            tests.append(f"(`{c}__max` IS NULL OR `{c}__max` {op} {lit})")
-        else:  # =
-            tests.append(
-                f"(`{c}__min` IS NULL OR (`{c}__min` <= {lit} "
-                f"AND `{c}__max` >= {lit}))")
-    pdf = spark.createDataFrame(rows, frame_schema)
-    try:
-        keep = {r["_pq_file"] for r in
-                pdf.filter(" AND ".join(tests)).select("_pq_file").collect()}
-    except Exception:
+                dlo[c] = dhi[c] = None
+        fb[p] = (dlo, dhi)
+    keep = conjunctive_keep(spark, fields, fb, where)
+    if keep is None:
         return data_files
     return [t for t in data_files if t[0] in keep]
 
@@ -610,53 +567,20 @@ def _file_bounds(md) -> tuple[dict | None, dict | None]:
     """Per-column min/max for one data file, from the parquet footer
     already in hand (zero extra I/O) — the spec's lower_bounds /
     upper_bounds idea, keyed by column name with string-serialized
-    values (this codec's own manifests are its only consumers).  A
-    column qualifies only when EVERY row group reports exact stats for
-    it, and only for types whose stats are exact and timezone-free
-    (int/long/float/double/date) — strings are excluded because
-    parquet may truncate their min/max, and timestamps because their
-    footer representation is zone-adjusted."""
-    import datetime
+    values (this codec's own manifests are its only consumers).  Type
+    and exactness rules live in `engine.pruning.footer_bounds` (shared
+    with the Delta add-action stats)."""
+    from prql_query_spark.engine.pruning import footer_bounds
 
-    agg: dict[str, list] = {}
-    dropped: set[str] = set()
-    for rg in range(md.num_row_groups):
-        row = md.row_group(rg)
-        for ci in range(row.num_columns):
-            col = row.column(ci)
-            name = col.path_in_schema
-            if "." in name or name in dropped:
-                continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                dropped.add(name)
-                agg.pop(name, None)
-                continue
-            mn, mx = st.min, st.max
-            ok = (
-                (type(mn) in (int, float) and type(mx) in (int, float))
-                or (isinstance(mn, datetime.date)
-                    and not isinstance(mn, datetime.datetime)
-                    and isinstance(mx, datetime.date)
-                    and not isinstance(mx, datetime.datetime)))
-            if not ok:
-                dropped.add(name)
-                agg.pop(name, None)
-                continue
-            cur = agg.get(name)
-            if cur is None:
-                agg[name] = [mn, mx]
-            else:
-                cur[0] = min(cur[0], mn)
-                cur[1] = max(cur[1], mx)
-    if not agg:
+    lo, hi, _nulls = footer_bounds(md)
+    if not lo:
         return None, None
 
     def ser(v):
         return v.isoformat() if hasattr(v, "isoformat") else repr(v)
 
-    return ({k: ser(v[0]) for k, v in agg.items()},
-            {k: ser(v[1]) for k, v in agg.items()})
+    return ({k: ser(v) for k, v in lo.items()},
+            {k: ser(v) for k, v in hi.items()})
 
 _ML_SCHEMA = {
     "type": "record", "name": "manifest_file", "fields": [

@@ -6586,3 +6586,63 @@ def test_iceberg_bounds_file_skipping(spark, tmp_path):
                      read_iceberg(spark, d, where=pred).collect())
         want = sorted(r.id for r in src.filter(pred).collect())
         assert got == want, pred
+
+
+def test_delta_stats_file_skipping(spark, tmp_path):
+    """Delta per-file stats + where= skipping (r11): adds carry the
+    spec's stats JSON (numRecords/minValues/maxValues/nullCount, from
+    the footer already read for the zero-row check), and
+    `read_delta_snapshot(where=)` skips files whose ranges — or whose
+    partition values, treated as point intervals — cannot satisfy a
+    conjunctive predicate.  Values always equal the plain filtered
+    read; OR predicates fall back to row filtering alone."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from prql_query_spark.engine.deltalog import (
+        _skip_files_by_stats, _snapshot_actions, read_delta_snapshot,
+        write_delta,
+    )
+
+    src = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("m"),
+        (F.col("id").cast("double") / 3).alias("x"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("g"))
+    d = str(tmp_path / "dstats")
+    write_delta(src.repartitionByRange(8, "id"), d, partition_by=["g"])
+
+    meta, _p, adds, _t = _snapshot_actions(
+        spark, os.path.join(d, "_delta_log"), None)
+    st = json.loads(next(iter(adds.values()))["stats"])
+    assert sorted(st) == ["maxValues", "minValues", "nullCount",
+                          "numRecords"]
+    assert sorted(st["minValues"]) == ["id", "m", "x"]  # g is hive-dir
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    kept = _skip_files_by_stats(spark, schema, ["g"], adds, "id >= 9000")
+    assert 0 < len(kept) < len(adds)
+
+    for pred in ("id >= 9000", "id = 4242 AND m = 0", "x < 10.5",
+                 "g = 'g1' AND id < 100", "id >= 9000 OR m = 3"):
+        got = sorted(r.id for r in
+                     read_delta_snapshot(spark, d, where=pred).collect())
+        assert got == sorted(r.id for r in src.filter(pred).collect()), pred
+
+    # date PARTITION values prune as point intervals
+    src2 = spark.range(0, 100).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01"),
+                   (F.col("id") % 4).cast("int")).alias("day"))
+    d2 = str(tmp_path / "dstats_day")
+    write_delta(src2, d2, partition_by=["day"])
+    meta2, _p2, adds2, _t2 = _snapshot_actions(
+        spark, os.path.join(d2, "_delta_log"), None)
+    schema2 = StructType.fromJson(json.loads(meta2["schemaString"]))
+    kept2 = _skip_files_by_stats(
+        spark, schema2, ["day"], adds2, "day = DATE'2024-01-03'")
+    assert len(kept2) < len(adds2)
+    got = sorted(r.id for r in read_delta_snapshot(
+        spark, d2, where="day = DATE'2024-01-03'").collect())
+    assert got == sorted(i for i in range(100) if i % 4 == 2)
