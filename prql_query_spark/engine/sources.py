@@ -61,7 +61,22 @@ def read_source(spark: SparkSession, path: str, fmt: str | None = None,
     sources INSTEAD of inference — the reference's unshipped `--schema`
     argument (TODO.md:38).  Inference reads the data twice and guesses
     (ints that later turn string, timestamp formats); a declared schema is
-    one pass and exact, which is also the only viable mode at 100 TB."""
+    one pass and exact, which is also the only viable mode at 100 TB.
+
+    Time travel: a ``table@N`` suffix on a lakehouse DIRECTORY source
+    pins the read to delta version / iceberg snapshot N
+    (``-f o=warehouse/orders.iceberg@2``).  Parsed only when the
+    literal path does not exist AND the base is a recognizable
+    delta/iceberg table, so filenames containing ``@`` keep working."""
+    time_travel: int | None = None
+    m = re.match(r"^(.*)@(\d+)$", path)
+    if m and not os.path.exists(path):
+        base = m.group(1)
+        if os.path.isdir(os.path.join(base, "_delta_log")) or (
+            os.path.isdir(os.path.join(base, "metadata")) and any(
+                f.endswith(".metadata.json")
+                for f in os.listdir(os.path.join(base, "metadata")))):
+            path, time_travel = base, int(m.group(2))
     scheme = path.split("://", 1)[0].lower() if "://" in path else None
     if scheme in ("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasbs", "oss"):
         # cloud object stores (reference TODO.md:43 "Add s3 support"):
@@ -96,6 +111,10 @@ def read_source(spark: SparkSession, path: str, fmt: str | None = None,
     fmt = fmt or infer_format(path)
     if fmt is None:
         raise SourceError(f"cannot infer format of {path!r}")
+    if time_travel is not None and fmt not in ("delta", "iceberg"):
+        raise SourceError(
+            f"@{time_travel} time travel applies to delta/iceberg "
+            f"tables, not {fmt!r}")
     if schema is not None and fmt not in ("csv", "json"):
         raise SourceError(
             f"--schema applies to csv/ndjson sources, not {fmt!r} "
@@ -139,22 +158,29 @@ def read_source(spark: SparkSession, path: str, fmt: str | None = None,
         # every environment, and fail loudly only on protocol features
         # the fallback cannot honor (deletion vectors / column mapping)
         try:
-            return spark.read.format("delta").load(path)
+            r = spark.read.format("delta")
+            if time_travel is not None:
+                r = r.option("versionAsOf", time_travel)
+            return r.load(path)
         except Exception:
             from prql_query_spark.engine.deltalog import read_delta_snapshot
 
-            return read_delta_snapshot(spark, path)
+            return read_delta_snapshot(spark, path, version=time_travel)
     if fmt == "iceberg":
         # connector jar when deployed (full feature surface); otherwise
         # the pure-Python snapshot reader (engine/iceberg.py — metadata
-        # JSON + Avro manifests + parquet scans; identity partitioning,
-        # no row-level deletes — unsupported features error loudly)
+        # JSON + Avro manifests + parquet scans with identity-partition
+        # pruning and v2 positional-delete merge-on-read; unsupported
+        # features error loudly)
         try:
-            return spark.read.format("iceberg").load(path)
+            r = spark.read.format("iceberg")
+            if time_travel is not None:
+                r = r.option("snapshot-id", time_travel)
+            return r.load(path)
         except Exception:
             from prql_query_spark.engine.iceberg import read_iceberg
 
-            return read_iceberg(spark, path)
+            return read_iceberg(spark, path, snapshot_id=time_travel)
     raise SourceError(f"unsupported format {fmt!r}")
 
 

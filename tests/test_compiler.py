@@ -801,3 +801,42 @@ sort [l_returnflag]
 
     from prql_query_spark.compiler.sqlgen import _EAGER_AGG_FNS
     assert "approx_count_distinct" not in _EAGER_AGG_FNS
+
+
+def test_source_time_travel_suffix(spark, tmp_path):
+    """`path@N` on a lakehouse directory source pins the read: delta
+    version / iceberg snapshot N, through the CLI source layer.  A
+    literal file containing '@' keeps working, and @N on a non-
+    lakehouse source errors loudly."""
+    import pytest as _pytest
+
+    from prql_query_spark.engine.deltalog import write_delta
+    from prql_query_spark.engine.iceberg import write_iceberg
+    from prql_query_spark.engine.sources import SourceError, read_source
+
+    one = spark.createDataFrame([(1,)], "id long")
+    two = spark.createDataFrame([(2,)], "id long")
+
+    dd = str(tmp_path / "t.delta")
+    write_delta(one, dd)                       # v0
+    write_delta(two, dd, mode="append")        # v1
+    assert sorted(r.id for r in read_source(spark, dd).collect()) == [1, 2]
+    assert [r.id for r in read_source(spark, dd + "@0").collect()] == [1]
+
+    di = str(tmp_path / "t.iceberg")
+    write_iceberg(one, di)                     # snap 1
+    write_iceberg(two, di, mode="append")      # snap 2
+    assert [r.id for r in read_source(spark, di + "@1").collect()] == [1]
+    assert sorted(r.id for r in
+                  read_source(spark, di + "@2").collect()) == [1, 2]
+
+    # a real file whose NAME contains @ still reads as itself
+    lit = str(tmp_path / "odd@2.parquet")
+    one.write.parquet(lit)
+    assert [r.id for r in read_source(spark, lit).collect()] == [1]
+
+    # @N on a non-lakehouse dir: loud error, not a silent full read
+    pq = str(tmp_path / "plain.parquet")
+    two.write.parquet(pq)
+    with _pytest.raises(SourceError):
+        read_source(spark, pq + "@0")

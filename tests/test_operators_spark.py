@@ -6630,6 +6630,20 @@ def test_delta_stats_file_skipping(spark, tmp_path):
                      read_delta_snapshot(spark, d, where=pred).collect())
         assert got == sorted(r.id for r in src.filter(pred).collect()), pred
 
+    # stats SURVIVE log checkpointing (checkpoint replay re-serves them)
+    from prql_query_spark.engine.deltalog import checkpoint_delta
+
+    checkpoint_delta(spark, d)
+    for f in os.listdir(os.path.join(d, "_delta_log")):
+        if f.endswith(".json"):
+            os.remove(os.path.join(d, "_delta_log", f))
+    _m3, _p3, adds3, _t3 = _snapshot_actions(
+        spark, os.path.join(d, "_delta_log"), None)
+    kept3 = _skip_files_by_stats(spark, schema, ["g"], adds3, "id >= 9000")
+    assert 0 < len(kept3) < len(adds3)
+    assert sorted(r.id for r in read_delta_snapshot(
+        spark, d, where="id >= 9000").collect()) == list(range(9000, 10000))
+
     # date PARTITION values prune as point intervals
     src2 = spark.range(0, 100).select(
         F.col("id"),
