@@ -404,9 +404,15 @@ def write_delta(
                 "pure-Python fallback"
             )
         declared = StructType.fromJson(json.loads(meta["schemaString"]))
-        if declared != df.schema and evolve_schema:
+        # compare names+types, NOT nullability: Spark's file sources
+        # force every read column nullable, so any read-then-write-back
+        # flow (compaction, DML rewrite) would spuriously mismatch a
+        # table declared with non-nullable columns (r11)
+        same = ([(f.name, f.dataType) for f in declared.fields]
+                == [(f.name, f.dataType) for f in df.schema.fields])
+        if not same and evolve_schema:
             evolved = _evolved_delta_schema(declared, df, meta, path)
-        elif declared != df.schema:
+        elif not same:
             raise DeltaProtocolError(
                 f"schema mismatch appending to {path}: table declares "
                 f"{declared.simpleString()}, DataFrame has "
@@ -688,19 +694,31 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
 
 
 def compact_delta(
-    spark: SparkSession, path: str, target_files: int | None = None
+    spark: SparkSession, path: str, target_files: int | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE-style small-file compaction: rewrite the current snapshot
     into few large files and swap them in atomically (removes + adds in
     ONE commit — readers see either the old file set or the new, never a
     mix).  Partitioned tables keep their partitioning.  The data-layout
     lever the SCALING.md sweep measured (row-group parallelism) applied
-    to the transactional table format.  Returns the committed version."""
+    to the transactional table format.
+
+    ``sort_by`` range-clusters the rewrite (repartitionByRange + sort
+    within files — real OPTIMIZE's sort order): files then cover
+    DISJOINT ranges of the sort columns, which is what makes the
+    per-file stats actually skip (`read_delta_snapshot(where=)`) — an
+    unclustered table's min/max spans overlap everywhere and prune
+    nothing.  Returns the committed version."""
     log_dir = os.path.join(path, "_delta_log")
     meta, _protocol, adds, _txns = _snapshot_actions(spark, log_dir, None)
     part_cols = meta.get("partitionColumns") or []
     snap = read_delta_snapshot(spark, path)
-    if target_files:
+    if sort_by:
+        n = target_files or snap.rdd.getNumPartitions()
+        snap = (snap.repartitionByRange(n, *sort_by)
+                    .sortWithinPartitions(*sort_by))
+    elif target_files:
         snap = snap.repartition(target_files)
     # overwrite-mode write_delta = removes of every prior active file plus
     # adds of the rewritten ones, in one atomic commit

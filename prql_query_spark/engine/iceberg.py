@@ -1106,7 +1106,8 @@ def _commit_snapshot(
 
 
 def compact_iceberg(
-    spark: SparkSession, path: str, target_files: int = 1
+    spark: SparkSession, path: str, target_files: int = 1,
+    sort_by: list[str] | None = None,
 ) -> None:
     """OPTIMIZE-style data compaction for the jar-less writer — the
     Iceberg twin of `deltalog.compact_delta`: read the CURRENT snapshot,
@@ -1116,9 +1117,21 @@ def compact_iceberg(
     stay time-travelable until `expire_snapshots` reclaims them —
     compaction never mutates or deletes existing files, it only commits
     new ones (the spec's copy-on-write discipline).  Executors do the
-    rewrite; the driver only assembles the tiny metadata chain."""
+    rewrite; the driver only assembles the tiny metadata chain.
+
+    ``sort_by`` range-clusters the rewrite (repartitionByRange + sort
+    within files — the spec's sort-order rewrite): files then cover
+    DISJOINT ranges of the sort columns, which is what makes the
+    manifests' min/max bounds actually skip files on read
+    (`read_iceberg(where=)`) — an unclustered table's spans overlap
+    everywhere and prune nothing."""
     snapshot = read_iceberg(spark, path)
-    write_iceberg(snapshot.coalesce(target_files), path, mode="overwrite")
+    if sort_by:
+        staged = (snapshot.repartitionByRange(target_files, *sort_by)
+                          .sortWithinPartitions(*sort_by))
+    else:
+        staged = snapshot.coalesce(target_files)
+    write_iceberg(staged, path, mode="overwrite")
 
 
 def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:

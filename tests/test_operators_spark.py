@@ -6660,3 +6660,68 @@ def test_delta_stats_file_skipping(spark, tmp_path):
     got = sorted(r.id for r in read_delta_snapshot(
         spark, d2, where="day = DATE'2024-01-03'").collect())
     assert got == sorted(i for i in range(100) if i % 4 == 2)
+
+
+def test_compact_sort_by_enables_bounds_skipping(spark, tmp_path):
+    """`sort_by` compaction (r11): an UNCLUSTERED table's per-file
+    min/max spans overlap everywhere (bounds prune nothing); after a
+    range-clustered rewrite the files cover disjoint ranges and a
+    narrow predicate skips almost all of them — on both engines, with
+    values identical before and after."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from prql_query_spark.engine.deltalog import (
+        _skip_files_by_stats, _snapshot_actions, compact_delta,
+        read_delta_snapshot, write_delta,
+    )
+    from prql_query_spark.engine.iceberg import (
+        _latest_metadata, _prune_by_bounds, _walk_manifests,
+        compact_iceberg, read_iceberg, write_iceberg,
+    )
+
+    # interleave ids across partitions: every file sees the full range
+    src = spark.range(0, 8000).select(
+        (F.col("id") % 8000).alias("id"), (F.col("id") * 3).alias("v"))
+    scattered = src.repartition(8, "v")
+    pred = "id >= 7000"
+    want = sorted(r.id for r in src.filter(pred).collect())
+
+    d = str(tmp_path / "cz.iceberg")
+    write_iceberg(scattered, d)
+
+    def ice_kept():
+        meta = json.load(open(_latest_metadata(d)))
+        snap = next(s for s in meta["snapshots"]
+                    if s["snapshot-id"] == meta["current-snapshot-id"])
+        dfs, _d, _p, bounds = _walk_manifests(snap, d)
+        return len(_prune_by_bounds(spark, meta, dfs, bounds, pred)), \
+            len(dfs)
+
+    kept, total = ice_kept()
+    assert kept == total  # overlapping spans: nothing skippable
+    compact_iceberg(spark, d, target_files=8, sort_by=["id"])
+    kept, total = ice_kept()
+    assert total == 8 and kept <= 2
+    assert sorted(r.id for r in
+                  read_iceberg(spark, d, where=pred).collect()) == want
+
+    dd = str(tmp_path / "cz.delta")
+    write_delta(scattered, dd)
+
+    def delta_kept():
+        meta, _p, adds, _t = _snapshot_actions(
+            spark, os.path.join(dd, "_delta_log"), None)
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        return len(_skip_files_by_stats(spark, schema, [], adds, pred)), \
+            len(adds)
+
+    kept, total = delta_kept()
+    assert kept == total
+    compact_delta(spark, dd, target_files=8, sort_by=["id"])
+    kept, total = delta_kept()
+    assert total == 8 and kept <= 2
+    assert sorted(r.id for r in read_delta_snapshot(
+        spark, dd, where=pred).collect()) == want
