@@ -89,6 +89,46 @@ def main() -> None:
     }
     print(json.dumps(out))
 
+    # ---- second lever: min/max bounds after a sort_by compaction ------
+    from prql_query_spark.engine.iceberg import (
+        _prune_by_bounds, compact_iceberg)
+
+    d2 = tempfile.mkdtemp(prefix="pq_probe_bounds_") + "/lineitem"
+    # scatter on an unrelated key so every file spans the full keyspace
+    write_iceberg(src.drop("ship_month").repartition(16, "l_partkey"), d2)
+
+    def head(dpath):
+        meta = json.load(open(_latest_metadata(dpath)))
+        snap = next(s for s in meta["snapshots"]
+                    if s["snapshot-id"] == meta["current-snapshot-id"])
+        return (meta,) + _walk_manifests(snap, dpath)
+
+    pred2 = "l_orderkey >= 147000"  # top ~2% of the 0..149999 keyspace
+    meta2, dfs2, _dl, _pt, bounds2 = head(d2)
+    before = len(_prune_by_bounds(spark, meta2, dfs2, bounds2, pred2))
+    compact_iceberg(spark, d2, target_files=16, sort_by=["l_orderkey"])
+    meta3, dfs3, _dl3, _pt3, bounds3 = head(d2)
+    after = len(_prune_by_bounds(spark, meta3, dfs3, bounds3, pred2))
+
+    walls2: dict[str, list[float]] = {"full": [], "skipped": []}
+    for _ in range(reps):
+        t = time.perf_counter()
+        agg(read_iceberg(spark, d2).filter(pred2))
+        walls2["full"].append(time.perf_counter() - t)
+        t = time.perf_counter()
+        agg(read_iceberg(spark, d2, where=pred2))
+        walls2["skipped"].append(time.perf_counter() - t)
+
+    print(json.dumps({
+        "lever": "bounds_after_sort_by_compaction",
+        "files_kept_unclustered": f"{before}/{len(dfs2)}",
+        "files_kept_clustered": f"{after}/{len(dfs3)}",
+        "wall_full_ms": round(statistics.median(walls2["full"]) * 1000, 1),
+        "wall_skipped_ms": round(
+            statistics.median(walls2["skipped"]) * 1000, 1),
+        "reps": reps,
+    }))
+
 
 if __name__ == "__main__":
     main()
