@@ -698,7 +698,17 @@ def _write_data_files(
             a, F.concat(F.lit("x"), F.lower(
                 F.hex(F.encode(F.col(c).cast("string"), "UTF-8")))))
         aliases.append(a)
-    staged.write.mode("errorifexists").partitionBy(*aliases).parquet(data_dir)
+    # repartition ON the partition values first (hash distribution —
+    # real Iceberg's write.distribution-mode=hash, and the same guard
+    # as writers.write_partitioned): naive partitionBy makes every
+    # task write a file into EVERY partition it sees — tasks ×
+    # partitions small files, the classic layout killer.  One writer
+    # per partition tuple; heavily skewed single partitions trade
+    # write parallelism for file count, which compact_iceberg can
+    # re-split later.
+    staged = (staged.repartition(*[F.col(a) for a in aliases])
+              .write.mode("errorifexists").partitionBy(*aliases)
+              .parquet(data_dir))
 
     def parse(raw: str, typ: DataType):
         if raw == "__HIVE_DEFAULT_PARTITION__":
