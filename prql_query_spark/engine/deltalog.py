@@ -363,6 +363,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     evolve_schema: bool = False,
+    _distribute: bool = True,
 ) -> int:
     """Commit a DataFrame to a Delta table without the connector jar —
     the write side of the pure-Python fallback.  Returns the committed
@@ -431,7 +432,7 @@ def write_delta(
         os.makedirs(log_dir, exist_ok=True)
         next_version = 0
 
-    adds = _stage_and_adopt(df, path, part_cols)
+    adds = _stage_and_adopt(df, path, part_cols, distribute=_distribute)
 
     actions: list[dict] = []
     if next_version == 0:
@@ -496,7 +497,8 @@ def _commit_actions(log_dir: str, version: int, actions: list[dict]) -> None:
 
 
 def _stage_and_adopt(
-    df: DataFrame, path: str, part_cols: list[str]
+    df: DataFrame, path: str, part_cols: list[str],
+    distribute: bool = True,
 ) -> list[dict]:
     """Write ``df`` with Spark's parallel parquet writers into a staging
     dir under the table, move the non-empty part files into place
@@ -507,6 +509,13 @@ def _stage_and_adopt(
     import uuid
 
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    if part_cols and distribute:
+        # one writer per partition (same guard as write_partitioned and
+        # the iceberg staging): naive partitionBy writes tasks ×
+        # partitions small files.  ``distribute=False`` is for callers
+        # that OWN the layout (compact_delta's sort_by rewrite) — their
+        # range clustering must survive to the files
+        df = df.repartition(*[df[c] for c in part_cols])
     w = df.write.mode("overwrite")
     if part_cols:
         w = w.partitionBy(*part_cols)
@@ -715,15 +724,19 @@ def compact_delta(
     part_cols = meta.get("partitionColumns") or []
     snap = read_delta_snapshot(spark, path)
     if sort_by:
+        # range-cluster across (partition cols, sort cols) so tasks are
+        # partition-aligned AND range-contiguous; the stager is told NOT
+        # to re-distribute (that would destroy this layout)
         n = target_files or snap.rdd.getNumPartitions()
-        snap = (snap.repartitionByRange(n, *sort_by)
+        snap = (snap.repartitionByRange(n, *(part_cols + sort_by))
                     .sortWithinPartitions(*sort_by))
     elif target_files:
         snap = snap.repartition(target_files)
     # overwrite-mode write_delta = removes of every prior active file plus
     # adds of the rewritten ones, in one atomic commit
     return write_delta(snap, path, mode="overwrite",
-                       partition_by=part_cols or None)
+                       partition_by=part_cols or None,
+                       _distribute=not sort_by)
 
 
 DEFAULT_VACUUM_AGE_MS = 3 * 24 * 3600 * 1000  # mirrors the iceberg guard

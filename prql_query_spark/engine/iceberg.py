@@ -315,11 +315,30 @@ def _prune_data_files(
         [StructField("_pq_file", StringType(), False)]
         + [StructField(c, t, True) for c, t in fields])
     pdf = spark.createDataFrame(rows, frame_schema)
-    try:
-        keep = {r["_pq_file"]
-                for r in pdf.filter(where).select("_pq_file").collect()}
-    except Exception:
-        return data_files  # predicate needs non-partition columns
+
+    def try_filter(pred):
+        try:
+            return {r["_pq_file"]
+                    for r in pdf.filter(pred).select("_pq_file").collect()}
+        except Exception:
+            return None
+
+    keep = try_filter(where)
+    if keep is None:
+        # mixed predicate (references non-partition columns): fall back
+        # to the top-level AND conjuncts that analyze against the
+        # partition frame alone — `part = x AND data_col > y` still
+        # partition-prunes on its first conjunct.  A conjunct mangled
+        # by the textual split (quoted strings containing ' and ')
+        # fails analysis and is IGNORED — ignoring keeps more files,
+        # never fewer, and the caller re-applies the full predicate as
+        # a row filter.
+        for conj in re.split(r"\band\b", where, flags=re.IGNORECASE):
+            k = try_filter(conj)
+            if k is not None:
+                keep = k if keep is None else (keep & k)
+    if keep is None:
+        return data_files
     return [t for t in data_files if t[0] in keep]
 
 
@@ -658,6 +677,7 @@ def _write_manifest(
 def _write_data_files(
     df: DataFrame, data_dir: str,
     part_fields: list[tuple[str, DataType]],
+    distribute: bool = True,
 ) -> list[tuple[str, dict | None]]:
     """Stage a DataFrame's parquet data files under ``data_dir`` and
     return ``(path, partition values)`` pairs for the manifest.
@@ -705,10 +725,13 @@ def _write_data_files(
     # partitions small files, the classic layout killer.  One writer
     # per partition tuple; heavily skewed single partitions trade
     # write parallelism for file count, which compact_iceberg can
-    # re-split later.
-    staged = (staged.repartition(*[F.col(a) for a in aliases])
-              .write.mode("errorifexists").partitionBy(*aliases)
-              .parquet(data_dir))
+    # re-split later.  ``distribute=False`` is for callers that OWN
+    # the layout (compact_iceberg's sort_by rewrite) — their range
+    # clustering must survive to the files.
+    if distribute:
+        staged = staged.repartition(*[F.col(a) for a in aliases])
+    (staged.write.mode("errorifexists").partitionBy(*aliases)
+           .parquet(data_dir))
 
     def parse(raw: str, typ: DataType):
         if raw == "__HIVE_DEFAULT_PARTITION__":
@@ -860,6 +883,7 @@ def write_iceberg(
     properties: dict | None = None,
     partition_by: list[str] | None = None,
     evolve_schema: bool = False,
+    _distribute: bool = True,
 ) -> None:
     """Minimal jar-less Iceberg v2 APPEND writer — the inverse of
     read_iceberg, same supported subset (parquet data files, unpartitioned,
@@ -943,7 +967,8 @@ def write_iceberg(
     if not exists:
         part_fields = _resolve_part_fields(df, list(partition_by or []))
         data_dir = os.path.join(path, "data")
-        parts = _write_data_files(df, data_dir, part_fields)
+        parts = _write_data_files(df, data_dir, part_fields,
+                                   distribute=_distribute)
         os.makedirs(meta_dir)
         man_path = _write_manifest(
             meta_dir, parts, part_fields=part_fields or None)
@@ -1016,7 +1041,8 @@ def write_iceberg(
     snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
 
     data_dir = os.path.join(path, "data", f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
-    parts = _write_data_files(df, data_dir, declared)
+    parts = _write_data_files(df, data_dir, declared,
+                              distribute=_distribute)
     man_path = _write_manifest(meta_dir, parts, part_fields=declared or None)
 
     # new manifest-list = previous head's manifests + the new one.
@@ -1137,11 +1163,20 @@ def compact_iceberg(
     everywhere and prune nothing."""
     snapshot = read_iceberg(spark, path)
     if sort_by:
-        staged = (snapshot.repartitionByRange(target_files, *sort_by)
-                          .sortWithinPartitions(*sort_by))
+        # range-cluster across (partition cols, sort cols) so tasks are
+        # partition-aligned AND range-contiguous; the stager is told NOT
+        # to re-distribute (that would destroy this layout)
+        with open(_latest_metadata(path)) as fh:
+            part_cols = [c for c, _t in
+                         _identity_part_fields(json.load(fh))]
+        staged = (snapshot
+                  .repartitionByRange(target_files,
+                                      *(part_cols + list(sort_by)))
+                  .sortWithinPartitions(*sort_by))
     else:
         staged = snapshot.coalesce(target_files)
-    write_iceberg(staged, path, mode="overwrite")
+    write_iceberg(staged, path, mode="overwrite",
+                  _distribute=not sort_by)
 
 
 def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> dict:

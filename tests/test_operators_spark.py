@@ -6611,17 +6611,20 @@ def test_delta_stats_file_skipping(spark, tmp_path):
         (F.col("id").cast("double") / 3).alias("x"),
         F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("g"))
     d = str(tmp_path / "dstats")
-    write_delta(src.repartitionByRange(8, "id"), d, partition_by=["g"])
+    # unpartitioned so the caller's range clustering reaches the files
+    # (the partitioned write path hash-distributes one file per value)
+    write_delta(src.repartitionByRange(8, "id"), d)
 
     meta, _p, adds, _t = _snapshot_actions(
         spark, os.path.join(d, "_delta_log"), None)
     st = json.loads(next(iter(adds.values()))["stats"])
     assert sorted(st) == ["maxValues", "minValues", "nullCount",
                           "numRecords"]
-    assert sorted(st["minValues"]) == ["id", "m", "x"]  # g is hive-dir
+    # string g excluded (parquet may truncate string min/max)
+    assert sorted(st["minValues"]) == ["id", "m", "x"]
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    kept = _skip_files_by_stats(spark, schema, ["g"], adds, "id >= 9000")
+    kept = _skip_files_by_stats(spark, schema, [], adds, "id >= 9000")
     assert 0 < len(kept) < len(adds)
 
     for pred in ("id >= 9000", "id = 4242 AND m = 0", "x < 10.5",
@@ -6639,7 +6642,7 @@ def test_delta_stats_file_skipping(spark, tmp_path):
             os.remove(os.path.join(d, "_delta_log", f))
     _m3, _p3, adds3, _t3 = _snapshot_actions(
         spark, os.path.join(d, "_delta_log"), None)
-    kept3 = _skip_files_by_stats(spark, schema, ["g"], adds3, "id >= 9000")
+    kept3 = _skip_files_by_stats(spark, schema, [], adds3, "id >= 9000")
     assert 0 < len(kept3) < len(adds3)
     assert sorted(r.id for r in read_delta_snapshot(
         spark, d, where="id >= 9000").collect()) == list(range(9000, 10000))
@@ -6725,3 +6728,37 @@ def test_compact_sort_by_enables_bounds_skipping(spark, tmp_path):
     assert total == 8 and kept <= 2
     assert sorted(r.id for r in read_delta_snapshot(
         spark, dd, where=pred).collect()) == want
+
+
+def test_compact_sort_by_on_partitioned_iceberg(spark, tmp_path):
+    """sort_by compaction on a PARTITIONED table (r11): the rewrite
+    range-clusters across (partition cols, sort cols) and skips the
+    stager's hash re-distribution, so BOTH levers survive — partition
+    pruning AND per-file bounds compose on the compacted layout."""
+    import json
+
+    from prql_query_spark.engine.iceberg import (
+        _latest_metadata, _prune_by_bounds, _prune_data_files,
+        _walk_manifests, compact_iceberg, read_iceberg, write_iceberg,
+    )
+
+    src = spark.range(0, 6000).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("b"),
+        (F.col("id") * 7).alias("v"))
+    d = str(tmp_path / "czp.iceberg")
+    write_iceberg(src.repartition(8, "v"), d, partition_by=["b"])
+    compact_iceberg(spark, d, target_files=9, sort_by=["id"])
+
+    meta = json.load(open(_latest_metadata(d)))
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    dfs, _dl, parts, bounds = _walk_manifests(snap, d)
+    assert len(parts) == len(dfs) == len(bounds)
+    pred = "b = 1 AND id >= 5000"
+    p1 = _prune_data_files(spark, meta, dfs, parts, pred)
+    assert 0 < len(p1) < len(dfs)             # partition lever
+    p2 = _prune_by_bounds(spark, meta, p1, bounds, pred)
+    assert 0 < len(p2) < len(p1)              # bounds lever on top
+    got = sorted(r.id for r in
+                 read_iceberg(spark, d, where=pred).collect())
+    assert got == sorted(r.id for r in src.filter(pred).collect())
