@@ -1679,12 +1679,12 @@ DRIVER_ORDER = [
     #   both SFs now —
     "x_iceberg_delete", "x_iceberg_merge",
     "x_delta_delete", "x_delta_merge", "x_stream_upsert",
-    # — positions 59-61: round-11 TPC-H completions (Q11 scalar-HAVING,
-    #   Q20 nested-IN chain — the last 2 of the 22 silhouettes) and the
-    #   partitioned-iceberg pruning gate row, queued with the other
-    #   round-11-new rows for the r12 window —
+    # — positions 59-63: round-11 session-2 rows (TPC-H Q11/Q20
+    #   completions, the partitioned-lakehouse pruning twins, schema
+    #   evolution), queued with the other round-11-new rows for the
+    #   r12 window —
     "q_important_stock_q11", "q_potential_promo_q20",
-    "x_iceberg_partition", "x_schema_evolve",
+    "x_iceberg_partition", "x_schema_evolve", "x_delta_partition",
 ]
 
 
@@ -6088,7 +6088,64 @@ EXTENSIONS["x_iceberg_delete"] = _x_iceberg_delete
 EXTENSIONS["x_iceberg_merge"] = _x_iceberg_merge
 EXTENSIONS["x_iceberg_partition"] = _x_iceberg_partition
 EXTENSIONS["x_delta_delete"] = _x_delta_delete
+def _x_delta_partition(spark, sf_dir):
+    """Partitioned Delta + stats file-skipping (r11 — the Delta twin of
+    x_iceberg_partition): create the orders table partitioned by
+    o_orderpriority (hive layout + per-file stats on every add
+    action), row-level DELETE `o_orderkey % 7 = 0` (copy-on-write —
+    only files with a match rewritten, rewrites re-staged WITH stats),
+    then aggregate the full post-delete head and a `where=` read of
+    the 1-URGENT partition.  In-row contract: the skip pass over the
+    log metadata must keep a STRICT subset of the add set for the
+    single-partition predicate (a skipping regression = full scan
+    fails loudly).  Same delete-inverted oracle as the iceberg twin,
+    so a partition leak, a delete miss under skipping, or stats drift
+    all hash-mismatch."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import StructType as _ST
+
+    from prql_query_spark.engine.deltalog import (
+        _skip_files_by_stats, _snapshot_actions, delete_delta,
+        read_delta_snapshot, write_delta)
+
+    d = _rt_dir("pq_rt_deltapart_") + "/orders"
+    src = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    write_delta(src, d, partition_by=["o_orderpriority"])     # v0
+    delete_delta(spark, d, "o_orderkey % 7 = 0")              # v1
+
+    meta, _p, adds, _t = _snapshot_actions(
+        spark, _os.path.join(d, "_delta_log"), None)
+    schema = _ST.fromJson(_json.loads(meta["schemaString"]))
+    kept = _skip_files_by_stats(
+        spark, schema, ["o_orderpriority"], adds,
+        "o_orderpriority = '1-URGENT'")
+    if not (0 < len(kept) < len(adds)):
+        raise AssertionError(
+            f"stats skipping regressed: {len(kept)} of {len(adds)} "
+            "files survive a single-partition predicate")
+
+    urgent = read_delta_snapshot(
+        spark, d, where="o_orderpriority = '1-URGENT'").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urgent"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum_urgent"))
+    head = read_delta_snapshot(spark, d).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").alias("price_cents"))
+    return (
+        head.crossJoin(F.broadcast(urgent))
+        .select("o_orderpriority", "n", "key_sum", "price_cents",
+                "n_urgent", "key_sum_urgent")
+        .orderBy("o_orderpriority")
+    )
+
+
 EXTENSIONS["x_delta_merge"] = _x_delta_merge
+EXTENSIONS["x_delta_partition"] = _x_delta_partition
 EXTENSIONS["x_roundtrip_webdataset"] = _x_roundtrip_webdataset
 def _x_stream_tumbling(spark, sf_dir):
     """The STREAMING tier driven to completion inside the gate: a real
@@ -7068,6 +7125,10 @@ FROM live, u
 GROUP BY o_orderpriority, n_urgent, key_sum_urgent
 ORDER BY o_orderpriority
 """
+# the Delta partition twin shares the iceberg row's delete-inverted
+# oracle — identical semantics and columns, different storage engine
+EXTENSION_ORACLES["x_delta_partition"] = \
+    EXTENSION_ORACLES["x_iceberg_partition"]
 
 EXTENSION_ORACLES["x_roundtrip_webdataset"] = """
 SELECT doc_id % 10 AS key_mod, COUNT(*) AS n,

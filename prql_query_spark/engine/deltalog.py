@@ -137,14 +137,24 @@ def _skip_files_by_stats(
     from prql_query_spark.engine.pruning import (
         BOUND_TYPES, conjunctive_keep)
 
+    from pyspark.sql.types import StringType
+
+    # footer stats: bound-exact types only; PARTITION values come from
+    # the log (exact, never truncated), so string partition columns
+    # participate as point intervals too — the common
+    # `part_str = 'x' AND ...` shape skips files
     types = {f.name: f.dataType for f in schema.fields
-             if isinstance(f.dataType, BOUND_TYPES)}
+             if isinstance(f.dataType, BOUND_TYPES)
+             or (f.name in part_cols
+                 and isinstance(f.dataType, StringType))}
     if not types:
         return adds
 
     def de(v, typ):
         if v is None:
             return None
+        if isinstance(typ, StringType):
+            return str(v)
         if isinstance(typ, DateType):
             return datetime.date.fromisoformat(str(v)[:10])
         if isinstance(typ, (IntegerType, LongType)):

@@ -358,9 +358,12 @@ def _prune_by_bounds(
     manifests' string-encoded bounds against the table schema."""
     import datetime
 
-    from prql_query_spark.engine.pruning import conjunctive_keep
+    from prql_query_spark.engine.pruning import BOUND_TYPES, conjunctive_keep
 
-    fields = {f.name: f.dataType for f in _table_schema(meta).fields}
+    # footer-stats safety: bound-exact types only (strings may be
+    # parquet-truncated — conjunctive_keep's caller contract)
+    fields = {f.name: f.dataType for f in _table_schema(meta).fields
+              if isinstance(f.dataType, BOUND_TYPES)}
 
     def de(v, typ):
         if v is None:

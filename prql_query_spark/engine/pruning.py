@@ -25,7 +25,7 @@ BOUND_TYPES = (IntegerType, LongType, FloatType, DoubleType, DateType)
 
 _SIMPLE_CONJUNCT = re.compile(
     r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>)\s*"
-    r"(-?\d+(?:\.\d+)?|DATE\s*'[^']*')\s*$", re.IGNORECASE)
+    r"(-?\d+(?:\.\d+)?|DATE\s*'[^']*'|'[^']*')\s*$", re.IGNORECASE)
 
 
 def footer_bounds(md) -> tuple[dict, dict, dict]:
@@ -100,7 +100,15 @@ def conjunctive_keep(
     referenced column passes that conjunct (`min IS NULL OR ...` in
     the rewrite).  Interval tests are evaluated by Spark SQL over a
     one-row-per-file typed frame, so literal coercion follows engine
-    semantics exactly; any analysis error falls back to None."""
+    semantics exactly; any analysis error falls back to None.
+
+    THE CALLER OWNS TYPE SAFETY through ``types``: include only
+    columns whose (min, max) values are exact.  Parquet footer stats
+    qualify for BOUND_TYPES only (string stats may be truncated,
+    timestamp stats are zone-adjusted); partition VALUES from table
+    metadata are exact for strings too, which is why the Delta caller
+    passes string partition columns as point intervals while both
+    stats callers restrict to BOUND_TYPES."""
     if re.search(r"[()]|\bor\b|\bnot\b|\bis\b", where, re.IGNORECASE):
         return None
     conjuncts = []
@@ -109,7 +117,7 @@ def conjunctive_keep(
         if not m:
             continue
         col, op, lit = m.group(1), m.group(2), m.group(3)
-        if isinstance(types.get(col), BOUND_TYPES):
+        if col in types:
             conjuncts.append((col, op, lit))
     if not conjuncts:
         return None
