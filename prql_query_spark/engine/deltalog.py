@@ -1032,3 +1032,46 @@ def merge_delta(
     _commit_actions(log_dir, version, actions)
     return {"matched_deleted": n_deleted, "appended_rows": n_appended,
             "version": version}
+
+
+def delta_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY for the jar-less writer: one row per commit
+    version with its action counts — derived by replaying each commit
+    file (this writer emits no commitInfo actions, so the operation
+    column is inferred from the action shape: metaData-only = table
+    change, removes+adds = overwrite/rewrite, adds only = append,
+    removes only = delete/expire).  Driver-side log-scale work;
+    returns an ordinary DataFrame."""
+    log_dir = os.path.join(path, "_delta_log")
+    commits = sorted(
+        (int(m.group(1)), f) for f in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(f)))
+    if not commits:
+        raise DeltaProtocolError(f"no delta commits found in {log_dir}")
+    rows = []
+    for v, fname in commits:
+        fp = os.path.join(log_dir, fname)
+        n_add = n_remove = n_meta = n_txn = 0
+        with open(fp) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                n_add += "add" in a
+                n_remove += "remove" in a
+                n_meta += "metaData" in a
+                n_txn += "txn" in a
+        if n_add and n_remove:
+            op = "overwrite"
+        elif n_add:
+            op = "append"
+        elif n_remove:
+            op = "delete"
+        else:
+            op = "metadata"
+        rows.append((v, int(os.path.getmtime(fp) * 1000), op,
+                     n_add, n_remove, n_meta, n_txn))
+    return spark.createDataFrame(
+        rows, "version long, timestamp_ms long, operation string, "
+              "num_added_files int, num_removed_files int, "
+              "num_metadata_actions int, num_txn_actions int")

@@ -1666,3 +1666,87 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
             pass  # a concurrent/earlier pass got it; same end state
     return {"expired": [s["snapshot-id"] for s in expired],
             "deleted_files": deleted}
+
+
+def iceberg_metadata(
+    spark: SparkSession, path: str, kind: str = "snapshots"
+) -> DataFrame:
+    """Metadata introspection — the jar-less stand-in for real
+    Iceberg's ``table$snapshots`` / ``table$manifests`` /
+    ``table$files`` system tables.  Driver-side KB-scale work only
+    (the metadata JSON + Avro manifest chain); returns an ordinary
+    DataFrame so the results compose with any query.
+
+    ``kind``:
+      * ``snapshots`` — one row per snapshot: id, parent, timestamp,
+        sequence number, operation, manifest-list path;
+      * ``manifests`` — the CURRENT snapshot's manifest-list entries;
+      * ``files`` — the CURRENT snapshot's data + delete files with
+        record counts, sizes, sequence numbers, and the partition
+        values / bounds maps as JSON strings.
+    """
+    meta_path = _latest_metadata(path)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+
+    if kind == "snapshots":
+        rows = [
+            (int(s["snapshot-id"]),
+             int(s["parent-snapshot-id"])
+             if s.get("parent-snapshot-id") is not None else None,
+             int(s.get("timestamp-ms", 0)),
+             int(s.get("sequence-number", 0)),
+             (s.get("summary") or {}).get("operation"),
+             s.get("manifest-list"))
+            for s in meta.get("snapshots") or []
+        ]
+        return spark.createDataFrame(
+            rows, "snapshot_id long, parent_id long, timestamp_ms long, "
+                  "sequence_number long, operation string, "
+                  "manifest_list string")
+
+    snap = _head_snapshot(meta, meta_path, "metadata introspection")
+    if kind == "manifests":
+        entries = [] if snap is None else _head_manifests(
+            snap, path, "metadata introspection")
+        rows = [
+            (m.get("manifest_path"), int(m.get("manifest_length", 0)),
+             int(m.get("content", 0)), int(m.get("added_snapshot_id", 0)),
+             int(m.get("sequence_number", 0)))
+            for m in entries
+        ]
+        return spark.createDataFrame(
+            rows, "manifest_path string, manifest_length long, "
+                  "content int, added_snapshot_id long, "
+                  "sequence_number long")
+
+    if kind == "files":
+        import pyarrow.parquet as pq
+
+        rows = []
+        if snap is not None:
+            data_files, pos_deletes, parts, bounds = _walk_manifests(
+                snap, path)
+            for p, seq in data_files:
+                lo, hi = bounds.get(p, (None, None))
+                rows.append((
+                    p, 0, int(pq.read_metadata(p).num_rows),
+                    os.path.getsize(p),
+                    int(seq) if seq is not None else None,
+                    json.dumps(parts[p]) if p in parts else None,
+                    json.dumps(lo) if lo else None,
+                    json.dumps(hi) if hi else None))
+            for p, seq in pos_deletes:
+                rows.append((
+                    p, 1, int(pq.read_metadata(p).num_rows),
+                    os.path.getsize(p),
+                    int(seq) if seq is not None else None,
+                    None, None, None))
+        return spark.createDataFrame(
+            rows, "file_path string, content int, record_count long, "
+                  "file_size_bytes long, sequence_number long, "
+                  "partition string, lower_bounds string, "
+                  "upper_bounds string")
+
+    raise IcebergError(
+        f"iceberg_metadata kind {kind!r}: snapshots|manifests|files")

@@ -6762,3 +6762,55 @@ def test_compact_sort_by_on_partitioned_iceberg(spark, tmp_path):
     got = sorted(r.id for r in
                  read_iceberg(spark, d, where=pred).collect())
     assert got == sorted(r.id for r in src.filter(pred).collect())
+
+
+def test_lakehouse_metadata_introspection(spark, tmp_path):
+    """iceberg_metadata (snapshots/manifests/files — the jar-less
+    table$... system tables) and delta_history (DESCRIBE HISTORY) over
+    a real lifecycle: counts, operations, and per-file metadata match
+    what the commits did."""
+    import pytest as _pytest
+
+    from prql_query_spark.engine.deltalog import (
+        delete_delta, delta_history, write_delta,
+    )
+    from prql_query_spark.engine.iceberg import (
+        IcebergError, delete_iceberg, iceberg_metadata, write_iceberg,
+    )
+
+    src = spark.createDataFrame(
+        [(i, f"g{i % 2}") for i in range(100)], "id long, g string")
+
+    di = str(tmp_path / "m.iceberg")
+    write_iceberg(src, di, partition_by=["g"])                # snap 1
+    write_iceberg(src.filter("id < 10"), di, mode="append")   # snap 2
+    delete_iceberg(spark, di, "id = 3")                       # snap 3
+
+    snaps = iceberg_metadata(spark, di, "snapshots").collect()
+    assert [s.snapshot_id for s in snaps] == [1, 2, 3]
+    assert [s.operation for s in snaps] == ["append", "append", "delete"]
+    assert snaps[2].parent_id == 2
+
+    mans = iceberg_metadata(spark, di, "manifests").collect()
+    assert sorted(m.content for m in mans) == [0, 0, 1]
+
+    files = iceberg_metadata(spark, di, "files").collect()
+    data = [f for f in files if f.content == 0]
+    dels = [f for f in files if f.content == 1]
+    assert sum(f.record_count for f in data) == 110
+    assert sum(f.record_count for f in dels) == 2  # id=3 in both snaps
+    assert all(f.partition is not None for f in data)
+    assert all(f.lower_bounds is not None for f in data)
+    with _pytest.raises(IcebergError, match="snapshots|manifests|files"):
+        iceberg_metadata(spark, di, "nope")
+
+    dd = str(tmp_path / "m.delta")
+    write_delta(src, dd)                                      # v0
+    write_delta(src.filter("id < 10"), dd, mode="append")     # v1
+    delete_delta(spark, dd, "id = 3")                         # v2
+    h = delta_history(spark, dd).collect()
+    assert [r.version for r in h] == [0, 1, 2]
+    assert h[0].operation == "append" and h[0].num_metadata_actions == 1
+    assert h[1].operation == "append"
+    assert h[2].operation == "overwrite"  # rewrite: removes + adds
+    assert h[2].num_removed_files >= 1 and h[2].num_added_files >= 1
