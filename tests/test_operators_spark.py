@@ -6814,3 +6814,45 @@ def test_lakehouse_metadata_introspection(spark, tmp_path):
     assert h[1].operation == "append"
     assert h[2].operation == "overwrite"  # rewrite: removes + adds
     assert h[2].num_removed_files >= 1 and h[2].num_added_files >= 1
+
+
+def test_stream_to_iceberg_inherits_partitioning(spark, sf_dir, tmp_path):
+    """A streaming sink appending into a PARTITIONED iceberg table
+    inherits the declared layout (r11): every streamed data file lands
+    with manifest partition metadata, and a pruned where= read over
+    the streamed rows equals the plain filter."""
+    import json
+
+    from prql_query_spark.engine.iceberg import (
+        _latest_metadata, _walk_manifests, read_iceberg, write_iceberg,
+    )
+    from prql_query_spark.streaming.ingest import stream_to_iceberg
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source")
+    in_dir = str(tmp_path / "in")
+    docs.repartition(2).write.parquet(in_dir)
+    table = str(tmp_path / "tp.iceberg")
+    # declare the partitioning with an empty-frame create
+    write_iceberg(docs.filter("doc_id < 0"), table,
+                  partition_by=["source"])
+
+    q = stream_to_iceberg(
+        spark, in_dir, table, checkpoint=str(tmp_path / "ck"),
+        queryName="tp_ice_sink", max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    meta = json.load(open(_latest_metadata(table)))
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    dfs, _dl, parts, _b = _walk_manifests(snap, table)
+    assert len(parts) == len(dfs) > 0  # every streamed file partitioned
+    one = docs.select("source").first().source
+    got = sorted(r.doc_id for r in read_iceberg(
+        spark, table, where=f"source = '{one}'").collect())
+    assert got == sorted(
+        r.doc_id for r in docs.filter(F.col("source") == one).collect())
