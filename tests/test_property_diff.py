@@ -325,3 +325,57 @@ def test_merge_upsert_matches_reference_semantics(spark, target, source):
     got_dlt = Counter(
         (r.id, r.v) for r in read_delta_snapshot(spark, dlt).collect())
     assert got_dlt == expected, (target, source, got_dlt)
+
+
+_bound_cols = ("a", "b")
+_file_rows = st.lists(
+    st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+    min_size=1, max_size=5)
+_file = st.tuples(_file_rows, st.booleans())  # (rows, has_stats)
+_conjunct = st.tuples(
+    st.sampled_from(_bound_cols),
+    st.sampled_from(["<", "<=", "=", ">=", ">"]),
+    st.integers(-55, 55))
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(files=st.lists(_file, min_size=1, max_size=6),
+       conjuncts=st.lists(_conjunct, min_size=1, max_size=3))
+def test_conjunctive_keep_never_overprunes(spark, files, conjuncts):
+    """SOUNDNESS of the file-skipping engine (engine/pruning.py), the
+    one property that must never break: every file containing at least
+    one row satisfying the predicate MUST survive conjunctive_keep —
+    over-pruning is a silent-wrong-rows bug.  Files without stats must
+    always survive.  (Completeness — skipping as much as possible — is
+    an optimization, deliberately not asserted.)"""
+    from pyspark.sql.types import LongType
+
+    from prql_query_spark.engine.pruning import conjunctive_keep
+
+    ops = {"<": lambda x, y: x < y, "<=": lambda x, y: x <= y,
+           "=": lambda x, y: x == y, ">=": lambda x, y: x >= y,
+           ">": lambda x, y: x > y}
+    where = " AND ".join(f"{c} {op} {lit}" for c, op, lit in conjuncts)
+
+    fb = {}
+    must_keep = set()
+    for i, (rows, has_stats) in enumerate(files):
+        key = f"f{i}"
+        if any(all(ops[op]({"a": ra, "b": rb}[c], lit)
+                   for c, op, lit in conjuncts)
+               for ra, rb in rows):
+            must_keep.add(key)
+        if has_stats:
+            fb[key] = (
+                {"a": min(r[0] for r in rows), "b": min(r[1] for r in rows)},
+                {"a": max(r[0] for r in rows), "b": max(r[1] for r in rows)})
+        else:
+            fb[key] = ({}, {})
+            must_keep.add(key)  # no stats -> must always survive
+
+    keep = conjunctive_keep(
+        spark, {"a": LongType(), "b": LongType()}, fb, where)
+    if keep is None:
+        return  # no skipping attempted: trivially sound
+    assert must_keep <= keep, (where, files, sorted(keep))
