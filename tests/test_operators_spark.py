@@ -6856,3 +6856,45 @@ def test_stream_to_iceberg_inherits_partitioning(spark, sf_dir, tmp_path):
         spark, table, where=f"source = '{one}'").collect())
     assert got == sorted(
         r.doc_id for r in docs.filter(F.col("source") == one).collect())
+
+
+def test_iceberg_maintenance_on_partitioned_layout(spark, tmp_path):
+    """Expiry and the orphan sweep handle the partitioned layout's
+    NESTED data dirs (r11): expire reclaims replaced files inside hive
+    subdirectories, and an orphaned nested file survives the
+    age-guarded sweep fresh but is reclaimed past the threshold."""
+    import os
+
+    from prql_query_spark.engine.iceberg import (
+        expire_snapshots, read_iceberg, remove_orphan_files, write_iceberg,
+    )
+
+    d = str(tmp_path / "mp.iceberg")
+    src = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(90)], "id long, g string")
+    write_iceberg(src, d, partition_by=["g"])                   # snap 1
+    write_iceberg(src.filter("id < 30"), d, mode="overwrite")   # snap 2
+
+    def nested_parquets():
+        out = []
+        for root, _dirs, files in os.walk(os.path.join(d, "data")):
+            out += [os.path.join(root, f) for f in files
+                    if f.endswith(".parquet")]
+        return out
+
+    before = len(nested_parquets())
+    res = expire_snapshots(d, keep_last=1)
+    assert res["expired"] == [1] and res["deleted_files"] > 0
+    assert len(nested_parquets()) < before
+    assert read_iceberg(spark, d).count() == 30  # head intact
+
+    # orphan a nested file: fresh -> survives the guarded sweep;
+    # aged -> reclaimed
+    orphan = os.path.join(
+        os.path.dirname(nested_parquets()[0]), "stray.parquet")
+    open(orphan, "wb").write(b"not a real parquet")
+    assert remove_orphan_files(d)["deleted_files"] == 0
+    assert os.path.exists(orphan)
+    assert remove_orphan_files(d, older_than_ms=0)["deleted_files"] >= 1
+    assert not os.path.exists(orphan)
+    assert read_iceberg(spark, d).count() == 30
