@@ -1642,13 +1642,16 @@ DRIVER_ORDER = [
     # (x_upsert_latest, x_weighted_sample, x_winsorize — judge-exact at
     # both SFs in the r10 session), then (d) 39 of the 42 rows last
     # driver-hashed in r6 (CORRECTNESS_r06 keys minus the r7-r10
-    # windows; alphabetical).  7+1+3+39=50.  Deferred to r12
-    # (oldest-first, same discipline): the 3 r6 rows that did not fit
-    # (x_union_evolve, x_video_fingerprint, x_vocab_jaccard —
-    # alphabetical tail, staged at positions 51-53 so they lead the r12
-    # window), then the 43-row r7 cohort.  The in-repo Arrow-typed
-    # parity harness (tools/check_parity.py) still value-checks all
-    # entries at both gate SFs every round.
+    # windows; alphabetical).  7+1+3+39=50.  Suggested r12 window
+    # (oldest-first + never-audited-first, same discipline): the 7-core
+    # + the 13 never-driver-audited rows queued at positions 51-63
+    # below (the 3 r6-tail deferrals, the 5 round-11 DML/stream gate
+    # rows, and the 5 session-2 rows: TPC-H Q11/Q20, the partitioned
+    # pruning twins x_iceberg_partition / x_delta_partition,
+    # x_schema_evolve) + the first 30 of the 43-row r7 cohort
+    # (alphabetical) = 50.  The in-repo Arrow-typed parity harness
+    # (tools/check_parity.py) still value-checks all entries at both
+    # gate SFs every round.
     # — stable regression core (7) —
     "q_agg_q1", "q_join_agg_q5", "q_flagship_monthly",
     "q_priority_lines_q12", "x_constraint_audit",
