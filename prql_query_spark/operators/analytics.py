@@ -38,15 +38,27 @@ def cohort_retention(
 
     Returns (cohort, offset, n_users) where `offset` counts `unit` periods
     since the cohort period (offset 0 row = cohort size).
+
+    Round-11 re-plan: one collect_set aggregation per user replaces the
+    previous distinct -> per-user window -> aggregate chain — two
+    exchanges instead of three, and no sort (the window exec sorted every
+    partition).  collect_set partially aggregates map-side, so the one
+    user-keyed shuffle ships each (user, period) pair at most once per map
+    task — the same bytes the old distinct shuffled, one pass earlier.
+    Per-user state is bounded by the calendar (distinct active periods),
+    so the set cannot grow with corpus size.
     """
     day = F.date_trunc(unit, F.col(ts_col)).cast("date")
-    activity = events.select(
-        F.col(user_col).alias("_u"), day.alias("_d")
-    ).distinct()
-    w = Window.partitionBy("_u")
-    with_cohort = activity.withColumn("_cohort", F.min("_d").over(w))
+    per_user = (
+        events.select(F.col(user_col).alias("_u"), day.alias("_d"))
+        .groupBy("_u")
+        .agg(F.collect_set("_d").alias("_ds"))
+    )
+    exploded = per_user.select(
+        F.array_min("_ds").alias("_cohort"), F.explode("_ds").alias("_d")
+    )
     return (
-        with_cohort.groupBy(
+        exploded.groupBy(
             F.col("_cohort").alias("cohort"),
             F.datediff(F.col("_d"), F.col("_cohort")).alias("offset"),
         )

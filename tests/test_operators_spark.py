@@ -1359,6 +1359,32 @@ def test_unigram_logprob_orders_by_surprise(spark):
     assert got[1]["avg_logprob"] > got[2]["avg_logprob"]
 
 
+def test_unigram_logprob_plans_agree(spark, sf_dir):
+    """The two physical regimes (probe join vs one-pass window, round-11
+    re-plan) must produce identical values on the fixture corpus — the
+    auto switch may only change the plan, never the answer."""
+    import os
+
+    from prql_query_spark.engine.sources import load_parquet
+    from prql_query_spark.operators.text import unigram_logprob
+
+    docs = load_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet"))
+    a = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+         for r in unigram_logprob(docs, plan="probe").collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+         for r in unigram_logprob(docs, plan="onepass").collect()}
+    assert a == b
+    # the auto gate switches plans: one-pass carries a token-key Window,
+    # the fixture-scale auto pick (probe) does not
+    auto_plan = unigram_logprob(docs)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    forced_plan = unigram_logprob(docs, onepass_cutoff_bytes=1) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition" not in auto_plan
+    assert "windowspecdefinition" in forced_plan
+
+
 def test_weighted_sample_biases_toward_weight(spark):
     """Heavy rows should be sampled far more often than light ones; the
     pick is deterministic across calls."""

@@ -243,6 +243,20 @@ def test_anomaly_zscore_preaggregates_before_window(spark, sf_dir):
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 2
 
 
+def test_cohort_retention_two_exchanges_no_window(spark, sf_dir):
+    """Round-11 re-plan: cohort assignment comes from one collect_set
+    aggregate per user (map-side combined), not a distinct -> per-user
+    window chain — two exchanges total and no window/sort anywhere."""
+    import re as _re
+
+    from prql_query_spark.operators.analytics import cohort_retention
+
+    ev = load_parquet(spark, f"{sf_dir}/events.parquet")
+    plan = _plan(spark, cohort_retention(ev), "simple")
+    assert "Window" not in plan
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
 def test_fuzzy_join_blocks_never_cross_product(spark, sf_dir):
     """The blocking key must plan as an equi hash/broadcast join — a raw
     levenshtein predicate would fall back to BroadcastNestedLoopJoin and
