@@ -767,16 +767,23 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    comp_type = labels.schema["comp"].dataType
     for _ in range(max_iter):
-        # min label over {self} ∪ neighbors, one shuffle
+        # min label over {self} ∪ neighbors, one shuffle.  The self rows
+        # carry their current label along as _old so the convergence
+        # check below is a flag filter over the checkpointed result — the
+        # previous new⋈old shuffle join per iteration (round-11) is gone.
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), F.col("comp"))
+            .select(F.col("src").alias("node"), F.col("comp"),
+                    F.lit(None).cast(comp_type).alias("_old"))
         )
         min_labels = (
-            labels.select("node", "comp").union(neighbor_labels)
+            labels.select("node", "comp", F.col("comp").alias("_old"))
+            .union(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"),
+                 F.max("_old").alias("_old"))
         )
         # pointer jumping: follow comp -> comp(comp) so label information
         # doubles its reach each round (O(log diameter) convergence on
@@ -789,17 +796,13 @@ def connected_components(
             .select(
                 "node",
                 F.coalesce(F.col("m_comp"), F.col("comp")).alias("comp"),
+                (F.coalesce(F.col("m_comp"), F.col("comp"))
+                 != F.col("_old")).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("comp").alias("component"))
