@@ -415,11 +415,17 @@ def minhash_verified_pairs(
     below the knee (see x_minhash_pairs' oracle note).
     """
     sig = minhash_signatures(_spread(df), id_col, text_col, num_perm, k)
-    # NOTE: sig feeds both the banding branch and the estimate join and
-    # is deliberately NOT checkpointed — an interleaved A/B measured the
-    # barrier at 5.9 s vs 3.1 s for the duplicated-but-pipelined kernel
-    # (the kernel re-run rides existing stages; a checkpoint adds a
-    # materialization job plus a pipeline break on BOTH consumers).
+    # sig feeds both the banding branch and the estimate join.  A LAZY
+    # localCheckpoint materializes it on first use and serves the second
+    # consumer from the saved partitions — the round-3 A/B that kept the
+    # duplicated kernel tested the EAGER barrier (5.9 s vs 3.1 s: an extra
+    # materialization job + pipeline break on both consumers); the lazy
+    # form measured FASTER than the duplicated kernel (round-11
+    # interleaved 7-run medians at sf0.1: 2.82 s vs 3.00 s), and at scale
+    # it replaces a second full corpus scan + signature kernel pass with
+    # a re-read of the ~(num_perm x 8 B)-per-doc signature table — the
+    # guide's "compute the proxy once" shape.
+    sig = sig.localCheckpoint(eager=False)
     pairs = _pairs_from_banded(_banded_from_sig(sig, num_perm, bands), max_bucket)
     est = _fold_pair_side(pairs, sig.withColumnRenamed("_sig", "_v"), "_v")
     match_frac = (
