@@ -684,17 +684,20 @@ def unigram_logprob(
     * ``plan="probe"`` (auto below `onepass_cutoff_bytes`): tokenize into
       occurrences, aggregate the vocabulary, join it back.  At CLI scale
       the vocab aggregate comes in under the broadcast threshold, so the
-      occurrence table is NEVER shuffled — measured 12% faster than the
-      one-pass plan at sf0.1 (interleaved 9-run medians: 713 vs 799 ms)
+      occurrence table is NEVER shuffled — measured faster than the
+      one-pass plan at sf0.1 (interleaved 9-run medians: 434 vs 539 ms)
       because a small corpus re-tokenizes cheaply while the window plan
       shuffles+sorts every occurrence.
     * ``plan="onepass"`` (auto above the cutoff): tokenize ONCE; per-token
       counts from a count window over the token key (one exchange + the
       same per-partition sort an SMJ probe would pay), the per-document
       aggregate directly above it, and the corpus total N derived from
-      the doc aggregate itself via log2(c/N) = log2(c) - log2(N), so the
-      total's branch reuses the doc-aggregate exchange (AQE
-      ReuseExchange).  At web scale the probe plan degrades to: TWO full
+      the doc aggregate itself via log2(c/N) = log2(c) - log2(N), served
+      through a lazy localCheckpoint so the total's branch reads the
+      saved doc aggregate instead of re-deriving the corpus subtree
+      (AQE ReuseExchange does NOT cover it: column pruning makes the two
+      aggregate exchanges non-identical).  At web scale the probe plan
+      degrades to: TWO full
       corpus tokenizations (the vocab branch re-derives the tokenize
       subtree — Catalyst has no CSE below exchange boundaries) plus an
       SMJ that shuffles+sorts occurrences AND vocab once the vocab
@@ -730,10 +733,16 @@ def unigram_logprob(
     wc = tok.withColumn(
         "_c", F.count(F.lit(1)).over(Window.partitionBy("_t"))
     )
+    # lazy checkpoint: the per-document aggregate feeds both the output
+    # and the corpus total N; without the barrier each consumer re-derives
+    # the scan+tokenize+window subtree (column pruning makes the two
+    # aggregate exchanges non-identical, so AQE ReuseExchange does NOT
+    # fire — verified on the executed plan: 4 corpus scans without the
+    # barrier, 1 with it)
     doc = wc.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg(F.log2("_c")).alias("_a"),
-    )
+    ).localCheckpoint(eager=False)
     total = doc.agg(F.sum("n_tokens").alias("_n"))
     return doc.crossJoin(F.broadcast(total)).select(
         id_col,

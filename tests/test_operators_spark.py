@@ -1375,14 +1375,16 @@ def test_unigram_logprob_plans_agree(spark, sf_dir):
     b = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
          for r in unigram_logprob(docs, plan="onepass").collect()}
     assert a == b
-    # the auto gate switches plans: one-pass carries a token-key Window,
-    # the fixture-scale auto pick (probe) does not
+    # the auto gate switches plans: one-pass serves both consumers from a
+    # lazily checkpointed doc aggregate (LogicalRDD barrier), the
+    # fixture-scale auto pick (probe) stays a window-free join plan
     auto_plan = unigram_logprob(docs)._jdf.queryExecution() \
         .optimizedPlan().toString()
     forced_plan = unigram_logprob(docs, onepass_cutoff_bytes=1) \
         ._jdf.queryExecution().optimizedPlan().toString()
     assert "windowspecdefinition" not in auto_plan
-    assert "windowspecdefinition" in forced_plan
+    assert "LogicalRDD" not in auto_plan
+    assert "LogicalRDD" in forced_plan
 
 
 def test_weighted_sample_biases_toward_weight(spark):

@@ -88,6 +88,12 @@ def main() -> None:
             continue
         df = make()
         plan = df._jdf.queryExecution().explainString(jmode)
+        # strip volatile ids so before/after diffs show only real changes
+        import re
+        plan = re.sub(r"#\d+L?", "#c", plan)
+        plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
+        plan = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[N]", plan)
+        plan = re.sub(r"file:[^\],\s]+", "file:<sf_dir>", plan)
         path = os.path.join(dest, f"{name}_{tag}.txt")
         with open(path, "w") as f:
             f.write(plan)
