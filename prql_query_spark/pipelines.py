@@ -52,7 +52,14 @@ def curate_corpus(
     stages: list[tuple[str, int, int, float]] = []
 
     t0 = time.time()
-    cur = docs.cache()
+    # _spread: a single-file CLI-scale ingest arrives as ONE partition and
+    # would serialize the gate's per-row rules (and the cache it feeds)
+    # onto one core — measured gopher_gate stage wall 1.4 -> 0.74 s at
+    # sf0.1.  At warehouse scale the scan already has many partitions and
+    # this is a no-op (same contract as the dedup kernels' _spread).
+    from prql_query_spark.operators.dedup import _spread
+
+    cur = _spread(docs).cache()
     n0 = cur.count()
     ingest_sec = time.time() - t0
 
