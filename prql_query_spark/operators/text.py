@@ -757,6 +757,7 @@ def bigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 0.4,
+    plan: str = "onepass",
 ) -> DataFrame:
     """Bigram language-model surprise with stupid backoff (Brants et al.
     2007): score each document in ``score_df`` under bigram statistics
@@ -769,11 +770,37 @@ def bigram_logprob(
     with fewer than 2 tokens produce no bigrams and drop out, mirroring
     the oracle.
 
-    Scale shape, same contract as `unigram_logprob`: the model aggregates
-    are corpus-sized in the worst case, so both probes are planned as
-    shuffle joins on purpose (a web-scale bigram table exceeds broadcast;
-    head-token skew is AQE's job); one final map-side-combined doc-id
-    aggregation.  Zero UDFs — log/backoff arithmetic is all codegen'd.
+    Scale shape (round-11 re-plan): ``plan="onepass"`` (default)
+    tokenizes the model corpus ONCE into (w1, next-token-or-null) pairs
+    — each occurrence of ``w`` emits exactly one pair with ``w`` as w1
+    (the last token of a doc pairs with null) — so ONE (w1, w2)
+    aggregate yields the bigram table (rows with non-null w2) AND,
+    summed over w1, the EXACT unigram counts; N is the sum of those.
+    The pair aggregate is lazily checkpointed (distinct-bigram-sized,
+    orders of magnitude below the occurrence stream) and the derived
+    unigram table again (vocab-sized) so its three consumers (w1 probe,
+    w2 probe, total) read saved partitions instead of re-deriving the
+    corpus subtree (AQE ReuseExchange does NOT cover them: the
+    groupings differ, the exchanges are non-identical).
+
+    ``plan="probe"`` keeps the pre-round-11 shape — independent bigram
+    and unigram aggregates of the model corpus — as the value-equality
+    witness (pinned equal in pytest).  Catalyst has no CSE below
+    exchange boundaries, so that plan scans+tokenizes the model corpus
+    FOUR times (bigram counts; unigram counts for the w1 probe; again
+    for the w2 probe; again for the total) — verified on the executed
+    plan (5 parquet scans, zero ReusedExchange).  Unlike
+    `unigram_logprob`'s regime switch, onepass is measured faster at
+    EVERY test scale (sf0.001/0.01/0.1 interleaved 9-run medians:
+    300/344/647 ms probe vs 205/225/292 ms onepass), so there is no
+    size cutoff: the default is unconditional.
+
+    The model aggregates are corpus-sized in the worst case, so both
+    probes are planned as shuffle joins on purpose (a web-scale bigram
+    table exceeds broadcast; head-token skew is AQE's job); one final
+    map-side-combined doc-id aggregation.  Zero UDFs — log/backoff
+    arithmetic is all codegen'd.  Both paths are value-verified against
+    the same DuckDB oracle and pinned equal to each other in pytest.
     """
     def bigrams(df):
         toks = tokens(F.col(text_col))
@@ -787,11 +814,39 @@ def bigram_logprob(
             F.col(id_col), F.col("_p")["0"].alias("_w1"), F.col("_p")["1"].alias("_w2")
         )
 
-    mb = bigrams(model_df).groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_cb"))
-    mu = (
-        model_df.select(F.explode(tokens(F.col(text_col))).alias("_w"))
-        .groupBy("_w").agg(F.count(F.lit(1)).alias("_cu"))
-    )
+    if plan == "onepass":
+        toks = tokens(F.col(text_col))
+        # (w, next-or-null) per occurrence: zip the token array against
+        # itself shifted by one, padded with one null — size(pairs) ==
+        # size(toks), so unigram counts fall out of the SAME aggregate
+        pairs = F.arrays_zip(
+            toks.alias("_w1"),
+            F.concat(
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.array(F.lit(None).cast("string")),
+            ).alias("_w2"),
+        )
+        mbn = (
+            model_df.select(F.explode(pairs).alias("_p"))
+            .select(F.col("_p")["_w1"].alias("_w1"),
+                    F.col("_p")["_w2"].alias("_w2"))
+            .filter(F.col("_w1").isNotNull())
+            .groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_cb"))
+            .localCheckpoint(eager=False)
+        )
+        mb = mbn.filter(F.col("_w2").isNotNull())
+        mu = (
+            mbn.groupBy("_w1").agg(F.sum("_cb").alias("_cu"))
+            .withColumnRenamed("_w1", "_w")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        mb = bigrams(model_df).groupBy("_w1", "_w2").agg(
+            F.count(F.lit(1)).alias("_cb"))
+        mu = (
+            model_df.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+            .groupBy("_w").agg(F.count(F.lit(1)).alias("_cu"))
+        )
     total = mu.agg(F.sum("_cu").alias("_n"))
 
     sb = bigrams(score_df)

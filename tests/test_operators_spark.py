@@ -2461,6 +2461,36 @@ def test_bigram_backoff_known_values(spark):
     assert r.backoff_frac == round(2 / 3, 4)
 
 
+def test_bigram_logprob_plans_agree(spark, sf_dir):
+    """The two physical regimes (probe's four model tokenizations vs the
+    round-11 one-pass nullable-next-token aggregate) must produce
+    identical values on the fixture corpus, including docs with empty /
+    null / single-token text — the plan may change, never the answer."""
+    import os
+
+    from prql_query_spark.engine.sources import load_parquet
+    from prql_query_spark.operators.text import bigram_logprob
+
+    docs = load_parquet(
+        spark, os.path.join(sf_dir, "documents.parquet"))
+    score = docs.filter(F.col("source").isin("src0", "src1"))
+    model = docs.filter(~F.col("source").isin("src0", "src1"))
+    a = {r["doc_id"]: tuple(r)[1:]
+         for r in bigram_logprob(score, model, plan="probe").collect()}
+    b = {r["doc_id"]: tuple(r)[1:]
+         for r in bigram_logprob(score, model).collect()}
+    assert a == b
+    # the one-pass default serves the model statistics from lazily
+    # checkpointed aggregates (LogicalRDD barriers); probe re-derives
+    # the corpus subtree per consumer and must stay barrier-free
+    onepass_plan = bigram_logprob(score, model)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    probe_plan = bigram_logprob(score, model, plan="probe") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in onepass_plan
+    assert "LogicalRDD" not in probe_plan
+
+
 def test_ivfpq_full_probe_matches_pq(emb):
     """At n_probe == n_cells the IVF restriction admits every candidate,
     so IVF-PQ must reproduce cosine_topk_pq's answer bit-for-bit — the
