@@ -52,6 +52,15 @@ def train_nb_classifier(
 
     Returns exactly `dim` rows (bucket, w) — unseen buckets get the
     smoothed prior weight, so scoring never needs an outer join.
+
+    Scale shape (round-11 re-plan): ONE pass over the training corpus.
+    The bucket counts and the corpus totals used to be independent
+    aggregates of the exploded-occurrence subtree, and Catalyst has no
+    CSE below exchange boundaries, so the corpus was scanned+tokenized
+    twice; the totals are EXACTLY the column sums of the per-bucket
+    counts (every occurrence lands in exactly one bucket — plain
+    integer identity), so they now derive from the lazily checkpointed
+    <= dim-row counts table instead of re-deriving the corpus subtree.
     """
     spark = df.sparkSession
     ex = df.select(
@@ -61,10 +70,10 @@ def train_nb_classifier(
     counts = ex.groupBy("bucket").agg(
         F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("c_pos"),
         F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("c_neg"),
-    )
-    totals = ex.agg(
-        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("t_pos"),
-        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("t_neg"),
+    ).localCheckpoint(eager=False)
+    totals = counts.agg(
+        F.sum("c_pos").alias("t_pos"),
+        F.sum("c_neg").alias("t_neg"),
     )
     grid = spark.range(dim).select(F.col("id").cast("bigint").alias("bucket"))
     full = (
@@ -94,19 +103,27 @@ def score_nb_classifier(
     """score = Σ_tokens w[bucket(token)], decimal-rounded to 6 digits
     (cross-engine float convention); pred = score > 0.  Docs with no
     tokens score 0.0.  Model joins broadcast — the corpus never shuffles
-    for the join, only the per-doc sum groups on the id."""
+    for the join, only the per-doc sum groups on the id.
+
+    Scale shape (round-11 re-plan): ONE pass over the scored corpus.
+    Token-less docs used to be restored by a second corpus scan
+    left-joined onto the per-doc sums; `explode_outer` keeps them in
+    the occurrence stream as a single null-bucket row instead (every
+    real token hashes into [0, dim) and the model grid is complete, so
+    null is the only bucket the LEFT model join can miss; its null `w`
+    makes the doc's sum null → coalesced to the same 0.0)."""
     ex = df.select(
         F.col(id_col),
-        F.explode(hashed_token_buckets(F.col(text_col), dim, seed)).alias("bucket"),
+        F.explode_outer(
+            hashed_token_buckets(F.col(text_col), dim, seed)).alias("bucket"),
     )
     scored = (
-        ex.join(F.broadcast(model), "bucket")
+        ex.join(F.broadcast(model), "bucket", "left")
         .groupBy(id_col)
         .agg(F.sum("w").alias("_s"))
     )
-    out = df.select(id_col).join(scored, id_col, "left")
     s6 = F.round(F.coalesce("_s", F.lit(0.0)).cast("decimal(38,12)"), 6).cast("double")
-    return out.select(id_col, s6.alias("score"), (s6 > 0).alias("pred"))
+    return scored.select(id_col, s6.alias("score"), (s6 > 0).alias("pred"))
 
 
 def nb_oracle_sql(

@@ -358,6 +358,27 @@ def test_nb_classifier_scores_with_broadcast_model(spark, sf_dir):
     assert "Python" not in plan
 
 
+def test_nb_classifier_single_pass_train_and_score(spark, sf_dir):
+    """Round-11 re-plan: ONE corpus tokenization each for train (totals
+    derive from the checkpointed bucket counts) and score (explode_outer
+    keeps token-less docs — no restore-join scanning the corpus again).
+    The scoring plan therefore has exactly one parquet scan, no
+    SortMergeJoin, and one hashpartitioning exchange (the per-doc sum)."""
+    import re as _re
+
+    from prql_query_spark.operators.classify import (
+        score_nb_classifier, train_nb_classifier)
+
+    docs = load_parquet(spark, f"{sf_dir}/documents.parquet")
+    model = train_nb_classifier(
+        docs.withColumn("_y", F.col("text").contains("spark")), "_y", dim=64
+    )
+    plan = _plan(spark, score_nb_classifier(docs, model, dim=64), "simple")
+    assert len(_re.findall(r"Scan parquet", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
 def test_pagerank_no_cartesian_no_python(spark, sf_dir):
     from prql_query_spark.operators.graph import cooccurrence_edges, pagerank
 
