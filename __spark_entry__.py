@@ -1633,61 +1633,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # splits/sampling).  Everything after index 50 still runs under the
 # in-repo parity harness (tools/check_parity.py) every round.
 DRIVER_ORDER = [
-    # Round-11 rotation (window = 50, maintenance discipline since r6):
-    # EXACTLY the composition the r10 verdict ordered ("Next round 1"),
-    # with ZERO new rows: (a) the 7-query stable regression core
-    # (unchanged since r6), (b) x_iceberg_overwrite — the r10 gate row
-    # staged at position 51 last round, the one never-driver-audited
-    # entry, (c) the 3 r5 leftovers deferred from the r10 window
-    # (x_upsert_latest, x_weighted_sample, x_winsorize — judge-exact at
-    # both SFs in the r10 session), then (d) 39 of the 42 rows last
-    # driver-hashed in r6 (CORRECTNESS_r06 keys minus the r7-r10
-    # windows; alphabetical).  7+1+3+39=50.  Suggested r12 window
-    # (oldest-first + never-audited-first, same discipline): the 7-core
-    # + the 13 never-driver-audited rows queued at positions 51-63
-    # below (the 3 r6-tail deferrals, the 5 round-11 DML/stream gate
-    # rows, and the 5 session-2 rows: TPC-H Q11/Q20, the partitioned
-    # pruning twins x_iceberg_partition / x_delta_partition,
-    # x_schema_evolve) + the first 30 of the 43-row r7 cohort
-    # (alphabetical) = 50.  The in-repo Arrow-typed parity harness
-    # (tools/check_parity.py) still value-checks all entries at both
-    # gate SFs every round.
+    # Round-12 rotation (window = 50, maintenance discipline since r6):
+    # EXACTLY the composition the r11 verdict suggested ("Next round
+    # 10" / the r11 DRIVER_ORDER comment), with ZERO new rows: (a) the
+    # 7-query stable regression core (unchanged since r6), (b) the 13
+    # never-driver-audited rows staged at positions 51-63 last round
+    # (the 3 r6-tail deferrals, the 5 round-11 DML/stream gate rows,
+    # the 5 round-11 session-2 rows: TPC-H Q11/Q20, the partitioned
+    # pruning twins, x_schema_evolve), (c) the first 30 of the 43-row
+    # r7-stale cohort — rows last driver-hashed in CORRECTNESS_r07,
+    # alphabetical.  7+13+30=50.  The remaining 13 r7-stale rows queue
+    # at positions 51-63 for the r13 window (oldest-first, same
+    # discipline).  The in-repo Arrow-typed parity harness
+    # (tools/check_parity.py) still value-checks all 235 entries at
+    # both gate SFs every round.
     # — stable regression core (7) —
     "q_agg_q1", "q_join_agg_q5", "q_flagship_monthly",
     "q_priority_lines_q12", "x_constraint_audit",
     "x_normalize_text", "x_pack_sequences",
-    # — never-driver-audited r10 gate row (1) —
-    "x_iceberg_overwrite",
-    # — r5 leftovers (3) —
-    "x_upsert_latest", "x_weighted_sample", "x_winsorize",
-    # — r6-stale re-audit (39 of 42; alphabetical) —
-    "x_audio_fingerprint", "x_benford", "x_bloom_prefilter",
-    "x_bm25_batch", "x_bm25_incremental", "x_bm25_index",
-    "x_bm25_search", "x_bootstrap_ci", "x_corr_matrix",
-    "x_dedup_best", "x_dup_substrings", "x_eager_rollup",
-    "x_ewma", "x_gini_mix", "x_hybrid_search",
-    "x_image_neardup", "x_ivfpq_topk", "x_json_struct",
-    "x_ks_drift", "x_mannwhitney", "x_multimodal_av",
-    "x_punct_ratio", "x_random_projection", "x_roundtrip_orc",
-    "x_roundtrip_xml", "x_scale_minmax", "x_seasonal_decompose",
-    "x_semantic_dedup", "x_skew_report", "x_spearman",
-    "x_stream_delta", "x_stream_tumbling", "x_table_diff",
-    "x_temperature_mix", "x_token_budget", "x_token_length_summary",
-    "x_top_ngrams", "x_transitions", "x_twa",
-    # — positions 51-53: deferred r6 tail, FIRST into the r12 window —
+    # — never-driver-audited (13): r6-tail deferrals, r11 DML/stream
+    #   gate rows, r11 session-2 rows —
     "x_union_evolve", "x_video_fingerprint", "x_vocab_jaccard",
-    # — positions 54-58: round-11-new gate rows (delete/merge for both
-    #   lakehouse formats + the streaming CDC upsert), queued behind
-    #   the r6 tail for the r12 window; in-repo parity covers them at
-    #   both SFs now —
     "x_iceberg_delete", "x_iceberg_merge",
     "x_delta_delete", "x_delta_merge", "x_stream_upsert",
-    # — positions 59-63: round-11 session-2 rows (TPC-H Q11/Q20
-    #   completions, the partitioned-lakehouse pruning twins, schema
-    #   evolution), queued with the other round-11-new rows for the
-    #   r12 window —
     "q_important_stock_q11", "q_potential_promo_q20",
     "x_iceberg_partition", "x_schema_evolve", "x_delta_partition",
+    # — r7-stale re-audit (first 30 of 43; alphabetical) —
+    "q_agg_stats", "q_append_union", "q_approx_distinct",
+    "q_approx_percentile", "q_count_distinct", "q_filter_derive",
+    "q_forecast_revenue_q6", "q_in_range_dates", "q_lag_lead_rank",
+    "q_left_join_nulls", "q_let_chain", "q_let_cte",
+    "q_loop_series", "q_null_check", "q_percentiles",
+    "q_returned_items_q10", "q_right_full_joins", "q_self_join",
+    "q_set_intersect", "q_set_ops", "q_set_remove",
+    "q_shipping_priority_q3", "q_sort_nulls", "q_sstring_strftime",
+    "q_take_range", "q_take_sorted", "q_topk_customers",
+    "q_topk_per_group", "q_window_first_last", "q_window_ntile",
+    # — positions 51-63: the r7-stale tail (13 of 43), FIRST into the
+    #   r13 window —
+    "q_window_range_frame", "q_window_rolling7", "q_window_running",
+    "x_ann_health", "x_ann_incremental", "x_ann_index",
+    "x_char_entropy", "x_exact_quantiles", "x_hard_negatives",
+    "x_hybrid_index", "x_resize_thumbs", "x_stream_bm25",
+    "x_stream_dedup",
 ]
 
 
@@ -7515,17 +7503,23 @@ EXTENSIONS["x_card_scrub"] = _x_card_scrub
 EXTENSION_ORACLES["x_card_scrub"] = _card_scrub_oracle()
 
 
-def _nb_scored_labeled(spark, sf_dir):
+def _nb_scored_labeled(spark, sf_dir, extra=()):
     """Shared input for the round-8 evaluation tier: the x_nb_classifier
-    model's scores joined back to the text-derived label."""
+    model's scores with the text-derived label (and any ``extra`` doc
+    columns) carried through the scoring pass."""
     from prql_query_spark.operators.classify import (
         score_nb_classifier, train_nb_classifier)
 
     docs = _tbl(spark, sf_dir, "documents")
     labeled = docs.withColumn("_y", F.col("text").contains("spark"))
     model = train_nb_classifier(labeled, "_y", dim=256, seed=7)
-    scored = score_nb_classifier(docs, model, dim=256, seed=7)
-    return scored.join(labeled.select("doc_id", "_y"), "doc_id")
+    # round-12 (guide §2.4): the label rides the scoring pass as a
+    # passthrough column — one corpus scan, no join-back of `_y` onto
+    # the scores (the old `scored.join(labeled, doc_id)` re-scanned the
+    # corpus and shuffled every id in all 8 evaluation consumers).
+    # Same (doc_id, score, pred, _y) rows, proved oracle-exact.
+    return score_nb_classifier(labeled, model, dim=256, seed=7,
+                               passthrough=["_y", *extra])
 
 
 def _nb_labeled_cte() -> str:
@@ -7819,9 +7813,10 @@ def _x_auc_by_source(spark, sf_dir):
     contract (all 20 fixture sources carry both classes, verified)."""
     from prql_query_spark.operators.analytics import roc_auc
 
-    scored = _nb_scored_labeled(spark, sf_dir)
-    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "source")
-    return roc_auc(scored.join(docs, "doc_id"), "score", "_y",
+    # round-12: `source` rides the scoring pass (passthrough) — no
+    # second corpus scan + id join just to recover the segment column.
+    scored = _nb_scored_labeled(spark, sf_dir, extra=("source",))
+    return roc_auc(scored, "score", "_y",
                    by=["source"]).orderBy("source")
 
 

@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DateType, IntegerType, LongType, StructField, StructType)
 
+from prql_query_spark.engine.session import barrier
+
 
 class DeltaProtocolError(RuntimeError):
     pass
@@ -997,7 +999,7 @@ def merge_delta(
     # blocks are ContextCleaner-reclaimed at return — leak-safe).  The
     # full source is still evaluated once more by the staging write;
     # checkpoint expensive sources upstream.
-    keys = source.select(*on).distinct().localCheckpoint()
+    keys = source.select(*on).distinct().transform(barrier)
     affected_abs: list[str] = []
     affected_rel: list[str] = []
     if adds:  # locate touched files via a semi-join on the keys

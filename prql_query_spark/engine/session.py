@@ -80,6 +80,40 @@ def tune_session_for(spark: SparkSession, input_bytes: int) -> None:
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
 
+def barrier(df, eager: bool = True):
+    """Lineage/plan barrier for iterative and multi-consumer operators.
+
+    Every iterative operator (connected components, pagerank, k-means) and
+    every compute-once-read-many proxy table (minhash signatures, NB bucket
+    counts, bigram/unigram aggregates, heavy-hitter summaries) needs a
+    point where the plan is truncated and the result is served from saved
+    partitions instead of being re-derived per consumer / per iteration.
+
+    * **Local / single-node (default):** ``localCheckpoint(eager=...)`` —
+      the cheapest barrier.  Its blocks live on executors with NO fault
+      tolerance: on a real cluster, losing one executor mid-query kills
+      the job because the truncated lineage cannot be recomputed.  That is
+      an acceptable trade only when recompute-from-source is cheap
+      (restart the query).
+    * **Cluster scale (opt-in):** configure a checkpoint directory —
+      ``spark.checkpoint.dir=hdfs://...`` at session build, or
+      ``sc.setCheckpointDir(...)`` — and the SAME call sites switch to
+      reliable ``checkpoint()``: blocks are written to fault-tolerant
+      storage and survive executor loss, at the cost of a write+read of
+      the (proxy-sized, not corpus-sized) barrier table.
+
+    ``eager`` mirrors Spark's default (``True``); pass ``eager=False``
+    where the barrier should materialize lazily on first use.
+    """
+    try:
+        ckdir = df.sparkSession.sparkContext.getCheckpointDir()
+    except Exception:  # pragma: no cover - Connect or exotic sessions
+        ckdir = None
+    if ckdir:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def sources_bytes(paths: list[str]) -> int:
     """Total on-disk size of files/directories backing a query's sources.
     Glob patterns (--from supports them) expand before sizing."""

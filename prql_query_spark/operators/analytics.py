@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from prql_query_spark.engine.session import barrier
+
 
 def cohort_retention(
     events: DataFrame,
@@ -47,6 +49,13 @@ def cohort_retention(
     task — the same bytes the old distinct shuffled, one pass earlier.
     Per-user state is bounded by the calendar (distinct active periods),
     so the set cannot grow with corpus size.
+
+    Null handling (intentional): ``collect_set`` drops null periods, so
+    events with a null ``ts_col`` never contribute an offset row and a
+    user whose events are ALL null-ts is absent from the triangle
+    entirely (no null-cohort bucket).  This matches the declared oracle;
+    callers who need the null bucket should filter/fill timestamps
+    upstream.
     """
     day = F.date_trunc(unit, F.col(ts_col)).cast("date")
     per_user = (
@@ -678,7 +687,7 @@ def heavy_hitters(
     # consumers (compaction's candidates+sentinel branches) would
     # otherwise re-run the corpus MG pass (measured 3.2 -> 15.3 s at
     # 30M tokens when this materialization was briefly dropped).
-    summary = mg_candidate_summary(items, k).localCheckpoint()
+    summary = mg_candidate_summary(items, k).transform(barrier)
     # Fold the capacity x partitions rows down to ONE <= capacity+1-row
     # summary DISTRIBUTED (compact_mg_summaries — the mergeable-
     # summaries decrement preserves the recall contract, verify
@@ -783,8 +792,8 @@ def heavy_hitters_by(
     # (totals, candidates) read the RDD blocks; no driver collect
     # anywhere, so high-cardinality `by` never builds a groups-sized
     # local list
-    summary = mg_candidate_summary_by(items, by, k).localCheckpoint()
-    summary = compact_mg_summaries_by(summary, by, k).localCheckpoint()
+    summary = mg_candidate_summary_by(items, by, k).transform(barrier)
+    summary = compact_mg_summaries_by(summary, by, k).transform(barrier)
     return heavy_hitters_verify_by(items, summary, by, phi_num, phi_den) \
         .withColumnRenamed("_item", item_col)
 
@@ -1051,7 +1060,7 @@ def heavy_hitters_summarize(
         raise ValueError("capacity must be >= 1")
     items = df.select(F.col(item_col).cast("string").alias("_item")) \
         .filter(F.col("_item").isNotNull())
-    summary = mg_candidate_summary(items, capacity).localCheckpoint()
+    summary = mg_candidate_summary(items, capacity).transform(barrier)
     # <= capacity + 1 rows: one file is the right layout
     compact_mg_summaries(summary, capacity) \
         .coalesce(1).write.mode("overwrite").parquet(path)
@@ -1144,7 +1153,7 @@ def heavy_hitters_summarize_by(
     items = df.select(
         *by, F.col(item_col).cast("string").alias("_item")) \
         .filter(F.col("_item").isNotNull())
-    summary = mg_candidate_summary_by(items, by, capacity).localCheckpoint()
+    summary = mg_candidate_summary_by(items, by, capacity).transform(barrier)
     compact_mg_summaries_by(summary, by, capacity) \
         .write.mode("overwrite").parquet(path)
     with open(os.path.join(path, "_mg.json"), "w") as f:

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from prql_query_spark.engine.session import barrier
+
 from .sampling import hash_bucket, hash_bucket_sql
 from .text import tokens
 
@@ -70,7 +72,7 @@ def train_nb_classifier(
     counts = ex.groupBy("bucket").agg(
         F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("c_pos"),
         F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("c_neg"),
-    ).localCheckpoint(eager=False)
+    ).transform(barrier, eager=False)
     totals = counts.agg(
         F.sum("c_pos").alias("t_pos"),
         F.sum("c_neg").alias("t_neg"),
@@ -99,6 +101,7 @@ def score_nb_classifier(
     text_col: str = "text",
     dim: int = 256,
     seed: int = 7,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """score = Σ_tokens w[bucket(token)], decimal-rounded to 6 digits
     (cross-engine float convention); pred = score > 0.  Docs with no
@@ -110,20 +113,35 @@ def score_nb_classifier(
     left-joined onto the per-doc sums; `explode_outer` keeps them in
     the occurrence stream as a single null-bucket row instead (every
     real token hashes into [0, dim) and the model grid is complete, so
-    null is the only bucket the LEFT model join can miss; its null `w`
-    makes the doc's sum null → coalesced to the same 0.0)."""
+    null is the only bucket the LEFT model join can miss).  A token-less
+    doc therefore reaches the aggregate as exactly ONE all-null row, and
+    `F.sum` over zero non-null values yields null (sum skips nulls — it
+    is the absence of any non-null `w`, not the null row "nulling" the
+    sum), which the coalesce maps to the same 0.0.
+
+    ``passthrough`` (round-12, guide §2.4): extra ``df`` columns carried
+    through the scoring pass and returned after ``pred``.  They ride the
+    per-doc id shuffle as additional grouping keys (functionally
+    dependent on the id, so the groups are unchanged), which lets
+    evaluation callers keep their label column WITHOUT a second corpus
+    scan + id join back onto the scores — the former
+    ``scored.join(labeled, id)`` pattern cost every evaluation query an
+    extra scan and shuffle."""
+    passthrough = passthrough or []
     ex = df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.explode_outer(
             hashed_token_buckets(F.col(text_col), dim, seed)).alias("bucket"),
     )
     scored = (
         ex.join(F.broadcast(model), "bucket", "left")
-        .groupBy(id_col)
+        .groupBy(id_col, *passthrough)
         .agg(F.sum("w").alias("_s"))
     )
     s6 = F.round(F.coalesce("_s", F.lit(0.0)).cast("decimal(38,12)"), 6).cast("double")
-    return scored.select(id_col, s6.alias("score"), (s6 > 0).alias("pred"))
+    return scored.select(id_col, s6.alias("score"), (s6 > 0).alias("pred"),
+                         *passthrough)
 
 
 def nb_oracle_sql(

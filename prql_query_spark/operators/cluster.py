@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from prql_query_spark.engine.session import barrier
+
 ROUND_DIGITS = 9
 
 
@@ -46,7 +48,7 @@ def kmeans_fit(
     base = df.select(
         F.col(id_col).alias("_kid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).localCheckpoint()
+    ).transform(barrier)
     cent = (
         base.orderBy("_kid")
         .limit(k)

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from prql_query_spark.engine.session import barrier
+
 from prql_query_spark.operators.text import ASCII_WS_SPARKSQL
 
 
@@ -425,7 +427,7 @@ def minhash_verified_pairs(
     # it replaces a second full corpus scan + signature kernel pass with
     # a re-read of the ~(num_perm x 8 B)-per-doc signature table — the
     # guide's "compute the proxy once" shape.
-    sig = sig.localCheckpoint(eager=False)
+    sig = sig.transform(barrier, eager=False)
     pairs = _pairs_from_banded(_banded_from_sig(sig, num_perm, bands), max_bucket)
     est = _fold_pair_side(pairs, sig.withColumnRenamed("_sig", "_v"), "_v")
     match_frac = (
@@ -445,7 +447,7 @@ def minhash_verified_pairs(
     # construction (only near-threshold pairs), so a lazy localCheckpoint
     # — materialized on first use, reused after, lineage truncated — is
     # the right barrier; same pattern as pagerank's loop invariants.
-    survivors = survivors.localCheckpoint(eager=False)
+    survivors = survivors.transform(barrier, eager=False)
     ids = (survivors.select(F.col("a").alias(id_col))
            .union(survivors.select("b")).distinct())
     needed = df.join(ids, id_col, "leftsemi")
@@ -766,13 +768,13 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .transform(barrier)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+        .transform(barrier)
     )
     # Pointer jumping (comp -> comp(comp)) doubles label reach per round —
     # O(log diameter) on chains — but costs an extra self-join every
@@ -812,14 +814,14 @@ def connected_components(
                     (F.coalesce(F.col("m_comp"), F.col("comp"))
                      != F.col("_old")).alias("_chg"),
                 )
-                .localCheckpoint()
+                .transform(barrier)
             )
         else:
             new_labels = (
                 min_labels.select(
                     "node", "comp",
                     (F.col("comp") != F.col("_old")).alias("_chg"))
-                .localCheckpoint()
+                .transform(barrier)
             )
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.select("node", "comp")

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from prql_query_spark.engine.session import barrier
+
 
 def cooccurrence_edges(
     df: DataFrame, group_col: str, item_col: str
@@ -89,14 +91,14 @@ def pagerank(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(barrier)
     )
-    n_df = nodes.agg(F.count(F.lit(1)).alias("_n")).localCheckpoint()
+    n_df = nodes.agg(F.count(F.lit(1)).alias("_n")).transform(barrier)
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     ed = (
         edges.join(deg, src)
         .select(F.col(src).alias("_esrc"), F.col(dst).alias("_edst"), "_deg")
-        .localCheckpoint()
+        .transform(barrier)
     )
     ranks = (
         nodes.crossJoin(F.broadcast(n_df))
@@ -126,7 +128,7 @@ def pagerank(
         # every `checkpoint_interval` rounds to bound plan depth on
         # long runs.
         if (it + 1) % checkpoint_interval == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(barrier)
     r = F.round(F.col("rank").cast("decimal(38,12)"), round_digits).cast("double")
     return ranks.select("node", r.alias("rank"))
 

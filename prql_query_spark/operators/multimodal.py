@@ -38,6 +38,8 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
+from prql_query_spark.engine.session import barrier
+
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("kind", StringType()),        # image | audio | video
@@ -674,7 +676,7 @@ def image_neardup_pairs(
     total_bits = grid * grid
     seg_bits = (total_bits + blocks - 1) // blocks
     mask = (1 << seg_bits) - 1
-    dh = image_dhash(df, grid).localCheckpoint(eager=False)
+    dh = image_dhash(df, grid).transform(barrier, eager=False)
     seg = dh.select(
         F.col("media_id").alias("_id"), "dhash",
         F.posexplode(F.expr(

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from prql_query_spark.engine.session import barrier
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -249,7 +251,7 @@ def embedding_neardup_ivf(
     )
     # both sides of the candidate self-join consume the assignment; a lazy
     # localCheckpoint stops the broadcast+rank stage running twice
-    assigned = assigned.localCheckpoint(eager=False)
+    assigned = assigned.transform(barrier, eager=False)
     pairs = (
         assigned.alias("l")
         .join(assigned.alias("r"), "_cell")
@@ -385,7 +387,7 @@ def embedding_neardup(
     # bucket table is n_tables rows per vector of three scalars — tiny —
     # so a lazy localCheckpoint is the right barrier (same pattern as
     # minhash_verified_pairs' survivor table).
-    bucketed = bucketed.localCheckpoint(eager=False)
+    bucketed = bucketed.transform(barrier, eager=False)
     left = bucketed.select(F.col("_id").alias("a"), "_t", "_b")
     right = bucketed.select(F.col("_id").alias("b"), "_t", "_b")
     pairs = (

@@ -12,6 +12,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from prql_query_spark.engine.session import barrier
+
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic.  Deliberately small + deterministic (not a library): the point is
 # the Spark plumbing, not lexicography.
@@ -719,8 +721,21 @@ def unigram_logprob(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     )
     if plan == "auto":
-        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        plan = "probe" if est <= onepass_cutoff_bytes else "onepass"
+        # Optimizer size estimate via the classic-API _jdf handle.  Two
+        # regimes deliberately resolve to the scale-safe one-pass plan:
+        # unknown statistics (non-file-backed inputs estimate at the
+        # Long.MaxValue sentinel) and sessions without _jdf at all
+        # (Spark Connect raises AttributeError).  Only a known-small
+        # file-backed estimate picks the probe plan.
+        _UNKNOWN = (1 << 63) - 1  # java.lang.Long.MAX_VALUE sentinel
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = _UNKNOWN
+        plan = ("probe" if est < _UNKNOWN and est <= onepass_cutoff_bytes
+                else "onepass")
     if plan == "probe":
         cnt = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
         total = cnt.agg(F.sum("_c").alias("_n"))
@@ -747,7 +762,7 @@ def unigram_logprob(
     doc = wc.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg(F.log2("_c")).alias("_a"),
-    ).localCheckpoint(eager=False)
+    ).transform(barrier, eager=False)
     total = doc.agg(F.sum("n_tokens").alias("_n"))
     return doc.crossJoin(F.broadcast(total)).select(
         id_col,
@@ -837,13 +852,13 @@ def bigram_logprob(
                     F.col("_p")["_w2"].alias("_w2"))
             .filter(F.col("_w1").isNotNull())
             .groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_cb"))
-            .localCheckpoint(eager=False)
+            .transform(barrier, eager=False)
         )
         mb = mbn.filter(F.col("_w2").isNotNull())
         mu = (
             mbn.groupBy("_w1").agg(F.sum("_cb").alias("_cu"))
             .withColumnRenamed("_w1", "_w")
-            .localCheckpoint(eager=False)
+            .transform(barrier, eager=False)
         )
     else:
         mb = bigrams(model_df).groupBy("_w1", "_w2").agg(

@@ -57,18 +57,30 @@ def curate_corpus(
     # onto one core — measured gopher_gate stage wall 1.4 -> 0.74 s at
     # sf0.1.  At warehouse scale the scan already has many partitions and
     # this is a no-op (same contract as the dedup kernels' _spread).
+    from pyspark.sql import Observation
+
     from prql_query_spark.operators.dedup import _spread
 
-    cur = _spread(docs).cache()
-    n0 = cur.count()
-    ingest_sec = time.time() - t0
+    # Round-12 (guide §1.2/§8): the ingest count rides the gate stage's
+    # materializing action as an Observation instead of paying its own
+    # job — the ONE separate count job in the pipeline (every other
+    # stage's count IS the action that materializes that stage's cache
+    # for the next stage, so there is nothing to fold there; verified by
+    # job-count instrumentation, see OPTIMIZATION_r12.md).  The ingest
+    # scan cost is unchanged — it now happens inside the gate action, so
+    # the gate stage wall still includes it, as before.
+    obs_in = Observation()
+    cur = (_spread(docs)
+           .observe(obs_in, F.count(F.lit(1)).alias("n"))
+           .cache())
 
     t = time.time()
     gated = gopher_audit(cur, text_col, **(gopher_overrides or {})) \
         .filter(F.col("keep")) \
         .select(*docs.columns).cache()
     n1 = gated.count()
-    stages.append(("gopher_gate", n0, n1, ingest_sec + time.time() - t))
+    n0 = obs_in.get["n"]
+    stages.append(("gopher_gate", n0, n1, time.time() - t0))
 
     t = time.time()
     exact = dedup_keep_best(

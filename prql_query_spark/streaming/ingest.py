@@ -25,6 +25,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from prql_query_spark.engine.session import barrier
+
 
 def split_mtime_ordered_batches(
     df: DataFrame,
@@ -291,8 +293,8 @@ def stream_dedup_against_corpus(
     # signature stage per batch
     idx = build_minhash_index(
         corpus, id_col, text_col, num_perm, bands, k
-    ).localCheckpoint()
-    corpus_slim = corpus.select(id_col, text_col).localCheckpoint()
+    ).transform(barrier)
+    corpus_slim = corpus.select(id_col, text_col).transform(barrier)
 
     schema = spark.read.parquet(docs_path).schema
     reader = spark.readStream.schema(schema)
@@ -343,7 +345,7 @@ def stream_image_dedup_against_corpus(
     from prql_query_spark.operators.multimodal import (
         build_dhash_index, image_dedup_against_corpus)
 
-    idx = build_dhash_index(corpus_media, grid, blocks).localCheckpoint()
+    idx = build_dhash_index(corpus_media, grid, blocks).transform(barrier)
 
     schema = spark.read.parquet(media_path).schema
     reader = spark.readStream.schema(schema)
@@ -684,7 +686,7 @@ def stream_dedup_growing(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(docs_path)
     seed = (
-        seed_corpus.select(id_col, text_col).localCheckpoint()
+        seed_corpus.select(id_col, text_col).transform(barrier)
         if seed_corpus is not None else None
     )
 
@@ -782,16 +784,16 @@ def stream_dedup_indexed(
     stream = reader.parquet(docs_path)
 
     seed = (
-        seed_corpus.select(id_col, text_col).localCheckpoint()
+        seed_corpus.select(id_col, text_col).transform(barrier)
         if seed_corpus is not None else None
     )
     seed_idx = (
         build_minhash_index(seed, id_col, text_col, num_perm, bands, k)
-        .localCheckpoint() if seed is not None else None
+        .transform(barrier) if seed is not None else None
     )
     seed_hashes = (
         seed.select(F.xxhash64(F.lower(F.col(text_col))).alias("_ch"))
-        .distinct().localCheckpoint() if seed is not None else None
+        .distinct().transform(barrier) if seed is not None else None
     )
 
     def _persisted(batch_id: int) -> tuple[DataFrame | None,
@@ -835,7 +837,7 @@ def stream_dedup_indexed(
         batch_self = minhash_dedup_cc(
             batch_df, id_col=id_col, text_col=text_col,
             threshold=threshold, num_perm=num_perm, bands=bands, k=k,
-        ).localCheckpoint()
+        ).transform(barrier)
         # ONE signature pass per batch: these buckets feed BOTH the
         # corpus-index probe and the survivors' sidecar append (the
         # semi-join below) — without the reuse the MinHash kernel ran
@@ -843,7 +845,7 @@ def stream_dedup_indexed(
         # build_minhash_index(survivors)
         bb = _banded_buckets(
             batch_self, id_col, text_col, num_perm, bands, k
-        ).localCheckpoint()
+        ).transform(barrier)
         texts, idx, hashes = _persisted(batch_id)
         if seed is not None:
             if texts is None:  # nothing on disk yet: seed-only corpus
@@ -867,7 +869,7 @@ def stream_dedup_indexed(
                 new_banded=bb,
             )
         # one pass feeds three sinks
-        survivors = survivors.localCheckpoint()
+        survivors = survivors.transform(barrier)
         (
             survivors.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -1103,7 +1105,7 @@ def stream_bm25_index(
         postings, stats = build_bm25_index(batch_df, id_col, text_col)
         # the build's postings feed two sinks; materialize once so the
         # tokenize+explode+groupBy subtree doesn't run twice per batch
-        postings = postings.localCheckpoint()
+        postings = postings.transform(barrier)
         (
             postings.sort("term").withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
