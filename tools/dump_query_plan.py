@@ -25,7 +25,7 @@ def main() -> None:
     entrymod._reg(spark, sf_dir)
     tune_session_for(spark, sources_bytes([sf_dir]))
     dest = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r11")
+        os.path.abspath(__file__))), "plans", os.environ.get("PQ_PLANS_DIR", "r12"))
     os.makedirs(dest, exist_ok=True)
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
