@@ -218,6 +218,119 @@ def register_sources(spark: SparkSession, sources: list[str],
     return names
 
 
+def _arrow_list_field(arrow_schema, name: str):
+    """Spark field for a parquet LIST column whose element is a primitive,
+    via the arrow schema (None when not that shape).  Element nullability
+    maps to containsNull, list nullability is True like every file column."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    prim = {
+        pa.bool_(): T.BooleanType(), pa.int8(): T.ByteType(),
+        pa.int16(): T.ShortType(), pa.int32(): T.IntegerType(),
+        pa.int64(): T.LongType(), pa.float32(): T.FloatType(),
+        pa.float64(): T.DoubleType(), pa.string(): T.StringType(),
+        pa.large_string(): T.StringType(), pa.binary(): T.BinaryType(),
+        pa.date32(): T.DateType(),
+    }
+    try:
+        f = arrow_schema.field(name)
+    except KeyError:
+        return None
+    if not pa.types.is_list(f.type) and not pa.types.is_large_list(f.type):
+        return None
+    elem = f.type.value_field
+    if elem.type not in prim:
+        return None
+    return T.StructField(
+        name, T.ArrayType(prim[elem.type], elem.nullable), True)
+
+
+def _spark_schema_from_footer(meta_schema, arrow_schema=None) -> "object | None":
+    """Spark StructType equivalent to what spark.read.parquet would INFER
+    from this footer, built driver-side from the pyarrow metadata — or
+    None when any column is not provably inference-identical.
+
+    Why: `spark.read.parquet(path)` spends ~60-70 ms per call resolving
+    the schema through the JVM DataSource machinery (measured at sf0.1;
+    the footer itself reads in ~0.1 ms via pyarrow).  Extension operators
+    load their tables per invocation, so that cost is a per-query driver
+    floor (guide §5: the driver should do almost no work).  Passing the
+    schema explicitly skips inference ONLY — listing, pruning, pushdown
+    and the scan node are unchanged.
+
+    Conservative by construction: every conversion below is the exact
+    mapping Spark's ParquetSchemaConverter applies for flat (non-INT96,
+    non-nested) footers; anything else returns None and the caller falls
+    back to JVM inference.  Nullability is forced True, matching parquet
+    inference (Spark marks every file-sourced column nullable).
+    """
+    from pyspark.sql import types as T
+
+    simple = {
+        ("BOOLEAN", "NONE"): T.BooleanType(),
+        ("INT32", "NONE"): T.IntegerType(),
+        ("INT64", "NONE"): T.LongType(),
+        ("FLOAT", "NONE"): T.FloatType(),
+        ("DOUBLE", "NONE"): T.DoubleType(),
+        ("BYTE_ARRAY", "STRING"): T.StringType(),
+        ("BYTE_ARRAY", "NONE"): T.BinaryType(),
+        ("INT32", "DATE"): T.DateType(),
+    }
+    int_widths = {8: T.ByteType(), 16: T.ShortType(),
+                  32: T.IntegerType(), 64: T.LongType()}
+    fields = []
+    done_lists: set[str] = set()
+    for i in range(len(meta_schema)):
+        c = meta_schema.column(i)
+        if c.max_repetition_level != 0 or "." in c.path:
+            # one safe nested shape: LIST of a primitive (leaf path
+            # "name.list.element", repetition level 1) via the arrow schema
+            outer = c.path.split(".")[0]
+            if (arrow_schema is not None and c.max_repetition_level == 1
+                    and c.path == f"{outer}.list.element"
+                    and outer not in done_lists):
+                lf = _arrow_list_field(arrow_schema, outer)
+                if lf is not None:
+                    fields.append(lf)
+                    done_lists.add(outer)
+                    continue
+            return None  # other nested/repeated: bail to JVM inference
+        # pyarrow renders logical annotations like
+        # "Timestamp(isAdjustedToUTC=true, timeUnit=microseconds, ...)",
+        # "Int(bitWidth=16, isSigned=true)", "Decimal(precision=10, scale=2)"
+        logical = str(c.logical_type).upper().replace(" ", "")
+        key = (c.physical_type, logical)
+        if key in simple:
+            fields.append(T.StructField(c.name, simple[key], True))
+            continue
+        if logical.startswith("TIMESTAMP") and c.physical_type == "INT64":
+            if "NANOSECONDS" in logical:
+                return None  # ns needs the legacy-long path; let caller infer
+            ts = (T.TimestampType() if "ISADJUSTEDTOUTC=TRUE" in logical
+                  else T.TimestampNTZType())
+            fields.append(T.StructField(c.name, ts, True))
+            continue
+        if logical.startswith("INT(") and "ISSIGNED=TRUE" in logical:
+            m = re.search(r"BITWIDTH=(\d+)", logical)
+            if m and int(m.group(1)) in int_widths and c.physical_type in (
+                    "INT32", "INT64"):
+                fields.append(T.StructField(
+                    c.name, int_widths[int(m.group(1))], True))
+                continue
+            return None
+        if logical.startswith("DECIMAL"):
+            m = re.search(r"PRECISION=(\d+),SCALE=(-?\d+)", logical)
+            if m:
+                fields.append(T.StructField(
+                    c.name,
+                    T.DecimalType(int(m.group(1)), int(m.group(2))), True))
+                continue
+            return None
+        return None  # INT96, unsigned ints, enums, ...: JVM inference
+    return T.StructType(fields)
+
+
 def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet load that tolerates nanosecond timestamps.
 
@@ -225,11 +338,21 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     `nanosAsLong` legacy conf it reads them as long epoch-nanos.  We detect
     ns-timestamp columns from the footer (pyarrow) and convert with *integer*
     division (`div 1000`) — float division would lose precision above 2^53.
+
+    The same footer read feeds the explicit-schema fast path
+    (_spark_schema_from_footer): schema resolution through pyarrow costs
+    ~0.1 ms vs ~60-70 ms through the JVM DataSource machinery, a per-call
+    driver constant every extension operator otherwise pays on every
+    invocation.  Fast path applies only when the footer is provably
+    inference-identical; otherwise this falls back to JVM inference
+    (pinned by tests/test_sources_schema_fastpath.py over every testdata
+    table and the non-flat fixtures).
     """
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     ns_cols: list[str] = []
+    spark_schema = None
     probe = path
     if os.path.isdir(path):
         # directory dataset (partitioned write, stream source dir): probe the
@@ -239,8 +362,12 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
             if pf:
                 probe = os.path.join(root, pf[0])
                 break
+        dir_probe = True
+    else:
+        dir_probe = False
     try:
-        meta = pq.ParquetFile(probe).metadata.schema
+        pf = pq.ParquetFile(probe)
+        meta = pf.metadata.schema
         for i in range(len(meta)):
             c = meta.column(i)
             # Only INT64 TIMESTAMP(NANOS) needs the legacy-long workaround.
@@ -248,6 +375,11 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
             # *arrow* schema but Spark reads it natively — must not convert.
             if c.physical_type == "INT64" and "nanoseconds" in str(c.logical_type):
                 ns_cols.append(c.name)
+        if not ns_cols and not dir_probe:
+            # single-file source: the probed footer IS the dataset schema.
+            # (directory datasets keep JVM inference — partition-column
+            # discovery from paths is beyond the footer.)
+            spark_schema = _spark_schema_from_footer(meta, pf.schema_arrow)
     except Exception:
         pass
     if ns_cols:
@@ -255,7 +387,10 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-    df = spark.read.parquet(path)
+    if spark_schema is not None:
+        df = spark.read.schema(spark_schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

@@ -315,7 +315,10 @@ def _banded_buckets(
     """(_id, _band, _bucket): each document's banded signature buckets —
     the unit both the self-join pair generator (minhash_lsh_pairs) and the
     persistable corpus index (build_minhash_index) are made of."""
-    sig = minhash_signatures(_spread(df), id_col, text_col, num_perm, k)
+    # minhash_signatures spreads internally — no outer _spread: the
+    # partition-count probe behind _spread costs a full driver-side
+    # plan->RDD conversion (~50 ms at sf0.1), paid per query construction
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k)
     return _banded_from_sig(sig, num_perm, bands)
 
 
@@ -372,8 +375,20 @@ def _pairs_from_banded(banded: DataFrame, max_bucket: int) -> DataFrame:
             ),
         )
     )
+    # The bucket stage is CPU-heavy per shuffled BYTE (quadratic pair
+    # explosion over ~24 B/row of (band, bucket, id)), so AQE's byte-based
+    # partition coalescing mis-sizes it: at sf0.1 it folded the whole
+    # stage onto ONE task that then spent ~265 ms of single-core CPU on
+    # pair generation while 31 cores idled (guide §2.5 — the stage-level
+    # decomposition is in OPTIMIZATION_r12.md).  An explicit keyed
+    # repartition pins the exchange width to spark.sql.shuffle.partitions
+    # — scale-adaptive via tune_session_for (cores at CLI scale, input-
+    # proportional on a cluster) — and the groupBy on the same keys
+    # reuses it, so the exchange count is unchanged.
+    n_parts = int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     pairs = (
-        banded.groupBy("_band", "_bucket")
+        banded.repartition(n_parts, "_band", "_bucket")
+        .groupBy("_band", "_bucket")
         .agg(ids.alias("_ids"))
         .filter(F.size("_ids") > 1)
         .select(F.explode(pair_structs).alias("_p"))
@@ -416,7 +431,7 @@ def minhash_verified_pairs(
     banded-LSH pipeline already accepts a same-order band-recall miss
     below the knee (see x_minhash_pairs' oracle note).
     """
-    sig = minhash_signatures(_spread(df), id_col, text_col, num_perm, k)
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k)
     # sig feeds both the banding branch and the estimate join.  A LAZY
     # localCheckpoint materializes it on first use and serves the second
     # consumer from the saved partitions — the round-3 A/B that kept the

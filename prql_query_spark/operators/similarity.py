@@ -83,7 +83,7 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_bits, dim)).tolist()
 
 
-def lsh_buckets_vec(dim: int, n_bits: int, n_tables: int,
+def lsh_buckets_vec(dim: int | None, n_bits: int, n_tables: int,
                     seed_base: int = 42):
     """Arrow-vectorized multi-table bucketing: pandas_udf mapping an
     embedding column to array<long> of `n_tables` bucket ids.
@@ -95,20 +95,34 @@ def lsh_buckets_vec(dim: int, n_bits: int, n_tables: int,
     the expression form builds a ~2,000-literal Catalyst tree whose
     analyze+codegen alone costs seconds per plan, and measured 10.2 s for
     2,000 vectors at sf0.1 vs 0.7 s for this UDF.  At 10^9 vectors the
-    matmul amortizes even better (batch_size x dim @ dim x bits)."""
+    matmul amortizes even better (batch_size x dim @ dim x bits).
+
+    ``dim=None`` derives the hyperplanes from the first batch's vector
+    width inside the kernel — _hyperplanes is seed-deterministic, so
+    every task builds the identical matrix, and callers no longer need a
+    ``corpus.select(vec).first()`` probe, which was a whole Spark JOB
+    (collect + scan) run at query-construction time (guide §5: driver
+    work in the query path).  Vector conversion per batch is one
+    np.vstack over the Arrow-backed cells, not a row-wise list loop
+    (guide §4.2 — same fix as cosine_topk_arrow, measured ~4x on
+    100k-row batches)."""
     from pyspark.sql.functions import pandas_udf
 
-    planes = np.concatenate(
-        [np.asarray(_hyperplanes(dim, n_bits, seed=seed_base + t)).T
-         for t in range(n_tables)], axis=1)  # (dim, n_tables*n_bits)
+    def _planes(d: int):
+        return np.concatenate(
+            [np.asarray(_hyperplanes(d, n_bits, seed=seed_base + t)).T
+             for t in range(n_tables)], axis=1)  # (dim, n_tables*n_bits)
+
+    planes = _planes(dim) if dim is not None else None
     weights = (1 << np.arange(n_bits - 1, -1, -1, dtype=np.int64))
 
     @pandas_udf("array<long>")
     def _buckets(vecs: pd.Series) -> pd.Series:
-        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        if x.size == 0:
+        if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        bits = (x @ planes) >= 0  # (n, n_tables*n_bits)
+        x = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
+        p = planes if planes is not None else _planes(x.shape[1])
+        bits = (x @ p) >= 0  # (n, n_tables*n_bits)
         b = bits.reshape(len(x), n_tables, n_bits).astype(np.int64)
         ids = (b * weights).sum(axis=2)  # (n, n_tables)
         return pd.Series(list(ids))
@@ -125,10 +139,12 @@ def cosine_pairs_vec(a: Column, b: Column) -> Column:
 
     @pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        x = np.asarray([np.asarray(v, dtype=np.float64) for v in va])
-        y = np.asarray([np.asarray(v, dtype=np.float64) for v in vb])
-        if x.size == 0:
+        if len(va) == 0:
             return pd.Series([], dtype=float)
+        # np.vstack over the Arrow-backed cells, not a row-wise list loop
+        # (guide §4.2; same fix as cosine_topk_arrow, ~4x per batch)
+        x = np.vstack(va.to_numpy()).astype(np.float64, copy=False)
+        y = np.vstack(vb.to_numpy()).astype(np.float64, copy=False)
         num = np.einsum("ij,ij->i", x, y)
         den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
         return pd.Series(num / den)
@@ -377,8 +393,10 @@ def embedding_neardup(
     # rows — vectors re-join only for the surviving unique pairs, so the
     # dedup exchange doesn't carry two dim-length arrays per candidate.
     # Measured at sf0.1 (2,000 vecs, 64-dim): 10.2 s -> 0.7 s warm.
-    dim = len(corpus.select(vec_col).first()[0])
-    bud = lsh_buckets_vec(dim, n_bits, n_tables)
+    # dim=None: hyperplanes derive in-kernel from the batch width — the
+    # former select(vec).first() probe was a full collect JOB at query-
+    # construction time (guide §5), one corpus-scan task per invocation.
+    bud = lsh_buckets_vec(None, n_bits, n_tables)
     ids = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     bucketed = ids.select(
         "_id", F.posexplode(bud(F.col("_v"))).alias("_t", "_b"))
@@ -430,14 +448,12 @@ def cosine_topk_lsh(
     ``cosine_topk_ivf`` (measured 1.00 at n_cells=#clusters, n_probe=2 —
     cells adapt to the distribution, sign bits don't).
     """
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-
     # bucket ids via one Arrow/BLAS matmul per batch (bit-identical to the
     # lsh_bucket expression chain — see lsh_buckets_vec); candidate join +
     # dedup move bare ids, vectors re-join for survivors only.  Scoring
     # stays on the expression-form cosine so the DuckDB oracle twin
-    # (x_cosine_lsh) matches to the last ulp.
+    # (x_cosine_lsh) matches to the last ulp.  dim=None -> in-kernel
+    # hyperplanes; an explicitly passed dim keeps the old eager path.
     bud = lsh_buckets_vec(dim, n_bits, n_tables)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
