@@ -358,13 +358,14 @@ def minhash_lsh_pairs(
     return _pairs_from_banded(banded, max_bucket)
 
 
-def _pairs_from_banded(banded: DataFrame, max_bucket: int) -> DataFrame:
+def _band_pairs_exploded(banded: DataFrame, max_bucket: int) -> DataFrame:
     # ONE shuffle: group ids per (band, bucket) and generate the i<j pairs
     # JVM-side with indexed transforms — no window pass, no self-join (a
     # self-join would recompute the signature stage twice).  max_bucket caps
     # pair generation for pathological boilerplate buckets; buckets big
     # enough to strain the collect_list buffer (~1M+ ids) indicate a corpus
-    # that needs boilerplate pre-filtering regardless.
+    # that needs boilerplate pre-filtering regardless.  Output: one (a, b)
+    # row PER COLLIDING BAND (a pair colliding in m bands appears m times).
     ids = F.slice(F.sort_array(F.collect_list("_id")), 1, max_bucket)
     pair_structs = F.flatten(
         F.transform(
@@ -386,16 +387,61 @@ def _pairs_from_banded(banded: DataFrame, max_bucket: int) -> DataFrame:
     # proportional on a cluster) — and the groupBy on the same keys
     # reuses it, so the exchange count is unchanged.
     n_parts = int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    pairs = (
+    return (
         banded.repartition(n_parts, "_band", "_bucket")
         .groupBy("_band", "_bucket")
         .agg(ids.alias("_ids"))
         .filter(F.size("_ids") > 1)
         .select(F.explode(pair_structs).alias("_p"))
-        .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    )
+
+
+def _pairs_from_banded(banded: DataFrame, max_bucket: int) -> DataFrame:
+    return (
+        _band_pairs_exploded(banded, max_bucket)
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
-    return pairs
+
+
+def _band_pair_estimates(sig: DataFrame, num_perm: int, bands: int,
+                         max_bucket: int) -> DataFrame:
+    """(a, b, n_bands, _va, _vb): candidate pairs with both signatures
+    attached, in ONE (a, b) aggregate.
+
+    Round-12 re-plan (guide §2.4, r11 verdict item 1): the (a, b) pair-
+    dedup aggregate that used to sit between pair generation and the
+    estimate fold is GONE — the exploded per-band pairs melt directly
+    into the signature join, and one (a, b) aggregate derives n_bands
+    (count of side-0 rows = colliding bands) together with the two
+    signature sides (each side's rows all carry that id's signature, so
+    max() over duplicates is exact).  4 exchanges -> 3 on the estimate
+    branch: bucket, id join, one pair fold — the join ships the per-band
+    duplicates (~2x rows of three scalars at sf0.1), the removed
+    exchange shipped every distinct pair plus a full extra agg pass.
+    """
+    exploded = _band_pairs_exploded(
+        _banded_from_sig(sig, num_perm, bands), max_bucket)
+    melted = exploded.select(
+        "a", "b",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("_side"), F.col("a").alias("_id")),
+                F.struct(F.lit(1).alias("_side"), F.col("b").alias("_id")),
+            )
+        ).alias("_m"),
+    ).select("a", "b", F.col("_m._side").alias("_side"),
+             F.col("_m._id").alias("_id"))
+    return (
+        melted.join(sig.withColumnRenamed("_sig", "_v"), "_id")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.when(F.col("_side") == 0, True)).alias("n_bands"),
+            F.max(F.when(F.col("_side") == 0, F.col("_v"))).alias("_va"),
+            F.max(F.when(F.col("_side") == 1, F.col("_v"))).alias("_vb"),
+        )
+    )
 
 
 def minhash_verified_pairs(
@@ -443,8 +489,9 @@ def minhash_verified_pairs(
     # a re-read of the ~(num_perm x 8 B)-per-doc signature table — the
     # guide's "compute the proxy once" shape.
     sig = sig.transform(barrier, eager=False)
-    pairs = _pairs_from_banded(_banded_from_sig(sig, num_perm, bands), max_bucket)
-    est = _fold_pair_side(pairs, sig.withColumnRenamed("_sig", "_v"), "_v")
+    # pair generation + signature attachment in one (a, b) aggregate —
+    # the round-12 estimate-branch re-plan (see _band_pair_estimates)
+    est = _band_pair_estimates(sig, num_perm, bands, max_bucket)
     match_frac = (
         F.expr("aggregate(zip_with(_va, _vb, (x, y) -> IF(x = y, 1, 0)), "
                "0, (acc, m) -> acc + m)") / F.lit(num_perm)
@@ -468,32 +515,6 @@ def minhash_verified_pairs(
     needed = df.join(ids, id_col, "leftsemi")
     return ngram_jaccard(survivors, needed, id_col, text_col, k).filter(
         F.col("jaccard") >= threshold
-    )
-
-
-def _fold_pair_side(df_pairs: DataFrame, table: DataFrame,
-                    val_col: str) -> DataFrame:
-    """Attach a per-id value to both sides of a pair table with ONE join:
-    melt (a, b) to rows, join `table` (_id, val_col), fold back to
-    (<pair cols>, <val_col>a, <val_col>b)."""
-    melted = df_pairs.select(
-        "*",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("_side"), F.col("a").alias("_id")),
-                F.struct(F.lit(1).alias("_side"), F.col("b").alias("_id")),
-            )
-        ).alias("_m"),
-    ).select("*", F.col("_m._side").alias("_side"),
-             F.col("_m._id").alias("_id")).drop("_m")
-    pair_cols = list(df_pairs.columns)
-    return (
-        melted.join(table, "_id")
-        .groupBy(*pair_cols)
-        .agg(
-            F.max(F.when(F.col("_side") == 0, F.col(val_col))).alias(val_col + "a"),
-            F.max(F.when(F.col("_side") == 1, F.col(val_col))).alias(val_col + "b"),
-        )
     )
 
 
