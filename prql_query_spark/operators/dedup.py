@@ -26,6 +26,8 @@ explosions are capped by `max_bucket`).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,8 +57,58 @@ def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition when the input has fewer partitions than the
     cluster has slots — a small local parquet file arrives as 1 partition and
     would serialize the expensive signature map onto one core.  At scale the
-    scan already yields many partitions and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    scan already yields many partitions and this is a no-op.
+
+    Partition-count probe (round 12, guide §5): ``df.rdd.getNumPartitions()``
+    pays full physical planning of a fresh DataFrame (~100-130 ms of driver
+    time per query construction).  For file-scan-backed inputs the decision
+    derives from file bytes instead (``inputFiles()`` reads the analyzed
+    plan only): Spark's split width is at most ``maxPartitionBytes``, so
+    ``ceil(bytes / maxPartitionBytes) >= target`` proves the scan is already
+    wide enough (never under-spreads), and a conservative upper bound on
+    split count (every file padded with openCostInBytes, packed at the
+    emulated maxSplitBytes) proves under-partitioning (never leaves a tiny
+    input serialized).  The ambiguous middle band and non-file inputs keep
+    the exact ``.rdd`` probe."""
+    import math
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+
+    def _size_suffix(v: str) -> int:
+        v = v.strip().lower()
+        for suf, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                          ("b", 1)):
+            if v.endswith(suf):
+                return int(float(v[: -len(suf)]) * mult)
+        return int(v)
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    sizes: list[int] | None = []
+    for p in files:
+        local = p[len("file:"):] if p.startswith("file:") else p
+        try:
+            sizes.append(os.path.getsize(local))
+        except OSError:
+            sizes = None  # remote/unsizable: fall back to the exact probe
+            break
+    if sizes:
+        total = sum(sizes)
+        maxpb = _size_suffix(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        open_cost = _size_suffix(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4m"))
+        if math.ceil(total / maxpb) >= target:
+            return df  # provably already >= target scan partitions
+        bytes_per_core = (total + len(sizes) * open_cost) / max(target, 1)
+        max_split = min(maxpb, max(open_cost, bytes_per_core))
+        upper = math.ceil((total + len(sizes) * open_cost) / max_split)
+        if upper < target:
+            return df.repartition(target)
+        # ambiguous middle band: exact probe
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -323,20 +375,19 @@ def _banded_buckets(
 
 
 def _banded_from_sig(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
-    """(_id, _band, _bucket) from a (_id, _sig) signature table."""
+    """(_id, _band, _bucket) from a (_id, _sig) signature table.
+
+    The band expression is built as ONE parsed SQL string: constructing
+    the equivalent nested-lambda Column through py4j costs ~35-40 ms of
+    driver round-trips PER QUERY CONSTRUCTION vs ~0.5 ms for the parser
+    (measured round 12; same analyzed plan either way)."""
     rows_per_band = num_perm // bands
-    return sig.select(
+    return sig.selectExpr(
         "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",", F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
-                    )
-                ),
-            )
-        ).alias("_band", "_bucket"),
+        f"posexplode(transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(concat_ws(',', "
+        f"slice(_sig, b * {rows_per_band} + 1, {rows_per_band}))))) "
+        "AS (_band, _bucket)",
     )
 
 
@@ -367,15 +418,12 @@ def _band_pairs_exploded(banded: DataFrame, max_bucket: int) -> DataFrame:
     # that needs boilerplate pre-filtering regardless.  Output: one (a, b)
     # row PER COLLIDING BAND (a pair colliding in m bands appears m times).
     ids = F.slice(F.sort_array(F.collect_list("_id")), 1, max_bucket)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-        )
-    )
+    # one parsed SQL string, not nested lambda Columns: the py4j lambda
+    # construction alone measured ~38 ms per query build (round 12)
+    pair_structs = F.expr(
+        "flatten(transform(_ids, (a, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), "
+        "b -> struct(a AS a, b AS b))))")
     # The bucket stage is CPU-heavy per shuffled BYTE (quadratic pair
     # explosion over ~24 B/row of (band, bucket, id)), so AQE's byte-based
     # partition coalescing mis-sizes it: at sf0.1 it folded the whole
@@ -901,13 +949,20 @@ def minhash_dedup_cc(
     path already handles correctly), above it the LSH stage would chew
     through replica-bloated buckets (the 90%-dup probe: 34 s vs 8 s).
     """
-    hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
-    counts = hashed.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("_h").alias("u"),
-    ).first()
-    n_docs, n_uniq = counts["n"], counts["u"]
-    dup_frac = 0.0 if not n_docs else (n_docs - n_uniq) / n_docs
+    if collapse_min_dup_frac >= 1.0:
+        # collapse disabled by the caller (e.g. curate_corpus, whose exact-
+        # dedup stage already ran): dup_frac can never exceed 1.0, so skip
+        # the md5 probe AGGREGATION JOB entirely (round 12 — previously the
+        # probe scanned the corpus even though its result was unused)
+        dup_frac = 0.0
+    else:
+        hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+        counts = hashed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("_h").alias("u"),
+        ).first()
+        n_docs, n_uniq = counts["n"], counts["u"]
+        dup_frac = 0.0 if not n_docs else (n_docs - n_uniq) / n_docs
     if dup_frac <= collapse_min_dup_frac:  # low-dup: zero-join path
         verified = minhash_verified_pairs(
             df, id_col, text_col, threshold, num_perm, bands, k)
