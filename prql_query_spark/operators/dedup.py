@@ -409,15 +409,19 @@ def minhash_lsh_pairs(
     return _pairs_from_banded(banded, max_bucket)
 
 
-def _band_pairs_exploded(banded: DataFrame, max_bucket: int) -> DataFrame:
+def _band_pairs_exploded(banded: DataFrame, max_bucket: int | None) -> DataFrame:
     # ONE shuffle: group ids per (band, bucket) and generate the i<j pairs
     # JVM-side with indexed transforms — no window pass, no self-join (a
     # self-join would recompute the signature stage twice).  max_bucket caps
     # pair generation for pathological boilerplate buckets; buckets big
     # enough to strain the collect_list buffer (~1M+ ids) indicate a corpus
-    # that needs boilerplate pre-filtering regardless.  Output: one (a, b)
-    # row PER COLLIDING BAND (a pair colliding in m bands appears m times).
-    ids = F.slice(F.sort_array(F.collect_list("_id")), 1, max_bucket)
+    # that needs boilerplate pre-filtering regardless (max_bucket=None for
+    # exact uncapped generation — embedding_neardup's contract).  Output:
+    # one (a, b) row PER COLLIDING BAND (a pair colliding in m bands
+    # appears m times).
+    ids = F.sort_array(F.collect_list("_id"))
+    if max_bucket is not None:
+        ids = F.slice(ids, 1, max_bucket)
     # one parsed SQL string, not nested lambda Columns: the py4j lambda
     # construction alone measured ~38 ms per query build (round 12)
     pair_structs = F.expr(

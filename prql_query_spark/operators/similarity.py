@@ -396,24 +396,22 @@ def embedding_neardup(
     # dim=None: hyperplanes derive in-kernel from the batch width — the
     # former select(vec).first() probe was a full collect JOB at query-
     # construction time (guide §5), one corpus-scan task per invocation.
+    # Candidate generation (round 12, guide §2.4): the bucket SELF-JOIN +
+    # dropDuplicates shape (shuffle bucketed twice for the join, then a
+    # third exchange for the dedup, plus a checkpoint barrier so the
+    # matmul didn't run twice) is replaced by the minhash pair shape —
+    # ONE bucket-keyed shuffle, ids collected per (table, bucket),
+    # i<j pairs generated JVM-side, then the (a, b) dedup.  Uncapped
+    # (max_bucket=None) so the candidate set is EXACTLY the self-join's.
+    # The barrier disappears with the second consumer.
+    from prql_query_spark.operators.dedup import _band_pairs_exploded
+
     bud = lsh_buckets_vec(None, n_bits, n_tables)
-    ids = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    bucketed = ids.select(
-        "_id", F.posexplode(bud(F.col("_v"))).alias("_t", "_b"))
-    # both sides of the candidate self-join consume `bucketed`; without a
-    # materialization point the Arrow matmul stage executes twice.  The
-    # bucket table is n_tables rows per vector of three scalars — tiny —
-    # so a lazy localCheckpoint is the right barrier (same pattern as
-    # minhash_verified_pairs' survivor table).
-    bucketed = bucketed.transform(barrier, eager=False)
-    left = bucketed.select(F.col("_id").alias("a"), "_t", "_b")
-    right = bucketed.select(F.col("_id").alias("b"), "_t", "_b")
-    pairs = (
-        left.join(right, ["_t", "_b"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-    )
+    banded = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(bud(F.col(vec_col))).alias("_band", "_bucket"))
+    pairs = (_band_pairs_exploded(banded, None)
+             .dropDuplicates(["a", "b"]))
     va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     return (
